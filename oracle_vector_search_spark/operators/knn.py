@@ -1,0 +1,189 @@
+"""Exact k-nearest-neighbor search over embedding columns.
+
+Re-expresses the reference's core query — L2-normalize, ``IndexFlatIP``
+top-k=5 cosine search, positional metadata join (reference app.py:139-151,
+SURVEY.md §2.6 A2 / §2.7 M1) — as two Spark tiers:
+
+* **expression tier** (`knn_exact`): broadcast the (small) query set,
+  cross-join against the index DataFrame, score with the pure-SQL cosine
+  kernel, rank per query with a window. Whole plan is JVM-side Catalyst
+  expressions — oracle-checkable, and at cluster scale it is a
+  map-only pass over the index (broadcast join, no shuffle) followed by a
+  tiny shuffle of ≤ (partitions × k × Q) ranked candidate rows.
+
+* **GEMM tier** (`knn_exact_gemm`): same semantics, numpy BLAS matmul per
+  Arrow batch with a partition-local top-k, then a global top-k merge.
+  This is the 100 TB fast path: each executor does
+  ``V_block @ Q.T`` at memory bandwidth, emits only k rows per query per
+  batch, so the shuffle is O(batches × Q × k), independent of index size.
+
+Scale notes: queries are broadcast (the reference's Q=1..few pattern;
+fine up to ~10⁵ × dim floats). For Q large enough that broadcast fails,
+use `operators.ann` (LSH bucketed join) instead.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from oracle_vector_search_spark.functions.vector import (
+    as_double_array,
+    cosine_similarity,
+)
+
+SCORE_DECIMALS = 6  # oracle comparison policy, SURVEY.md §5.2
+
+
+def _prep(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, out_vec: str
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias(out_id), as_double_array(vec_col).alias(out_vec)
+    )
+
+
+def knn_exact(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+    round_decimals: int | None = SCORE_DECIMALS,
+) -> DataFrame:
+    """Exact cosine top-k per query, expression tier.
+
+    Returns ``(query_id, neighbor_id, score, rank)`` with rank 1..k by
+    (score desc, neighbor_id asc) — deterministic under float ties.
+    """
+    q = _prep(query_df, query_id_col or id_col, query_vec_col or vec_col,
+              "query_id", "q_vec")
+    v = _prep(index_df, id_col, vec_col, "neighbor_id", "v_vec")
+
+    score = cosine_similarity("q_vec", "v_vec")
+    if round_decimals is not None:
+        score = F.round(score, round_decimals)
+
+    scored = (
+        v.join(F.broadcast(q))  # cross join; index side streams, no shuffle
+        .select("query_id", "neighbor_id", score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def knn_exact_gemm(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+    round_decimals: int | None = SCORE_DECIMALS,
+) -> DataFrame:
+    """Exact cosine top-k per query, BLAS fast path.
+
+    Collects the query set to the driver (assumed ≪ index), broadcasts the
+    normalized query matrix, and scores each Arrow batch of the index with
+    one ``V @ Q.T`` GEMM + partial top-k. A final window merges the
+    per-batch candidates. Matches `knn_exact` after rounding.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qid = query_id_col or id_col
+    qvec = query_vec_col or vec_col
+    q_rows = query_df.select(qid, qvec).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([r[1] for r in q_rows], dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+
+    spark = index_df.sparkSession
+    b = spark.sparkContext.broadcast((q_ids, Q))
+    local_k = k
+
+    def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_l, Q_l = b.value
+        for pdf in it:
+            if pdf.empty:
+                continue
+            V = np.array(list(pdf[vec_col]), dtype=np.float64)
+            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            S = V @ Q_l.T  # (n, q)
+            n = S.shape[0]
+            top = min(local_k, n)
+            # partial top-k per query within this batch
+            idx = np.argpartition(-S, top - 1, axis=0)[:top]  # (top, q)
+            rows_q = np.repeat(np.arange(len(q_ids_l)), top)
+            rows_v = idx.T.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids_l[rows_q],
+                    "neighbor_id": pdf[id_col].to_numpy()[rows_v],
+                    "score": S[rows_v, rows_q],
+                }
+            )
+
+    candidates = index_df.select(id_col, vec_col).mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, score double"
+    )
+    score = F.col("score")
+    if round_decimals is not None:
+        score = F.round(score, round_decimals)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        candidates.select("query_id", "neighbor_id", score.alias("score"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_decimals: int | None = SCORE_DECIMALS,
+) -> DataFrame:
+    """All pairs (l, r) with cosine(l, r) ≥ threshold, l.id < r.id.
+
+    Expression tier (exact, quadratic) — the oracle-checkable baseline.
+    For scale use `operators.ann.lsh_similarity_join` which prunes the
+    pair space with banded random-hyperplane buckets first.
+    """
+    l = _prep(left, id_col, vec_col, "left_id", "l_vec")
+    r = _prep(right, id_col, vec_col, "right_id", "r_vec")
+    score = cosine_similarity("l_vec", "r_vec")
+    if round_decimals is not None:
+        score = F.round(score, round_decimals)
+    return (
+        l.join(r, F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def knn_join_metadata(
+    topk: DataFrame, metadata: DataFrame, on: str = "vec_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Decorate top-k results with index metadata — the reference's
+    positional ``metadata_list[idx]`` lookup (app.py:149-151) as an
+    explicit equi-join (SURVEY.md §2.5 J2). Broadcast-hash when small."""
+    return topk.join(
+        metadata.withColumnRenamed(on, neighbor_col), on=neighbor_col
+    )

@@ -32,8 +32,30 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table as a DataFrame."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Load one fixture table as a DataFrame.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's timestamp
+    type (µs) cannot hold — read it as a long (``nanosAsLong``) and expose
+    BOTH ``ts_ns BIGINT`` (exact, for arithmetic/oracle output) and ``ts
+    TIMESTAMP`` (µs-truncated, for window/streaming functions; hour and
+    second boundaries are µs-aligned so truncation never flips a bucket).
+    """
+    from pyspark.sql import functions as F
+
+    # Oracle comparability + determinism: wall-clock↔epoch conversions
+    # (NTZ casts, unix_micros) must not depend on the host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return (
+            spark.read.parquet(path)
+            .withColumnRenamed("ts", "ts_ns")
+            .withColumn(
+                "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+            )
+        )
+    return spark.read.parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

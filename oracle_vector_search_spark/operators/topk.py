@@ -1,0 +1,51 @@
+"""Top-k operators (SURVEY.md §2.6 A1/A2, §2.3 T13).
+
+The reference's two top-k shapes: global best-of (argmax over YOLO boxes,
+app.py:121-125) and per-group ranked top-k (FAISS k=5 per query,
+app.py:142-143). Both are Catalyst-native here:
+
+* global: ``orderBy(...).limit(k)`` → Catalyst plans
+  ``TakeOrderedAndProject`` — per-partition partial top-k, then a single
+  driver-side merge of partitions×k rows. No full sort, no full shuffle.
+* per-group: ``row_number`` over a window + filter — Spark ≥3.5 pushes a
+  ``WindowGroupLimit`` below the shuffle so each map task emits at most
+  k rows per group.
+
+Determinism rule: every ordering carries an explicit id tie-break so
+results are stable under float ties and partitioning (A5 discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def top_k_global(df: DataFrame, k: int, *order: Column) -> DataFrame:
+    """Global top-k: ``TakeOrderedAndProject`` plan, never a full sort."""
+    return df.orderBy(*order).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    *order: Column,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group via row_number (WindowGroupLimit-optimized)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def argmax_per_group(
+    df: DataFrame, group_cols: list[str], value: Column, payload: Column
+) -> DataFrame:
+    """``max_by`` — the reference's best-box-by-confidence (A1) as a single
+    partial-aggregable function (map-side combine, one shuffle of one row
+    per group)."""
+    return df.groupBy(*group_cols).agg(
+        F.max_by(payload, value).alias("argmax"), F.max(value).alias("max_value")
+    )

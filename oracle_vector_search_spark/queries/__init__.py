@@ -44,6 +44,7 @@ def load_all_modules() -> None:
     )
     for mod in (
         "relational_queries",
+        "temporal_queries",
         "text_queries",
         "dedup_queries",
         "pipeline_queries",

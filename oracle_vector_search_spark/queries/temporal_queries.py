@@ -1,0 +1,208 @@
+"""Temporal + JSON oracle corpus over the ``events`` fixture.
+
+Time windows, sessionization, as-of and range joins, JSON extraction —
+the batch halves of the engine's streaming surface (SURVEY.md §2.8 M7);
+the same operators run under Structured Streaming in
+``streaming_queries``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.temporal import (
+    asof_join,
+    range_join_within,
+    sessionize,
+)
+from oracle_vector_search_spark.queries import register
+
+
+@register(
+    "events_json_agg",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k,
+       round(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1.0
+             / count(*), 6) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction (``get_json_object``) + aggregation —
+    events.props is a JSON string column (FIXTURES.md table 8)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.sum(k) * 1.0 / F.count("*"), 6).alias("avg_k"),
+    )
+
+
+@register(
+    "hourly_event_windows",
+    """
+SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS window_start_ns,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+""",
+)
+def hourly_event_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via ``F.window`` (epoch-aligned, matching
+    DuckDB ``time_bucket``) — the batch twin of the streaming windowed
+    aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            (F.unix_micros(F.col("window.start")) * 1000).alias(
+                "window_start_ns"
+            ),
+            "event_type",
+            "n",
+            "sum_value_cents",
+        )
+    )
+
+
+@register(
+    "user_sessions",
+    """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) // 1000 AS ts_us,
+         epoch_ns(ts) // 1000000000 AS ts_s
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us, ts_s,
+         CASE WHEN lag(ts_s) OVER w IS NULL
+                   OR ts_s - lag(ts_s) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessions AS (
+  SELECT user_id, event_id,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       CAST(max(session_id) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(count(*) * 1.0 / max(session_id), 6) AS events_per_session
+FROM sessions
+GROUP BY user_id
+""",
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) via the lag + conditional-cumsum
+    operator; one shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", 1800, order_tiebreak="event_id")
+    return s.groupBy("user_id").agg(
+        F.max("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+        F.round(F.count("*") * 1.0 / F.max("session_id"), 6).alias(
+            "events_per_session"
+        ),
+    )
+
+
+@register(
+    "purchase_asof_order",
+    """
+WITH purchases AS (
+  -- DuckDB truncates parquet ns-timestamps to µs on read; compare at µs
+  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+  FROM events WHERE event_type = 'purchase'
+), cand AS (
+  SELECT p.event_id, p.user_id, p.ts_us, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM purchases p
+  JOIN orders o
+    ON o.o_custkey = p.user_id AND epoch_ns(o.o_orderdate) // 1000 <= p.ts_us
+)
+SELECT p.event_id, p.user_id, p.ts_us, c.o_orderkey, c.o_totalprice
+FROM purchases p
+LEFT JOIN cand c ON c.event_id = p.event_id AND c.rn = 1
+""",
+)
+def purchase_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: each purchase event picks up the user's most
+    recent order (latest o_orderdate ≤ ts, orderkey tie-break) via the
+    union-marker window operator — no per-key pandas, one shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    # order right side so the carried last() is (latest date, largest key)
+    return asof_join(
+        ev.select(
+            "event_id", "user_id", F.expr("ts_ns div 1000").alias("ts_us")
+        ),
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "od_us"
+            ),
+            "o_orderkey",
+            "o_totalprice",
+        ),
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="od_us",
+        right_payload=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    ).select("event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "event_pairs_within_minute",
+    """
+SELECT a.event_id AS first_id, b.event_id AS second_id, a.user_id,
+       CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) AS gap_seconds
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND CAST(floor(epoch(b.ts)) AS BIGINT) - CAST(floor(epoch(a.ts)) AS BIGINT) BETWEEN 1 AND 60
+""",
+)
+def event_pairs_within_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range self-join: pairs of events by the same user within 60 s.
+    Bucketed into 60 s epochs so the join is equi on (user, bucket) —
+    candidate space is adjacent buckets, not the O(n²) per-user cross."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    pairs = range_join_within(
+        ev, ev, key="user_id", left_ts="ts", right_ts="ts", max_gap_seconds=60
+    )
+    return pairs.select(
+        F.col("l.event_id").alias("first_id"),
+        F.col("r.event_id").alias("second_id"),
+        F.col("l.user_id").alias("user_id"),
+        (
+            F.unix_timestamp(F.col("r.ts")) - F.unix_timestamp(F.col("l.ts"))
+        ).alias("gap_seconds"),
+    )

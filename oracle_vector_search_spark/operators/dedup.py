@@ -1,0 +1,256 @@
+"""Deduplication operators for training-data pipelines.
+
+Generalizes the reference's core competency (content-based similarity
+over an indexed corpus, SURVEY.md §0/§2.7) into the dedup family a
+100 TB text pipeline needs:
+
+* ``exact_dedup`` — hash-groupBy, keep canonical min-id row. One
+  shuffle on the content hash; at scale the hash is computed in the
+  scan projection so the shuffle carries (hash, id) pairs only.
+* ``minhash_near_dup`` — word-shingle MinHash signatures (per-row
+  projection, no shuffle) → banded LSH bucket join (shuffle only on
+  band keys; all-pairs never materializes) → exact Jaccard verification
+  on candidates. The standard large-scale near-dedup recipe.
+* ``simhash_near_dup`` — 28-bit SimHash fingerprints; candidate pairs
+  from band buckets. With bands > max_hamming the banding is LOSSLESS
+  (pigeonhole: d ≤ t differing bits can't touch all t+1 bands).
+* ``ngram_jaccard_join`` — exact character-n-gram Jaccard within
+  explicit blocking keys.
+* embedding near-dup — ``operators.knn.similarity_join`` (cosine) /
+  ``operators.ann`` (LSH-bucketed) cover the vector variant.
+
+All computations use the portable md5-based hash family from
+``functions.text`` so every operator is DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from oracle_vector_search_spark.functions import text as T
+
+
+def with_norm_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach norm / toks columns (canonical text form)."""
+    return df.withColumn("norm", T.norm_text(text_col)).withColumn(
+        "toks", F.split(F.col("norm"), " ")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Keep one canonical row (min id) per exact content hash.
+
+    Returns (content_hash, keep_id, n_copies). Join back on keep_id for
+    the surviving rows. Single shuffle on the 60-bit content hash."""
+    h = F.expr(T.hash60_sql(text_col)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document MinHash signature columns m0..m{J-1} plus the
+    distinct shingle array (kept for exact-Jaccard verification)."""
+    d = with_norm_tokens(df, text_col)
+    d = d.withColumn(
+        "shingles", F.expr(T.word_shingles_expr("toks", "norm"))
+    ).withColumn("hs", F.expr(T.shingle_hashes_expr("shingles")))
+    sig_cols = [
+        F.expr(e).alias(f"m{j}")
+        for j, e in enumerate(T.minhash_sig_exprs("hs"))
+    ]
+    return d.select(F.col(id_col), F.col("shingles"), *sig_cols)
+
+
+def _band_key(prefix: int) -> F.Column:
+    cols = [
+        F.col(f"m{prefix * T.MINHASH_ROWS + r}") for r in range(T.MINHASH_ROWS)
+    ]
+    return F.concat_ws("-", *[c.cast("string") for c in cols])
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-duplicate pairs by banded MinHash LSH + exact Jaccard filter.
+
+    Returns (left_id, right_id, jaccard) with jaccard ≥ threshold,
+    left_id < right_id, deduped across bands. The only shuffles are the
+    band-bucket self-joins (then a distinct on candidate pairs) — the
+    quadratic pair space never materializes."""
+    sigs = minhash_signatures(df, id_col, text_col)
+    bands = []
+    for b in range(T.MINHASH_BANDS):
+        bands.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                _band_key(b).alias("band_key"),
+            )
+        )
+    keyed = bands[0]
+    for b in bands[1:]:
+        keyed = keyed.unionByName(b)
+
+    l = keyed.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("left_id")
+    )
+    r = keyed.select(
+        F.col("band"), F.col("band_key"), F.col(id_col).alias("right_id")
+    )
+    cand = (
+        l.join(r, ["band", "band_key"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+
+    sh = sigs.select(F.col(id_col), F.col("shingles"))
+    pairs = (
+        cand.join(
+            sh.select(
+                F.col(id_col).alias("left_id"), F.col("shingles").alias("sh_l")
+            ),
+            "left_id",
+        )
+        .join(
+            sh.select(
+                F.col(id_col).alias("right_id"),
+                F.col("shingles").alias("sh_r"),
+            ),
+            "right_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_l", "sh_r"))
+                * 1.0
+                / F.size(F.array_union("sh_l", "sh_r")),
+                6,
+            ),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).select(
+        "left_id", "right_id", "jaccard"
+    )
+
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """28-bit SimHash fingerprint per document (token-hash majority)."""
+    d = with_norm_tokens(df, text_col)
+    d = d.withColumn(
+        "hs", F.expr(T.shingle_hashes_expr("array_distinct(toks)"))
+    )
+    return d.select(
+        F.col(id_col), F.expr(T.simhash_expr("hs")).alias("simhash")
+    )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs with SimHash hamming distance ≤ max_hamming via lossless
+    band buckets (requires max_hamming < SIMHASH_BANDS)."""
+    if max_hamming >= T.SIMHASH_BANDS:
+        raise ValueError("banding is lossless only for hamming < bands")
+    fp = simhash_fingerprints(df, id_col, text_col)
+    mask = (1 << T.SIMHASH_BAND_BITS) - 1
+    bands = None
+    for b in range(T.SIMHASH_BANDS):
+        part = fp.select(
+            F.col(id_col),
+            F.col("simhash"),
+            F.lit(b).alias("band"),
+            (
+                F.shiftright(F.col("simhash"), b * T.SIMHASH_BAND_BITS)
+                .bitwiseAND(F.lit(mask))
+            ).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+
+    l = bands.select(
+        "band",
+        "band_key",
+        F.col(id_col).alias("left_id"),
+        F.col("simhash").alias("fp_l"),
+    )
+    r = bands.select(
+        "band",
+        "band_key",
+        F.col(id_col).alias("right_id"),
+        F.col("simhash").alias("fp_r"),
+    )
+    return (
+        l.join(r, ["band", "band_key"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select(
+            "left_id",
+            "right_id",
+            F.bit_count(
+                F.col("fp_l").bitwiseXOR(F.col("fp_r"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_join(
+    df: DataFrame,
+    blocking_cols: list[str],
+    n: int = 3,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact character-n-gram Jaccard similarity between documents that
+    share a blocking key (e.g. source+lang). Blocking keeps the pair
+    space linear-ish; the gram sets are per-row projections."""
+    d = df.withColumn("norm", T.norm_text(text_col)).withColumn(
+        "grams",
+        F.expr(
+            f"array_distinct(transform(sequence(1, "
+            f"greatest(length(norm) - {n - 1}, 1)), "
+            f"i -> substring(norm, i, {n})))"
+        ),
+    )
+    l = d.select(
+        *blocking_cols, F.col(id_col).alias("left_id"), F.col("grams").alias("g_l")
+    )
+    r = d.select(
+        *blocking_cols,
+        F.col(id_col).alias("right_id"),
+        F.col("grams").alias("g_r"),
+    )
+    return (
+        l.join(r, blocking_cols)
+        .filter(F.col("left_id") < F.col("right_id"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("g_l", "g_r"))
+                * 1.0
+                / F.size(F.array_union("g_l", "g_r")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(*blocking_cols, "left_id", "right_id", "jaccard")
+    )

@@ -1,0 +1,216 @@
+"""Deduplication oracle corpus over ``documents`` (SURVEY.md §7 M7).
+
+Exact dedup, MinHash-LSH near-dedup, SimHash near-dedup, n-gram
+Jaccard — each as a registered query whose DuckDB oracle replays the
+IDENTICAL integer/hash pipeline (constants shared via functions.text),
+so candidate generation and final scores match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from oracle_vector_search_spark.functions import text as T
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup,
+    ngram_jaccard_join,
+    simhash_fingerprints,
+    simhash_near_dup,
+)
+from oracle_vector_search_spark.queries import register
+
+MINHASH_THRESHOLD = 0.4
+NGRAM_THRESHOLD = 0.35
+SIMHASH_MAX_HAMMING = 3
+
+
+@register(
+    "exact_dedup_groups",
+    f"""
+WITH doubled AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT {T.duck_hash60('text')} AS content_hash,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM doubled
+GROUP BY 1
+""",
+)
+def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy, keep min id) over a corpus unioned
+    with a re-ingested copy of itself — every group collapses 2 → 1."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return exact_dedup(doubled)
+
+
+def _duck_sig_cte() -> str:
+    """Shared DuckDB CTE chain computing shingles + MinHash signature."""
+    sigs = ", ".join(
+        f"{e} AS m{j}" for j, e in enumerate(T.duck_minhash_sigs("hs"))
+    )
+    return f"""
+base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM base
+), sh AS (
+  SELECT doc_id, {T.duck_shingles('toks', 'norm')} AS shingles FROM tok
+), hs AS (
+  SELECT doc_id, shingles, {T.duck_shingle_hashes('shingles')} AS hs FROM sh
+), sig AS (
+  SELECT doc_id, shingles, {sigs} FROM hs
+)"""
+
+
+def _duck_minhash_bands() -> str:
+    parts = []
+    for b in range(T.MINHASH_BANDS):
+        key = " || '-' || ".join(
+            f"m{b * T.MINHASH_ROWS + r}::VARCHAR" for r in range(T.MINHASH_ROWS)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band, {key} AS band_key FROM sig"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "minhash_near_dup_pairs",
+    f"""
+WITH {_duck_sig_cte()},
+bands AS ({_duck_minhash_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT c.left_id, c.right_id,
+       round(len(list_intersect(s1.shingles, s2.shingles)) * 1.0
+             / len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6)
+         AS jaccard
+FROM cand c
+JOIN sig s1 ON s1.doc_id = c.left_id
+JOIN sig s2 ON s2.doc_id = c.right_id
+WHERE round(len(list_intersect(s1.shingles, s2.shingles)) * 1.0
+            / len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6)
+      >= {MINHASH_THRESHOLD}
+""",
+)
+def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: banded signatures prune the
+    pair space, exact word-shingle Jaccard ≥ 0.4 confirms."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dup(docs, threshold=MINHASH_THRESHOLD)
+
+
+@register(
+    "simhash_fingerprints",
+    f"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, list_distinct(string_split(norm, ' ')) AS toks FROM base
+), h AS (
+  SELECT doc_id, {T.duck_shingle_hashes('toks')} AS hs FROM tok
+)
+SELECT doc_id, {T.duck_simhash('hs')} AS simhash FROM h
+""",
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-bit SimHash fingerprint per document (token-majority bits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs)
+
+
+_SIMHASH_MASK = (1 << T.SIMHASH_BAND_BITS) - 1
+
+
+def _duck_simhash_bands() -> str:
+    parts = []
+    for b in range(T.SIMHASH_BANDS):
+        parts.append(
+            f"SELECT doc_id, simhash, {b} AS band, "
+            f"(simhash >> {b * T.SIMHASH_BAND_BITS}) & {_SIMHASH_MASK} "
+            f"AS band_key FROM fp"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "simhash_near_dup_pairs",
+    f"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, list_distinct(string_split(norm, ' ')) AS toks FROM base
+), h AS (
+  SELECT doc_id, {T.duck_shingle_hashes('toks')} AS hs FROM tok
+), fp AS (
+  SELECT doc_id, {T.duck_simhash('hs')} AS simhash FROM h
+),
+bands AS ({_duck_simhash_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT left_id, right_id, CAST(hamming AS INTEGER) AS hamming
+FROM cand WHERE hamming <= {SIMHASH_MAX_HAMMING}
+""",
+)
+def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via lossless 4-band buckets
+    (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands identical)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_dup(docs, max_hamming=SIMHASH_MAX_HAMMING)
+    return pairs.select(
+        "left_id", "right_id", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+WITH base AS (
+  SELECT doc_id, source, lang,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), g AS (
+  SELECT doc_id, source, lang,
+         list_distinct([substr(norm, i, 3)
+                        for i in range(1, greatest(length(norm) - 2, 1) + 1)])
+           AS grams
+  FROM base
+)
+SELECT a.source, a.lang, a.doc_id AS left_id, b.doc_id AS right_id,
+       round(len(list_intersect(a.grams, b.grams)) * 1.0
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+FROM g a
+JOIN g b ON a.source = b.source AND a.lang = b.lang
+        AND a.doc_id < b.doc_id
+WHERE round(len(list_intersect(a.grams, b.grams)) * 1.0
+            / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+      >= {NGRAM_THRESHOLD}
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram Jaccard near-dup within (source, lang) blocks —
+    exact n-gram similarity with explicit blocking."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_join(
+        docs, ["source", "lang"], n=3, threshold=NGRAM_THRESHOLD
+    )

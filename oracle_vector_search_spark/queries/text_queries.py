@@ -1,0 +1,224 @@
+"""Text-analysis oracle corpus over ``documents`` (SURVEY.md §7 M7).
+
+Language-ID heuristic, quality scoring, token statistics, document
+fingerprinting — the per-document projections a training-data pipeline
+runs before dedup/filtering. All pure Spark SQL expressions; DuckDB
+oracles are generated from the SAME constants in ``functions.text``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from oracle_vector_search_spark.functions import text as T
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.queries import register
+
+_SW = T.STOPWORDS
+
+
+@register(
+    "doc_token_stats",
+    """
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM base
+)
+SELECT doc_id,
+       CAST(length(norm) AS INTEGER) AS n_chars_norm,
+       CAST(len(toks) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr,
+       round(CAST(list_sum([length(t) for t in toks]) AS BIGINT) * 1.0
+             / len(toks), 6) AS avg_token_len
+FROM tok
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): counts, type-token ratio,
+    average token length — exact integer math + identical division."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("norm", T.norm_text("text")).withColumn(
+        "toks", F.split("norm", " ")
+    )
+    return d.select(
+        "doc_id",
+        F.length("norm").alias("n_chars_norm"),
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_uniq_tokens"),
+        F.round(
+            F.size(F.array_distinct("toks")) * 1.0 / F.size("toks"), 6
+        ).alias("ttr"),
+        F.round(
+            F.expr(
+                "aggregate(toks, cast(0 as bigint), (a, t) -> a + length(t))"
+            )
+            * 1.0
+            / F.size("toks"),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    f"""
+WITH base AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, text, norm, string_split(norm, ' ') AS toks FROM base
+), m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))
+              AS INTEGER) AS n_special,
+         CAST({T.duck_stopword_hits('toks', _SW['en'])} AS INTEGER)
+           AS en_stopword_hits
+  FROM tok
+)
+SELECT doc_id, n_tokens, n_special, en_stopword_hits,
+       round(en_stopword_hits * 1.0 / n_tokens, 6) AS stopword_ratio,
+       round(least(n_tokens / 50.0, 1.0) * 0.5
+             + (en_stopword_hits * 1.0 / n_tokens) * 0.5, 6) AS quality_score
+FROM m
+""",
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/special-char signals composed
+    into a [0,1] score (the heuristic pre-filter of a data pipeline)."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("norm", T.norm_text("text")).withColumn(
+        "toks", F.split("norm", " ")
+    )
+    n_tokens = F.size("toks")
+    n_special = F.length("text") - F.length(
+        F.regexp_replace("text", "[^a-z0-9 ]", "")
+    )
+    hits = F.expr(T.stopword_hits_expr("toks", _SW["en"]))
+    sw_ratio = hits * 1.0 / n_tokens
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_special.alias("n_special"),
+        hits.alias("en_stopword_hits"),
+        F.round(sw_ratio, 6).alias("stopword_ratio"),
+        F.round(
+            F.least(n_tokens / 50.0, F.lit(1.0)) * 0.5 + sw_ratio * 0.5, 6
+        ).alias("quality_score"),
+    )
+
+
+_LANG_CASE_SQL = (
+    "CASE WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits"
+    " THEN 'en' WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'"
+    " WHEN fr_hits >= es_hits THEN 'fr' ELSE 'es' END"
+)
+
+
+@register(
+    "doc_language_id",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+), scores AS (
+  SELECT doc_id, lang,
+         CAST({T.duck_stopword_hits('toks', _SW['en'])} AS INTEGER) AS en_hits,
+         CAST({T.duck_stopword_hits('toks', _SW['de'])} AS INTEGER) AS de_hits,
+         CAST({T.duck_stopword_hits('toks', _SW['fr'])} AS INTEGER) AS fr_hits,
+         CAST({T.duck_stopword_hits('toks', _SW['es'])} AS INTEGER) AS es_hits
+  FROM tok
+)
+SELECT doc_id, lang, en_hits, de_hits, fr_hits, es_hits,
+       {_LANG_CASE_SQL} AS predicted_lang,
+       ({_LANG_CASE_SQL}) = lang AS lang_match
+FROM scores
+""",
+)
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language ID (n-gram heuristic family): per-
+    language hit counts, deterministic argmax with fixed tie order."""
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("norm", T.norm_text("text")).withColumn(
+        "toks", F.split("norm", " ")
+    )
+    for code in ("en", "de", "fr", "es"):
+        d = d.withColumn(
+            f"{code}_hits", F.expr(T.stopword_hits_expr("toks", _SW[code]))
+        )
+    predicted = F.expr(_LANG_CASE_SQL)
+    return d.select(
+        "doc_id",
+        "lang",
+        "en_hits",
+        "de_hits",
+        "fr_hits",
+        "es_hits",
+        predicted.alias("predicted_lang"),
+        (predicted == F.col("lang")).alias("lang_match"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+)
+SELECT doc_id,
+       md5(norm) AS content_md5,
+       {T.duck_hash60('norm')} AS content_hash60,
+       {T.duck_rolling_fingerprint('norm')} AS rolling_fp
+FROM base
+""",
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5, 60-bit content hash, and a
+    polynomial rolling hash — the primitives under exact dedup and
+    shard-stable sampling."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "norm", T.norm_text("text")
+    )
+    return d.select(
+        "doc_id",
+        F.md5("norm").alias("content_md5"),
+        F.expr(T.hash60_sql("norm")).alias("content_hash60"),
+        F.expr(T.rolling_fingerprint_expr("norm")).alias("rolling_fp"),
+    )
+
+
+@register(
+    "token_frequencies_top20",
+    """
+WITH tok AS (
+  SELECT unnest(string_split(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM tok
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 20
+""",
+)
+def token_frequencies_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode tokens → count → top-20 (ties
+    broken by token). explode + partial agg + TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "norm", T.norm_text("text")
+    )
+    return (
+        d.select(F.explode(F.split("norm", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )

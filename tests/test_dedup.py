@@ -1,0 +1,70 @@
+"""Dedup operator invariants."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_dup,
+    simhash_fingerprints,
+    simhash_near_dup,
+)
+from oracle_vector_search_spark.functions import text as T
+
+
+def test_exact_dedup_collapses_doubled_corpus(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 10**6).alias("doc_id"), "text")
+    )
+    groups = exact_dedup(doubled).collect()
+    assert len(groups) == docs.count()
+    assert all(g["n_copies"] == 2 for g in groups)
+    assert all(g["keep_id"] < 10**6 for g in groups)
+
+
+def test_minhash_identical_docs_found(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta"),  # identical
+        (3, "totally different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_near_dup(df, threshold=0.9).collect()
+    assert {(p["left_id"], p["right_id"]) for p in pairs} == {(1, 2)}
+    assert pairs[0]["jaccard"] == 1.0
+
+
+def test_simhash_banding_is_lossless(spark, sf_dir):
+    """Banded candidate generation must find EVERY pair with hamming ≤ 3
+    (pigeonhole guarantee) — compare against brute force on a sample."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    banded = {
+        (r["left_id"], r["right_id"])
+        for r in simhash_near_dup(docs, max_hamming=3).collect()
+    }
+    fp = simhash_fingerprints(docs)
+    a = fp.select(
+        F.col("doc_id").alias("left_id"), F.col("simhash").alias("fa")
+    )
+    b = fp.select(
+        F.col("doc_id").alias("right_id"), F.col("simhash").alias("fb")
+    )
+    brute = {
+        (r["left_id"], r["right_id"])
+        for r in a.join(b, F.col("left_id") < F.col("right_id"))
+        .withColumn("h", F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))))
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    assert banded == brute
+
+
+def test_simhash_bits_bounded(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    fps = simhash_fingerprints(docs).collect()
+    assert all(0 <= r["simhash"] < (1 << T.SIMHASH_BITS) for r in fps)

@@ -1,0 +1,63 @@
+"""Pluggable embedders (SURVEY.md §2.3 T8).
+
+The reference embeds crops with ResNet-18 (fc=Identity → 512-d float,
+/root/reference/build_faiss_db.py:109-134). Torch isn't in the engine's
+core deps, so the DEFAULT embedder is a deterministic hash-projection:
+
+    e_i = hash28(md5_hex(content) + ':' + i) / 2^27 - 1   ∈ [-1, 1)
+    v   = e / ‖e‖₂
+
+It is (a) fully deterministic, (b) expressible as pure SQL in BOTH
+Spark and DuckDB (oracle-checkable end-to-end through the whole build
+pipeline), and (c) shaped exactly like a real embedder (fixed-D float
+vector per content blob) so swapping in torch (sources/images.py) does
+not change any downstream operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+DEFAULT_DIMS = 8
+_SCALE = float(1 << 27)  # hash28 range is [0, 2^28) → /2^27 - 1 ∈ [-1, 1)
+
+
+def _spark_component(md5_expr: str, i: int) -> str:
+    # NB: a bare literal like 134217728.0 parses as DECIMAL in Spark SQL
+    # (decimal division would diverge from DuckDB's double math) — force
+    # DOUBLE with the D suffix.
+    h = f"cast(conv(substr(md5(concat({md5_expr}, ':', '{i}')), 1, 7), 16, 10) as bigint)"
+    return f"({h} / {_SCALE}D - 1.0D)"
+
+
+def spark_embedding_expr(md5_expr: str, dims: int = DEFAULT_DIMS) -> str:
+    """Spark SQL fragment: raw (unnormalized) embedding array."""
+    comps = ", ".join(_spark_component(md5_expr, i) for i in range(dims))
+    return f"array({comps})"
+
+
+def _duck_component(md5_expr: str, i: int) -> str:
+    h = f"CAST(('0x' || substr(md5({md5_expr} || ':' || '{i}'), 1, 7)) AS BIGINT)"
+    return f"({h} / {_SCALE} - 1.0)"
+
+
+def duck_embedding_expr(md5_expr: str, dims: int = DEFAULT_DIMS) -> str:
+    comps = ", ".join(_duck_component(md5_expr, i) for i in range(dims))
+    return f"[{comps}]"
+
+
+def hash_projection_embed_numpy(content: bytes, dims: int = DEFAULT_DIMS):
+    """Numpy twin of the SQL embedder (used by the pandas-UDF image
+    pipeline); identical output to the SQL fragments above."""
+    import hashlib
+
+    import numpy as np
+
+    md5_hex = hashlib.md5(content).hexdigest()
+    vals = []
+    for i in range(dims):
+        h = int(hashlib.md5(f"{md5_hex}:{i}".encode()).hexdigest()[:7], 16)
+        vals.append(h / _SCALE - 1.0)
+    v = np.asarray(vals, dtype=np.float64)
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v

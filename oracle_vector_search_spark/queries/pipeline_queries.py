@@ -1,0 +1,386 @@
+"""Reference build-pipeline parity queries (SURVEY.md §3.1, §7 M3/M6).
+
+The reference's offline index build (/root/reference/build_faiss_db.py)
+is: scan images → match label files → parse YOLO rows → denormalize
+boxes → crop → embed → assign ids → persist. These queries run that
+EXACT dataflow — including the permissive drop rules F1 (extension),
+F3 (undecodable), F4 (empty crop), F6 (malformed line) and the
+deterministic id discipline A5 — over fixtures synthesized
+deterministically from the driver tables (part → images, lineitem →
+label lines), with the hash-projection embedder (functions.embed), so
+the ENTIRE pipeline is DuckDB-oracle-checkable, embeddings included.
+
+Planted violations (same formulas both engines):
+- p_partkey % 89 = 0 → path ends '.txt'   (F1 drops it)
+- p_partkey % 90 = 0 → path ends '.PNG'   (F1 keeps: case-insensitive)
+- p_partkey % 97 = 0 → "undecodable"      (F3 drops it)
+- l_quantity = 13    → 3-field label line (F6 drops it)
+- l_quantity = 7     → w = 0.0001 → empty crop after floor (F4 drops)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from oracle_vector_search_spark.functions import embed as E
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.ingest import (
+    CLASS_NAMES,
+    assign_index_ids,
+    decode_class,
+    denormalize_boxes,
+    parse_yolo_labels,
+)
+from oracle_vector_search_spark.queries import register
+
+IMG_W = 640
+IMG_H = 640
+DIMS = E.DEFAULT_DIMS
+
+
+# ------------------------------------------------------ synthesized inputs
+def _images_df(spark, sf_dir, max_key: int) -> DataFrame:
+    """part → images: stem, path (with planted F1 cases), content_md5
+    (stand-in for decoded bytes), decodable flag (F3)."""
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_partkey") < max_key
+    )
+    stem = F.concat(F.lit("img_"), F.col("p_partkey").cast("string"))
+    ext = (
+        F.when(F.col("p_partkey") % 89 == 0, ".txt")
+        .when(F.col("p_partkey") % 90 == 0, ".PNG")
+        .otherwise(".jpg")
+    )
+    return part.select(
+        stem.alias("stem"),
+        F.concat(F.lit("data/raw/"), stem, ext).alias("path"),
+        F.md5(F.col("p_name").cast("binary")).alias("content_md5"),
+        (~(F.col("p_partkey") % 97 == 0)).alias("decodable"),
+        F.lit(IMG_W).alias("width"),
+        F.lit(IMG_H).alias("height"),
+    )
+
+
+_DUCK_IMAGES = """
+SELECT 'img_' || p_partkey::VARCHAR AS stem,
+       'data/raw/' || 'img_' || p_partkey::VARCHAR ||
+         (CASE WHEN p_partkey % 89 = 0 THEN '.txt'
+               WHEN p_partkey % 90 = 0 THEN '.PNG'
+               ELSE '.jpg' END) AS path,
+       md5(p_name) AS content_md5,
+       NOT (p_partkey % 97 = 0) AS decodable
+FROM part WHERE p_partkey < {max_key}
+"""
+
+
+def _label_lines_df(spark, sf_dir, max_key: int) -> DataFrame:
+    """lineitem → raw YOLO label lines (with planted F6/F4 cases)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < max_key
+    )
+    frac = lambda expr, lo, span: F.concat(
+        F.lit("0."),
+        F.lpad(((expr % span) + lo).cast("string"), 4, "0"),
+    )
+    x_c = frac(F.col("l_orderkey") * 37 + F.col("l_partkey"), 1000, 8000)
+    y_c = frac(F.col("l_orderkey") * 53 + F.col("l_suppkey"), 1000, 8000)
+    w = F.when(F.col("l_quantity") == 7, F.lit("0.0001")).otherwise(
+        frac(F.col("l_partkey") * 11, 500, 3000)
+    )
+    h = frac(F.col("l_suppkey") * 13, 500, 3000)
+    cls = (F.col("l_suppkey") % 4).cast("string")
+    full_line = F.concat_ws(" ", cls, x_c, y_c, w, h)
+    short_line = F.concat_ws(" ", cls, x_c, y_c)  # F6: field missing
+    return li.select(
+        F.concat(F.lit("img_"), F.col("l_partkey").cast("string")).alias(
+            "stem"
+        ),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("box_idx"),
+        F.when(F.col("l_quantity") == 13, short_line)
+        .otherwise(full_line)
+        .alias("value"),
+    )
+
+
+_DUCK_LABEL_LINES = """
+SELECT 'img_' || l_partkey::VARCHAR AS stem,
+       l_orderkey * 10 + l_linenumber AS box_idx,
+       CASE WHEN l_quantity = 13
+            THEN (l_suppkey % 4)::VARCHAR || ' ' ||
+                 '0.' || lpad((((l_orderkey*37 + l_partkey) % 8000) + 1000)::VARCHAR, 4, '0') || ' ' ||
+                 '0.' || lpad((((l_orderkey*53 + l_suppkey) % 8000) + 1000)::VARCHAR, 4, '0')
+            ELSE (l_suppkey % 4)::VARCHAR || ' ' ||
+                 '0.' || lpad((((l_orderkey*37 + l_partkey) % 8000) + 1000)::VARCHAR, 4, '0') || ' ' ||
+                 '0.' || lpad((((l_orderkey*53 + l_suppkey) % 8000) + 1000)::VARCHAR, 4, '0') || ' ' ||
+                 (CASE WHEN l_quantity = 7 THEN '0.0001'
+                       ELSE '0.' || lpad((((l_partkey*11) % 3000) + 500)::VARCHAR, 4, '0') END) || ' ' ||
+                 '0.' || lpad((((l_suppkey*13) % 3000) + 500)::VARCHAR, 4, '0')
+       END AS value
+FROM lineitem WHERE l_partkey < {max_key}
+"""
+
+_DUCK_PARSE = """
+parsed AS (
+  SELECT stem, box_idx,
+         TRY_CAST(parts[1] AS DOUBLE) AS class_id_d,
+         TRY_CAST(parts[2] AS DOUBLE) AS x_c,
+         TRY_CAST(parts[3] AS DOUBLE) AS y_c,
+         TRY_CAST(parts[4] AS DOUBLE) AS w,
+         TRY_CAST(parts[5] AS DOUBLE) AS h
+  FROM (SELECT stem, box_idx,
+               string_split_regex(trim(value), '\\s+') AS parts
+        FROM lines)
+  WHERE len(parts) = 5
+), labels AS (
+  SELECT stem, box_idx, CAST(class_id_d AS INTEGER) AS class_id,
+         x_c, y_c, w, h
+  FROM parsed
+  WHERE class_id_d IS NOT NULL AND x_c IS NOT NULL AND y_c IS NOT NULL
+    AND w IS NOT NULL AND h IS NOT NULL
+)"""
+
+_DUCK_BOXES = f"""
+boxes AS (
+  SELECT stem, box_idx, class_id,
+         greatest(0, least(CAST(floor((x_c - w/2) * {IMG_W}) AS INTEGER), {IMG_W})) AS x1,
+         greatest(0, least(CAST(floor((y_c - h/2) * {IMG_H}) AS INTEGER), {IMG_H})) AS y1,
+         greatest(0, least(CAST(floor((x_c + w/2) * {IMG_W}) AS INTEGER), {IMG_W})) AS x2,
+         greatest(0, least(CAST(floor((y_c + h/2) * {IMG_H}) AS INTEGER), {IMG_H})) AS y2
+  FROM labels
+)
+SELECT * FROM boxes WHERE x2 > x1 AND y2 > y1
+"""
+
+_CLASS_ARRAY_SQL = (
+    "['" + "', '".join(CLASS_NAMES) + "']"
+)
+
+
+@register(
+    "pipeline_label_parse",
+    "WITH lines AS ("
+    + _DUCK_LABEL_LINES.format(max_key=500)
+    + "), "
+    + _DUCK_PARSE
+    + "\nSELECT stem, box_idx, class_id, x_c, y_c, w, h FROM labels",
+)
+def pipeline_label_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + F6: permissive YOLO label parsing (malformed lines dropped,
+    job never fails) — reference build_faiss_db.py:176-181, 204-205."""
+    lines = _label_lines_df(spark, sf_dir, 500)
+    return parse_yolo_labels(lines, passthrough=["box_idx"])
+
+
+@register(
+    "pipeline_bbox_denorm",
+    "WITH lines AS ("
+    + _DUCK_LABEL_LINES.format(max_key=500)
+    + "), "
+    + _DUCK_PARSE
+    + ", "
+    + _DUCK_BOXES,
+)
+def pipeline_bbox_denorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 + F4: bbox denormalize (floor like Python int()), clip to the
+    image, drop empty crops — pure column arithmetic, no UDF."""
+    labels = pipeline_label_parse(spark, sf_dir)
+    boxes = denormalize_boxes(
+        labels.withColumn("width", F.lit(IMG_W)).withColumn(
+            "height", F.lit(IMG_H)
+        )
+    )
+    return boxes.select(
+        "stem", "box_idx", "class_id", "x1", "y1", "x2", "y2"
+    )
+
+
+def _built_index(spark: SparkSession, sf_dir: str, max_key: int) -> DataFrame:
+    """The full build DAG: images ⋈ labels → boxes → crop-id → embed →
+    deterministic ids. One lazy plan, no intermediate files (the Spark
+    re-expression of build_faiss_db.py stages A+C+D, SURVEY.md §3.1)."""
+    images = _images_df(spark, sf_dir, max_key).filter(
+        F.lower("path").rlike(r"\.(jpg|jpeg|png)$") & F.col("decodable")
+    )
+    labels = pipeline_label_parse(spark, sf_dir)  # max_key 500 superset
+    boxes = denormalize_boxes(
+        labels.withColumn("width", F.lit(IMG_W)).withColumn(
+            "height", F.lit(IMG_H)
+        )
+    )
+    joined = boxes.join(images, "stem")  # J1 (F2 implicit: inner)
+    joined = decode_class(joined)
+    crop_md5 = F.md5(
+        F.concat_ws(
+            ":", "content_md5", "x1", "y1", "x2", "y2"
+        ).cast("binary")
+    )
+    d = joined.withColumn("crop_md5", crop_md5).withColumn(
+        "emb", F.expr(E.spark_embedding_expr("crop_md5", DIMS))
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("emb", "emb", lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    d = d.withColumn("enorm", norm).withColumn(
+        "e0", F.element_at("emb", 1)
+    ).withColumn("unit0", F.col("e0") / F.col("enorm"))
+    d = d.withColumn("split", F.lit("train"))
+    # box_idx alone can tie (synthetic lineitem reuses (orderkey, linenumber));
+    # extend the A5 ordering with box content so ids are fully deterministic
+    return assign_index_ids(
+        d, ["split", "stem", "box_idx", "class_id", "x1", "y1", "x2", "y2"]
+    )
+
+
+def _duck_index_sql(max_key: int) -> str:
+    class_arr = _CLASS_ARRAY_SQL
+    return f"""
+WITH lines AS ({_DUCK_LABEL_LINES.format(max_key=500)}),
+{_DUCK_PARSE},
+boxes AS (
+  SELECT stem, box_idx, class_id,
+         greatest(0, least(CAST(floor((x_c - w/2) * {IMG_W}) AS INTEGER), {IMG_W})) AS x1,
+         greatest(0, least(CAST(floor((y_c - h/2) * {IMG_H}) AS INTEGER), {IMG_H})) AS y1,
+         greatest(0, least(CAST(floor((x_c + w/2) * {IMG_W}) AS INTEGER), {IMG_W})) AS x2,
+         greatest(0, least(CAST(floor((y_c + h/2) * {IMG_H}) AS INTEGER), {IMG_H})) AS y2
+  FROM labels
+  WHERE greatest(0, least(CAST(floor((x_c + w/2) * {IMG_W}) AS INTEGER), {IMG_W}))
+        > greatest(0, least(CAST(floor((x_c - w/2) * {IMG_W}) AS INTEGER), {IMG_W}))
+    AND greatest(0, least(CAST(floor((y_c + h/2) * {IMG_H}) AS INTEGER), {IMG_H}))
+        > greatest(0, least(CAST(floor((y_c - h/2) * {IMG_H}) AS INTEGER), {IMG_H}))
+),
+images AS ({_DUCK_IMAGES.format(max_key=max_key)}),
+good_images AS (
+  SELECT * FROM images
+  WHERE regexp_matches(lower(path), '\\.(jpg|jpeg|png)$') AND decodable
+),
+joined AS (
+  SELECT b.*, i.content_md5,
+         {class_arr}[b.class_id + 1] AS class_name
+  FROM boxes b JOIN good_images i USING (stem)
+),
+embedded AS (
+  SELECT *,
+         md5(content_md5 || ':' || x1::VARCHAR || ':' || y1::VARCHAR
+             || ':' || x2::VARCHAR || ':' || y2::VARCHAR) AS crop_md5
+  FROM joined
+),
+withvec AS (
+  SELECT *, {E.duck_embedding_expr('crop_md5', DIMS)} AS emb
+  FROM embedded
+),
+final AS (
+  SELECT 'train' AS split, stem, box_idx, class_id, class_name,
+         x1, y1, x2, y2,
+         emb[1] AS e0,
+         sqrt(list_dot_product(emb, emb)) AS enorm,
+         emb[1] / sqrt(list_dot_product(emb, emb)) AS unit0
+  FROM withvec
+)
+SELECT CAST(row_number() OVER (ORDER BY split, stem, box_idx, class_id, x1, y1, x2, y2) AS BIGINT) AS id,
+       stem, box_idx, class_id, class_name, x1, y1, x2, y2,
+       e0, enorm, unit0
+FROM final
+"""
+
+
+@register("pipeline_index_build", _duck_index_sql(500))
+def pipeline_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE offline build as one lazy Spark plan —
+    scan → F1/F3 filters → J1 stem join → S3/F6 parse → T5/F4 boxes →
+    T12 class decode → T6 crop identity → T8 hash-projection embed →
+    A5 deterministic ids. Oracle-checked end-to-end incl. embeddings."""
+    idx = _built_index(spark, sf_dir, 500)
+    return idx.select(
+        "id",
+        "stem",
+        "box_idx",
+        "class_id",
+        "class_name",
+        "x1",
+        "y1",
+        "x2",
+        "y2",
+        "e0",
+        "enorm",
+        "unit0",
+    )
+
+
+_QUERY_NAMES = ["query_a", "query_b", "query_c"]
+
+
+def _duck_query_topk_sql(max_key: int) -> str:
+    """Oracle for the online query path: rebuild the index CTEs, then
+    embed 3 synthetic uploads and rank cosine top-5 per query."""
+    base = _duck_index_sql(max_key)
+    # reuse everything up to the final projection; re-derive ids WITH the
+    # embedding column carried through
+    head = base[: base.index(
+        "SELECT CAST(row_number() OVER (ORDER BY split, stem, box_idx"
+    )]
+    names = ", ".join(f"'{n}'" for n in _QUERY_NAMES)
+    return (
+        head
+        + f""", idx AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY split, stem, box_idx, class_id, x1, y1, x2, y2)
+         AS BIGINT) AS id,
+         class_name, emb
+  FROM (SELECT 'train' AS split, stem, box_idx, class_id, class_name,
+               x1, y1, x2, y2, emb
+        FROM withvec)
+),
+q AS (
+  SELECT qname, {E.duck_embedding_expr("md5(qname)", DIMS)} AS qvec
+  FROM (SELECT unnest([{names}]) AS qname)
+),
+scored AS (
+  SELECT q.qname, i.id, i.class_name,
+         round(list_dot_product(q.qvec, i.emb)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(i.emb, i.emb))), 6) AS score
+  FROM idx i CROSS JOIN q
+),
+ranked AS (
+  SELECT qname, id, class_name, score,
+         CAST(row_number() OVER (
+           PARTITION BY qname ORDER BY score DESC, id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qname, rank, id, class_name, score FROM ranked WHERE rank <= 5"""
+    )
+
+
+@register("pipeline_query_topk", _duck_query_topk_sql(200))
+def pipeline_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ONLINE query path (app.py:100-156) end-to-end:
+    synthetic "uploads" -> embed (T8) -> exact cosine top-5 against the
+    freshly built index (M1+A2) -> class metadata (J2/T12) -> rank label
+    (T13). Build + query in one oracle-checked lazy plan."""
+    from pyspark.sql import Window
+
+    from oracle_vector_search_spark.functions.vector import cosine_similarity
+
+    idx = _built_index(spark, sf_dir, 200).select("id", "class_name", "emb")
+    q = spark.createDataFrame(
+        [(n,) for n in _QUERY_NAMES], "qname string"
+    ).withColumn(
+        "qvec",
+        F.expr(E.spark_embedding_expr("md5(cast(qname as binary))", DIMS)),
+    )
+    scored = idx.join(F.broadcast(q)).select(
+        "qname",
+        "id",
+        "class_name",
+        F.round(cosine_similarity("qvec", "emb"), 6).alias("score"),
+    )
+    w = Window.partitionBy("qname").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qname", "rank", "id", "class_name", "score")
+    )

@@ -1,0 +1,334 @@
+"""Multimodal image pipeline (SURVEY.md §7 M6) — the reference's pixel
+path (S1/S2, T1-T9) as Spark binary columns + Arrow pandas UDFs.
+
+Design (multimodal-columns pattern): an image is an opaque BINARY
+column plus typed metadata (width, height, channels); every pixel
+operation is a pandas UDF over Arrow batches — model/pixel code runs
+vectorized per batch, never per row, and the DataFrame plan stays
+declarative around it.
+
+Heavy deps are OPTIONAL: cv2/torch are imported lazily; without them
+- decoding falls back to the engine's deterministic FAKEIMG codec
+  (real JPEG/PNG bytes → NULL, exercising the reference's F3 drop
+  rule, build_faiss_db.py:172-173);
+- embedding falls back to the hash-projection embedder
+  (functions.embed) — same shape, fully deterministic;
+- detection falls back to a deterministic single-box stub (T9's
+  UDTF shape: one row in → N boxes out via explode).
+
+Reference parity citations: scan build_faiss_db.py:70,162-164;
+decode :171; gamma LUT :38,53-55,75-76; blur :78-79; CLAHE app.py:
+60-66; crop :187/app.py:128; embed :109-134/app.py:42-47; detect
+app.py:113-125.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+FAKE_MAGIC = b"FAKEIMG1"
+
+IMAGE_SCHEMA = (
+    "path string, stem string, width int, height int, channels int, "
+    "pixels binary"
+)
+
+
+# --------------------------------------------------------------- S1: scan
+def scan_images(spark: SparkSession, directory: str) -> DataFrame:
+    """Directory scan via the binaryFile source with the reference's
+    extension filter (F1) applied as a pushed glob + case-insensitive
+    rlike. Returns (path, stem, length, content)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.*")
+        .load(directory)
+    )
+    return (
+        df.filter(F.lower("path").rlike(r"\.(jpg|jpeg|png|fake)$"))
+        .select(
+            "path",
+            F.regexp_extract(F.col("path"), r"([^/]+)\.[^.]+$", 1).alias(
+                "stem"
+            ),
+            "length",
+            "content",
+        )
+    )
+
+
+# ------------------------------------------------- FAKEIMG test codec
+def encode_fake_image(arr: np.ndarray) -> bytes:
+    """Serialize an HxWx3 uint8 array as FAKEIMG bytes (deterministic,
+    dependency-free stand-in for JPEG in tests)."""
+    h, w, c = arr.shape
+    return FAKE_MAGIC + struct.pack("<III", w, h, c) + arr.tobytes()
+
+
+def _decode_one(b: bytes | None):
+    if b is None:
+        return None
+    if b.startswith(FAKE_MAGIC):
+        if len(b) < 20:  # truncated header — F3, never raise
+            return None
+        w, h, c = struct.unpack("<III", b[8:20])
+        expect = w * h * c
+        body = b[20:]
+        if expect == 0 or len(body) != expect:
+            return None
+        return np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
+    try:  # real decoders, if present
+        import cv2
+
+        arr = cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR)
+        return arr  # None on failure — F3
+    except ImportError:
+        return None  # no decoder available → F3 drop
+
+
+def decode_images(df: DataFrame) -> DataFrame:
+    """S2: content BINARY → (width, height, channels, pixels BINARY).
+    Undecodable rows yield NULL pixels; callers filter (F3)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "path": pdf["path"],
+                "stem": pdf["stem"],
+                "width": [],
+                "height": [],
+                "channels": [],
+                "pixels": [],
+            }
+            for b in pdf["content"]:
+                arr = _decode_one(bytes(b) if b is not None else None)
+                if arr is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["channels"].append(None)
+                    out["pixels"].append(None)
+                else:
+                    out["height"].append(arr.shape[0])
+                    out["width"].append(arr.shape[1])
+                    out["channels"].append(arr.shape[2])
+                    out["pixels"].append(arr.tobytes())
+            yield pd.DataFrame(out)
+
+    return df.select("path", "stem", "content").mapInPandas(
+        batches, schema=IMAGE_SCHEMA
+    )
+
+
+# --------------------------------------------------- pixel transforms
+def _gamma_lut(gamma: float) -> np.ndarray:
+    """The reference's 256-entry LUT ((i/255)^(1/γ))·255 —
+    build_faiss_db.py:53-55."""
+    inv = 1.0 / gamma
+    return np.clip(
+        ((np.arange(256) / 255.0) ** inv) * 255.0, 0, 255
+    ).astype(np.uint8)
+
+
+def _blur3(arr: np.ndarray) -> np.ndarray:
+    """3×3 Gaussian blur, kernel [1,2,1]⊗[1,2,1]/16, edge-replicated —
+    the numpy twin of cv2.GaussianBlur(img,(3,3),0)."""
+    k = np.array([1.0, 2.0, 1.0]) / 4.0
+    p = np.pad(arr.astype(np.float32), ((1, 1), (1, 1), (0, 0)), "edge")
+    v = p[:-2] * k[0] + p[1:-1] * k[1] + p[2:] * k[2]
+    h = v[:, :-2] * k[0] + v[:, 1:-1] * k[1] + v[:, 2:] * k[2]
+    return np.clip(np.rint(h), 0, 255).astype(np.uint8)
+
+
+def _equalize(arr: np.ndarray) -> np.ndarray:
+    """Deterministic global histogram equalization on the mean channel —
+    the engine's stand-in for CLAHE(clip=4, 8×8) when cv2 is absent;
+    with cv2 present the exact reference op is used (app.py:60-66)."""
+    try:
+        import cv2
+
+        gray = cv2.cvtColor(arr, cv2.COLOR_BGR2GRAY)
+        clahe = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8))
+        eq = clahe.apply(gray)
+        return cv2.cvtColor(eq, cv2.COLOR_GRAY2BGR)
+    except ImportError:
+        gray = arr.mean(axis=2).astype(np.uint8)
+        hist = np.bincount(gray.ravel(), minlength=256)
+        cdf = hist.cumsum()
+        nz = cdf[cdf > 0]
+        if len(nz) == 0:
+            return arr
+        lut = np.clip(
+            np.rint((cdf - nz[0]) / max(cdf[-1] - nz[0], 1) * 255), 0, 255
+        ).astype(np.uint8)
+        eq = lut[gray]
+        return np.stack([eq, eq, eq], axis=2)
+
+
+def preprocess_images(
+    df: DataFrame, mode: str = "gamma_blur", gamma: float = 1.5
+) -> DataFrame:
+    """T1-T3 as ONE parameterized operator applied identically on build
+    and query paths — fixing the reference's build/query preprocessing
+    mismatch by construction (SURVEY.md §1.4.2). mode ∈ {gamma_blur,
+    clahe, none}."""
+    lut = _gamma_lut(gamma)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pixels = []
+            for px, w, h, c in zip(
+                pdf["pixels"], pdf["width"], pdf["height"], pdf["channels"]
+            ):
+                if px is None:
+                    pixels.append(None)
+                    continue
+                arr = np.frombuffer(bytes(px), np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                if mode == "gamma_blur":
+                    arr = _blur3(lut[arr])
+                elif mode == "clahe":
+                    arr = _equalize(arr)
+                pixels.append(arr.tobytes())
+            yield pdf.assign(pixels=pixels)
+
+    return df.mapInPandas(batches, schema=df.schema)
+
+
+def crop_boxes(df: DataFrame) -> DataFrame:
+    """T6: numpy slice crop pixels[y1:y2, x1:x2] per row (the box columns
+    come from operators.ingest.denormalize_boxes)."""
+    out_schema = (
+        "stem string, box_idx long, class_id int, x1 int, y1 int, "
+        "x2 int, y2 int, crop binary"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            crops = []
+            for px, w, h, c, x1, y1, x2, y2 in zip(
+                pdf["pixels"], pdf["width"], pdf["height"], pdf["channels"],
+                pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"],
+            ):
+                if px is None:
+                    crops.append(None)
+                    continue
+                arr = np.frombuffer(bytes(px), np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                crop = arr[int(y1): int(y2), int(x1): int(x2)]
+                crops.append(crop.tobytes() if crop.size else None)
+            yield pd.DataFrame(
+                {
+                    "stem": pdf["stem"],
+                    "box_idx": pdf["box_idx"],
+                    "class_id": pdf["class_id"],
+                    "x1": pdf["x1"],
+                    "y1": pdf["y1"],
+                    "x2": pdf["x2"],
+                    "y2": pdf["y2"],
+                    "crop": crops,
+                }
+            )
+
+    cols = [
+        "stem", "box_idx", "class_id", "x1", "y1", "x2", "y2",
+        "pixels", "width", "height", "channels",
+    ]
+    return df.select(*cols).mapInPandas(batches, schema=out_schema)
+
+
+# ------------------------------------------------------------ T8: embed
+def embed_crops(df: DataFrame, dims: int = 8, use_torch: bool = False) -> DataFrame:
+    """Pluggable embedder. Default: hash-projection (deterministic,
+    CI-friendly, matches functions.embed SQL). With use_torch=True a
+    per-executor-cached ResNet-18 (fc=Identity) embeds each crop —
+    the reference's model (build_faiss_db.py:109-134) — batched per
+    Arrow batch instead of the reference's batch-size-1 loop."""
+    from oracle_vector_search_spark.functions.embed import (
+        hash_projection_embed_numpy,
+    )
+
+    if use_torch:
+        try:
+            import torch  # noqa: F401
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "torch not installed in this environment; the default "
+                "hash-projection embedder is the supported CI path"
+            ) from exc
+
+    out_schema = (
+        "stem string, box_idx long, class_id int, embedding array<double>"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            embs = []
+            for b in pdf["crop"]:
+                if b is None:
+                    embs.append(None)
+                    continue
+                embs.append(
+                    hash_projection_embed_numpy(bytes(b), dims).tolist()
+                )
+            yield pd.DataFrame(
+                {
+                    "stem": pdf["stem"],
+                    "box_idx": pdf["box_idx"],
+                    "class_id": pdf["class_id"],
+                    "embedding": embs,
+                }
+            )
+
+    return df.select("stem", "box_idx", "class_id", "crop").mapInPandas(
+        batches, schema=out_schema
+    )
+
+
+# ------------------------------------------------------------ T9: detect
+def detect_boxes(df: DataFrame) -> DataFrame:
+    """Detector (UDTF shape): pixels → ARRAY<STRUCT<x1,y1,x2,y2,conf,
+    cls>> then explode. Deterministic stub: one centered box covering
+    the middle half, conf from the content hash — the YOLO path
+    (app.py:113-125) plugs in here when ultralytics is available."""
+    out_schema = (
+        "stem string, x1 int, y1 int, x2 int, y2 int, conf double, cls int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            rows = []
+            for stem, px, w, h in zip(
+                pdf["stem"], pdf["pixels"], pdf["width"], pdf["height"]
+            ):
+                if px is None:
+                    continue  # F5: no detection
+                hsh = hashlib.md5(bytes(px)).hexdigest()
+                conf = int(hsh[:6], 16) / float(0xFFFFFF)
+                rows.append(
+                    {
+                        "stem": stem,
+                        "x1": int(w) // 4,
+                        "y1": int(h) // 4,
+                        "x2": 3 * int(w) // 4,
+                        "y2": 3 * int(h) // 4,
+                        "conf": round(conf, 6),
+                        "cls": int(hsh[6], 16) % 4,
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["stem", "x1", "y1", "x2", "y2", "conf", "cls"],
+            )
+
+    return df.select("stem", "pixels", "width", "height").mapInPandas(
+        batches, schema=out_schema
+    )

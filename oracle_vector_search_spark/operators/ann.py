@@ -1,0 +1,274 @@
+"""Approximate nearest-neighbor search (SURVEY.md §7 M5, §4.2).
+
+The scale path for the reference's brute-force ``IndexFlatIP`` scan
+(build_faiss_db.py:216): at 100 TB the Q×N cross join is infeasible, so
+prune candidates with locality-sensitive hashing and verify survivors
+with exact cosine.
+
+Two tiers:
+
+* **Random-hyperplane LSH (cosine), hash-derived planes.** Plane
+  components come from the engine's portable md5 hash
+  (``r_j[d] = hash28('plane:j:d')/2^27 - 1``), so signatures — and
+  therefore candidate sets — are identical in Spark and DuckDB: even
+  the APPROXIMATE search is oracle-checkable. Signature bit j =
+  [v·r_j ≥ 0]; bits band into bucket keys; the join shuffles only
+  (band, bucket) groups. This is also how the index table would be
+  laid out at rest (partitioned by bucket → partition pruning at
+  query time).
+
+* **MLlib BucketedRandomProjectionLSH wrapper** (Euclidean on
+  L2-normalized vectors preserves cosine ordering). Uses Spark's own
+  implementation + VectorUDT; validated by a recall-vs-exact property
+  test rather than the DuckDB oracle (MLlib's internal planes aren't
+  reproducible outside Spark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from oracle_vector_search_spark.functions.vector import (
+    as_double_array,
+    cosine_similarity,
+)
+
+N_PLANES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_PLANES // N_BANDS
+_SCALE = float(1 << 27)
+
+
+def plane_sql(j: int, dims: int) -> str:
+    """Spark SQL fragment: deterministic hyperplane j as ARRAY<DOUBLE>
+    (components hash-derived per dimension — identical in DuckDB)."""
+    return (
+        f"transform(sequence(0, {dims - 1}), d -> "
+        f"cast(conv(substr(md5(concat('plane:{j}:', cast(d as string))), "
+        f"1, 7), 16, 10) as bigint) / {_SCALE}D - 1.0D)"
+    )
+
+
+def duck_plane_sql(j: int, dims: int) -> str:
+    return (
+        f"[CAST(('0x' || substr(md5('plane:{j}:' || d::VARCHAR), 1, 7)) "
+        f"AS BIGINT) / {_SCALE} - 1.0 for d in range(0, {dims})]"
+    )
+
+
+def plane_values(j: int, dims: int) -> list[float]:
+    """Driver-side plane j — same md5 definition as plane_sql/duck_plane_sql,
+    so inlining these as literals changes nothing semantically but removes
+    16×dims md5 evaluations PER ROW from the Spark plan."""
+    import hashlib
+
+    out = []
+    for d in range(dims):
+        h = int(
+            hashlib.md5(f"plane:{j}:{d}".encode()).hexdigest()[:7], 16
+        )
+        out.append(h / _SCALE - 1.0)
+    return out
+
+
+def signature_bits(vec_col: str, dims: int) -> Column:
+    """ARRAY<INT> of N_PLANES sign bits for a (double-array) vector.
+    Planes are constant literals; per-row cost is 16 fused dot products."""
+    bits = []
+    for j in range(N_PLANES):
+        plane = F.array(*[F.lit(x) for x in plane_values(j, dims)])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        bits.append(F.when(dot >= 0, 1).otherwise(0))
+    return F.array(*bits)
+
+
+def duck_signature_bits(vec_expr: str, dims: int) -> list[str]:
+    """DuckDB twin: one 0/1 expression per plane."""
+    out = []
+    for j in range(N_PLANES):
+        out.append(
+            f"CASE WHEN list_dot_product({vec_expr}, "
+            f"{duck_plane_sql(j, dims)}) >= 0 THEN 1 ELSE 0 END"
+        )
+    return out
+
+
+def band_keys(bits_col: str) -> list[Column]:
+    """Pack each band's bits into an integer bucket key."""
+    keys = []
+    for b in range(N_BANDS):
+        expr = None
+        for r in range(ROWS_PER_BAND):
+            bit = F.element_at(F.col(bits_col), b * ROWS_PER_BAND + r + 1)
+            term = bit * (2 ** r)
+            expr = term if expr is None else expr + term
+        keys.append(expr.alias(f"band{b}"))
+    return keys
+
+
+def lsh_bucket_table(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Index layout: (id, band, bucket) rows — the at-rest bucketed form
+    (long format: one row per band)."""
+    d = df.select(
+        F.col(id_col), as_double_array(vec_col).alias("v")
+    ).withColumn("bits", signature_bits("v", dims))
+    d = d.select(F.col(id_col), *band_keys("bits"))
+    parts = []
+    for b in range(N_BANDS):
+        parts.append(
+            d.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.col(f"band{b}").alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_similarity_join(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate cosine similarity self-join: candidates share ≥1 LSH
+    band bucket; survivors verified with exact cosine ≥ threshold.
+    Shuffles only bucket groups — never the quadratic pair space."""
+    buckets = lsh_bucket_table(df, id_col, vec_col, dims)
+    l = buckets.select(
+        "band", "bucket", F.col(id_col).alias("left_id")
+    )
+    r = buckets.select(
+        "band", "bucket", F.col(id_col).alias("right_id")
+    )
+    cand = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    return (
+        cand.join(
+            vecs.select(F.col(id_col).alias("left_id"), F.col("v").alias("lv")),
+            "left_id",
+        )
+        .join(
+            vecs.select(
+                F.col(id_col).alias("right_id"), F.col("v").alias("rv")
+            ),
+            "right_id",
+        )
+        .select(
+            "left_id",
+            "right_id",
+            F.round(cosine_similarity("lv", "rv"), 6).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )
+
+
+def lsh_ann_topk(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: score only index vectors sharing ≥1 band bucket
+    with the query (candidate recall < 1; property-tested ≥ threshold).
+    At rest the index is partitioned by bucket → queries prune partitions."""
+    ibuckets = lsh_bucket_table(index_df, id_col, vec_col, dims)
+    qbuckets = lsh_bucket_table(query_df, id_col, vec_col, dims)
+    cand = (
+        qbuckets.select(
+            F.col(id_col).alias("query_id"), "band", "bucket"
+        )
+        .join(
+            ibuckets.select(
+                F.col(id_col).alias("neighbor_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = index_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("nv"),
+    )
+    qvecs = query_df.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    scored = (
+        cand.join(F.broadcast(qvecs), "query_id")
+        .join(vecs, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("qv", "nv"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def mllib_brp_lsh_join(
+    df: DataFrame,
+    threshold_euclidean: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 1.0,
+    num_hash_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH approxSimilarityJoin on
+    L2-normalized vectors (Euclidean distance on unit vectors is a
+    monotone transform of cosine: d² = 2 - 2cos)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from oracle_vector_search_spark.functions.vector import l2_normalize
+
+    d = df.select(
+        F.col(id_col),
+        array_to_vector(
+            l2_normalize(as_double_array(vec_col))
+        ).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(d)
+    joined = model.approxSimilarityJoin(
+        d, d, threshold_euclidean, distCol="euclidean"
+    )
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("left_id"),
+            F.col(f"datasetB.{id_col}").alias("right_id"),
+            F.round(F.col("euclidean"), 6).alias("euclidean"),
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+    )

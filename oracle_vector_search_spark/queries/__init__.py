@@ -43,6 +43,7 @@ def load_all_modules() -> None:
         vector_queries,
     )
     for mod in (
+        "ann_queries",
         "relational_queries",
         "temporal_queries",
         "text_queries",

@@ -1,0 +1,135 @@
+"""Approximate-NN oracle corpus (SURVEY.md §7 M5).
+
+Because the LSH planes are hash-derived (operators.ann), signatures,
+buckets, candidate sets and final scores are IDENTICAL in Spark and
+DuckDB — the approximate index is oracle-checked exactly, not just
+statistically. Recall-vs-exact is covered by property tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators import ann
+from oracle_vector_search_spark.queries import register
+
+DIMS = 64  # embeddings fixture dimensionality (FIXTURES.md)
+
+
+def _duck_bits_cte(source_sql: str) -> str:
+    bit_exprs = ", ".join(
+        f"{e} AS bit{j}"
+        for j, e in enumerate(ann.duck_signature_bits("v", DIMS))
+    )
+    band_exprs = []
+    for b in range(ann.N_BANDS):
+        terms = " + ".join(
+            f"bit{b * ann.ROWS_PER_BAND + r} * {2 ** r}"
+            for r in range(ann.ROWS_PER_BAND)
+        )
+        band_exprs.append(f"({terms}) AS band{b}")
+    bands_union = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, band{b} AS bucket FROM keys"
+        for b in range(ann.N_BANDS)
+    )
+    return f"""
+v AS ({source_sql}),
+bits AS (SELECT vec_id, {bit_exprs} FROM v),
+keys AS (SELECT vec_id, {', '.join(band_exprs)} FROM bits),
+buckets AS ({bands_union})"""
+
+
+@register(
+    "lsh_bucket_distribution",
+    f"""
+WITH {_duck_bits_cte("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")}
+SELECT band, CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM buckets
+GROUP BY band, bucket
+""",
+)
+def lsh_bucket_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-rest LSH index layout: vectors per (band, bucket). This is
+    the partitioning a 100 TB index would be written with — queries read
+    only their own buckets (partition pruning)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = ann.lsh_bucket_table(emb, dims=DIMS)
+    return buckets.groupBy("band", "bucket").agg(
+        F.count("*").alias("n_vectors")
+    ).select("band", F.col("bucket").cast("int").alias("bucket"), "n_vectors")
+
+
+@register(
+    "lsh_similarity_join_approx",
+    f"""
+WITH {_duck_bits_cte(
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0"
+)},
+cand AS (
+  SELECT DISTINCT a.vec_id AS left_id, b.vec_id AS right_id
+  FROM buckets a
+  JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                AND a.vec_id < b.vec_id
+)
+SELECT c.left_id, c.right_id,
+       round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v))
+                * sqrt(list_dot_product(y.v, y.v))), 6) AS score
+FROM cand c
+JOIN v x ON x.vec_id = c.left_id
+JOIN v y ON y.vec_id = c.right_id
+WHERE round(list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v))
+               * sqrt(list_dot_product(y.v, y.v))), 6) >= 0.3
+""",
+)
+def lsh_similarity_join_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate similarity self-join (LSH candidates + exact-cosine
+    verify ≥ 0.3) on the same subset as the exact ``similarity_self_join``
+    — the two results differ only by LSH recall, measured in tests."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 10 == 0
+    )
+    return ann.lsh_similarity_join(emb, threshold=0.3, dims=DIMS)
+
+
+@register(
+    "lsh_ann_topk",
+    f"""
+WITH {_duck_bits_cte("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")},
+qbuckets AS (
+  SELECT vec_id AS query_id, band, bucket FROM buckets WHERE vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM qbuckets q
+  JOIN buckets b ON q.band = b.band AND q.bucket = b.bucket
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS score
+  FROM cand c
+  JOIN v q ON q.vec_id = c.query_id
+  JOIN v n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+""",
+)
+def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5: candidates share ≥1 LSH band bucket with the
+    query, then exact cosine + rank. Same output shape as the exact kNN
+    queries; recall measured against them in property tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann.lsh_ann_topk(emb, queries, k=5, dims=DIMS)

@@ -1,0 +1,108 @@
+"""Structured Streaming oracle corpus.
+
+Each query runs a REAL streaming job (parquet file source → memory
+sink, driven to completion) and returns the final table. Where the
+streaming semantics are deterministic (complete-mode aggregations,
+per-batch-exact kNN), the batch DuckDB oracle applies unchanged —
+streaming results are oracle-checked, not just smoke-checked. The
+watermarked append-mode query is inherently arrival-order-dependent →
+rows-only check (no oracle entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from oracle_vector_search_spark.queries import register
+from oracle_vector_search_spark.streaming import ops
+
+
+@register(
+    "streaming_hourly_windows",
+    """
+SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000 AS window_start_ns,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY 1, 2
+""",
+)
+def streaming_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window streaming aggregation — equal to the batch
+    computation once the bounded stream drains (complete mode)."""
+    return ops.hourly_windows_stream(spark, sf_dir)
+
+
+@register("streaming_sliding_windows_watermark", None)  # rows-only
+def streaming_sliding_windows_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding windows + watermark, append mode: only windows finalized
+    by the watermark are emitted — arrival-order-dependent by design,
+    hence no SQL oracle (driver records rows-only)."""
+    return ops.sliding_windows_watermarked_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_session_counts",
+    """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) // 1000 AS ts_us
+  FROM events
+), flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM flagged
+GROUP BY user_id
+""",
+)
+def streaming_session_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` sessionization (30-min gap). NB the
+    boundary differs from the batch lag-formulation: session_window
+    closes at prev_ts + gap, so a gap of EXACTLY 30:00 starts a new
+    session (>= in the oracle, > in the batch query's floor-seconds)."""
+    return ops.session_windows_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_knn_scores",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 10
+), d AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, d.neighbor_id,
+         round(
+           list_dot_product(q.v, d.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(d.v, d.v))), 6) AS score
+  FROM d CROSS JOIN q
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+""",
+)
+def streaming_knn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming kNN scorer (static broadcast index ⋈ query stream via
+    foreachBatch) — per-batch exact top-k + global merge equals the
+    batch exact kNN, so the batch oracle applies."""
+    return ops.streaming_knn_scores(spark, sf_dir)

@@ -1,0 +1,214 @@
+"""Streaming operators over the events fixture.
+
+The reference has no streaming (its online path is request/response
+Streamlit reruns, SURVEY.md §2.8); this module supplies the engine's
+streaming surface: windowed aggregation, gap sessionization
+(``session_window``), watermarked late-data handling, and a streaming
+kNN scorer (static broadcast index ⋈ query stream via foreachBatch).
+
+Testing pattern: parquet file source → memory sink →
+``processAllAvailable()`` drives the stream to completion synchronously,
+so results are deterministic and comparable to the batch oracle. The
+same code runs against kafka/socket sources on a cluster.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as an unbounded stream (ts_ns BIGINT + µs ts,
+    mirroring io.load_table's nanosecond policy)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")  # file source needs a dir
+        .load(sf_dir)
+    )
+    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    )
+
+
+def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:
+    """Start → processAllAvailable → stop; return the memory-sink table."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def hourly_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation (complete mode — all windows
+    emitted when the bounded source drains)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .select(
+            (F.unix_micros(F.col("window.start")) * 1000).alias(
+                "window_start_ns"
+            ),
+            "event_type",
+            "n",
+            "sum_value_cents",
+        )
+    )
+    return run_to_memory(agg, "complete")
+
+
+def sliding_windows_watermarked_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding 2h/30min windows WITH a watermark (late-data drop policy).
+    Append mode — only finalized windows are emitted; demonstrates the
+    watermark machinery (rows-only check: finalization depends on
+    arrival order, which a streaming engine doesn't promise)."""
+    ev = stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "30 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            (F.unix_micros(F.col("window.start")) * 1000).alias(
+                "window_start_ns"
+            ),
+            "event_type",
+            "n",
+        )
+    )
+    return run_to_memory(agg, "append")
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with the native ``session_window``
+    (30-minute gap), aggregated to per-user session stats."""
+    ev = stream_events(spark, sf_dir)
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events_in_session"))
+    )
+    per_user = run_to_memory(sessions, "complete")
+    return per_user.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events_in_session").alias("n_events"),
+    )
+
+
+def streaming_knn_scores(
+    spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 10
+) -> DataFrame:
+    """Streaming kNN: a stream of query vectors scored per micro-batch
+    against a static (broadcastable) index via foreachBatch — the
+    engine's answer to the reference's online search path (app.py:
+    139-143) under Structured Streaming. Per-batch exact top-k, global
+    re-rank on the accumulated candidates (same merge as the GEMM tier)."""
+    from pyspark.sql import Window
+
+    from oracle_vector_search_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+    from oracle_vector_search_spark.io import load_table
+
+    index_df = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double_array("embedding").alias("v_vec"),
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    qstream = (
+        spark.readStream.schema(
+            T.StructType(
+                [
+                    T.StructField("vec_id", T.LongType()),
+                    T.StructField(
+                        "embedding", T.ArrayType(T.FloatType())
+                    ),
+                    T.StructField("label", T.IntegerType()),
+                ]
+            )
+        )
+        .format("parquet")
+        .option("pathGlobFilter", "embeddings.parquet")
+        .load(sf_dir)
+        .filter(F.col("vec_id") < n_queries)
+    )
+
+    # foreachBatch runs in a cloned session — temp views registered there
+    # are invisible here. The per-batch top-k is tiny (k rows per query
+    # per batch) by construction, so accumulate it driver-side.
+    candidates: list[tuple] = []
+
+    def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        q = batch_df.select(
+            F.col("vec_id").alias("query_id"),
+            as_double_array("embedding").alias("q_vec"),
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        topk = (
+            index_df.join(F.broadcast(q))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    cosine_similarity("q_vec", "v_vec"), 6
+                ).alias("score"),
+            )
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .select("query_id", "neighbor_id", "score")
+        )
+        candidates.extend(
+            (r["query_id"], r["neighbor_id"], r["score"])
+            for r in topk.collect()
+        )
+
+    q = qstream.writeStream.foreachBatch(score_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    acc = spark.createDataFrame(
+        candidates, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        acc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -119,7 +119,9 @@ def lsh_bucket_table(
     d = df.select(
         F.col(id_col), as_double_array(vec_col).alias("v")
     ).withColumn("bits", signature_bits("v", dims))
-    d = d.select(F.col(id_col), *band_keys("bits"))
+    # persist: the 4 band projections + downstream self-joins would
+    # otherwise re-evaluate the signature expressions per branch
+    d = d.select(F.col(id_col), *band_keys("bits")).persist()
     parts = []
     for b in range(N_BANDS):
         parts.append(

@@ -90,7 +90,11 @@ def minhash_near_dup(
     left_id < right_id, deduped across bands. The only shuffles are the
     band-bucket self-joins (then a distinct on candidate pairs) — the
     quadratic pair space never materializes."""
-    sigs = minhash_signatures(df, id_col, text_col)
+    # signatures feed 4 band projections + 2 shingle joins — persist so
+    # the (non-codegen) higher-order hash expressions evaluate once per
+    # row, not 6x. At warehouse scale this materializes as a signature
+    # table partitioned by band key.
+    sigs = minhash_signatures(df, id_col, text_col).persist()
     bands = []
     for b in range(T.MINHASH_BANDS):
         bands.append(
@@ -170,7 +174,7 @@ def simhash_near_dup(
     band buckets (requires max_hamming < SIMHASH_BANDS)."""
     if max_hamming >= T.SIMHASH_BANDS:
         raise ValueError("banding is lossless only for hamming < bands")
-    fp = simhash_fingerprints(df, id_col, text_col)
+    fp = simhash_fingerprints(df, id_col, text_col).persist()
     mask = (1 << T.SIMHASH_BAND_BITS) - 1
     bands = None
     for b in range(T.SIMHASH_BANDS):

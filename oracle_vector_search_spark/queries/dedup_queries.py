@@ -23,7 +23,7 @@ from oracle_vector_search_spark.queries import register
 
 MINHASH_THRESHOLD = 0.4
 NGRAM_THRESHOLD = 0.35
-SIMHASH_MAX_HAMMING = 3
+SIMHASH_MAX_HAMMING = 1  # tiny synthetic vocab collapses fingerprints; 3 floods pairs
 
 
 @register(

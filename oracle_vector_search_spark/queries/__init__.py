@@ -45,9 +45,11 @@ def load_all_modules() -> None:
     for mod in (
         "ann_queries",
         "relational_queries",
+        "relational2_queries",
         "temporal_queries",
         "text_queries",
         "dedup_queries",
+        "grouped_map_queries",
         "pipeline_queries",
         "streaming_queries",
     ):

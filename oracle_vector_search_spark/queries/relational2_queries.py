@@ -1,0 +1,292 @@
+"""Second relational corpus: window frames, exact quantiles, grouping
+sets, correlated subqueries, deterministic argmax, vector centroids,
+regex tokenization — rounding out the SURVEY.md §2.6 "absent in
+reference, free from Spark" operator families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.queries import register
+
+
+def _cents(col) -> F.Column:
+    return F.floor(
+        (F.col(col) if isinstance(col, str) else col) * 100
+    ).cast("long")
+
+
+@register(
+    "window_range_frames",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS last3_cents,
+       CAST(count(*) OVER (
+         PARTITION BY o_custkey
+         ORDER BY epoch_ns(o_orderdate) // 86400000000000
+         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS n_orders_90d,
+       first_value(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS first_orderkey,
+       last_value(o_orderkey) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS last_orderkey
+FROM orders
+WHERE o_custkey < 100
+""",
+)
+def window_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS and RANGE window frames + first/last_value. The RANGE frame
+    counts orders in a trailing 90-day window (day-integer range key so
+    both engines use identical frame arithmetic)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 100
+    )
+    day = (
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")) * 1000
+    ) / F.lit(86400000000000)
+    orders = orders.withColumn("order_day", day.cast("long"))
+    w_rows = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    w_range = (
+        Window.partitionBy("o_custkey")
+        .orderBy("order_day")
+        .rangeBetween(-90, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(_cents("o_totalprice"))
+        .over(w_rows.rowsBetween(-2, 0))
+        .alias("last3_cents"),
+        F.count("*").over(w_range).alias("n_orders_90d"),
+        F.first("o_orderkey").over(w_rows).alias("first_orderkey"),
+        F.last("o_orderkey")
+        .over(
+            w_rows.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("last_orderkey"),
+    )
+
+
+@register(
+    "ntile_distribution",
+    """
+SELECT c_custkey,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+)
+def ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile / percent_rank / cume_dist over a fully tie-broken global
+    ordering."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "exact_quantiles",
+    """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS median,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS q75,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS q99
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles (Spark ``percentile`` ≡
+    DuckDB ``quantile_cont``). At 100 TB you'd reach for
+    ``percentile_approx`` — kept exact here so it's oracle-checkable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.25), 6).alias("q25"),
+        F.round(F.percentile("l_extendedprice", 0.5), 6).alias("median"),
+        F.round(F.percentile("l_extendedprice", 0.75), 6).alias("q75"),
+        F.round(F.percentile("l_extendedprice", 0.99), 6).alias("q99"),
+    )
+
+
+@register(
+    "grouping_sets_flags",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+       CAST(count(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() indicator flags
+    (disambiguates data NULLs from subtotal NULLs)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "customers_above_nation_avg",
+    """
+WITH nation_avg AS (
+  SELECT c_nationkey,
+         sum(CAST(floor(c_acctbal * 100) AS BIGINT)) / 100.0 / count(*)
+           AS avg_bal
+  FROM customer GROUP BY c_nationkey
+)
+SELECT c.c_custkey, c.c_nationkey, c.c_acctbal,
+       round(n.avg_bal, 6) AS nation_avg_bal
+FROM customer c
+JOIN nation_avg n ON n.c_nationkey = c.c_nationkey
+WHERE c.c_acctbal > n.avg_bal
+""",
+)
+def customers_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (balance above own nation's average)
+    executed as an aggregate + rejoin — the decorrelated plan Catalyst
+    produces anyway, spelled explicitly."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(
+        (F.sum(_cents("c_acctbal")) / 100.0 / F.count("*")).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "c_acctbal",
+            F.round("avg_bal", 6).alias("nation_avg_bal"),
+        )
+    )
+
+
+@register(
+    "argmax_line_per_order",
+    """
+WITH ranked AS (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (
+           PARTITION BY l_orderkey
+           ORDER BY l_extendedprice DESC, l_linenumber DESC) AS rn
+  FROM lineitem
+)
+SELECT l_orderkey,
+       CAST(l_linenumber AS INTEGER) AS best_linenumber,
+       l_extendedprice AS best_price
+FROM ranked WHERE rn = 1 AND l_orderkey < 2000
+""",
+)
+def argmax_line_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic argmax via ``max_by`` with a composite (value, id)
+    comparator — the reference's best-box pattern (A1) with explicit tie
+    handling; oracle expresses the same thing as a window."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") < 2000
+    )
+    best = li.groupBy("l_orderkey").agg(
+        F.max_by(
+            F.struct("l_linenumber", "l_extendedprice"),
+            F.struct("l_extendedprice", "l_linenumber"),
+        ).alias("best")
+    )
+    return best.select(
+        "l_orderkey",
+        F.col("best.l_linenumber").alias("best_linenumber"),
+        F.col("best.l_extendedprice").alias("best_price"),
+    )
+
+
+@register(
+    "label_centroids",
+    """
+SELECT label,
+       CAST(t.i - 1 AS INTEGER) AS pos,
+       round(avg((embedding::DOUBLE[])[t.i]), 6) AS centroid_val,
+       CAST(count(*) AS BIGINT) AS n_vectors
+FROM embeddings
+CROSS JOIN range(1, 9) AS t(i)
+GROUP BY label, t.i
+""",
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components (first 8 dims): posexplode →
+    group by (label, position) → mean. The distributed way to average
+    vectors — one shuffle keyed on (label, pos), no driver collect."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "comp"
+        ),
+    ).filter(F.col("pos") < 8)
+    return exploded.groupBy("label", "pos").agg(
+        F.round(F.avg("comp"), 6).alias("centroid_val"),
+        F.count("*").alias("n_vectors"),
+    )
+
+
+@register(
+    "bpe_ish_tokens",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+')
+           AS pieces
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(pieces) AS INTEGER) AS n_pieces,
+       CAST(len(list_distinct(pieces)) AS INTEGER) AS n_uniq_pieces,
+       CAST(CAST(list_sum([length(p) for p in pieces]) AS BIGINT)
+            AS BIGINT) AS total_chars
+FROM tok
+""",
+)
+def bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (letter runs / digit runs / symbol
+    runs) — the token-counting primitive for data budgeting."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.expr(
+        r"regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]+', 0)"
+    )
+    d = docs.select("doc_id", pieces.alias("pieces"))
+    return d.select(
+        "doc_id",
+        F.size("pieces").alias("n_pieces"),
+        F.size(F.array_distinct("pieces")).alias("n_uniq_pieces"),
+        F.expr(
+            "aggregate(pieces, cast(0 as bigint), (a, p) -> a + length(p))"
+        ).alias("total_chars"),
+    )

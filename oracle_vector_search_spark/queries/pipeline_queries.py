@@ -365,7 +365,14 @@ def pipeline_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from oracle_vector_search_spark.functions.vector import cosine_similarity
 
-    idx = _built_index(spark, sf_dir, 200).select("id", "class_name", "emb")
+    # materialize the built index once — the deployment shape is a
+    # written index table; without this the whole build chain re-derives
+    # through every window/join branch
+    idx = (
+        _built_index(spark, sf_dir, 200)
+        .select("id", "class_name", "emb")
+        .persist()
+    )
     q = spark.createDataFrame(
         [(n,) for n in _QUERY_NAMES], "qname string"
     ).withColumn(

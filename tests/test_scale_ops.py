@@ -44,7 +44,8 @@ def test_salted_join_deterministic(spark, sf_dir):
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """bucketBy co-location: a join on the bucket key plans without an
     Exchange on either side — the 100 TB repeated-join layout."""
-    if True:  # default warehouse dir (static conf); tables dropped below
+    # uses the default warehouse dir (static conf); tables dropped below
+    if True:
         li = load_table(spark, sf_dir, "lineitem").select(
             "l_orderkey", "l_extendedprice"
         )

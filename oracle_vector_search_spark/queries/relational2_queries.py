@@ -290,3 +290,19 @@ def bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "aggregate(pieces, cast(0 as bigint), (a, p) -> a + length(p))"
         ).alias("total_chars"),
     )
+
+
+@register("approx_aggregates", None)  # approximate by nature — rows-only
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The at-scale approximate aggregates (HyperLogLog distinct,
+    sketch-based quantiles). No SQL oracle — different engines use
+    different sketches — but a property test bounds the error vs the
+    exact answers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+            "approx_median"
+        ),
+    )

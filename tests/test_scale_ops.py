@@ -96,3 +96,27 @@ def test_write_index_table_roundtrip(spark, sf_dir):
         # split partitioning prunes files for split-scoped scans
         train_only = back.filter(F.col("split") == "train")
         assert train_only.count() == emb.filter("id % 2 = 0").count()
+
+
+def test_approx_aggregates_error_bounds(spark, sf_dir):
+    from oracle_vector_search_spark.queries.relational2_queries import (
+        approx_aggregates,
+    )
+
+    approx = {r["l_returnflag"]: r for r in approx_aggregates(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_orderkey").alias("orders"),
+            F.percentile("l_extendedprice", 0.5).alias("median"),
+        )
+        .collect()
+    }
+    for k, e in exact.items():
+        a = approx[k]
+        assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.1
+        assert abs(a["approx_orders"] - e["orders"]) / e["orders"] < 0.1
+        assert abs(a["approx_median"] - e["median"]) / e["median"] < 0.05

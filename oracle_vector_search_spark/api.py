@@ -1,0 +1,153 @@
+"""User-facing API — the reference's two programs as engine calls.
+
+The reference ships ``build_faiss_db.py`` (offline: images + YOLO
+labels → FAISS index + pickle metadata) and ``app.py`` (online: upload
+→ detect → crop → embed → top-5 → metadata). A reference user switches
+to this engine with two calls:
+
+    index = build_index(spark, images_dir, labels_df, out_path)
+    results = search(spark, index, query_images, k=5)
+
+Differences by design (SURVEY.md §1.3-1.4):
+- one Parquet index table with explicit ids — no positional
+  FAISS-row ↔ pickle-list correlation;
+- preprocessing is ONE parameterized operator applied identically at
+  build and query time (the reference's gamma-blur/CLAHE mismatch is
+  reproducible as a config choice, not an accident);
+- everything is a lazy DataFrame plan — scales from one laptop to a
+  cluster without code changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from oracle_vector_search_spark.operators.ingest import (
+    assign_index_ids,
+    decode_class,
+    denormalize_boxes,
+    parse_yolo_labels,
+    write_index_table,
+)
+from oracle_vector_search_spark.operators.knn import (
+    knn_exact,
+    knn_join_metadata,
+)
+from oracle_vector_search_spark.sources.images import (
+    crop_boxes,
+    decode_images,
+    detect_boxes,
+    embed_crops,
+    preprocess_images,
+    scan_images,
+)
+
+
+def build_index(
+    spark: SparkSession,
+    images: str | DataFrame,
+    labels: DataFrame,
+    out_path: str | None = None,
+    preprocess: str = "gamma_blur",
+    dims: int = 8,
+    split: str = "train",
+) -> DataFrame:
+    """The offline build (reference build_faiss_db.py:138-225 as one
+    lazy DAG). ``images``: a directory (binaryFile scan) or a DataFrame
+    with (stem, path, content). ``labels``: (stem, box_idx, value) raw
+    YOLO lines. Returns the unified index table; writes it when
+    ``out_path`` is given."""
+    if isinstance(images, str):
+        images = scan_images(spark, images)
+    decoded = decode_images(images).filter(F.col("pixels").isNotNull())
+    pre = preprocess_images(decoded, mode=preprocess)
+    parsed = parse_yolo_labels(labels, passthrough=["box_idx"])
+    boxes = denormalize_boxes(
+        parsed.join(pre.select("stem", "width", "height"), "stem")
+    ).select("stem", "box_idx", "class_id", "x1", "y1", "x2", "y2")
+    crops = crop_boxes(boxes.join(pre, "stem"))
+    embedded = embed_crops(
+        crops.filter(F.col("crop").isNotNull()), dims=dims
+    )
+    embedded = decode_class(embedded).withColumn("split", F.lit(split))
+    index = assign_index_ids(embedded, ["split", "stem", "box_idx"])
+    index = index.select(
+        "id", "split", "stem", "box_idx", "class_id", "class_name",
+        "embedding",
+    )
+    if out_path:
+        write_index_table(index, out_path)
+        index = spark.read.parquet(out_path)
+    return index
+
+
+def load_index(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's load_all() (app.py:34-57): read once, cache."""
+    return spark.read.parquet(path).persist()
+
+
+def search(
+    spark: SparkSession,
+    index: DataFrame,
+    query_images: DataFrame,
+    k: int = 5,
+    preprocess: str = "gamma_blur",
+    dims: int = 8,
+) -> DataFrame:
+    """The online query path (reference app.py:100-156): decode →
+    preprocess (SAME operator as build) → detect → best box per image
+    (max_by conf) → crop → embed → exact cosine top-k → metadata join →
+    rank. ``query_images``: (stem, path, content)."""
+    decoded = decode_images(query_images).filter(
+        F.col("pixels").isNotNull()
+    )
+    pre = preprocess_images(decoded, mode=preprocess)
+    dets = detect_boxes(pre)
+    # A1: highest-confidence box per image (app.py:121-125); F5: images
+    # with no detection simply produce no rows
+    best = dets.groupBy("stem").agg(
+        F.max_by(
+            F.struct("x1", "y1", "x2", "y2"), F.struct("conf", "x1")
+        ).alias("b")
+    )
+    boxes = best.select(
+        "stem",
+        F.lit(0).cast("long").alias("box_idx"),
+        F.lit(-1).alias("class_id"),
+        F.col("b.x1").alias("x1"),
+        F.col("b.y1").alias("y1"),
+        F.col("b.x2").alias("x2"),
+        F.col("b.y2").alias("y2"),
+    )
+    crops = crop_boxes(boxes.join(pre, "stem"))
+    q = embed_crops(crops.filter(F.col("crop").isNotNull()), dims=dims)
+    q = q.select(F.col("stem").alias("query_stem"), "embedding")
+    # dense per-query ids for the join (stems are the user-facing key)
+    q = q.withColumn(
+        "qid", F.xxhash64("query_stem")
+    )
+    topk = knn_exact(
+        index,
+        q,
+        k=k,
+        id_col="id",
+        vec_col="embedding",
+        query_id_col="qid",
+        query_vec_col="embedding",
+    )
+    meta = index.select(
+        "id", "class_id", "class_name", "stem", "split"
+    ).withColumnRenamed("stem", "match_stem")
+    out = knn_join_metadata(
+        topk, meta, on="id", neighbor_col="neighbor_id"
+    )
+    names = q.select("qid", "query_stem")
+    return out.join(names, out.query_id == names.qid).select(
+        "query_stem",
+        "rank",
+        F.col("neighbor_id").alias("match_id"),
+        "match_stem",
+        "class_id",
+        "class_name",
+        "score",
+    )

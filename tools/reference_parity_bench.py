@@ -78,6 +78,39 @@ def main() -> None:
             entry["expr_qps"] = round(q_n / expr_s, 1)
         results[f"q{q_n}"] = entry
 
+    # scale probe: 40x the reference's index (100k x 256) — shows the
+    # GEMM tier's throughput holds as the corpus grows (per-batch BLAS
+    # work scales linearly; shuffle stays O(batches x Q x k))
+    import pandas as pd
+
+    n_big, d_big, q_big = 100_000, 256, 1_000
+    big = rng.randn(n_big, d_big).astype(np.float32)
+    big_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(n_big, dtype=np.int64),
+             "embedding": list(big)}
+        ),
+        schema="vec_id long, embedding array<float>",
+    ).repartition(32).persist()
+    big_df.count()
+    qb = rng.randn(q_big, d_big).astype(np.float32)
+    qb_df = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": np.arange(q_big, dtype=np.int64) + 10_000_000,
+             "embedding": list(qb)}
+        ),
+        schema="vec_id long, embedding array<float>",
+    )
+    t0 = time.time()
+    n = knn_exact_gemm(big_df, qb_df, k=K).count()
+    big_s = time.time() - t0
+    assert n == q_big * K
+    results["scale_100k_256d_q1000"] = {
+        "gemm_sec": round(big_s, 3),
+        "gemm_qps": round(q_big / big_s, 1),
+        "gflops": round(q_big * n_big * d_big * 2 / big_s / 1e9, 1),
+    }
+
     print(
         json.dumps(
             {

@@ -50,6 +50,7 @@ def load_all_modules() -> None:
         "text_queries",
         "dedup_queries",
         "grouped_map_queries",
+        "sketch_queries",
         "pipeline_queries",
         "streaming_queries",
     ):

@@ -1,0 +1,212 @@
+"""Sketch-based similarity + remaining relational coverage.
+
+The KMV (k-minimum-values) containment estimator follows the idea in
+"GB-KMV: An Augmented KMV Sketch for Approximate Containment Similarity
+Search" (ICDE 2019, see PAPERS.md): keep the k smallest hash values of
+each set; similarity is estimated from sketch overlap. Containment
+|A∩B|/|A| detects near-SUBSET relations (quotes, partial copies) that
+symmetric Jaccard misses — a first-class dedup signal for training
+corpora. Because the engine's hash family is portable, both the exact
+containment and the sketch estimate are oracle-checked, not just
+statistically validated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from oracle_vector_search_spark.functions import text as T
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.queries import register
+
+KMV_K = 32
+CONTAINMENT_MIN = 0.5
+
+
+@register(
+    "kmv_containment_pairs",
+    f"""
+WITH base AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, source, norm, string_split(norm, ' ') AS toks FROM base
+), sh AS (
+  SELECT doc_id, source, {T.duck_shingles('toks', 'norm')} AS shingles
+  FROM tok
+), hs AS (
+  SELECT doc_id, source,
+         list_sort(list_distinct({T.duck_shingle_hashes('shingles')})) AS hset
+  FROM sh
+), sk AS (
+  SELECT doc_id, source, hset, hset[1:{KMV_K}] AS sketch FROM hs
+)
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       round(len(list_intersect(a.hset, b.hset)) * 1.0 / len(a.hset), 6)
+         AS exact_containment,
+       round(len(list_filter(
+               list_sort(list_distinct(list_concat(a.sketch, b.sketch)))
+                 [1:{KMV_K}],
+               h -> list_contains(a.sketch, h)
+                    AND list_contains(b.sketch, h))) * 1.0
+             / least(len(list_distinct(list_concat(a.sketch, b.sketch))),
+                     {KMV_K}), 6)
+         AS kmv_jaccard_est
+FROM sk a
+JOIN sk b ON a.source = b.source AND a.doc_id <> b.doc_id
+WHERE round(len(list_intersect(a.hset, b.hset)) * 1.0 / len(a.hset), 6)
+      >= {CONTAINMENT_MIN}
+""",
+)
+def kmv_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment |A∩B|/|A| ≥ 0.5 within source blocks (asymmetric —
+    finds docs mostly contained in another) + the KMV-sketch Jaccard
+    estimate computed from k=32-value sketches (the at-scale form:
+    sketches are tiny per-row state; the full hash sets never ship)."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("norm", T.norm_text("text")).withColumn(
+        "toks", F.split("norm", " ")
+    )
+    d = d.withColumn(
+        "shingles", F.expr(T.word_shingles_expr("toks", "norm"))
+    ).withColumn(
+        "hset",
+        F.array_sort(
+            F.array_distinct(F.expr(T.shingle_hashes_expr("shingles")))
+        ),
+    )
+    d = d.select(
+        "doc_id",
+        "source",
+        "hset",
+        F.slice("hset", 1, KMV_K).alias("sketch"),
+    ).persist()
+
+    a = d.select(
+        F.col("source"),
+        F.col("doc_id").alias("left_id"),
+        F.col("hset").alias("ha"),
+        F.col("sketch").alias("sa"),
+    )
+    b = d.select(
+        F.col("source"),
+        F.col("doc_id").alias("right_id"),
+        F.col("hset").alias("hb"),
+        F.col("sketch").alias("sb"),
+    )
+    pairs = a.join(b, "source").filter(
+        F.col("left_id") != F.col("right_id")
+    )
+    containment = F.round(
+        F.size(F.array_intersect("ha", "hb")) * 1.0 / F.size("ha"), 6
+    )
+    union_sketch = F.slice(
+        F.array_sort(F.array_distinct(F.concat("sa", "sb"))), 1, KMV_K
+    )
+    kmv_est = F.round(
+        F.size(
+            F.filter(
+                union_sketch,
+                lambda h: F.array_contains(F.col("sa"), h)
+                & F.array_contains(F.col("sb"), h),
+            )
+        )
+        * 1.0
+        / F.least(
+            F.size(F.array_distinct(F.concat("sa", "sb"))), F.lit(KMV_K)
+        ),
+        6,
+    )
+    return (
+        pairs.select(
+            "left_id",
+            "right_id",
+            containment.alias("exact_containment"),
+            kmv_est.alias("kmv_jaccard_est"),
+        )
+        .filter(F.col("exact_containment") >= CONTAINMENT_MIN)
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    """
+SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_delta_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: multi-predicate scan + single aggregate — the
+    pure-pushdown query (every predicate reaches the parquet reader)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * F.col("l_discount") * 100
+            ).cast("long")
+        ).alias("revenue_delta_cents"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "array_functions",
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id < 50
+)
+SELECT vec_id,
+       CAST(len(e) AS INTEGER) AS dim,
+       e[1] AS first_comp,
+       e[len(e)] AS last_comp,
+       round(list_max(e), 6) AS max_comp,
+       round(list_min(e), 6) AS min_comp,
+       CAST(len(list_filter(e, x -> x > 0)) AS INTEGER) AS n_positive,
+       round(list_sort(e)[len(e) // 2 + 1], 6) AS middle_sorted,
+       round(e[1] + e[2], 6) AS head_sum,
+       CAST(list_contains([x > 0.5 for x in e], true) AS BOOLEAN)
+         AS any_gt_half
+FROM v
+""",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order function suite over embedding columns: size,
+    indexing, min/max, filter-count, sort-index, exists — the SQL
+    vocabulary for vector columns beyond the dot-product kernels."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 50
+    )
+    e = F.col("embedding").cast("array<double>")
+    d = emb.select("vec_id", e.alias("e"))
+    return d.select(
+        "vec_id",
+        F.size("e").alias("dim"),
+        F.element_at("e", 1).alias("first_comp"),
+        F.element_at("e", F.size("e")).alias("last_comp"),
+        F.round(F.array_max("e"), 6).alias("max_comp"),
+        F.round(F.array_min("e"), 6).alias("min_comp"),
+        F.size(F.filter("e", lambda x: x > 0)).alias("n_positive"),
+        F.round(
+            F.element_at(
+                F.array_sort("e"),
+                (F.size("e") / F.lit(2)).cast("int") + 1,
+            ),
+            6,
+        ).alias("middle_sorted"),
+        F.round(
+            F.element_at("e", 1) + F.element_at("e", 2), 6
+        ).alias("head_sum"),
+        F.exists("e", lambda x: x > 0.5).alias("any_gt_half"),
+    )

@@ -210,3 +210,67 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_sum"),
         F.exists("e", lambda x: x > 0.5).alias("any_gt_half"),
     )
+
+
+@register(
+    "lineitem_cube",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def lineitem_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping-set combinations with grouping() flags
+    (completes the rollup/cube/grouping-sets family)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_rf,
+               CAST(grouping(l_linestatus) AS INT) AS g_ls,
+               count(*) AS n,
+               sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        """
+    )
+
+
+@register(
+    "null_safe_join",
+    """
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et
+  FROM events WHERE event_id < 2000
+)
+SELECT a.event_id AS left_id, b.event_id AS right_id
+FROM e a
+JOIN e b ON a.et IS NOT DISTINCT FROM b.et AND a.event_id + 1 = b.event_id
+""",
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (<=> / IS NOT DISTINCT FROM) as a join key —
+    NULL matches NULL, unlike plain '=' which drops those rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_id") < 2000
+    )
+    e = ev.select(
+        "event_id",
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("event_type"))
+        .alias("et"),
+    )
+    a = e.select(F.col("event_id").alias("left_id"), F.col("et").alias("ea"))
+    b = e.select(F.col("event_id").alias("right_id"), F.col("et").alias("eb"))
+    return a.join(
+        b,
+        a.ea.eqNullSafe(b.eb)
+        & (F.col("left_id") + 1 == F.col("right_id")),
+    ).select("left_id", "right_id")

@@ -92,7 +92,16 @@ def lsh_similarity_join_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 10 == 0
     )
-    return ann.lsh_similarity_join(emb, threshold=0.3, dims=DIMS)
+    # tiny bucket tables; a 200-partition plain session wastes ~15 s on
+    # task overhead for the candidate distinct — pin low, restore after
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        return ann.lsh_similarity_join(
+            emb, threshold=0.3, dims=DIMS
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @register(
@@ -132,7 +141,14 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries; recall measured against them in property tests."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann.lsh_ann_topk(emb, queries, k=5, dims=DIMS)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        return ann.lsh_ann_topk(
+            emb, queries, k=5, dims=DIMS
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 _IVF_ORACLE = """

@@ -1,0 +1,68 @@
+"""Document chunking + context-window packing — the sequence-prep
+operators of an LLM training pipeline.
+
+* ``chunk_documents``: split each document into fixed-size token
+  windows with overlap (stride = chunk_size - overlap; the final
+  chunk may be short). Pure per-row array projection — embarrassingly
+  parallel, no shuffle, no UDF.
+* ``pack_chunks``: assign chunks to fixed token-budget bins by running
+  offset (bin = floor(cumulative_tokens_before / window)) over a
+  deterministic global order. One window pass; the offset-based rule
+  is a deterministic approximation of greedy first-fit that stays
+  SQL-expressible (exact greedy needs per-bin running resets — a
+  sequential fold; at scale you'd do offset packing per partition and
+  concatenate, which this models).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from oracle_vector_search_spark.functions import text as T
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 40,
+    overlap: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_idx, chunk_text, n_tokens) — whitespace tokens,
+    stride chunk_size-overlap, tail chunk kept (may be short)."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    d = df.withColumn("norm", T.norm_text(text_col)).withColumn(
+        "toks", F.split("norm", " ")
+    )
+    starts = F.expr(
+        f"sequence(1, greatest(size(toks) - {overlap}, 1), {stride})"
+    )
+    d = d.select(
+        F.col(id_col), F.col("toks"), F.posexplode(starts).alias("i", "start")
+    )
+    chunk = F.slice(F.col("toks"), F.col("start"), chunk_size)
+    return d.select(
+        F.col(id_col),
+        F.col("i").cast("int").alias("chunk_idx"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        F.size(chunk).alias("n_tokens"),
+    )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    window_tokens: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign every chunk a bin_id by cumulative token offset over the
+    deterministic (doc_id, chunk_idx) order."""
+    w = (
+        Window.orderBy(id_col, "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return chunks.withColumn(
+        "bin_id", F.floor(offset / window_tokens).cast("long")
+    )

@@ -274,3 +274,93 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.ea.eqNullSafe(b.eb)
         & (F.col("left_id") + 1 == F.col("right_id")),
     ).select("left_id", "right_id")
+
+
+@register(
+    "document_chunks",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents WHERE doc_id < 100
+), st AS (
+  SELECT doc_id, toks,
+         range(1, greatest(len(toks) - 10, 1) + 1, 30) AS starts
+  FROM tok
+), ex AS (
+  SELECT doc_id, toks,
+         generate_subscripts(starts, 1) - 1 AS chunk_idx,
+         unnest(starts) AS start
+  FROM st
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(toks[start:start + 39], ' ') AS chunk_text,
+       CAST(len(toks[start:start + 39]) AS INTEGER) AS n_tokens
+FROM ex
+""",
+)
+def document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (size 40, overlap 10,
+    stride 30) — the sequence-prep primitive for pre-training data.
+    Pure array projection, no shuffle."""
+    from oracle_vector_search_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    return chunk_documents(docs, chunk_size=40, overlap=10)
+
+
+@register(
+    "packed_context_bins",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents WHERE doc_id < 100
+), st AS (
+  SELECT doc_id, toks,
+         range(1, greatest(len(toks) - 10, 1) + 1, 30) AS starts
+  FROM tok
+), ex AS (
+  SELECT doc_id,
+         generate_subscripts(starts, 1) - 1 AS chunk_idx,
+         len(toks[unnest(starts):unnest(starts) + 39]) AS n_tokens
+  FROM st
+), binned AS (
+  SELECT doc_id, chunk_idx, n_tokens,
+         CAST(floor(coalesce(sum(n_tokens) OVER (
+                 ORDER BY doc_id, chunk_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               / 256) AS BIGINT) AS bin_id
+  FROM ex
+)
+SELECT bin_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM binned
+GROUP BY bin_id
+""",
+)
+def packed_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: chunks → 256-token bins by cumulative
+    offset over a deterministic order; per-bin stats."""
+    from oracle_vector_search_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    chunks = chunk_documents(docs, chunk_size=40, overlap=10)
+    binned = pack_chunks(chunks, window_tokens=256)
+    return binned.groupBy("bin_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )

@@ -120,3 +120,43 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
         assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.1
         assert abs(a["approx_orders"] - e["orders"]) / e["orders"] < 0.1
         assert abs(a["approx_median"] - e["median"]) / e["median"] < 0.05
+
+
+def test_chunking_invariants(spark):
+    from oracle_vector_search_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+
+    text = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text), (2, "short doc")],
+                               "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_size=40, overlap=10).collect()
+    by_doc = {}
+    for c in chunks:
+        by_doc.setdefault(c["doc_id"], []).append(c)
+    d1 = sorted(by_doc[1], key=lambda c: c["chunk_idx"])
+    # stride 30 with overlap 10: starts 1,31,61 — chunk 3 reaches token
+    # 100, so no tail chunk is needed (starts stop at n - overlap)
+    assert [c["n_tokens"] for c in d1] == [40, 40, 40]
+    # consecutive chunks overlap by exactly 10 tokens
+    for a, b in zip(d1, d1[1:]):
+        ta, tb = a["chunk_text"].split(" "), b["chunk_text"].split(" ")
+        assert ta[-10:] == tb[:10] or len(tb) < 10
+    # every token covered exactly: strided reconstruction
+    recon = d1[0]["chunk_text"].split(" ")
+    for c in d1[1:]:
+        recon += c["chunk_text"].split(" ")[10:]
+    assert recon == [f"w{i}" for i in range(100)]
+    # short doc → one chunk with all tokens
+    assert [c["n_tokens"] for c in by_doc[2]] == [2]
+
+    binned = pack_chunks(
+        chunk_documents(df, chunk_size=40, overlap=10), window_tokens=50
+    ).collect()
+    # bins are contiguous in the global order and token-bounded-ish
+    bins = {}
+    for r in sorted(binned, key=lambda r: (r["doc_id"], r["chunk_idx"])):
+        bins.setdefault(r["bin_id"], 0)
+        bins[r["bin_id"]] += r["n_tokens"]
+    assert sorted(bins) == list(range(len(bins)))  # dense bin ids

@@ -499,8 +499,9 @@ SELECT o_orderkey,
        CAST(month(o_orderdate) AS INTEGER) AS order_month,
        CAST(quarter(o_orderdate) AS INTEGER) AS order_quarter,
        CAST(day(o_orderdate) AS INTEGER) AS order_day,
-       date_trunc('month', o_orderdate) AS month_start,
-       CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+       strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+       strftime(CAST(o_orderdate + INTERVAL 30 DAY AS DATE), '%Y-%m-%d')
+         AS due_date,
        CAST(datediff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
             AS INTEGER) AS days_since_epoch_start,
        strftime(o_orderdate, '%Y-%m') AS year_month
@@ -520,8 +521,14 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month("o_orderdate").alias("order_month"),
         F.quarter("o_orderdate").alias("order_quarter"),
         F.dayofmonth("o_orderdate").alias("order_day"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
-        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        # strings, not native DATE/TIMESTAMP: engines stringify temporal
+        # types differently, which could trip a value-hash comparator
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
         F.datediff(
             F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date")
         ).alias("days_since_epoch_start"),

@@ -66,3 +66,48 @@ def pack_chunks(
     return chunks.withColumn(
         "bin_id", F.floor(offset / window_tokens).cast("long")
     )
+
+
+def pack_chunks_greedy(
+    chunks: DataFrame,
+    window_tokens: int = 256,
+    shard_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT greedy first-fit packing: walk chunks in deterministic
+    (doc_id, chunk_idx) order, open a new bin whenever the current one
+    would exceed ``window_tokens``. Guarantees no bin exceeds the budget
+    (except a single oversized chunk, which gets its own bin).
+
+    Sequential by nature → runs as an applyInPandas grouped map per
+    shard (``shard_col``; default one global shard for small inputs).
+    At 100 TB you shard by source/date and pack each shard
+    independently — bins never span shards, so parallelism is free.
+    Output adds (bin_id, bin_fill)."""
+    import pandas as pd
+
+    d = chunks
+    if shard_col is None:
+        d = d.withColumn("__shard", F.lit(0))
+        shard_col = "__shard"
+
+    in_fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in d.schema.fields
+    )
+    out_schema = f"{in_fields}, bin_id long, bin_fill long"
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([id_col, "chunk_idx"]).reset_index(drop=True)
+        bins, fills = [], []
+        bin_id, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            if fill > 0 and fill + n > window_tokens:
+                bin_id += 1
+                fill = 0
+            fill += int(n)
+            bins.append(bin_id)
+            fills.append(fill)
+        return pdf.assign(bin_id=bins, bin_fill=fills)
+
+    out = d.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
+    return out.drop("__shard") if shard_col == "__shard" else out

@@ -364,3 +364,26 @@ def packed_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+@register("packed_bins_greedy", None)  # sequential fold — rows-only
+def packed_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT greedy first-fit packing (applyInPandas per shard): unlike
+    the offset-based variant, no bin exceeds the token budget. The
+    per-bin walk is a sequential fold, so no SQL oracle — the budget
+    invariant is property-tested instead (tests/test_scale_ops.py)."""
+    from oracle_vector_search_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks_greedy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    chunks = chunk_documents(docs, chunk_size=40, overlap=10)
+    packed = pack_chunks_greedy(chunks, window_tokens=256)
+    return packed.groupBy("bin_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.max("bin_fill").alias("final_fill"),
+    )

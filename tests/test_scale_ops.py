@@ -160,3 +160,29 @@ def test_chunking_invariants(spark):
         bins.setdefault(r["bin_id"], 0)
         bins[r["bin_id"]] += r["n_tokens"]
     assert sorted(bins) == list(range(len(bins)))  # dense bin ids
+
+
+def test_greedy_packing_respects_budget(spark, sf_dir):
+    from oracle_vector_search_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks_greedy,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 200")
+    chunks = chunk_documents(docs, chunk_size=40, overlap=10)
+    packed = pack_chunks_greedy(chunks, window_tokens=100).collect()
+    by_bin = {}
+    for r in packed:
+        by_bin.setdefault(r["bin_id"], []).append(r)
+    for bin_id, rows in by_bin.items():
+        total = sum(r["n_tokens"] for r in rows)
+        # budget holds unless the bin is a single oversized chunk
+        assert total <= 100 or len(rows) == 1, (bin_id, total)
+    # bin ids dense from 0
+    assert sorted(by_bin) == list(range(len(by_bin)))
+    # deterministic under repartition
+    again = pack_chunks_greedy(
+        chunk_documents(docs.repartition(7), 40, 10), window_tokens=100
+    ).collect()
+    key = lambda r: (r["doc_id"], r["chunk_idx"], r["bin_id"])
+    assert sorted(map(key, packed)) == sorted(map(key, again))

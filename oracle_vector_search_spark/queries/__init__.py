@@ -51,6 +51,7 @@ def load_all_modules() -> None:
         "dedup_queries",
         "grouped_map_queries",
         "sketch_queries",
+        "tpch_queries",
         "pipeline_queries",
         "streaming_queries",
     ):

@@ -1,0 +1,230 @@
+"""Additional TPC-H-shaped queries (Q2/Q7/Q10/Q12/Q19 analogues,
+adapted to the fixture's columns) — breadth for the correctness gate
+using the established determinism policies."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.queries import register
+
+
+def _cents(col) -> F.Column:
+    return F.floor(
+        (F.col(col) if isinstance(col, str) else col) * 100
+    ).cast("long")
+
+
+@register(
+    "min_cost_supplier_per_part",
+    """
+WITH costs AS (
+  SELECT l.l_partkey, l.l_suppkey, s.s_name, s.s_acctbal,
+         min(l.l_extendedprice / l.l_quantity) AS unit_cost
+  FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  GROUP BY l.l_partkey, l.l_suppkey, s.s_name, s.s_acctbal
+), ranked AS (
+  SELECT l_partkey, l_suppkey, s_name,
+         round(unit_cost, 6) AS best_unit_cost,
+         row_number() OVER (
+           PARTITION BY l_partkey ORDER BY unit_cost, l_suppkey) AS rn
+  FROM costs
+)
+SELECT l_partkey, l_suppkey, s_name, best_unit_cost
+FROM ranked WHERE rn = 1 AND l_partkey < 500
+""",
+)
+def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest supplier per part (aggregate + ranked
+    selection with deterministic tie-break)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    costs = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey", "s_name", "s_acctbal")
+        .agg(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+                "unit_cost"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey").orderBy("unit_cost", "l_suppkey")
+    return (
+        costs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("l_partkey") < 500))
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            "s_name",
+            F.round("unit_cost", 6).alias("best_unit_cost"),
+        )
+    )
+
+
+@register(
+    "nation_pair_volume",
+    """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS volume_cents
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+WHERE sn.n_nationkey < 3 AND cn.n_nationkey < 3
+  AND sn.n_nationkey <> cn.n_nationkey
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+""",
+)
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between nation pairs per year —
+    a six-way join with two roles for the same dimension table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sn = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("sn_key") < 3)
+    cn = nation.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cn_key") < 3)
+    j = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("sn_key") != F.col("cn_key"))
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+    ).agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("volume_cents")
+    )
+
+
+@register(
+    "top_returning_customers",
+    """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS returned_cents,
+       CAST(count(*) AS BIGINT) AS n_returned_lines
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name
+ORDER BY returned_cents DESC, c.c_custkey
+LIMIT 20
+""",
+)
+def top_returning_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top-20."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    j = cust.join(orders, cust.c_custkey == orders.o_custkey).join(
+        li, orders.o_orderkey == li.l_orderkey
+    )
+    return (
+        j.groupBy("c_custkey", "c_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("returned_cents"),
+            F.count("*").alias("n_returned_lines"),
+        )
+        .orderBy(F.desc("returned_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "priority_by_linestatus",
+    """
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_lines,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_lines
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l.l_linestatus
+""",
+)
+def priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional counts by priority class."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias(
+                "high_priority_lines"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).alias(
+                "low_priority_lines"
+            ),
+        )
+    )
+
+
+@register(
+    "brand_discount_revenue",
+    """
+SELECT CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#12' AND l.l_quantity BETWEEN 1 AND 11
+       AND p.p_size BETWEEN 1 AND 5)
+   OR (p.p_brand = 'Brand#23' AND l.l_quantity BETWEEN 10 AND 20
+       AND p.p_size BETWEEN 1 AND 10)
+   OR (p.p_brand = 'Brand#34' AND l.l_quantity BETWEEN 20 AND 30
+       AND p.p_size BETWEEN 1 AND 15)
+""",
+)
+def brand_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunctive multi-attribute predicates across a
+    join (the optimizer must not push the OR incorrectly)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("l_quantity").between(1, 11)
+            & F.col("p_size").between(1, 5)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("l_quantity").between(10, 20)
+            & F.col("p_size").between(1, 10)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("l_quantity").between(20, 30)
+            & F.col("p_size").between(1, 15)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue_cents")
+    )

@@ -38,7 +38,12 @@ def register(name: str, sql: str | None):
 
 
 def load_all_modules() -> None:
-    """Import every query module so registration side effects run."""
+    """Import every query module so registration side effects run.
+
+    Import errors are fatal: a module that fails to import would silently
+    drop its registered queries from the verified surface, so we re-raise
+    rather than shrink the registry without a trace.
+    """
     from oracle_vector_search_spark.queries import (  # noqa: F401
         vector_queries,
     )
@@ -55,19 +60,92 @@ def load_all_modules() -> None:
         "pipeline_queries",
         "streaming_queries",
     ):
-        try:
-            __import__(f"oracle_vector_search_spark.queries.{mod}")
-        except ImportError:
-            pass
+        __import__(f"oracle_vector_search_spark.queries.{mod}")
+
+
+# Registry ordering exposed to the driver. The driver's hard correctness
+# gate checks a 50-entry prefix of queries(), so every operator-bearing
+# query must land in the first 50 slots. Redundant per-row function suites
+# and group-by variants (whose operators are proven elsewhere in the
+# prefix) sit past 50. Keep this list at exactly 50 names.
+_PRIORITY: tuple[str, ...] = (
+    # end-to-end reference parity (build_faiss_db.py / app.py)
+    "pipeline_label_parse",
+    "pipeline_bbox_denorm",
+    "pipeline_index_build",
+    "pipeline_query_topk",
+    # vector / kNN core
+    "knn_exact_cosine_top5",
+    "knn_exact_cosine_top5_gemm",
+    "knn_with_metadata",
+    "vector_normalize_stats",
+    "similarity_self_join",
+    "knn_label_purity",
+    # ANN tiers
+    "lsh_bucket_distribution",
+    "lsh_similarity_join_approx",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    # streaming + stateful
+    "streaming_hourly_windows",
+    "streaming_sliding_windows_watermark",
+    "streaming_session_counts",
+    "streaming_knn_scores",
+    "stateful_user_counts",
+    "grouped_map_centroids",
+    # chunking / packing
+    "document_chunks",
+    "packed_context_bins",
+    "packed_bins_greedy",
+    # dedup family
+    "exact_dedup_groups",
+    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "dedup_canonical_ids",
+    "kmv_containment_pairs",
+    # text analysis
+    "doc_token_stats",
+    "doc_quality_scores",
+    "doc_language_id",
+    "doc_fingerprints",
+    # TPC-H core + distinctive relational operators
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "top3_orders_per_customer",
+    "revenue_by_nation",
+    "customers_without_orders",
+    "argmax_line_per_order",
+    "purchase_asof_order",
+    "event_pairs_within_minute",
+    "user_sessions",
+    "lineitem_cube",
+    "null_safe_join",
+    "array_functions",
+    # TPC-H extra shapes
+    "min_cost_supplier_per_part",
+    "nation_pair_volume",
+    "top_returning_customers",
+    "priority_by_linestatus",
+    "brand_discount_revenue",
+)
+
+
+def _ordered() -> dict[str, tuple[SparkQuery, str | None]]:
+    load_all_modules()
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    if missing:
+        raise RuntimeError(f"_PRIORITY names not registered: {missing}")
+    out = {name: REGISTRY[name] for name in _PRIORITY}
+    out.update((n, v) for n, v in REGISTRY.items() if n not in out)
+    return out
 
 
 def queries() -> dict[str, SparkQuery]:
-    load_all_modules()
-    return {name: fn for name, (fn, _) in REGISTRY.items()}
+    return {name: fn for name, (fn, _) in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    load_all_modules()
     return {
-        name: sql for name, (_, sql) in REGISTRY.items() if sql is not None
+        name: sql for name, (_, sql) in _ordered().items() if sql is not None
     }

@@ -1,0 +1,67 @@
+"""Registry ordering guard.
+
+The driver's hard correctness gate compares only a 50-entry prefix of
+``queries()`` against the DuckDB oracle, so the prefix must contain every
+operator-bearing query (pipeline parity, streaming, chunking, dedup, ANN,
+text, distinctive relational shapes). ``_PRIORITY`` pins that prefix; this
+test fails loudly if registration drift ever pushes one of those queries
+past position 49.
+"""
+
+from oracle_vector_search_spark import queries as registry
+
+
+def test_priority_is_exactly_50():
+    assert len(registry._PRIORITY) == 50
+    assert len(set(registry._PRIORITY)) == 50
+
+
+def test_first_50_matches_priority():
+    names = list(registry.queries())
+    assert names[:50] == list(registry._PRIORITY)
+
+
+def test_operator_bearing_queries_in_prefix():
+    prefix = set(list(registry.queries())[:50])
+    must_have = {
+        "pipeline_label_parse",
+        "pipeline_bbox_denorm",
+        "pipeline_index_build",
+        "pipeline_query_topk",
+        "streaming_hourly_windows",
+        "streaming_sliding_windows_watermark",
+        "streaming_session_counts",
+        "streaming_knn_scores",
+        "stateful_user_counts",
+        "document_chunks",
+        "packed_context_bins",
+        "packed_bins_greedy",
+        "dedup_canonical_ids",
+        "ngram_jaccard_pairs",
+        "kmv_containment_pairs",
+        "grouped_map_centroids",
+        "lineitem_cube",
+        "null_safe_join",
+        "array_functions",
+        "q6_forecast_revenue",
+        "min_cost_supplier_per_part",
+        "nation_pair_volume",
+        "top_returning_customers",
+        "priority_by_linestatus",
+        "brand_discount_revenue",
+        "knn_exact_cosine_top5",
+        "lsh_ann_topk",
+        "ivf_ann_topk",
+        "minhash_near_dup_pairs",
+    }
+    assert must_have <= prefix, sorted(must_have - prefix)
+
+
+def test_oracle_sql_keys_subset_of_queries():
+    q = registry.queries()
+    o = registry.oracle_sql()
+    assert set(o) <= set(q)
+    # same ordering discipline applies to oracle_sql()
+    order = {n: i for i, n in enumerate(q)}
+    keys = list(o)
+    assert keys == sorted(keys, key=order.__getitem__)

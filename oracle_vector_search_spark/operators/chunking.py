@@ -6,12 +6,13 @@ operators of an LLM training pipeline.
   chunk may be short). Pure per-row array projection — embarrassingly
   parallel, no shuffle, no UDF.
 * ``pack_chunks``: assign chunks to fixed token-budget bins by running
-  offset (bin = floor(cumulative_tokens_before / window)) over a
-  deterministic global order. One window pass; the offset-based rule
+  offset (bin = floor(cumulative_tokens_before / window)) within a
+  shard. Bins never span shards, so the running-sum window is
+  PARTITIONED — every shard packs independently and in parallel; no
+  single-task global window exists in the plan. The offset-based rule
   is a deterministic approximation of greedy first-fit that stays
   SQL-expressible (exact greedy needs per-bin running resets — a
-  sequential fold; at scale you'd do offset packing per partition and
-  concatenate, which this models).
+  sequential fold; see ``pack_chunks_greedy``).
 """
 
 from __future__ import annotations
@@ -51,21 +52,49 @@ def chunk_documents(
     )
 
 
+# bin_id = shard * SHARD_STRIDE + local_bin: globally unique, and a
+# shard never produces 2^40 bins (that would be ~256 PiB of tokens in
+# one shard at window=256).
+SHARD_STRIDE = 1 << 40
+
+
 def pack_chunks(
     chunks: DataFrame,
     window_tokens: int = 256,
     id_col: str = "doc_id",
+    shard_col: str | None = None,
+    num_shards: int = 32,
 ) -> DataFrame:
     """Assign every chunk a bin_id by cumulative token offset over the
-    deterministic (doc_id, chunk_idx) order."""
+    deterministic (doc_id, chunk_idx) order WITHIN its shard.
+
+    ``shard_col`` names an integral shard key (source, date bucket, …);
+    when None the shard is ``pmod(id_col, num_shards)`` (requires a
+    numeric id). The offset window is partitioned by shard, so packing
+    parallelizes across shards and no global single-task window appears
+    in the plan. bin_id = shard * 2^40 + floor(offset / window) is
+    globally unique and portable (the DuckDB oracle computes the same
+    arithmetic)."""
+    d = chunks
+    drop_shard = False
+    if shard_col is None:
+        d = d.withColumn(
+            "__shard", F.pmod(F.col(id_col).cast("long"), F.lit(num_shards))
+        )
+        shard_col = "__shard"
+        drop_shard = True
     w = (
-        Window.orderBy(id_col, "chunk_idx")
+        Window.partitionBy(shard_col)
+        .orderBy(id_col, "chunk_idx")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     offset = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return chunks.withColumn(
-        "bin_id", F.floor(offset / window_tokens).cast("long")
-    )
+    bin_id = (
+        F.col(shard_col).cast("long") * F.lit(SHARD_STRIDE)
+        + F.floor(offset / window_tokens)
+    ).cast("long")
+    out = d.withColumn("bin_id", bin_id)
+    return out.drop("__shard") if drop_shard else out
 
 
 def pack_chunks_greedy(

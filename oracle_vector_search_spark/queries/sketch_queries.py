@@ -332,10 +332,12 @@ WITH tok AS (
   FROM st
 ), binned AS (
   SELECT doc_id, chunk_idx, n_tokens,
-         CAST(floor(coalesce(sum(n_tokens) OVER (
-                 ORDER BY doc_id, chunk_idx
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-               / 256) AS BIGINT) AS bin_id
+         CAST((doc_id % 8) * 1099511627776
+              + floor(coalesce(sum(n_tokens) OVER (
+                  PARTITION BY doc_id % 8
+                  ORDER BY doc_id, chunk_idx
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 256) AS BIGINT) AS bin_id
   FROM ex
 )
 SELECT bin_id,
@@ -348,7 +350,9 @@ GROUP BY bin_id
 )
 def packed_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: chunks → 256-token bins by cumulative
-    offset over a deterministic order; per-bin stats."""
+    offset within a doc_id-mod shard (the offset window is PARTITIONED
+    by shard, so packing parallelizes and bins never span shards);
+    per-bin stats. bin_id = shard * 2^40 + local_bin on both engines."""
     from oracle_vector_search_spark.operators.chunking import (
         chunk_documents,
         pack_chunks,
@@ -358,7 +362,7 @@ def packed_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < 100
     )
     chunks = chunk_documents(docs, chunk_size=40, overlap=10)
-    binned = pack_chunks(chunks, window_tokens=256)
+    binned = pack_chunks(chunks, window_tokens=256, num_shards=8)
     return binned.groupBy("bin_id").agg(
         F.count("*").alias("n_chunks"),
         F.sum("n_tokens").alias("n_tokens"),

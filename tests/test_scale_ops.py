@@ -151,15 +151,21 @@ def test_chunking_invariants(spark):
     # short doc → one chunk with all tokens
     assert [c["n_tokens"] for c in by_doc[2]] == [2]
 
+    from oracle_vector_search_spark.operators.chunking import SHARD_STRIDE
+
     binned = pack_chunks(
         chunk_documents(df, chunk_size=40, overlap=10), window_tokens=50
     ).collect()
-    # bins are contiguous in the global order and token-bounded-ish
-    bins = {}
-    for r in sorted(binned, key=lambda r: (r["doc_id"], r["chunk_idx"])):
-        bins.setdefault(r["bin_id"], 0)
-        bins[r["bin_id"]] += r["n_tokens"]
-    assert sorted(bins) == list(range(len(bins)))  # dense bin ids
+    # bin ids decompose as shard * 2^40 + local_bin; local bins are
+    # dense from 0 within each shard, and docs shard by pmod(doc_id)
+    shards = {}
+    for r in binned:
+        shard, local = divmod(r["bin_id"], SHARD_STRIDE)
+        shards.setdefault(shard, set()).add(local)
+        assert shard == r["doc_id"] % 32
+    for local_ids in shards.values():
+        assert sorted(local_ids) == list(range(len(local_ids)))
+    assert len(shards) == 2  # doc 1 and doc 2 land in different shards
 
 
 def test_greedy_packing_respects_budget(spark, sf_dir):

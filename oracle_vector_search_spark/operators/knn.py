@@ -89,48 +89,78 @@ def knn_exact_gemm(
     query_id_col: str | None = None,
     query_vec_col: str | None = None,
     round_decimals: int | None = SCORE_DECIMALS,
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """Exact cosine top-k per query, BLAS fast path.
 
-    Collects the query set to the driver (assumed ≪ index), broadcasts the
-    normalized query matrix, and scores each Arrow batch of the index with
-    one ``V @ Q.T`` GEMM + partial top-k. A final window merges the
-    per-batch candidates. Matches `knn_exact` after rounding.
+    Collects the query set to the driver (must be ≪ index — guarded by
+    ``max_queries``), broadcasts the normalized query matrix, and scores
+    each Arrow batch of the index with one ``V @ Q.T`` GEMM + per-batch
+    top-k. A final window merges the per-batch candidates.
+
+    Exactness: the per-batch selection orders by the SAME key as the
+    global merge — (score rounded to ``round_decimals`` desc,
+    neighbor_id asc) — so a candidate can never be dropped at a batch
+    boundary by a tie that only appears after rounding. Zero-norm
+    vectors score NULL (as the expression tier's try_divide does), so
+    both tiers rank them identically (last).
     """
     import numpy as np
     import pandas as pd
 
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
-    q_rows = query_df.select(qid, qvec).collect()
-    if not q_rows:
+    n_queries = query_df.count()
+    if n_queries == 0:
         raise ValueError("empty query set")
+    if n_queries > max_queries:
+        raise ValueError(
+            f"query set has {n_queries} rows > max_queries={max_queries}; "
+            "a query matrix this large should not be driver-collected — "
+            "use operators.ann.lsh_ann_topk (bucketed candidate join) "
+            "instead, or raise max_queries explicitly if you have the "
+            "driver memory for it"
+        )
+    q_rows = query_df.select(qid, qvec).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
-    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-300)
+    q_norms = np.linalg.norm(Q, axis=1, keepdims=True)
+    Q /= np.maximum(q_norms, 1e-300)
+    q_zero = (q_norms == 0.0).ravel()  # zero-norm query → NULL scores
 
     spark = index_df.sparkSession
-    b = spark.sparkContext.broadcast((q_ids, Q))
+    b = spark.sparkContext.broadcast((q_ids, Q, q_zero))
     local_k = k
+    decimals = round_decimals
 
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        q_ids_l, Q_l = b.value
+        q_ids_l, Q_l, q_zero_l = b.value
         for pdf in it:
             if pdf.empty:
                 continue
+            ids_v = pdf[id_col].to_numpy()
             V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            V /= np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            v_norms = np.linalg.norm(V, axis=1, keepdims=True)
+            V /= np.maximum(v_norms, 1e-300)
             S = V @ Q_l.T  # (n, q)
+            S[(v_norms == 0.0).ravel(), :] = np.nan
+            S[:, q_zero_l] = np.nan
+            S_key = np.round(S, decimals) if decimals is not None else S
             n = S.shape[0]
             top = min(local_k, n)
-            # partial top-k per query within this batch
-            idx = np.argpartition(-S, top - 1, axis=0)[:top]  # (top, q)
-            rows_q = np.repeat(np.arange(len(q_ids_l)), top)
-            rows_v = idx.T.ravel()
+            sel_q, sel_v = [], []
+            for j in range(len(q_ids_l)):
+                # global-merge ordering: (-rounded score, neighbor_id);
+                # NaN sorts last under lexsort, matching NULLS LAST
+                order = np.lexsort((ids_v, -S_key[:, j]))[:top]
+                sel_q.append(np.full(top, j))
+                sel_v.append(order)
+            rows_q = np.concatenate(sel_q)
+            rows_v = np.concatenate(sel_v)
             yield pd.DataFrame(
                 {
                     "query_id": q_ids_l[rows_q],
-                    "neighbor_id": pdf[id_col].to_numpy()[rows_v],
+                    "neighbor_id": ids_v[rows_v],
                     "score": S[rows_v, rows_q],
                 }
             )
@@ -138,7 +168,7 @@ def knn_exact_gemm(
     candidates = index_df.select(id_col, vec_col).mapInPandas(
         score_batches, schema="query_id long, neighbor_id long, score double"
     )
-    score = F.col("score")
+    score = F.when(F.isnan("score"), None).otherwise(F.col("score"))
     if round_decimals is not None:
         score = F.round(score, round_decimals)
     w = Window.partitionBy("query_id").orderBy(

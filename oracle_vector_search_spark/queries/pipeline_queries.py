@@ -312,6 +312,35 @@ def pipeline_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QUERY_NAMES = ["query_a", "query_b", "query_c"]
 
+# (applicationId, sf_dir, max_key) -> parquet path of the written index.
+# The online query path reads this table; it never re-derives the build
+# DAG (the reference's faiss.write_index / faiss.read_index split,
+# build_faiss_db.py:220-225 vs app.py:50).
+_INDEX_CACHE: dict[tuple[str, str, int], str] = {}
+
+
+def _materialized_index(
+    spark: SparkSession, sf_dir: str, max_key: int
+) -> DataFrame:
+    """Build-once, query-many: run the build DAG, persist it with
+    write_index_table (K3/K4), and serve queries from the parquet at
+    rest. Breaking lineage here is the scale story — a 100 TB index is
+    a table, not a subplan rebuilt per query."""
+    import tempfile
+
+    from oracle_vector_search_spark.operators.ingest import write_index_table
+
+    key = (spark.sparkContext.applicationId, sf_dir, max_key)
+    path = _INDEX_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ovs_index_")
+        idx = _built_index(spark, sf_dir, max_key).select(
+            "id", "split", "class_name", "emb"
+        )
+        write_index_table(idx, path)
+        _INDEX_CACHE[key] = path
+    return spark.read.parquet(path)
+
 
 def _duck_query_topk_sql(max_key: int) -> str:
     """Oracle for the online query path: rebuild the index CTEs, then
@@ -365,13 +394,8 @@ def pipeline_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from oracle_vector_search_spark.functions.vector import cosine_similarity
 
-    # materialize the built index once — the deployment shape is a
-    # written index table; without this the whole build chain re-derives
-    # through every window/join branch
-    idx = (
-        _built_index(spark, sf_dir, 200)
-        .select("id", "class_name", "emb")
-        .persist()
+    idx = _materialized_index(spark, sf_dir, 200).select(
+        "id", "class_name", "emb"
     )
     q = spark.createDataFrame(
         [(n,) for n in _QUERY_NAMES], "qname string"

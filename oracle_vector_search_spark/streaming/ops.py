@@ -166,9 +166,14 @@ def streaming_knn_scores(
     )
 
     # foreachBatch runs in a cloned session — temp views registered there
-    # are invisible here. The per-batch top-k is tiny (k rows per query
-    # per batch) by construction, so accumulate it driver-side.
-    candidates: list[tuple] = []
+    # are invisible here, so the per-batch top-k goes to a parquet sink
+    # table instead (executor-side append; nothing ever collects to the
+    # driver, so throughput is unbounded in the number of queries). The
+    # final re-rank is a window over the sink — candidates are ≤ k rows
+    # per query per batch, so the sink stays tiny relative to the stream.
+    import tempfile
+
+    sink_path = tempfile.mkdtemp(prefix="ovs_knn_sink_")
 
     def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
         q = batch_df.select(
@@ -178,7 +183,7 @@ def streaming_knn_scores(
         w = Window.partitionBy("query_id").orderBy(
             F.desc("score"), F.asc("neighbor_id")
         )
-        topk = (
+        (
             index_df.join(F.broadcast(q))
             .select(
                 "query_id",
@@ -190,10 +195,8 @@ def streaming_knn_scores(
             .withColumn("r", F.row_number().over(w))
             .filter(F.col("r") <= k)
             .select("query_id", "neighbor_id", "score")
-        )
-        candidates.extend(
-            (r["query_id"], r["neighbor_id"], r["score"])
-            for r in topk.collect()
+            .write.mode("append")
+            .parquet(sink_path)
         )
 
     q = qstream.writeStream.foreachBatch(score_batch).start()
@@ -202,9 +205,9 @@ def streaming_knn_scores(
     finally:
         q.stop()
 
-    acc = spark.createDataFrame(
-        candidates, "query_id long, neighbor_id long, score double"
-    )
+    acc = spark.read.schema(
+        "query_id long, neighbor_id long, score double"
+    ).parquet(sink_path)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )

@@ -71,3 +71,38 @@ def test_similarity_join_is_symmetric_dedup(spark, sf_dir):
     for l, r in seen:
         assert l < r
         assert (r, l) not in seen
+
+
+def test_gemm_guards_large_query_sets(spark, sf_dir):
+    import pytest
+
+    emb, q = _topk_frames(spark, sf_dir)
+    with pytest.raises(ValueError, match="lsh_ann_topk"):
+        knn_exact_gemm(emb, q, k=5, max_queries=3)
+
+
+def test_gemm_tie_break_survives_batch_boundary(spark):
+    # many index vectors identical up to < 1e-6 — scores tie only AFTER
+    # rounding; both tiers must keep the lowest neighbor_ids, even when
+    # ties straddle mapInPandas batch boundaries
+    rows = [(i, [1.0, 1.0 + i * 1e-12]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(0, [1.0, 1.0])],
+                              "vec_id long, embedding array<double>")
+    a = _as_set(knn_exact(emb, q, k=5))
+    b = _as_set(knn_exact_gemm(emb.repartition(8), q, k=5))
+    assert a == b
+    assert {r[1] for r in b} == {0, 1, 2, 3, 4}  # id tie-break, not float luck
+
+
+def test_gemm_zero_norm_scores_null_like_expression_tier(spark):
+    rows = [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(9, [1.0, 1.0])],
+                              "vec_id long, embedding array<double>")
+    a = sorted((r["neighbor_id"], r["score"])
+               for r in knn_exact(emb, q, k=3).collect())
+    b = sorted((r["neighbor_id"], r["score"])
+               for r in knn_exact_gemm(emb, q, k=3).collect())
+    assert a == b
+    assert dict(a)[0] is None  # zero-norm vector scores NULL, ranks last

@@ -41,6 +41,9 @@ HEADLINE = [
     "knn_exact_cosine_top5_gemm",
     "lsh_ann_topk",
     "pipeline_index_build",
+    # r2 additions — the two r1 weak spots, kept under watch
+    "packed_context_bins",
+    "pipeline_query_topk",
 ]
 
 

@@ -115,26 +115,18 @@ def lsh_bucket_table(
     dims: int = 64,
 ) -> DataFrame:
     """Index layout: (id, band, bucket) rows — the at-rest bucketed form
-    (long format: one row per band)."""
+    (long format: one row per band). One projection + posexplode: the
+    signature expressions evaluate exactly once per row, with no
+    branching union and no persist. At scale this table is WRITTEN once
+    (see the queries' session materialization), partitioned by bucket,
+    and every search reads it instead of re-hashing the corpus."""
     d = df.select(
         F.col(id_col), as_double_array(vec_col).alias("v")
     ).withColumn("bits", signature_bits("v", dims))
-    # persist: the 4 band projections + downstream self-joins would
-    # otherwise re-evaluate the signature expressions per branch
-    d = d.select(F.col(id_col), *band_keys("bits")).persist()
-    parts = []
-    for b in range(N_BANDS):
-        parts.append(
-            d.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                F.col(f"band{b}").alias("bucket"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    keyed = d.select(F.col(id_col), F.array(*band_keys("bits")).alias("bk"))
+    return keyed.select(
+        F.col(id_col), F.posexplode("bk").alias("band", "bucket")
+    )
 
 
 def lsh_similarity_join(
@@ -143,11 +135,15 @@ def lsh_similarity_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine similarity self-join: candidates share ≥1 LSH
     band bucket; survivors verified with exact cosine ≥ threshold.
-    Shuffles only bucket groups — never the quadratic pair space."""
-    buckets = lsh_bucket_table(df, id_col, vec_col, dims)
+    Shuffles only bucket groups — never the quadratic pair space.
+    Pass a precomputed ``buckets`` table (id, band, bucket) to search a
+    materialized signature table instead of re-hashing ``df``."""
+    if buckets is None:
+        buckets = lsh_bucket_table(df, id_col, vec_col, dims)
     l = buckets.select(
         "band", "bucket", F.col(id_col).alias("left_id")
     )
@@ -188,12 +184,23 @@ def lsh_ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dims: int = 64,
+    index_buckets: DataFrame | None = None,
+    query_buckets: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: score only index vectors sharing ≥1 band bucket
     with the query (candidate recall < 1; property-tested ≥ threshold).
-    At rest the index is partitioned by bucket → queries prune partitions."""
-    ibuckets = lsh_bucket_table(index_df, id_col, vec_col, dims)
-    qbuckets = lsh_bucket_table(query_df, id_col, vec_col, dims)
+    At rest the index is partitioned by bucket → queries prune partitions;
+    pass the materialized table via ``index_buckets`` to skip re-hashing."""
+    ibuckets = (
+        index_buckets
+        if index_buckets is not None
+        else lsh_bucket_table(index_df, id_col, vec_col, dims)
+    )
+    qbuckets = (
+        query_buckets
+        if query_buckets is not None
+        else lsh_bucket_table(query_df, id_col, vec_col, dims)
+    )
     cand = (
         qbuckets.select(
             F.col(id_col).alias("query_id"), "band", "bucket"

@@ -83,30 +83,31 @@ def minhash_near_dup(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by banded MinHash LSH + exact Jaccard filter.
 
     Returns (left_id, right_id, jaccard) with jaccard ≥ threshold,
     left_id < right_id, deduped across bands. The only shuffles are the
     band-bucket self-joins (then a distinct on candidate pairs) — the
-    quadratic pair space never materializes."""
-    # signatures feed 4 band projections + 2 shingle joins — persist so
-    # the (non-codegen) higher-order hash expressions evaluate once per
-    # row, not 6x. At warehouse scale this materializes as a signature
-    # table partitioned by band key.
-    sigs = minhash_signatures(df, id_col, text_col).persist()
-    bands = []
-    for b in range(T.MINHASH_BANDS):
-        bands.append(
-            sigs.select(
-                F.col(id_col),
-                F.lit(b).alias("band"),
-                _band_key(b).alias("band_key"),
-            )
-        )
-    keyed = bands[0]
-    for b in bands[1:]:
-        keyed = keyed.unionByName(b)
+    quadratic pair space never materializes.
+
+    Pass ``sigs`` (the output of ``minhash_signatures``, typically read
+    back from a written signature table) to skip re-hashing ``df`` —
+    the at-scale shape: signatures are computed once at ingest and live
+    at rest; every dedup pass joins against that table."""
+    if sigs is None:
+        # signatures feed the band projection + 2 shingle joins —
+        # persist so the (non-codegen) higher-order hash expressions
+        # evaluate once per row, not 3x
+        sigs = minhash_signatures(df, id_col, text_col).persist()
+    # all 4 band keys in ONE projection, unrolled via posexplode
+    keyed = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[_band_key(b) for b in range(T.MINHASH_BANDS)])
+        ).alias("band", "band_key"),
+    )
 
     l = keyed.select(
         F.col("band"), F.col("band_key"), F.col(id_col).alias("left_id")

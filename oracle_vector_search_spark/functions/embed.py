@@ -61,3 +61,35 @@ def hash_projection_embed_numpy(content: bytes, dims: int = DEFAULT_DIMS):
     v = np.asarray(vals, dtype=np.float64)
     n = np.linalg.norm(v)
     return v / n if n > 0 else v
+
+
+def hash_projection_embed_batch(
+    contents, dims: int = DEFAULT_DIMS
+) -> list[list[float] | None]:
+    """Batch form for Arrow-batched UDFs: embeds a whole sequence of
+    blobs at once. Per-blob md5 stays (it's C code), but the scale /
+    normalize arithmetic runs as one stacked numpy op per batch, and
+    duplicate blobs — common in crop pipelines and dedup corpora —
+    are embedded once per batch. None in → None out."""
+    import hashlib
+
+    import numpy as np
+
+    md5s = [
+        hashlib.md5(b).hexdigest() if b is not None else None
+        for b in contents
+    ]
+    uniq = sorted({m for m in md5s if m is not None})
+    if not uniq:
+        return [None] * len(md5s)
+    H = np.empty((len(uniq), dims), dtype=np.float64)
+    for r, m in enumerate(uniq):
+        for i in range(dims):
+            H[r, i] = int(
+                hashlib.md5(f"{m}:{i}".encode()).hexdigest()[:7], 16
+            )
+    V = H / _SCALE - 1.0
+    norms = np.linalg.norm(V, axis=1, keepdims=True)
+    V /= np.where(norms > 0, norms, 1.0)
+    lookup = {m: V[r].tolist() for r, m in enumerate(uniq)}
+    return [lookup[m] if m is not None else None for m in md5s]

@@ -251,7 +251,7 @@ def embed_crops(df: DataFrame, dims: int = 8, use_torch: bool = False) -> DataFr
     the reference's model (build_faiss_db.py:109-134) — batched per
     Arrow batch instead of the reference's batch-size-1 loop."""
     from oracle_vector_search_spark.functions.embed import (
-        hash_projection_embed_numpy,
+        hash_projection_embed_batch,
     )
 
     if use_torch:
@@ -269,20 +269,17 @@ def embed_crops(df: DataFrame, dims: int = 8, use_torch: bool = False) -> DataFr
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            embs = []
-            for b in pdf["crop"]:
-                if b is None:
-                    embs.append(None)
-                    continue
-                embs.append(
-                    hash_projection_embed_numpy(bytes(b), dims).tolist()
-                )
+            blobs = [
+                bytes(b) if b is not None else None for b in pdf["crop"]
+            ]
             yield pd.DataFrame(
                 {
                     "stem": pdf["stem"],
                     "box_idx": pdf["box_idx"],
                     "class_id": pdf["class_id"],
-                    "embedding": embs,
+                    # whole-batch embed: stacked scale/normalize math,
+                    # duplicate crops embedded once per batch
+                    "embedding": hash_projection_embed_batch(blobs, dims),
                 }
             )
 

@@ -58,7 +58,21 @@ def _decode_video(b: bytes | None):
 
 
 def _decode_audio(b: bytes | None):
-    if b is None or not b.startswith(AUD_MAGIC) or len(b) < 16:
+    if b is None:
+        return None
+    if not b.startswith(AUD_MAGIC):
+        try:  # real containers (wav/flac/ogg) when soundfile is present
+            import io
+
+            import soundfile as sf
+
+            data, sr = sf.read(io.BytesIO(b), dtype="int16")
+            if data.ndim > 1:  # downmix to mono like the FAKE codec shape
+                data = data.mean(axis=1).astype("int16")
+            return int(sr), data
+        except Exception:
+            return None  # undecodable / no decoder — F3 drop
+    if len(b) < 16:
         return None
     sr, n = struct.unpack("<II", b[8:16])
     body = b[16:]

@@ -1,0 +1,95 @@
+"""Probe tests for the optional heavy-dependency paths.
+
+The engine's default CI path uses the FAKEIMG codec and the
+hash-projection embedder; the cv2/torch/real-codec branches exist in
+sources/images.py and sources/media.py but cannot run in an environment
+without those libraries. These tests make that gap VISIBLE: when the
+dependency is present they exercise the real branch, and when it is
+absent they record an explicit pytest skip instead of silently never
+running (VERDICT r1 §Next-round #5/#9).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import numpy as np
+import pytest
+
+HAS_CV2 = importlib.util.find_spec("cv2") is not None
+HAS_TORCH = importlib.util.find_spec("torch") is not None
+HAS_SOUNDFILE = importlib.util.find_spec("soundfile") is not None
+
+
+@pytest.mark.skipif(not HAS_CV2, reason="cv2 not installed: real JPEG/PNG "
+                    "decode branch unexercised (FAKEIMG codec covers the "
+                    "operator plumbing; real bytes -> NULL -> F3 drop)")
+def test_cv2_real_jpeg_decode_roundtrip(spark):
+    import cv2
+
+    from oracle_vector_search_spark.sources.images import decode_images
+
+    arr = np.random.RandomState(7).randint(0, 255, (32, 48, 3), np.uint8)
+    ok, buf = cv2.imencode(".jpg", arr)
+    assert ok
+    df = spark.createDataFrame(
+        [("a.jpg", "a", bytes(buf.tobytes()))],
+        "path string, stem string, content binary",
+    )
+    row = decode_images(df).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == (48, 32, 3)
+    decoded = np.frombuffer(row["pixels"], np.uint8).reshape(32, 48, 3)
+    # JPEG is lossy: assert closeness, not equality
+    assert float(np.abs(decoded.astype(int) - arr.astype(int)).mean()) < 16
+
+
+@pytest.mark.skipif(not HAS_TORCH, reason="torch not installed: ResNet-18 "
+                    "embed branch (reference build_faiss_db.py:109-134) "
+                    "unexercised; hash-projection embedder is the CI path")
+def test_torch_embed_branch_runs(spark):
+    from oracle_vector_search_spark.sources.images import (
+        embed_crops,
+        encode_fake_image,
+    )
+
+    arr = np.random.RandomState(3).randint(0, 255, (16, 16, 3), np.uint8)
+    df = spark.createDataFrame(
+        [("a", 1, 0, encode_fake_image(arr))],
+        "stem string, box_idx long, class_id int, crop binary",
+    )
+    out = embed_crops(df, use_torch=True).collect()
+    assert len(out) == 1 and out[0]["embedding"] is not None
+
+
+def test_torch_branch_raises_informatively_when_absent(spark):
+    if HAS_TORCH:
+        pytest.skip("torch installed: the absent-dep guard cannot fire")
+    from oracle_vector_search_spark.sources.images import embed_crops
+
+    df = spark.createDataFrame(
+        [("a", 1, 0, b"\x00")],
+        "stem string, box_idx long, class_id int, crop binary",
+    )
+    with pytest.raises(NotImplementedError, match="hash-projection"):
+        embed_crops(df, use_torch=True)
+
+
+@pytest.mark.skipif(not HAS_SOUNDFILE, reason="soundfile not installed: "
+                    "real wav decode branch unexercised; FAKEAUD1 codec "
+                    "covers the operator plumbing")
+def test_real_wav_decode(spark):
+    import io as _io
+
+    import soundfile as sf
+
+    from oracle_vector_search_spark.sources.media import audio_features
+
+    buf = _io.BytesIO()
+    sf.write(buf, np.zeros(1600, dtype=np.int16), 16000, format="WAV",
+             subtype="PCM_16")
+    df = spark.createDataFrame(
+        [(1, bytes(buf.getvalue()))], "id long, content binary"
+    )
+    rows = audio_features(df).collect()
+    assert rows and rows[0]["sample_rate"] == 16000
+    assert rows[0]["n_samples"] == 1600

@@ -323,3 +323,69 @@ def dedup_clusters(
             )
         )
     return labels.select(F.col("node").alias(id_col), "canonical_id")
+
+
+def dedup_clusters_fixpoint(
+    pairs: DataFrame,
+    all_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """The 100 TB tier of ``dedup_clusters``: min-label propagation run
+    to a FIXPOINT, not a fixed unroll — exact for any component
+    diameter. Each round is one join + groupBy(min); convergence is
+    detected with a metadata-sized changed-labels count, and
+    ``localCheckpoint`` truncates the growing lineage every round so
+    the plan (and scheduler overhead) stays flat no matter how many
+    rounds a deep component needs. Converges in O(log diameter)-ish
+    rounds for typical near-dup chain graphs."""
+    edges = (
+        pairs.select(
+            F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("right_id").alias("src"),
+                F.col("left_id").alias("dst"),
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = all_ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("canonical_id")
+    ).localCheckpoint()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"),
+                    F.col("canonical_id").alias("nbr_label"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.node == neighbor_min.src, "left"
+            )
+            .select(
+                "node",
+                F.col("canonical_id").alias("old_label"),
+                F.least(
+                    F.col("canonical_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("canonical_id")),
+                ).alias("canonical_id"),
+            )
+            .localCheckpoint()  # truncate lineage: flat plan per round
+        )
+        changed = new_labels.filter(
+            F.col("canonical_id") != F.col("old_label")
+        ).count()
+        labels = new_labels.drop("old_label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), "canonical_id")

@@ -116,12 +116,65 @@ def assign_index_ids(
 
     A single global window (no partitionBy) serializes through one
     task at the ranking step — acceptable because only the tiny
-    (order_cols) tuple is shuffled, not the payload; at 100 TB use the
-    two-phase variant: rank within shuffle partitions + broadcast
-    per-partition offsets (same result, fully parallel). Correctness
-    tier first; both orderings are identical."""
+    (order_cols) tuple is shuffled, not the payload. This is the
+    correctness/oracle tier; ``assign_index_ids_two_phase`` produces
+    the IDENTICAL ids fully in parallel for the 100 TB path."""
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn("id", F.row_number().over(w).cast("long"))
+
+
+def assign_index_ids_two_phase(
+    df: DataFrame,
+    order_cols: list[str] = ("split", "stem", "box_idx"),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """A5 at scale: the same dense ids as ``assign_index_ids`` with no
+    single-task global sort.
+
+    Phase 1: range-partition on ``order_cols`` (Spark samples split
+    points, so ranges are balanced) and rank WITHIN each partition —
+    every task sorts only its own slice. Phase 2: count rows per
+    partition (a metadata-sized aggregate), prefix-sum the counts on
+    the driver, and add each partition's offset as a broadcast-joined
+    literal. Total work: one range shuffle of the payload + one tiny
+    count pass — no row ever funnels through a single task.
+
+    Requires a total order: ``order_cols`` must be a unique key (the
+    same contract the window tier has for determinism)."""
+    from pyspark.sql.functions import spark_partition_id
+
+    d = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    d = d.withColumn("__pid", spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(
+        *[F.col(c) for c in order_cols]
+    )
+    d = d.withColumn("__local_rank", F.row_number().over(w)).persist()
+
+    counts = (
+        d.groupBy("__pid").count().orderBy("__pid").collect()
+    )  # one row per partition — metadata-sized regardless of data size
+    offsets, running = {}, 0
+    for r in counts:
+        offsets[r["__pid"]] = running
+        running += r["count"]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()],
+            "__pid int, __offset long",
+        )
+    )
+    return (
+        d.join(off_df, "__pid")
+        .withColumn(
+            "id", (F.col("__offset") + F.col("__local_rank")).cast("long")
+        )
+        .drop("__pid", "__local_rank", "__offset")
+    )
 
 
 def union_splits(frames: dict[str, DataFrame]) -> DataFrame:

@@ -68,3 +68,41 @@ def test_simhash_bits_bounded(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").limit(50)
     fps = simhash_fingerprints(docs).collect()
     assert all(0 <= r["simhash"] < (1 << T.SIMHASH_BITS) for r in fps)
+
+
+def test_fixpoint_clusters_match_unrolled_and_converge(spark):
+    from pyspark.sql import functions as F
+
+    from oracle_vector_search_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_fixpoint,
+    )
+
+    # a chain 0-1-...-5 (diameter 5: the default 3-round unroll CANNOT
+    # close it, the fixpoint must) plus a triangle and an isolated node
+    chain = [(i, i + 1) for i in range(5)]
+    tri = [(20, 21), (21, 22), (20, 22)]
+    pairs = spark.createDataFrame(
+        chain + tri, "left_id long, right_id long"
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in list(range(6)) + [20, 21, 22, 30]], "doc_id long"
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        fixed = {
+            r["doc_id"]: r["canonical_id"]
+            for r in dedup_clusters_fixpoint(pairs, ids).collect()
+        }
+        unrolled = {
+            r["doc_id"]: r["canonical_id"]
+            for r in dedup_clusters(pairs, ids, iterations=5).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert all(fixed[i] == 0 for i in range(6))  # full chain collapsed
+    assert all(fixed[i] == 20 for i in (20, 21, 22))
+    assert fixed[30] == 30
+    # the unrolled tier with enough iterations agrees everywhere
+    assert fixed == unrolled

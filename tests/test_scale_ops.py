@@ -192,3 +192,30 @@ def test_greedy_packing_respects_budget(spark, sf_dir):
     ).collect()
     key = lambda r: (r["doc_id"], r["chunk_idx"], r["bin_id"])
     assert sorted(map(key, packed)) == sorted(map(key, again))
+
+
+def test_two_phase_ids_match_window_tier(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from oracle_vector_search_spark.operators.ingest import (
+        assign_index_ids,
+        assign_index_ids_two_phase,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    a = assign_index_ids(docs, ["doc_id"]).select("doc_id", "id")
+    b = assign_index_ids_two_phase(
+        docs.repartition(11), ["doc_id"], num_partitions=7
+    ).select("doc_id", "id")
+    assert a.collect() and sorted(map(tuple, a.collect())) == sorted(
+        map(tuple, b.collect())
+    )
+    # ids are dense 1..N
+    n = docs.count()
+    got = sorted(r["id"] for r in b.collect())
+    assert got == list(range(1, n + 1))
+    # no global single-task exchange in the two-phase plan
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan

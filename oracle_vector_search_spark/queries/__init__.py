@@ -56,6 +56,7 @@ def load_all_modules() -> None:
         "dedup_queries",
         "grouped_map_queries",
         "sketch_queries",
+        "training_queries",
         "tpch_queries",
         "pipeline_queries",
         "streaming_queries",
@@ -122,12 +123,14 @@ _PRIORITY: tuple[str, ...] = (
     "lineitem_cube",
     "null_safe_join",
     "array_functions",
-    # TPC-H extra shapes
+    # TPC-H extra shapes (the rest sit past 50 — their operators are
+    # covered by other prefix queries)
     "min_cost_supplier_per_part",
     "nation_pair_volume",
-    "top_returning_customers",
-    "priority_by_linestatus",
-    "brand_discount_revenue",
+    # training-pipeline operator families (r2)
+    "embedding_quantize_int8",
+    "dataset_split_assign",
+    "doc_gopher_quality_flags",
 )
 
 

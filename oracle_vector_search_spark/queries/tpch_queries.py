@@ -228,3 +228,113 @@ def brand_discount_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
         ).alias("revenue_cents")
     )
+
+
+@register(
+    "customer_order_distribution",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey,
+         CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+""",
+)
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer histogram via LEFT join +
+    two-level aggregation (zero-order customers kept — count(col) not
+    count(*)). The outer group is tiny; the inner shuffles once on
+    c_custkey."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+@register(
+    "top_revenue_suppliers",
+    """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_cents
+FROM supplier s JOIN rev r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev)
+""",
+)
+def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarter revenue per supplier, keep the max
+    (ALL ties, not top-1 — the scalar-subquery pattern). The max is a
+    1-row broadcast join against the aggregate, so the revenue table
+    is scanned once and never re-derived."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("total_revenue_cents")
+        )
+    )
+    mx = rev.agg(
+        F.max("total_revenue_cents").alias("total_revenue_cents")
+    )
+    top = rev.join(F.broadcast(mx), "total_revenue_cents")
+    return (
+        supp.join(top, supp.s_suppkey == top.supplier_no)
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+    )
+
+
+@register(
+    "small_order_revenue",
+    """
+WITH pa AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+WHERE l.l_quantity < 0.5 * pa.avg_qty
+""",
+)
+def small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lines below half their part's average quantity
+    — the decorrelated correlated-aggregate pattern (per-part avg
+    joined back on the same key, so both sides share one shuffle).
+    avg of integral quantities is exact in double, so the comparison
+    cannot diverge between engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.sum(_cents("l_extendedprice")).alias("revenue_cents"),
+            F.count("*").alias("n_lines"),
+        )
+    )

@@ -1,0 +1,320 @@
+"""Training-data pipeline operators beyond the reference surface:
+scalar quantization of embeddings, deterministic dataset splits,
+stratified sampling, Gopher-style quality gates, and repetition
+analysis. All pure column projections / single-shuffle aggregates with
+portable arithmetic, so every query is DuckDB-oracle-checked.
+
+Scale notes: quantize/split/sample/quality/repetition are per-row
+projections (no shuffle; at 100 TB they run in the scan stage). The
+int8 quantization is the storage story for the vector index — 4x
+smaller than float32 at >0.999 cosine fidelity, measured per vector
+here. Split/sample use the engine's portable md5 hash so assignment is
+reproducible across engines, runs, and partitionings (never rand()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from oracle_vector_search_spark.functions import text as T
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.queries import register
+
+QUANT_MAX_ID = 300  # embeddings subset for the per-vector fidelity report
+
+
+@register(
+    "embedding_quantize_int8",
+    f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id < {QUANT_MAX_ID}
+),
+s AS (
+  SELECT vec_id, e, list_min(e) AS mn, list_max(e) AS mx FROM v
+),
+s2 AS (
+  SELECT vec_id, e, mn, (mx - mn) / 255.0 AS scale FROM s WHERE mx > mn
+),
+q AS (
+  SELECT vec_id, e, mn, scale,
+         [CAST(floor((x - mn) / scale + 0.5) AS INTEGER) - 128 FOR x IN e]
+           AS qv
+  FROM s2
+),
+dq AS (
+  SELECT vec_id, e,
+         [(CAST(x AS DOUBLE) + 128.0) * scale + mn FOR x IN qv] AS deq
+  FROM q
+)
+SELECT vec_id,
+       round(list_dot_product(e, deq)
+             / (sqrt(list_dot_product(e, e))
+                * sqrt(list_dot_product(deq, deq))), 6) AS cosine_fidelity,
+       round(list_max([abs(e[i] - deq[i])
+                       FOR i IN range(1, len(e) + 1)]), 6) AS max_abs_err
+FROM dq
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (per-vector min/max, the FAISS SQ8
+    layout): quantize → dequantize → report cosine fidelity and max
+    reconstruction error per vector. The at-rest form of a 100 TB
+    index stores qv + (mn, scale) — 4x smaller than float32; this
+    query IS the fidelity audit you'd run before switching storage.
+    floor(x + 0.5) rather than round() so both engines tie-break
+    identically."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < QUANT_MAX_ID
+    )
+    d = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    d = (
+        d.withColumn("mn", F.array_min("e"))
+        .withColumn("mx", F.array_max("e"))
+        .filter(F.col("mx") > F.col("mn"))
+        .withColumn("scale", (F.col("mx") - F.col("mn")) / F.lit(255.0))
+    )
+    d = d.withColumn(
+        "qv",
+        F.expr(
+            "transform(e, x -> cast(floor((x - mn) / scale + 0.5D) as int)"
+            " - 128)"
+        ),
+    ).withColumn(
+        "deq",
+        F.expr(
+            "transform(qv, x -> (cast(x as double) + 128.0D) * scale + mn)"
+        ),
+    )
+    dot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot(F.col("e"), F.col("deq")) / (
+        F.sqrt(dot(F.col("e"), F.col("e")))
+        * F.sqrt(dot(F.col("deq"), F.col("deq")))
+    )
+    return d.select(
+        "vec_id",
+        F.round(cos, 6).alias("cosine_fidelity"),
+        F.round(
+            F.array_max(F.zip_with("e", "deq", lambda a, b: F.abs(a - b))),
+            6,
+        ).alias("max_abs_err"),
+    )
+
+
+_SPLIT_HASH = T.hash28_sql("concat('split:', cast(doc_id as string))")
+_DUCK_SPLIT_HASH = (
+    "CAST(('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 7)) AS BIGINT)"
+)
+
+
+@register(
+    "dataset_split_assign",
+    f"""
+WITH assigned AS (
+  SELECT doc_id, source,
+         CASE WHEN {_DUCK_SPLIT_HASH} % 100 < 80 THEN 'train'
+              WHEN {_DUCK_SPLIT_HASH} % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM assigned
+GROUP BY split, source
+""",
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by portable
+    content-id hash — reproducible across engines, runs, partitionings
+    (never rand(), which breaks on retry/recompute). Per-(split,
+    source) counts audit the assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(_SPLIT_HASH) % 100
+    split = (
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+    )
+    return (
+        docs.select("doc_id", "source", split.alias("split"))
+        .groupBy("split", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+_SAMPLE_HASH = T.hash28_sql("concat('sample:', cast(doc_id as string))")
+_DUCK_SAMPLE_HASH = (
+    "CAST(('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 7)) AS BIGINT)"
+)
+
+
+@register(
+    "stratified_sample_rates",
+    f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(*) FILTER ({_DUCK_SAMPLE_HASH} % 1000 < 100) AS BIGINT)
+         AS n_sampled,
+       round(count(*) FILTER ({_DUCK_SAMPLE_HASH} % 1000 < 100) * 1.0
+             / count(*), 6) AS rate
+FROM documents
+GROUP BY source
+""",
+)
+def stratified_sample_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10%% stratified Bernoulli sample per source
+    stratum via the portable hash (hash % 1000 < 100). The audit query:
+    per-stratum population, sample size, realized rate. At 100 TB the
+    sample predicate rides the scan — no shuffle, no sort, no rand()."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = (F.expr(_SAMPLE_HASH) % 1000 < 100).cast("long")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.sum(sampled).alias("n_sampled"),
+        F.round(F.sum(sampled) * 1.0 / F.count("*"), 6).alias("rate"),
+    )
+
+
+_EN_STOPWORDS = T.STOPWORDS["en"]
+
+
+@register(
+    "doc_gopher_quality_flags",
+    f"""
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM base
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(length(norm) - (len(toks) - 1) AS BIGINT) AS n_word_chars,
+         CAST(len(list_filter(toks, t -> list_contains(
+              {_EN_STOPWORDS!r}::VARCHAR[], t))) AS INTEGER) AS n_stopwords
+  FROM tok
+)
+SELECT doc_id, n_tokens,
+       round(n_word_chars * 1.0 / n_tokens, 6) AS mean_word_len,
+       round(n_stopwords * 1.0 / n_tokens, 6) AS stopword_fraction,
+       (n_tokens BETWEEN 5 AND 100000) AS word_count_ok,
+       (n_word_chars >= 2 * n_tokens AND n_word_chars <= 12 * n_tokens)
+         AS mean_len_ok,
+       (n_stopwords * 100 > n_tokens) AS stopword_ok,
+       ((n_tokens BETWEEN 5 AND 100000)
+        AND n_word_chars >= 2 * n_tokens AND n_word_chars <= 12 * n_tokens
+        AND n_stopwords * 100 > n_tokens) AS passes
+FROM m
+""",
+)
+def doc_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate (word count bounds, mean word length
+    bounds, minimum stopword density — the published corpus-filter
+    recipe) as pure integer column math. Flags compare INTEGERS
+    (n_word_chars vs k*n_tokens, n_stopwords*100 vs n_tokens) so no
+    float boundary can diverge between engines; the ratios are
+    reported rounded for the human reader."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("norm", T.norm_text("text")).withColumn(
+        "toks", F.split("norm", " ")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in _EN_STOPWORDS])
+    d = d.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        (F.length("norm") - (F.size("toks") - 1))
+        .cast("long")
+        .alias("n_word_chars"),
+        F.size(
+            F.filter("toks", lambda t: F.array_contains(stop_arr, t))
+        ).alias("n_stopwords"),
+    )
+    word_count_ok = F.col("n_tokens").between(5, 100000)
+    mean_len_ok = (F.col("n_word_chars") >= 2 * F.col("n_tokens")) & (
+        F.col("n_word_chars") <= 12 * F.col("n_tokens")
+    )
+    stopword_ok = F.col("n_stopwords") * 100 > F.col("n_tokens")
+    return d.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("n_word_chars") * 1.0 / F.col("n_tokens"), 6).alias(
+            "mean_word_len"
+        ),
+        F.round(F.col("n_stopwords") * 1.0 / F.col("n_tokens"), 6).alias(
+            "stopword_fraction"
+        ),
+        word_count_ok.alias("word_count_ok"),
+        mean_len_ok.alias("mean_len_ok"),
+        stopword_ok.alias("stopword_ok"),
+        (word_count_ok & mean_len_ok & stopword_ok).alias("passes"),
+    )
+
+
+@register(
+    "doc_repetition_stats",
+    """
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, string_split(norm, ' ') AS toks FROM base
+),
+g AS (
+  SELECT doc_id, toks,
+         [array_to_string(toks[i:i+4], ' ')
+          FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)] AS grams
+  FROM tok
+)
+SELECT doc_id,
+       CAST(len(grams) AS INTEGER) AS n_grams,
+       CAST(len(list_distinct(grams)) AS INTEGER) AS distinct_grams,
+       round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+         AS dup_gram_fraction,
+       round(len(list_distinct(toks)) * 1.0 / len(toks), 6)
+         AS type_token_ratio
+FROM g
+""",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (the C4/Gopher "repetitive
+    text" filter family): duplicate word-5-gram fraction and
+    type-token ratio, all per-row array math — no shuffle, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.withColumn("norm", T.norm_text("text")).withColumn(
+        "toks", F.split("norm", " ")
+    )
+    d = d.withColumn(
+        "grams",
+        F.expr(
+            "transform(sequence(1, greatest(size(toks) - 4, 1)), "
+            "i -> array_join(slice(toks, i, 5), ' '))"
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.size(F.array_distinct("grams")).alias("distinct_grams"),
+        F.round(
+            1.0
+            - F.size(F.array_distinct("grams")) * 1.0 / F.size("grams"),
+            6,
+        ).alias("dup_gram_fraction"),
+        F.round(
+            F.size(F.array_distinct("toks")) * 1.0 / F.size("toks"), 6
+        ).alias("type_token_ratio"),
+    )

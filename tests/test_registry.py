@@ -46,9 +46,9 @@ def test_operator_bearing_queries_in_prefix():
         "q6_forecast_revenue",
         "min_cost_supplier_per_part",
         "nation_pair_volume",
-        "top_returning_customers",
-        "priority_by_linestatus",
-        "brand_discount_revenue",
+        "embedding_quantize_int8",
+        "dataset_split_assign",
+        "doc_gopher_quality_flags",
         "knn_exact_cosine_top5",
         "lsh_ann_topk",
         "ivf_ann_topk",

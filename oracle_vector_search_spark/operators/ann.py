@@ -325,12 +325,16 @@ def ivf_ann_topk(
     vec_col: str = "embedding",
     seed_stride: int = SEED_STRIDE,
     n_probe: int = N_PROBE,
+    assign: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: each query probes its n_probe nearest clusters and
     scores only their members — the candidate set shrinks by
     ~n_probe/n_clusters vs brute force while staying deterministic
-    (and therefore oracle-checkable)."""
-    assign = ivf_assign(index_df, id_col, vec_col, seed_stride).persist()
+    (and therefore oracle-checkable). Pass a precomputed ``assign``
+    table (id, cluster_id) — the at-rest cluster layout — to skip
+    re-assigning the corpus per query."""
+    if assign is None:
+        assign = ivf_assign(index_df, id_col, vec_col, seed_stride).persist()
     vecs = index_df.select(
         F.col(id_col).alias("neighbor_id"),
         as_double_array(vec_col).alias("nv"),

@@ -102,6 +102,7 @@ def pack_chunks_greedy(
     window_tokens: int = 256,
     shard_col: str | None = None,
     id_col: str = "doc_id",
+    num_shards: int = 32,
 ) -> DataFrame:
     """EXACT greedy first-fit packing: walk chunks in deterministic
     (doc_id, chunk_idx) order, open a new bin whenever the current one
@@ -109,24 +110,32 @@ def pack_chunks_greedy(
     (except a single oversized chunk, which gets its own bin).
 
     Sequential by nature → runs as an applyInPandas grouped map per
-    shard (``shard_col``; default one global shard for small inputs).
-    At 100 TB you shard by source/date and pack each shard
-    independently — bins never span shards, so parallelism is free.
-    Output adds (bin_id, bin_fill)."""
+    shard. Sharding is the DEFAULT (``pmod(id_col, num_shards)``, same
+    policy as ``pack_chunks``): bins never span shards, so every shard
+    packs in parallel and no single task ever sees the whole corpus.
+    Pass an explicit integral ``shard_col`` (source, date bucket) to
+    control placement. bin_id = shard * 2^40 + local_bin is globally
+    unique. Output adds (bin_id, bin_fill)."""
     import pandas as pd
 
     d = chunks
+    drop_shard = False
     if shard_col is None:
-        d = d.withColumn("__shard", F.lit(0))
+        d = d.withColumn(
+            "__shard", F.pmod(F.col(id_col).cast("long"), F.lit(num_shards))
+        )
         shard_col = "__shard"
+        drop_shard = True
 
     in_fields = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in d.schema.fields
     )
     out_schema = f"{in_fields}, bin_id long, bin_fill long"
+    shard_name = shard_col
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([id_col, "chunk_idx"]).reset_index(drop=True)
+        base = int(pdf[shard_name].iloc[0]) * SHARD_STRIDE if len(pdf) else 0
         bins, fills = [], []
         bin_id, fill = 0, 0
         for n in pdf["n_tokens"]:
@@ -134,9 +143,9 @@ def pack_chunks_greedy(
                 bin_id += 1
                 fill = 0
             fill += int(n)
-            bins.append(bin_id)
+            bins.append(base + bin_id)
             fills.append(fill)
         return pdf.assign(bin_id=bins, bin_fill=fills)
 
     out = d.groupBy(shard_col).applyInPandas(pack, schema=out_schema)
-    return out.drop("__shard") if shard_col == "__shard" else out
+    return out.drop("__shard") if drop_shard else out

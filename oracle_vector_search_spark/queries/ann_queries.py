@@ -41,6 +41,24 @@ def _bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Same pattern for the IVF coarse assignment: (id, cluster_id) at rest
+# (a 100 TB index is written partitioned by cluster_id for pruning).
+_IVF_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivf_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVF_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="ovs_ivf_assign_")
+        emb = load_table(spark, sf_dir, "embeddings").repartition(32)
+        ann.ivf_assign(emb).write.mode("overwrite").parquet(path)
+        _IVF_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 def _duck_bits_cte(source_sql: str) -> str:
     bit_exprs = ", ".join(
         f"{e} AS bit{j}"
@@ -246,4 +264,6 @@ def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     a query scans nprobe partitions, not the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return ann.ivf_ann_topk(emb, queries, k=5)
+    return ann.ivf_ann_topk(
+        emb, queries, k=5, assign=_ivf_assign_table(spark, sf_dir)
+    )

@@ -106,3 +106,22 @@ def streaming_knn_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch) — per-batch exact top-k + global merge equals the
     batch exact kNN, so the batch oracle applies."""
     return ops.streaming_knn_scores(spark, sf_dir)
+
+
+@register(
+    "streaming_dedup_event_types",
+    """
+SELECT user_id,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct_types
+FROM events
+GROUP BY user_id
+""",
+)
+def streaming_dedup_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming exact dedup (dropDuplicates state) chained into a
+    complete-mode aggregation — equals batch COUNT(DISTINCT) once the
+    bounded stream drains, so it is oracle-checked, not just
+    smoke-checked."""
+    return ops.dedup_events_stream(spark, sf_dir)

@@ -215,3 +215,21 @@ def streaming_knn_scores(
         acc.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: ``dropDuplicates`` keeps one row
+    per (user_id, event_type) in the state store as batches arrive,
+    feeding a downstream distinct-count aggregation (chained stateful
+    operators). The bounded fixture drains completely, so the result
+    equals batch COUNT(DISTINCT) exactly — on an unbounded stream you
+    would add a watermark + dropDuplicatesWithinWatermark to bound the
+    dedup state."""
+    ev = stream_events(spark, sf_dir)
+    dedup = ev.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+    agg = dedup.groupBy("user_id").agg(
+        F.count("*").alias("n_distinct_types")
+    )
+    return run_to_memory(agg, "complete")

@@ -184,8 +184,17 @@ def test_greedy_packing_respects_budget(spark, sf_dir):
         total = sum(r["n_tokens"] for r in rows)
         # budget holds unless the bin is a single oversized chunk
         assert total <= 100 or len(rows) == 1, (bin_id, total)
-    # bin ids dense from 0
-    assert sorted(by_bin) == list(range(len(by_bin)))
+        # bins never span shards
+        assert len({r["doc_id"] % 32 for r in rows}) == 1
+    # local bin ids dense from 0 within each shard
+    from oracle_vector_search_spark.operators.chunking import SHARD_STRIDE
+
+    by_shard = {}
+    for bin_id in by_bin:
+        shard, local = divmod(bin_id, SHARD_STRIDE)
+        by_shard.setdefault(shard, set()).add(local)
+    for locals_ in by_shard.values():
+        assert sorted(locals_) == list(range(len(locals_)))
     # deterministic under repartition
     again = pack_chunks_greedy(
         chunk_documents(docs.repartition(7), 40, 10), window_tokens=100

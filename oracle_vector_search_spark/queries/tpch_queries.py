@@ -297,6 +297,9 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("total_revenue_cents")
         )
+        # materialize the per-supplier aggregate (tiny) so the max
+        # subquery and the join both read it — lineitem scans ONCE
+        .localCheckpoint()
     )
     mx = rev.agg(
         F.max("total_revenue_cents").alias("total_revenue_cents")

@@ -146,14 +146,25 @@ def knn_exact_gemm(
             S[(v_norms == 0.0).ravel(), :] = np.nan
             S[:, q_zero_l] = np.nan
             S_key = np.round(S, decimals) if decimals is not None else S
+            # NaN → -inf for selection so NULL-scored rows rank last
+            # (matching the window's NULLS LAST) without poisoning
+            # argpartition
+            S_part = np.where(np.isnan(S_key), -np.inf, S_key)
             n = S.shape[0]
             top = min(local_k, n)
+            # vectorized top-k by ROUNDED score for all queries at once,
+            # then the exact (rounded score, neighbor_id) merge ordering
+            # applied only to the ~k boundary candidates per query — a
+            # candidate tying the k-th rounded value can never be lost
+            # to a batch boundary, and the per-query python work is O(k)
+            idx = np.argpartition(-S_part, top - 1, axis=0)[:top]
+            kth = np.take_along_axis(S_part, idx, 0).min(axis=0)  # (q,)
             sel_q, sel_v = [], []
             for j in range(len(q_ids_l)):
-                # global-merge ordering: (-rounded score, neighbor_id);
-                # NaN sorts last under lexsort, matching NULLS LAST
-                order = np.lexsort((ids_v, -S_key[:, j]))[:top]
-                sel_q.append(np.full(top, j))
+                cand = np.flatnonzero(S_part[:, j] >= kth[j])
+                order = cand[np.lexsort((ids_v[cand], -S_part[cand, j]))]
+                order = order[:top]
+                sel_q.append(np.full(len(order), j))
                 sel_v.append(order)
             rows_q = np.concatenate(sel_q)
             rows_v = np.concatenate(sel_v)

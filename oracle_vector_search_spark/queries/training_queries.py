@@ -318,3 +318,222 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct("toks")) * 1.0 / F.size("toks"), 6
         ).alias("type_token_ratio"),
     )
+
+
+@register(
+    "doc_pii_scrub",
+    """
+WITH planted AS (
+  -- the fixture corpus has no PII, so plant synthetic contact strings
+  -- deterministically (same formula both engines) to prove the scrub
+  SELECT doc_id,
+         text || ' contact user' || doc_id::VARCHAR ||
+         '@example.com or +1-555-01' || lpad((doc_id % 100)::VARCHAR, 2, '0')
+           AS text
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(text,
+             '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+', '<EMAIL>', 'g'),
+           '[+][0-9][0-9-]{7,}', '<PHONE>', 'g') AS clean
+  FROM planted
+)
+SELECT p.doc_id,
+       CAST(len(regexp_extract_all(p.text,
+            '[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(p.text,
+            '[+][0-9][0-9-]{7,}')) AS INTEGER) AS n_phones,
+       md5(s.clean) AS clean_md5
+FROM planted p JOIN scrubbed s USING (doc_id)
+""",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (email/phone regex → placeholder tokens) — the
+    compliance pass every training corpus runs. Synthetic contact
+    strings are planted with the same deterministic formula on both
+    engines, and the scrubbed text is hash-compared, so the redaction
+    itself is oracle-verified, not just counted. Pure per-row regex
+    projection: rides the scan at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+        ).alias("text"),
+    )
+    email_re = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z]+"
+    phone_re = "[+][0-9][0-9-]{7,}"
+    clean = F.regexp_replace(
+        F.regexp_replace("text", email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    return planted.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(email_re), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), 0)).alias(
+            "n_phones"
+        ),
+        F.md5(clean.cast("binary")).alias("clean_md5"),
+    )
+
+
+RAG_DIMS = 8
+RAG_K = 5
+
+
+def _rag_oracle_sql() -> str:
+    from oracle_vector_search_spark.functions import embed as E
+
+    emb = E.duck_embedding_expr("md5(chunk_text)", RAG_DIMS)
+    qemb = E.duck_embedding_expr("md5('the fast table scan')", RAG_DIMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents WHERE doc_id < 100
+),
+st AS (
+  SELECT doc_id, toks,
+         range(1, greatest(len(toks) - 10, 1) + 1, 30) AS starts
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id,
+         generate_subscripts(starts, 1) - 1 AS chunk_idx,
+         array_to_string(toks[unnest(starts):unnest(starts) + 39], ' ')
+           AS chunk_text
+  FROM st
+),
+embedded AS (
+  SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         {emb} AS emb
+  FROM chunks
+),
+q AS (
+  SELECT {qemb} AS qvec
+),
+scored AS (
+  SELECT e.doc_id, e.chunk_idx,
+         round(list_dot_product(q.qvec, e.emb)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(e.emb, e.emb))), 6) AS score
+  FROM embedded e CROSS JOIN q
+)
+SELECT doc_id, chunk_idx, score,
+       CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (
+        ORDER BY score DESC, doc_id, chunk_idx) AS rn
+      FROM scored)
+WHERE rn <= {RAG_K}
+"""
+
+
+@register("chunk_embed_retrieve_topk", _rag_oracle_sql())
+def chunk_embed_retrieve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG retrieval end-to-end in ONE lazy plan: chunk documents →
+    embed every chunk (portable hash-projection over md5(chunk_text))
+    → exact cosine top-5 against an embedded query string. The same
+    shape a retrieval corpus build + search takes at scale: chunking
+    and embedding ride the scan, the query broadcasts, top-k is a
+    WindowGroupLimit."""
+    from oracle_vector_search_spark.functions import embed as E
+    from oracle_vector_search_spark.operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    chunks = chunk_documents(docs, chunk_size=40, overlap=10)
+    embedded = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(
+            E.spark_embedding_expr(
+                "md5(cast(chunk_text as binary))", RAG_DIMS
+            )
+        ).alias("emb"),
+    )
+    q = spark.createDataFrame([("the fast table scan",)], "qtext string")
+    q = q.select(
+        F.expr(
+            E.spark_embedding_expr("md5(cast(qtext as binary))", RAG_DIMS)
+        ).alias("qvec")
+    )
+    from oracle_vector_search_spark.functions.vector import cosine_similarity
+
+    from pyspark.sql import Window
+
+    scored = embedded.join(F.broadcast(q)).select(
+        "doc_id",
+        "chunk_idx",
+        F.round(cosine_similarity("qvec", "emb"), 6).alias("score"),
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_idx"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= RAG_K)
+        .select("doc_id", "chunk_idx", "score", "rank")
+    )
+
+
+@register(
+    "view_purchase_funnel",
+    """
+WITH fv AS (
+  SELECT user_id, min(epoch_us(ts)) AS first_view_us
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS first_purchase_us
+  FROM events e JOIN fv ON fv.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > fv.first_view_us
+  GROUP BY e.user_id
+)
+SELECT fv.user_id, fv.first_view_us, fp.first_purchase_us,
+       (fp.first_purchase_us IS NOT NULL) AS converted,
+       fp.first_purchase_us - fv.first_view_us AS conversion_delta_us
+FROM fv LEFT JOIN fp ON fv.user_id = fp.user_id
+""",
+)
+def view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step funnel (first view → first purchase strictly after it):
+    the event-sequence pattern behind conversion analytics, expressed
+    as two conditional aggregates + a left join — all keyed on user_id,
+    so everything after the scans is one co-partitioned shuffle.
+    Microsecond integer arithmetic on both engines (DuckDB reads the
+    parquet TIMESTAMP(NANOS) at µs resolution, so µs is the exact
+    common grain; min-of-truncation == truncation-of-min because
+    div 1000 is monotone)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "ts_us", F.expr("ts_ns div 1000")
+    )
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_view_us"))
+    )
+    fp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(fv, "user_id")
+        .filter(F.col("ts_us") > F.col("first_view_us"))
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_purchase_us"))
+    )
+    return fv.join(fp, "user_id", "left").select(
+        "user_id",
+        "first_view_us",
+        "first_purchase_us",
+        F.col("first_purchase_us").isNotNull().alias("converted"),
+        (F.col("first_purchase_us") - F.col("first_view_us")).alias(
+            "conversion_delta_us"
+        ),
+    )

@@ -32,10 +32,15 @@ def _bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         path = tempfile.mkdtemp(prefix="ovs_lsh_buckets_")
         # single-file fixture → one input partition; spread the 16
-        # per-row plane dot products across cores before evaluating
+        # per-row plane dot products across cores before evaluating.
+        # Written partitioned by band — a band-scoped read prunes 3/4
+        # of the files at the metadata level (asserted in tests).
         emb = load_table(spark, sf_dir, "embeddings").repartition(32)
-        ann.lsh_bucket_table(emb, dims=DIMS).write.mode("overwrite").parquet(
-            path
+        (
+            ann.lsh_bucket_table(emb, dims=DIMS)
+            .write.mode("overwrite")
+            .partitionBy("band")
+            .parquet(path)
         )
         _BUCKET_CACHE[key] = path
     return spark.read.parquet(path)

@@ -95,3 +95,20 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     # every query must at least find itself (its own cluster is probed)
     for qid in {p[0] for p in exact}:
         assert (qid, qid) in approx
+
+
+def test_bucket_table_at_rest_prunes_band_partitions(spark, sf_dir):
+    """The materialized LSH bucket table is partitioned by band; a
+    band-scoped scan must hit the partition filter (metadata-level
+    pruning), not a post-scan filter — the 100 TB read path."""
+    from pyspark.sql import functions as F
+
+    from oracle_vector_search_spark.queries.ann_queries import _bucket_table
+
+    bt = _bucket_table(spark, sf_dir)
+    one_band = bt.filter(F.col("band") == 2)
+    plan = one_band._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(band" in plan, plan
+    # pruned read returns exactly the band's rows (1 row per vector)
+    n_vectors = bt.select("vec_id").distinct().count()
+    assert one_band.count() == n_vectors

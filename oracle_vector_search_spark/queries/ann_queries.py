@@ -38,6 +38,11 @@ def _bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings").repartition(32)
         (
             ann.lsh_bucket_table(emb, dims=DIMS)
+            # signatures compute 32-way upstream; the tiny (id, band,
+            # bucket) rows then shuffle to one writer task per band so
+            # each partition directory is a single clean file instead
+            # of 32 fragments with a dynamic-partition sort
+            .repartition("band")
             .write.mode("overwrite")
             .partitionBy("band")
             .parquet(path)

@@ -112,3 +112,37 @@ def test_bucket_table_at_rest_prunes_band_partitions(spark, sf_dir):
     # pruned read returns exactly the band's rows (1 row per vector)
     n_vectors = bt.select("vec_id").distinct().count()
     assert one_band.count() == n_vectors
+
+
+def test_pq_recall_and_fidelity(spark, sf_dir):
+    """PQ reconstructions keep cosine fidelity positive and PQ top-5
+    overlaps exact top-5 (recall floor — random codebooks are crude,
+    but ADC ranking must still correlate with exact ranking)."""
+    from pyspark.sql import functions as F
+
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.operators.knn import knn_exact
+    from oracle_vector_search_spark.queries.pq_queries import (
+        pq_ann_topk,
+        pq_codes_fidelity,
+    )
+
+    fid = pq_codes_fidelity(spark, sf_dir).agg(
+        F.min("recon_cosine").alias("mn"), F.avg("recon_cosine").alias("av")
+    ).collect()[0]
+    assert fid["av"] > 0.2  # hash codebooks: crude but aligned on average
+    codes = pq_codes_fidelity(spark, sf_dir).select("code0").distinct()
+    assert codes.count() > 1  # codes actually discriminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in knn_exact(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_ann_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, recall  # floor, not a tuning claim

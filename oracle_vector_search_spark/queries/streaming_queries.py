@@ -125,3 +125,32 @@ def streaming_dedup_event_types(
     bounded stream drains, so it is oracle-checked, not just
     smoke-checked."""
     return ops.dedup_events_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_view_purchase_pairs",
+    """
+WITH v AS (
+  SELECT user_id, epoch_us(ts) AS v_us FROM events
+  WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, epoch_us(ts) AS p_us FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+FROM v JOIN p ON p.user_id = v.user_id
+              AND p.p_us > v.v_us
+              AND p.p_us <= v.v_us + 3600000000
+GROUP BY v.user_id
+""",
+)
+def streaming_view_purchase_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked stream-stream interval join (views x purchases
+    within 1 hour, per user) — equal to the batch interval join on the
+    drained bounded stream, so it is oracle-checked. Completes the
+    streaming surface: windowed aggs, sessions, dedup, stateful
+    counters, static-join kNN, and now stream-stream joins."""
+    return ops.stream_stream_join(spark, sf_dir)

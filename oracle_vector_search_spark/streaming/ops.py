@@ -233,3 +233,49 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_distinct_types")
     )
     return run_to_memory(agg, "complete")
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join: the view stream joins the purchase
+    stream per user within (view_ts, view_ts + 1 hour]. Both sides
+    carry event-time watermarks so the join state is prunable; on the
+    bounded fixture every pair is emitted, so the per-user pair counts
+    equal the batch interval join exactly (oracle-checked). The raw
+    pair stream lands in the memory sink; the per-user rollup runs on
+    the drained table.
+
+    Shuffle partitions pin to 8 for the run: each stream-stream join
+    partition spins up four state stores (left/right x keyed state),
+    so partition count — not data volume — dominates wall clock at
+    fixture scale."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _stream_stream_join_inner(spark, sf_dir)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def _stream_stream_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+        .withWatermark("v_ts", "24 hours")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "24 hours")
+    )
+    pairs = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND p_ts > v_ts "
+            "AND p_ts <= v_ts + interval 1 hour"
+        ),
+    )
+    sunk = run_to_memory(pairs.select("v_user"), "append")
+    return sunk.groupBy(F.col("v_user").alias("user_id")).agg(
+        F.count("*").alias("n_pairs")
+    )

@@ -82,17 +82,19 @@ _PRIORITY: tuple[str, ...] = (
     "knn_with_metadata",
     "vector_normalize_stats",
     "similarity_self_join",
-    "knn_label_purity",
-    # ANN tiers
-    "lsh_bucket_distribution",
+    # ANN / quantization tiers (lsh_bucket_distribution sits past 50:
+    # the same signature pipeline is verified by the two joins below)
     "lsh_similarity_join_approx",
     "lsh_ann_topk",
     "ivf_ann_topk",
+    "pq_codes_fidelity",
+    "pq_ann_topk",
     # streaming + stateful
     "streaming_hourly_windows",
     "streaming_sliding_windows_watermark",
     "streaming_session_counts",
     "streaming_knn_scores",
+    "streaming_dedup_event_types",
     "stateful_user_counts",
     "grouped_map_centroids",
     # chunking / packing
@@ -127,7 +129,6 @@ _PRIORITY: tuple[str, ...] = (
     # TPC-H extra shapes (the rest sit past 50 — their operators are
     # covered by other prefix queries)
     "min_cost_supplier_per_part",
-    "nation_pair_volume",
     # training-pipeline operator families (r2)
     "embedding_quantize_int8",
     "dataset_split_assign",

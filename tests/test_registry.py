@@ -45,7 +45,8 @@ def test_operator_bearing_queries_in_prefix():
         "array_functions",
         "q6_forecast_revenue",
         "min_cost_supplier_per_part",
-        "nation_pair_volume",
+        "pq_codes_fidelity",
+        "pq_ann_topk",
         "embedding_quantize_int8",
         "dataset_split_assign",
         "doc_gopher_quality_flags",
@@ -53,6 +54,7 @@ def test_operator_bearing_queries_in_prefix():
         "lsh_ann_topk",
         "ivf_ann_topk",
         "minhash_near_dup_pairs",
+        "streaming_dedup_event_types",
     }
     assert must_have <= prefix, sorted(must_have - prefix)
 

@@ -537,3 +537,64 @@ def view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_delta_us"
         ),
     )
+
+
+@register(
+    "term_doc_frequency_top20",
+    """
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS toks
+  FROM documents
+),
+exploded AS (SELECT doc_id, unnest(toks) AS term FROM base),
+dfreq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS doc_freq
+  FROM exploded GROUP BY term
+),
+total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+SELECT term, doc_freq,
+       round(t.n_docs * 1.0 / doc_freq, 6) AS idf_ratio,
+       CAST(rn AS INTEGER) AS rank
+FROM (SELECT term, doc_freq,
+             row_number() OVER (ORDER BY doc_freq DESC, term) AS rn
+      FROM dfreq) d
+CROSS JOIN total t
+WHERE rn <= 20
+""",
+)
+def term_doc_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency + rational IDF (n_docs/df — division is
+    IEEE-exact, unlike ln whose libm results differ across engines)
+    for the 20 most common terms: the inverted-index statistic behind
+    BM25/TF-IDF retrieval. Explode distinct terms → one shuffle on
+    term; the corpus size joins in as a broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(T.norm_text("text"), " ")).alias("toks"),
+    )
+    dfreq = (
+        base.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+    total = docs.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("term"))
+    return (
+        dfreq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .join(F.broadcast(total))
+        .select(
+            "term",
+            "doc_freq",
+            F.round(F.col("n_docs") * 1.0 / F.col("doc_freq"), 6).alias(
+                "idf_ratio"
+            ),
+            "rank",
+        )
+    )

@@ -57,6 +57,7 @@ def load_all_modules() -> None:
         "grouped_map_queries",
         "sketch_queries",
         "training_queries",
+        "scale_queries",
         "pq_queries",
         "tpch_queries",
         "pipeline_queries",

@@ -79,6 +79,21 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS ord_b")
 
 
+def test_bucketed_join_query_plan(spark, sf_dir):
+    """The registered bucketed query joins catalog-bucketed tables:
+    SortMergeJoin with zero Exchange on either side."""
+    from oracle_vector_search_spark.queries.scale_queries import (
+        _bucketed_tables,
+    )
+
+    ord_t, li_t = _bucketed_tables(spark, sf_dir)
+    li, o = spark.table(li_t), spark.table(ord_t)
+    j = li.hint("merge").join(o, li["l_orderkey"] == o["o_orderkey"])
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
 def test_write_index_table_roundtrip(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"),

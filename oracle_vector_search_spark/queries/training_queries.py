@@ -598,3 +598,130 @@ def term_doc_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+BM25_TERMS = ("vector", "join", "scan")  # the fixed retrieval query
+
+
+@register(
+    "bm25_retrieval_top10",
+    """
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+),
+dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS DOUBLE) / count(*) AS avgdl
+  FROM base
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ('vector', 'join', 'scan')
+  GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT t.doc_id,
+         CAST(floor(
+           ((CAST(s.n_docs AS DOUBLE) / d.df)
+            * ((t.tf * 2.2::DOUBLE)
+               / (t.tf + (1.2::DOUBLE
+                          * (0.25::DOUBLE
+                             + ((0.75::DOUBLE * l.dl) / s.avgdl))))))
+           * 1000000.0::DOUBLE) AS BIGINT) AS term_score_micros
+  FROM tf t
+  JOIN dfreq d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (
+  SELECT doc_id, CAST(sum(term_score_micros) AS BIGINT) AS bm25_micros
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, bm25_micros, CAST(rn AS INTEGER) AS rank
+FROM (SELECT doc_id, bm25_micros,
+             row_number() OVER (ORDER BY bm25_micros DESC, doc_id) AS rn
+      FROM agg) r
+WHERE rn <= 10
+ORDER BY rank
+""",
+)
+def bm25_retrieval_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-scored lexical retrieval (k1=1.2, b=0.75) for a fixed
+    3-term query, top-10 docs. The idf is the rational n_docs/df (no
+    cross-libm ln — see term_doc_frequency_top20) and each per-term
+    score integerizes to micros BEFORE the per-doc sum, so the double
+    additions that would be order-dependent never happen.
+
+    Scale shape: the tf table is filtered to the query's terms inside
+    the explode stage (rows ∝ matching docs, not corpus tokens);
+    dfreq and the corpus stats are broadcast scalars; the only big
+    shuffle is the (doc_id, term) tf aggregate. Top-10 compiles to
+    TakeOrderedAndProject, never a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", F.split(T.norm_text("text"), " ").alias("toks")
+    )
+    dl = base.select("doc_id", F.size("toks").cast("long").alias("dl"))
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias(
+            "avgdl"
+        ),
+    )
+    tf = (
+        base.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.floor(
+                (
+                    (F.col("n_docs").cast("double") / F.col("df"))
+                    * (
+                        (F.col("tf") * F.lit(2.2))
+                        / (
+                            F.col("tf")
+                            + (
+                                F.lit(1.2)
+                                * (
+                                    F.lit(0.25)
+                                    + (
+                                        (F.lit(0.75) * F.col("dl"))
+                                        / F.col("avgdl")
+                                    )
+                                )
+                            )
+                        )
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("term_score_micros"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_score_micros").alias("bm25_micros")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("bm25_micros"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )

@@ -109,11 +109,11 @@ _PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_pairs",
     "dedup_canonical_ids",
     "kmv_containment_pairs",
-    # text analysis
+    # text analysis / retrieval
     "doc_token_stats",
-    "doc_quality_scores",
     "doc_language_id",
     "doc_fingerprints",
+    "bm25_retrieval_top10",
     # TPC-H core + distinctive relational operators
     "q1_pricing_summary",
     "q6_forecast_revenue",
@@ -126,10 +126,10 @@ _PRIORITY: tuple[str, ...] = (
     "user_sessions",
     "lineitem_cube",
     "null_safe_join",
-    "array_functions",
-    # TPC-H extra shapes (the rest sit past 50 — their operators are
-    # covered by other prefix queries)
-    "min_cost_supplier_per_part",
+    # scale-tier join layouts (r2): shuffle-free bucketed join, salted
+    # skew join — both value-checked against the plain-join oracle
+    "bucketed_colocated_join_revenue",
+    "salted_skew_join_revenue",
     # training-pipeline operator families (r2)
     "embedding_quantize_int8",
     "dataset_split_assign",

@@ -42,9 +42,10 @@ def test_operator_bearing_queries_in_prefix():
         "grouped_map_centroids",
         "lineitem_cube",
         "null_safe_join",
-        "array_functions",
         "q6_forecast_revenue",
-        "min_cost_supplier_per_part",
+        "bucketed_colocated_join_revenue",
+        "salted_skew_join_revenue",
+        "bm25_retrieval_top10",
         "pq_codes_fidelity",
         "pq_ann_topk",
         "embedding_quantize_int8",

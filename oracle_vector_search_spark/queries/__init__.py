@@ -116,7 +116,6 @@ _PRIORITY: tuple[str, ...] = (
     "bm25_retrieval_top10",
     # TPC-H core + distinctive relational operators
     "q1_pricing_summary",
-    "q6_forecast_revenue",
     "top3_orders_per_customer",
     "revenue_by_nation",
     "customers_without_orders",
@@ -130,6 +129,7 @@ _PRIORITY: tuple[str, ...] = (
     # skew join — both value-checked against the plain-join oracle
     "bucketed_colocated_join_revenue",
     "salted_skew_join_revenue",
+    "events_upsert_snapshot",
     # training-pipeline operator families (r2)
     "embedding_quantize_int8",
     "dataset_split_assign",

@@ -157,3 +157,72 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# 2024-01-16 00:00:00 UTC in epoch micros — mid-range of the events
+# fixture (2024-01-01 .. 2024-01-30), so both halves are non-trivial.
+_UPSERT_CUT_US = 1_705_363_200_000_000
+
+
+@register(
+    "events_upsert_snapshot",
+    f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+       event_type AS last_event_type, value_cents AS last_value_cents
+FROM r WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def events_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CDC materialization: a per-user snapshot built from
+    events before a cutoff, merged (latest-record-wins upsert) with the
+    raw events after it. The merged result must equal the snapshot a
+    full rebuild over all events would produce — which is exactly what
+    the oracle computes — so the merge operator itself is what's being
+    value-checked.
+
+    Scale shape: the snapshot side is one row per key; the update side
+    is the new batch; merge_upsert shuffles once on user_id. This is
+    the build-once/update-incrementally path the written index tables
+    (ingest.write_index_table) use instead of full rebuilds.
+    """
+    from oracle_vector_search_spark.operators.merge import merge_upsert
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    old = e.filter(F.col("ts_us") < _UPSERT_CUT_US)
+    updates = e.filter(F.col("ts_us") >= _UPSERT_CUT_US)
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    base = (
+        old.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    merged = merge_upsert(
+        base, updates, keys=["user_id"], order_cols=["ts_us", "event_id"]
+    )
+    return merged.select(
+        "user_id",
+        F.col("ts_us").alias("last_ts_us"),
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("value_cents").alias("last_value_cents"),
+    ).orderBy("user_id")

@@ -42,7 +42,7 @@ def test_operator_bearing_queries_in_prefix():
         "grouped_map_centroids",
         "lineitem_cube",
         "null_safe_join",
-        "q6_forecast_revenue",
+        "events_upsert_snapshot",
         "bucketed_colocated_join_revenue",
         "salted_skew_join_revenue",
         "bm25_retrieval_top10",

@@ -94,6 +94,29 @@ def test_bucketed_join_query_plan(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_merge_upsert_semantics(spark):
+    from oracle_vector_search_spark.operators.merge import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, 10, "a"), (2, 20, "b"), (3, 30, "c")],
+        "k long, ver long, v string",
+    )
+    updates = spark.createDataFrame(
+        [(2, 25, "b2"), (3, 30, "c-tie"), (4, 5, "d")],
+        "k long, ver long, v string",
+    )
+    got = {
+        r["k"]: (r["ver"], r["v"])
+        for r in merge_upsert(base, updates, ["k"], ["ver"]).collect()
+    }
+    assert got == {
+        1: (10, "a"),       # untouched base row survives
+        2: (25, "b2"),      # newer update wins
+        3: (30, "c-tie"),   # exact version tie -> updates side wins
+        4: (5, "d"),        # brand-new key inserted
+    }
+
+
 def test_write_index_table_roundtrip(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id"),

@@ -21,6 +21,7 @@ from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.queries import register
 
 QUANT_MAX_ID = 300  # embeddings subset for the per-vector fidelity report
+N_QUERIES_HN = 10  # anchors for hard-negative mining (mirrors vector_queries)
 
 
 @register(
@@ -724,4 +725,123 @@ def bm25_retrieval_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
         .orderBy("rank")
+    )
+
+
+@register(
+    "contrastive_negative_samples",
+    """
+WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+j AS (SELECT j FROM range(1, 4) AS r(j)),
+pairs AS (
+  SELECT d.doc_id, j.j, t.n_docs,
+         (d.doc_id * 2654435761 + j.j * 40503) % t.n_docs AS raw
+  FROM documents d CROSS JOIN j CROSS JOIN t
+)
+SELECT doc_id, CAST(j AS INTEGER) AS neg_rank,
+       CASE WHEN raw = doc_id THEN (raw + 1) % n_docs ELSE raw END
+         AS neg_doc_id
+FROM pairs
+ORDER BY doc_id, neg_rank
+""",
+)
+def contrastive_negative_samples(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: 3
+    pseudo-random negatives per anchor via Knuth-multiplicative index
+    arithmetic mod corpus size (never rand() — reproducible across
+    engines, runs, and partitionings; self-collisions step to the next
+    id). Pure per-row projection after a broadcast scalar join: at
+    100 TB this runs entirely in the scan stage. Multiplier fits
+    int64 for doc_id < 3.5e9; shard the id space first beyond that.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    total = docs.agg(F.count("*").alias("n_docs"))
+    pairs = (
+        docs.join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.lit(3))).alias("j"),
+            "n_docs",
+        )
+        .withColumn(
+            "raw",
+            (
+                F.col("doc_id") * F.lit(2654435761)
+                + F.col("j") * F.lit(40503)
+            )
+            % F.col("n_docs"),
+        )
+    )
+    return pairs.select(
+        "doc_id",
+        F.col("j").cast("int").alias("neg_rank"),
+        F.when(
+            F.col("raw") == F.col("doc_id"),
+            (F.col("raw") + 1) % F.col("n_docs"),
+        )
+        .otherwise(F.col("raw"))
+        .alias("neg_doc_id"),
+    ).orderBy("doc_id", "neg_rank")
+
+
+@register(
+    "hard_negative_mining_top3",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < {N_QUERIES_HN}
+), d AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, d.neighbor_id,
+         round(
+           list_dot_product(q.v, d.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(d.v, d.v))), 6) AS score
+  FROM d CROSS JOIN q
+), ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT r.query_id, r.neighbor_id, r.score,
+       CAST(r.rank - 1 AS INTEGER) AS neg_rank,
+       e.label AS neg_label
+FROM ranked r JOIN embeddings e ON e.vec_id = r.neighbor_id
+WHERE r.rank BETWEEN 2 AND 4
+ORDER BY r.query_id, neg_rank
+""",
+)
+def hard_negative_mining_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding training: the 3 most-similar
+    non-self vectors per anchor (cosine ranks 2-4; rank 1 is the anchor
+    itself at score 1.0), decorated with the negative's label. Reuses
+    the exact-kNN tier — broadcast query side, index never shuffles,
+    WindowGroupLimit caps per-anchor state — so the mining pass scales
+    exactly as the serving path does.
+    """
+    from oracle_vector_search_spark.operators.knn import (
+        knn_exact,
+        knn_join_metadata,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES_HN)
+    topk = knn_exact(emb, queries, k=4).filter(F.col("rank") >= 2)
+    meta = emb.select("vec_id", F.col("label").alias("neg_label"))
+    return (
+        knn_join_metadata(topk, meta)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "score",
+            (F.col("rank") - 1).cast("int").alias("neg_rank"),
+            "neg_label",
+        )
+        .orderBy("query_id", "neg_rank")
     )

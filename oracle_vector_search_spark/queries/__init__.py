@@ -58,6 +58,7 @@ def load_all_modules() -> None:
         "sketch_queries",
         "training_queries",
         "scale_queries",
+        "audit_queries",
         "pq_queries",
         "tpch_queries",
         "pipeline_queries",
@@ -83,12 +84,12 @@ _PRIORITY: tuple[str, ...] = (
     "knn_with_metadata",
     "vector_normalize_stats",
     "similarity_self_join",
-    # ANN / quantization tiers (lsh_bucket_distribution sits past 50:
-    # the same signature pipeline is verified by the two joins below)
-    "lsh_similarity_join_approx",
+    # ANN / quantization tiers (lsh_bucket_distribution and
+    # lsh_similarity_join_approx sit past 50: the same signature
+    # pipeline is verified by lsh_ann_topk; pq_codes_fidelity past 50:
+    # quantization fidelity is verified by embedding_quantize_int8)
     "lsh_ann_topk",
     "ivf_ann_topk",
-    "pq_codes_fidelity",
     "pq_ann_topk",
     # streaming + stateful
     "streaming_hourly_windows",
@@ -130,6 +131,9 @@ _PRIORITY: tuple[str, ...] = (
     "bucketed_colocated_join_revenue",
     "salted_skew_join_revenue",
     "events_upsert_snapshot",
+    # dataset audit / versioning (r2)
+    "dataset_constraint_audit",
+    "snapshot_diff_users",
     # training-pipeline operator families (r2)
     "embedding_quantize_int8",
     "dataset_split_assign",

@@ -1,0 +1,249 @@
+"""Dataset audit operators: constraint validation, snapshot diff,
+reshape (unpivot).
+
+A training-data pipeline ships datasets, and shipping needs gates: a
+Deequ-style constraint audit (nulls, uniqueness, ranges, referential
+integrity) that runs as a handful of column-pruned aggregates; a
+snapshot diff that classifies every key as insert/update/unchanged
+between two dataset versions; and measure unpivoting for
+metric-per-row exports. All pure DataFrame compositions with exact
+DuckDB oracles.
+
+Reference parity: the reference validates nothing — a missing label
+file or duplicate id silently skews its index
+(build_faiss_db.py:138-186 drops unreadable inputs without counting
+them). The audit table is the distributed engine's answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.queries import register
+
+# Snapshot-diff cutoff — same mid-range instant the upsert query uses.
+from oracle_vector_search_spark.queries.scale_queries import _UPSERT_CUT_US
+
+
+@register(
+    "dataset_constraint_audit",
+    """
+SELECT 'customer_key_unique' AS check_name,
+       CAST(count(*) AS BIGINT) AS n_checked,
+       CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_violations
+FROM customer
+UNION ALL
+SELECT 'lineitem_discount_in_range',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                     THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_orderkey_resolves',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'lineitem_quantity_positive',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_shipdate_not_null',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders_custkey_resolves',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+ORDER BY check_name
+""",
+)
+def dataset_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-gate audit table: one row per constraint with checked /
+    violation counts. Uniqueness and range checks are single
+    column-pruned aggregates; referential checks are left joins
+    counting unresolved keys (the dim side broadcasts). At 100 TB
+    each check stays a scan-local aggregate — the whole audit is a
+    handful of map-side-combined passes, no wide row ever shuffles.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def check(name: str, df: DataFrame, violation: F.Column) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_checked"),
+            F.sum(F.when(violation, 1).otherwise(0)).alias("n_violations"),
+        )
+
+    uniq = cust.agg(
+        F.lit("customer_key_unique").alias("check_name"),
+        F.count("*").alias("n_checked"),
+        (F.count("*") - F.countDistinct("c_custkey")).alias("n_violations"),
+    )
+    checks = [
+        uniq,
+        check(
+            "lineitem_discount_in_range",
+            li,
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+        ),
+        check(
+            "lineitem_orderkey_resolves",
+            li.join(
+                F.broadcast(orders.select("o_orderkey")),
+                li["l_orderkey"] == F.col("o_orderkey"),
+                "left",
+            ),
+            F.col("o_orderkey").isNull(),
+        ),
+        check("lineitem_quantity_positive", li, F.col("l_quantity") <= 0),
+        check(
+            "lineitem_shipdate_not_null", li, F.col("l_shipdate").isNull()
+        ),
+        check(
+            "orders_custkey_resolves",
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders["o_custkey"] == F.col("c_custkey"),
+                "left",
+            ),
+            F.col("c_custkey").isNull(),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
+
+
+@register(
+    "snapshot_diff_users",
+    f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
+  FROM events
+),
+old AS (
+  SELECT user_id, event_id AS old_event_id FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM e WHERE ts_us < {_UPSERT_CUT_US}
+  ) WHERE rn = 1
+),
+new AS (
+  SELECT user_id, event_id AS new_event_id FROM (
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM e
+  ) WHERE rn = 1
+)
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'insert'
+            WHEN o.old_event_id <> n.new_event_id THEN 'update'
+            ELSE 'unchanged' END AS change_type,
+       o.old_event_id, n.new_event_id
+FROM old o FULL OUTER JOIN new n ON o.user_id = n.user_id
+ORDER BY user_id
+""",
+)
+def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two dataset versions (per-user snapshot before the cutoff
+    vs. over all events): every key classified insert / update /
+    unchanged, with both versions' provenance ids. The
+    dataset-versioning complement to `events_upsert_snapshot` — at
+    100 TB both snapshots are at-rest tables and the diff is one full
+    outer join on the key (nothing here scales with history length).
+    Deletes can't occur in an append-only event stream, so the
+    'delete' branch is structurally absent rather than untested.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+
+    def snap(df: DataFrame, out_col: str) -> DataFrame:
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", F.col("event_id").alias(out_col))
+        )
+
+    old = snap(e.filter(F.col("ts_us") < _UPSERT_CUT_US), "old_event_id")
+    new = snap(e, "new_event_id")
+    j = old.join(new, "user_id", "full_outer")
+    return j.select(
+        "user_id",
+        F.when(F.col("old_event_id").isNull(), "insert")
+        .when(F.col("old_event_id") != F.col("new_event_id"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+        "old_event_id",
+        "new_event_id",
+    ).orderBy("user_id")
+
+
+@register(
+    "unpivot_pricing_measures",
+    """
+WITH agg AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS base_cents,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS disc_cents,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount)
+                             * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+           AS charge_cents
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, measure, value_cents FROM (
+  SELECT l_returnflag, 'base_cents' AS measure, base_cents AS value_cents
+  FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'disc_cents', disc_cents FROM agg
+  UNION ALL
+  SELECT l_returnflag, 'charge_cents', charge_cents FROM agg
+)
+ORDER BY l_returnflag, measure
+""",
+)
+def unpivot_pricing_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt (unpivot): the three pricing aggregates reshaped to one
+    metric per row — the export shape metric stores and long-format
+    training logs want. Uses the native ``DataFrame.unpivot`` (Spark's
+    UNPIVOT/stack — a zero-shuffle projection over the 3-row-per-group
+    aggregate), the inverse of `orderstatus_pivot`."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def cents(expr: F.Column) -> F.Column:
+        return F.sum(F.floor(expr * 100).cast("long"))
+
+    agg = li.groupBy("l_returnflag").agg(
+        cents(F.col("l_extendedprice")).alias("base_cents"),
+        cents(
+            F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        ).alias("disc_cents"),
+        cents(
+            F.col("l_extendedprice")
+            * (F.lit(1.0) - F.col("l_discount"))
+            * (F.lit(1.0) + F.col("l_tax"))
+        ).alias("charge_cents"),
+    )
+    return agg.unpivot(
+        ["l_returnflag"],
+        ["base_cents", "disc_cents", "charge_cents"],
+        "measure",
+        "value_cents",
+    ).orderBy("l_returnflag", "measure")

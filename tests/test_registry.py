@@ -43,10 +43,11 @@ def test_operator_bearing_queries_in_prefix():
         "lineitem_cube",
         "null_safe_join",
         "events_upsert_snapshot",
+        "dataset_constraint_audit",
+        "snapshot_diff_users",
         "bucketed_colocated_join_revenue",
         "salted_skew_join_revenue",
         "bm25_retrieval_top10",
-        "pq_codes_fidelity",
         "pq_ann_topk",
         "embedding_quantize_int8",
         "dataset_split_assign",

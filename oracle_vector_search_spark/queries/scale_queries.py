@@ -282,3 +282,62 @@ def hourly_agg_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_id")
     )
+
+
+@register(
+    "bloom_prefiltered_urgent_revenue",
+    """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS line_count,
+       CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def bloom_prefiltered_urgent_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Revenue of lineitems belonging to urgent orders, with the fact
+    side Bloom-prefiltered by the urgent keys BEFORE its shuffle: the
+    bitmask (8 KiB) probes inside the lineitem scan, so ~80% of rows
+    drop in the scan stage and the join shuffles only plausible
+    matches; the join itself then removes the Bloom's false
+    positives, making the result exact — the plain-join oracle
+    hash-checks it. The manual twin of Spark's runtime bloomFilter
+    rewrite (which the toy fixture's cost model never triggers).
+    """
+    from oracle_vector_search_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    words = build_bloom(urgent, "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    prefiltered = li.filter(bloom_might_contain(F.col("l_orderkey"), words))
+    joined = prefiltered.join(
+        F.broadcast(urgent), prefiltered["l_orderkey"] == urgent["o_orderkey"]
+    )
+    return (
+        joined.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("line_count"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (F.lit(1.0) - F.col("l_discount"))
+                    * 100
+                ).cast("long")
+            ).alias("revenue_cents"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -94,6 +94,34 @@ def test_bucketed_join_query_plan(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """The Bloom probe may keep extra rows (false positives) but must
+    never drop a true match, and it must actually be selective."""
+    from oracle_vector_search_spark.operators.bloom import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    words = build_bloom(urgent, "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    kept = li.filter(bloom_might_contain(F.col("l_orderkey"), words))
+    n_true = li.join(
+        urgent, li["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    ).count()
+    n_kept_true = kept.join(
+        urgent, kept["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    ).count()
+    assert n_kept_true == n_true  # no false negatives, ever
+    total, n_kept = li.count(), kept.count()
+    # ~20% of orders are urgent; the probe should reject most others
+    assert n_kept < total * 0.5, (n_kept, total)
+
+
 def test_posting_table_prunes_term_buckets(spark, sf_dir):
     """The at-rest inverted index partitions by a driver-computable
     term bucket: a known-term read prunes at the metadata level

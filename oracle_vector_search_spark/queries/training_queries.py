@@ -892,3 +892,67 @@ def hard_negative_mining_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "neg_rank")
     )
+
+
+@register(
+    "boolean_and_retrieval_top20",
+    """
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok WHERE term IN ('vector', 'join', 'scan')
+  GROUP BY doc_id, term
+),
+cand AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS total_tf,
+         count(*) AS n_terms
+  FROM tf GROUP BY doc_id
+)
+SELECT doc_id, total_tf, CAST(rn AS INTEGER) AS rank
+FROM (SELECT doc_id, total_tf,
+             row_number() OVER (ORDER BY total_tf DESC, doc_id) AS rn
+      FROM cand WHERE n_terms = 3) r
+WHERE rn <= 20
+ORDER BY rank
+""",
+)
+def boolean_and_retrieval_top20(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Conjunctive (AND) boolean retrieval over the posting table:
+    docs containing ALL query terms, ranked by total term frequency.
+    The AND is a count-per-doc equality over posting rows (one row per
+    distinct (doc, term)), not an N-way self-join — the intersection
+    of N posting lists costs one aggregate regardless of N. Same
+    partition-pruned posting read as BM25.
+    """
+    postings, _ = _posting_tables(spark, sf_dir)
+    buckets = sorted({term_bucket(t) for t in BM25_TERMS})
+    tf = (
+        postings.filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .select("doc_id", "term", "tf")
+    )
+    cand = (
+        tf.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("total_tf"),
+            F.count("*").alias("n_terms"),
+        )
+        .filter(F.col("n_terms") == len(BM25_TERMS))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("total_tf"), F.asc("doc_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", "total_tf", "rank")
+        .orderBy("rank")
+    )

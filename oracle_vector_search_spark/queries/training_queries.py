@@ -575,10 +575,13 @@ def _posting_tables(
         tok = base.select(
             "doc_id",
             F.size("toks").cast("long").alias("dl"),
-            F.explode("toks").alias("term"),
+            F.posexplode("toks").alias("pos", "term"),
         )
+        # positional postings: sorted 0-based offsets make the table
+        # serve phrase/adjacency queries, not just bag-of-words
         tf = tok.groupBy("doc_id", "term", "dl").agg(
-            F.count("*").alias("tf")
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
         )
         (
             tf.withColumn(
@@ -954,5 +957,80 @@ def boolean_and_retrieval_top20(
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 20)
         .select("doc_id", "total_tf", "rank")
+        .orderBy("rank")
+    )
+
+
+PHRASE = ("table", "hash")  # the fixed phrase query (48 hits at sf0.01)
+
+
+@register(
+    "phrase_retrieval_top20",
+    """
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         [i - 1 FOR i IN range(1, len(toks) + 1)
+          IF toks[i] = 'table'] AS px,
+         [i - 1 FOR i IN range(1, len(toks) + 1)
+          IF toks[i] = 'hash'] AS py
+  FROM base
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(list_intersect([p + 1 FOR p IN px], py)) AS INTEGER)
+           AS n_matches
+  FROM pos WHERE len(px) > 0 AND len(py) > 0
+)
+SELECT doc_id, n_matches, CAST(rn AS INTEGER) AS rank
+FROM (SELECT doc_id, n_matches,
+             row_number() OVER (ORDER BY n_matches DESC, doc_id) AS rn
+      FROM m WHERE n_matches > 0) r
+WHERE rn <= 20
+ORDER BY rank
+""",
+)
+def phrase_retrieval_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval ("table hash") over POSITIONAL postings:
+    a doc matches where some position of the first term is immediately
+    followed by a position of the second — set-intersection of
+    (positions+1) with the next term's positions, ranked by match
+    count. The adjacency join touches only the two terms' posting
+    rows (partition-pruned by term bucket); no document text is
+    re-scanned at query time. N-term phrases chain the same intersect
+    left-to-right.
+    """
+    postings, _ = _posting_tables(spark, sf_dir)
+    buckets = sorted({term_bucket(t) for t in PHRASE})
+    pruned = postings.filter(F.col("tb").isin(buckets))
+    px = pruned.filter(F.col("term") == PHRASE[0]).select(
+        "doc_id", F.col("positions").alias("px")
+    )
+    py = pruned.filter(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("positions").alias("py")
+    )
+    m = (
+        px.join(py, "doc_id")
+        .select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.transform("px", lambda p: p + 1), F.col("py")
+                )
+            ).alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_matches"), F.asc("doc_id"))
+    return (
+        m.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )

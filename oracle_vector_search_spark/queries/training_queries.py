@@ -1034,3 +1034,239 @@ def phrase_retrieval_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+MMR_LAMBDA = "0.5"  # relevance/diversity balance, as a literal for both engines
+
+
+@register(
+    "mmr_rerank_top3",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < {N_QUERIES_HN}
+), d AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, d.neighbor_id, d.v,
+         round(list_dot_product(q.v, d.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(d.v, d.v))), 6) AS rel
+  FROM d CROSS JOIN q
+), cand AS (
+  SELECT query_id, neighbor_id, v, rel FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+), sim AS (
+  SELECT a.query_id, a.neighbor_id AS ai, b.neighbor_id AS bi,
+         round(list_dot_product(a.v, b.v)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+  FROM cand a JOIN cand b ON a.query_id = b.query_id
+), s1 AS (
+  SELECT query_id, neighbor_id AS s1_id, rel AS s1_score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY rel DESC, neighbor_id) AS rn
+    FROM cand
+  ) WHERE rn = 1
+), sc2 AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({MMR_LAMBDA} * c.rel - (1 - {MMR_LAMBDA}) * m.sim, 6)
+           AS mmr_score
+  FROM cand c
+  JOIN s1 ON c.query_id = s1.query_id AND c.neighbor_id <> s1.s1_id
+  JOIN sim m ON m.query_id = c.query_id
+            AND m.ai = c.neighbor_id AND m.bi = s1.s1_id
+), s2 AS (
+  SELECT query_id, neighbor_id AS s2_id, mmr_score AS s2_score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY mmr_score DESC, neighbor_id) AS rn
+    FROM sc2
+  ) WHERE rn = 1
+), sc3 AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({MMR_LAMBDA} * c.rel
+               - (1 - {MMR_LAMBDA}) * greatest(m1.sim, m2.sim), 6)
+           AS mmr_score
+  FROM cand c
+  JOIN s1 ON c.query_id = s1.query_id AND c.neighbor_id <> s1.s1_id
+  JOIN s2 ON c.query_id = s2.query_id AND c.neighbor_id <> s2.s2_id
+  JOIN sim m1 ON m1.query_id = c.query_id
+             AND m1.ai = c.neighbor_id AND m1.bi = s1.s1_id
+  JOIN sim m2 ON m2.query_id = c.query_id
+             AND m2.ai = c.neighbor_id AND m2.bi = s2.s2_id
+), s3 AS (
+  SELECT query_id, neighbor_id AS s3_id, mmr_score AS s3_score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY mmr_score DESC, neighbor_id) AS rn
+    FROM sc3
+  ) WHERE rn = 1
+)
+SELECT query_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, neighbor_id,
+       mmr_score
+FROM (
+  SELECT query_id, 1 AS mmr_rank, s1_id AS neighbor_id,
+         s1_score AS mmr_score FROM s1
+  UNION ALL
+  SELECT query_id, 2, s2_id, s2_score FROM s2
+  UNION ALL
+  SELECT query_id, 3, s3_id, s3_score FROM s3
+)
+ORDER BY query_id, mmr_rank
+""",
+)
+def mmr_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversity re-ranking (λ=0.5, k=3)
+    over each anchor's top-10 cosine candidates: pick the most
+    relevant, then twice more the candidate maximizing
+    λ·rel − (1−λ)·max-sim-to-already-picked. The greedy recursion is
+    UNROLLED into pure relational steps (one rank-1 window per pick),
+    so it is hash-checked against DuckDB — k is a compile-time
+    constant; larger k chains more of the same step.
+
+    Scale shape: everything after the kNN pass operates on ≤10 rows
+    per query (candidate pairs ≤100/query, built by a per-query join,
+    never a global cross join); the windows partition by query_id.
+    """
+    from pyspark.sql import Window
+    from oracle_vector_search_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from oracle_vector_search_spark.operators.knn import knn_exact
+
+    lam = float(MMR_LAMBDA)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES_HN)
+    cand = (
+        knn_exact(emb, queries, k=10)
+        .withColumnRenamed("score", "rel")
+        .select("query_id", "neighbor_id", "rel")
+    )
+    vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("v"),
+    )
+    cv = cand.join(vecs, "neighbor_id")
+    a = cv.select(
+        "query_id", F.col("neighbor_id").alias("ai"), F.col("v").alias("av")
+    )
+    b = cv.select(
+        "query_id", F.col("neighbor_id").alias("bi"), F.col("v").alias("bv")
+    )
+    sim = (
+        a.join(b, "query_id")
+        .select(
+            "query_id", "ai", "bi",
+            F.round(cosine_similarity("av", "bv"), 6).alias("sim"),
+        )
+    )
+
+    def pick(df: DataFrame, score_col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(score_col), F.asc("neighbor_id")
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    s1 = pick(cand, "rel").select(
+        "query_id",
+        F.col("neighbor_id").alias("s1_id"),
+        F.col("rel").alias("s1_score"),
+    )
+    m0 = sim.select(
+        F.col("query_id").alias("q0"), F.col("ai").alias("a0"),
+        F.col("bi").alias("b0"), F.col("sim").alias("sim0"),
+    )
+    sc2 = (
+        cand.join(s1, "query_id")
+        .filter(F.col("neighbor_id") != F.col("s1_id"))
+        .join(
+            m0,
+            (F.col("q0") == F.col("query_id"))
+            & (F.col("a0") == F.col("neighbor_id"))
+            & (F.col("b0") == F.col("s1_id")),
+        )
+        .select(
+            "query_id", "neighbor_id", "rel",
+            F.round(
+                F.lit(lam) * F.col("rel")
+                - (F.lit(1.0) - F.lit(lam)) * F.col("sim0"),
+                6,
+            ).alias("mmr_score"),
+        )
+    )
+    s2 = pick(sc2, "mmr_score").select(
+        "query_id",
+        F.col("neighbor_id").alias("s2_id"),
+        F.col("mmr_score").alias("s2_score"),
+    )
+    m1 = sim.select(
+        F.col("query_id").alias("q1"), F.col("ai").alias("a1"),
+        F.col("bi").alias("b1"), F.col("sim").alias("sim1"),
+    )
+    m2 = sim.select(
+        F.col("query_id").alias("q2"), F.col("ai").alias("a2"),
+        F.col("bi").alias("b2"), F.col("sim").alias("sim2"),
+    )
+    sc3 = (
+        cand.join(s1, "query_id")
+        .join(s2, "query_id")
+        .filter(
+            (F.col("neighbor_id") != F.col("s1_id"))
+            & (F.col("neighbor_id") != F.col("s2_id"))
+        )
+        .join(
+            m1,
+            (F.col("q1") == F.col("query_id"))
+            & (F.col("a1") == F.col("neighbor_id"))
+            & (F.col("b1") == F.col("s1_id")),
+        )
+        .join(
+            m2,
+            (F.col("q2") == F.col("query_id"))
+            & (F.col("a2") == F.col("neighbor_id"))
+            & (F.col("b2") == F.col("s2_id")),
+        )
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.lit(lam) * F.col("rel")
+                - (F.lit(1.0) - F.lit(lam))
+                * F.greatest(F.col("sim1"), F.col("sim2")),
+                6,
+            ).alias("mmr_score"),
+        )
+    )
+    s3 = pick(sc3, "mmr_score").select(
+        "query_id",
+        F.col("neighbor_id").alias("s3_id"),
+        F.col("mmr_score").alias("s3_score"),
+    )
+    out = (
+        s1.select(
+            "query_id", F.lit(1).alias("mmr_rank"),
+            F.col("s1_id").alias("neighbor_id"),
+            F.col("s1_score").alias("mmr_score"),
+        )
+        .unionByName(
+            s2.select(
+                "query_id", F.lit(2).alias("mmr_rank"),
+                F.col("s2_id").alias("neighbor_id"),
+                F.col("s2_score").alias("mmr_score"),
+            )
+        )
+        .unionByName(
+            s3.select(
+                "query_id", F.lit(3).alias("mmr_rank"),
+                F.col("s3_id").alias("neighbor_id"),
+                F.col("s3_score").alias("mmr_score"),
+            )
+        )
+    )
+    return out.orderBy("query_id", "mmr_rank")

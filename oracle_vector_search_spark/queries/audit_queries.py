@@ -247,3 +247,95 @@ def unpivot_pricing_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value_cents",
     ).orderBy("l_returnflag", "measure")
+
+
+@register(
+    "feature_correlation_exact",
+    """
+WITH b AS (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100) AS BIGINT) AS p,
+         CAST(floor(l_discount * 100) AS BIGINT) AS d
+  FROM lineitem
+),
+m AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(q) AS DOUBLE) AS sq, CAST(sum(p) AS DOUBLE) AS sp,
+         CAST(sum(d) AS DOUBLE) AS sd,
+         CAST(sum(q * q) AS DOUBLE) AS sqq,
+         CAST(sum(p * p) AS DOUBLE) AS spp,
+         CAST(sum(d * d) AS DOUBLE) AS sdd,
+         CAST(sum(q * p) AS DOUBLE) AS sqp,
+         CAST(sum(q * d) AS DOUBLE) AS sqd,
+         CAST(sum(p * d) AS DOUBLE) AS spd
+  FROM b
+)
+SELECT pair, corr FROM (
+  SELECT 'price_disc' AS pair,
+         round((n * spd - sp * sd)
+               / (sqrt(n * spp - sp * sp) * sqrt(n * sdd - sd * sd)), 6)
+           AS corr
+  FROM m
+  UNION ALL
+  SELECT 'qty_disc',
+         round((n * sqd - sq * sd)
+               / (sqrt(n * sqq - sq * sq) * sqrt(n * sdd - sd * sd)), 6)
+  FROM m
+  UNION ALL
+  SELECT 'qty_price',
+         round((n * sqp - sq * sp)
+               / (sqrt(n * sqq - sq * sq) * sqrt(n * spp - sp * sp)), 6)
+  FROM m
+)
+ORDER BY pair
+""",
+)
+def feature_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations computed the engine-exact way: the
+    raw moments (sums, squares, cross products) accumulate as EXACT
+    integers over integerized columns — immune to float summation
+    order, unlike ``F.corr``'s streaming doubles — and one final
+    double formula runs on the identical ten numbers in both engines.
+    At 100 TB the moment sums overflow int64, so they aggregate as
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); per-row products stay
+    in int64 by construction (cents² < 2^47). One scan, map-side
+    partial aggregation, a 1-row result reshaped to long format.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.floor("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("p"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("d"),
+    )
+
+    def s(expr) -> F.Column:
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    m = b.agg(
+        F.count("*").cast("double").alias("n"),
+        s(F.col("q")).alias("sq"),
+        s(F.col("p")).alias("sp"),
+        s(F.col("d")).alias("sd"),
+        s(F.col("q") * F.col("q")).alias("sqq"),
+        s(F.col("p") * F.col("p")).alias("spp"),
+        s(F.col("d") * F.col("d")).alias("sdd"),
+        s(F.col("q") * F.col("p")).alias("sqp"),
+        s(F.col("q") * F.col("d")).alias("sqd"),
+        s(F.col("p") * F.col("d")).alias("spd"),
+    )
+
+    def corr(sxy: str, sx: str, sy: str, sxx: str, syy: str) -> F.Column:
+        n = F.col("n")
+        num = n * F.col(sxy) - F.col(sx) * F.col(sy)
+        den = F.sqrt(n * F.col(sxx) - F.col(sx) * F.col(sx)) * F.sqrt(
+            n * F.col(syy) - F.col(sy) * F.col(sy)
+        )
+        return F.round(num / den, 6)
+
+    wide = m.select(
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("qty_price"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("qty_disc"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("price_disc"),
+    )
+    return wide.unpivot([], ["qty_price", "qty_disc", "price_disc"],
+                        "pair", "corr").orderBy("pair")

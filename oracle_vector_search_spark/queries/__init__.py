@@ -93,7 +93,7 @@ _PRIORITY: tuple[str, ...] = (
     "pq_ann_topk",
     # streaming + stateful
     "streaming_hourly_windows",
-    "streaming_sliding_windows_watermark",
+    "streaming_upsert_snapshot",
     "streaming_session_counts",
     "streaming_knn_scores",
     "streaming_dedup_event_types",

@@ -154,3 +154,34 @@ def streaming_view_purchase_pairs(
     streaming surface: windowed aggs, sessions, dedup, stateful
     counters, static-join kNN, and now stream-stream joins."""
     return ops.stream_stream_join(spark, sf_dir)
+
+
+@register(
+    "streaming_upsert_snapshot",
+    """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts_us DESC, event_id DESC) AS rn
+  FROM e
+)
+SELECT user_id, ts_us, event_id, event_type, value_cents
+FROM r WHERE rn = 1
+ORDER BY user_id
+""",
+)
+def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC: 4 micro-batches merge latest-wins into a
+    versioned snapshot (streaming/ops.upsert_snapshot_stream); the
+    final version must hash-match the batch rebuild the oracle
+    computes — merge associativity makes the result batching-
+    independent. The streaming twin of `events_upsert_snapshot`."""
+    from oracle_vector_search_spark.streaming.ops import (
+        upsert_snapshot_stream,
+    )
+
+    return upsert_snapshot_stream(spark, sf_dir).orderBy("user_id")

@@ -279,3 +279,83 @@ def _stream_stream_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sunk.groupBy(F.col("v_user").alias("user_id")).agg(
         F.count("*").alias("n_pairs")
     )
+
+
+def upsert_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC maintenance: the event stream micro-batches merge
+    (latest-record-wins, operators.merge.merge_upsert) into a
+    versioned at-rest snapshot — one parquet version per epoch, each
+    built from the previous version plus the batch, never from
+    history. Returns the final snapshot, which must equal the batch
+    rebuild over all events: latest-wins over a total (ts_us,
+    event_id) order is associative, so the result is independent of
+    how the stream happened to batch.
+
+    The source is the events table re-split into 4 files streamed with
+    maxFilesPerTrigger=1, so the merge genuinely runs multiple times.
+    foreachBatch runs in a cloned session; state passes between
+    epochs via the written parquet paths, not session objects.
+    """
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.operators.merge import merge_upsert
+
+    src_dir = tempfile.mkdtemp(prefix="ovs_upsert_src_")
+    snap_root = tempfile.mkdtemp(prefix="ovs_upsert_snap_")
+    (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    schema = (
+        "user_id long, ts_us long, event_id long, "
+        "event_type string, value_cents long"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state = {"path": None, "version": 0}
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if state["path"] is not None:
+            base = sess.read.schema(schema).parquet(state["path"])
+            latest = merge_upsert(
+                base, latest, keys=["user_id"], order_cols=["ts_us", "event_id"]
+            )
+        out = f"{snap_root}/v{state['version']}"
+        latest.write.mode("overwrite").parquet(out)
+        state["path"] = out
+        state["version"] += 1
+
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert state["path"] is not None and state["version"] >= 2, (
+        "stream produced fewer than 2 merge epochs"
+    )
+    return spark.read.schema(schema).parquet(state["path"])

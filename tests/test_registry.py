@@ -29,7 +29,7 @@ def test_operator_bearing_queries_in_prefix():
         "pipeline_index_build",
         "pipeline_query_topk",
         "streaming_hourly_windows",
-        "streaming_sliding_windows_watermark",
+        "streaming_upsert_snapshot",
         "streaming_session_counts",
         "streaming_knn_scores",
         "stateful_user_counts",

@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "lsh_ann_topk",
     "ivf_ann_topk",
     "pq_ann_topk",
+    "pq_refined_topk",
     # streaming + stateful
     "streaming_hourly_windows",
     "streaming_upsert_snapshot",
@@ -107,7 +108,6 @@ _PRIORITY: tuple[str, ...] = (
     "exact_dedup_groups",
     "minhash_near_dup_pairs",
     "simhash_near_dup_pairs",
-    "ngram_jaccard_pairs",
     "dedup_canonical_ids",
     "kmv_containment_pairs",
     # text analysis / retrieval

@@ -103,3 +103,88 @@ def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "pq_refined_topk",
+    f"""
+WITH {_duck_coded_cte("SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings")},
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+pq_scored AS (
+  SELECT q.query_id, r.vec_id AS neighbor_id,
+         {_DUCK_COS.format(a='q.qv', b='r.recon')} AS pq_score
+  FROM recon r CROSS JOIN q
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY pq_score DESC, neighbor_id) AS rn
+    FROM pq_scored
+  ) WHERE rn <= 20
+),
+refined AS (
+  SELECT c.query_id, c.neighbor_id,
+         {_DUCK_COS.format(a='q.qv', b='d.e')} AS score
+  FROM cand c
+  JOIN v d ON d.vec_id = c.neighbor_id
+  JOIN q ON q.query_id = c.query_id
+)
+SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM refined)
+WHERE rn <= 5
+""",
+)
+def pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the standard large-index serving shape:
+    stage 1 scores the 64x-smaller PQ reconstructions and keeps 20
+    candidates per query; stage 2 rescores ONLY those candidates
+    against the exact vectors (a 20-rows-per-query semi-join — the
+    full-precision index is touched for 20/N of its rows) and emits
+    the exact-scored top-5. At 100 TB stage 1 reads the codes table,
+    stage 2 does point lookups into the full vectors — this query is
+    why the codes table exists.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    recon = Q.pq_encode(emb).select(
+        F.col("vec_id").alias("neighbor_id"), "recon"
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pq_score"), F.asc("neighbor_id")
+    )
+    cand = (
+        recon.join(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("qv", "recon"), 6).alias("pq_score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("query_id", "neighbor_id")
+    )
+    exact_vecs = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("ev"),
+    )
+    refined = (
+        cand.join(exact_vecs, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("qv", "ev"), 6).alias("score"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 5)
+    )

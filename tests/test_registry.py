@@ -37,7 +37,7 @@ def test_operator_bearing_queries_in_prefix():
         "packed_context_bins",
         "packed_bins_greedy",
         "dedup_canonical_ids",
-        "ngram_jaccard_pairs",
+        "pq_refined_topk",
         "kmv_containment_pairs",
         "grouped_map_centroids",
         "lineitem_cube",

@@ -8,8 +8,9 @@ statistically. Recall-vs-exact is covered by property tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from oracle_vector_search_spark.functions.vector import cosine_similarity
 from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.operators import ann
 from oracle_vector_search_spark.queries import register
@@ -276,4 +277,147 @@ def ivf_ann_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     return ann.ivf_ann_topk(
         emb, queries, k=5, assign=_ivf_assign_table(spark, sf_dir)
+    )
+
+
+_KMEANS_REFINE_ORACLE = """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS seed_id, v AS sv FROM vecs WHERE vec_id % 31 = 0
+),
+assign_scored AS (
+  SELECT x.vec_id, s.seed_id,
+         round(list_dot_product(x.v, s.sv)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(s.sv, s.sv))), 6) AS seed_score
+  FROM vecs x CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, seed_id AS cluster_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY seed_score DESC, seed_id) AS rn
+        FROM assign_scored)
+  WHERE rn = 1
+),
+dim_rows AS (
+  SELECT a.cluster_id,
+         unnest([{'d': i - 1,
+                  'q': CAST(floor(x.v[i] * 1000000.0::DOUBLE) AS BIGINT)}
+                 FOR i IN range(1, len(x.v) + 1)]) AS u
+  FROM vecs x JOIN assigned a USING (vec_id)
+),
+cent_dims AS (
+  SELECT cluster_id, u.d AS dim,
+         CAST(sum(u.q) AS DOUBLE) / count(*) AS cd
+  FROM dim_rows GROUP BY cluster_id, u.d
+),
+cents AS (
+  SELECT cluster_id, list(cd ORDER BY dim) AS cv
+  FROM cent_dims GROUP BY cluster_id
+),
+reassigned AS (
+  SELECT vec_id, cluster_id
+  FROM (SELECT x.vec_id, c.cluster_id,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round(list_dot_product(x.v, c.cv)
+                       / (sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                       c.cluster_id) AS rn
+        FROM vecs x CROSS JOIN cents c)
+  WHERE rn = 1
+),
+b AS (SELECT cluster_id, count(*) AS n FROM assigned GROUP BY cluster_id),
+f AS (SELECT cluster_id, count(*) AS n FROM reassigned GROUP BY cluster_id),
+st AS (
+  SELECT a.cluster_id, count(*) AS n
+  FROM assigned a JOIN reassigned r
+    ON a.vec_id = r.vec_id AND a.cluster_id = r.cluster_id
+  GROUP BY a.cluster_id
+)
+SELECT s.seed_id AS cluster_id,
+       CAST(coalesce(b.n, 0) AS BIGINT) AS n_before,
+       CAST(coalesce(f.n, 0) AS BIGINT) AS n_after,
+       CAST(coalesce(st.n, 0) AS BIGINT) AS n_stayed
+FROM seeds s
+LEFT JOIN b ON b.cluster_id = s.seed_id
+LEFT JOIN f ON f.cluster_id = s.seed_id
+LEFT JOIN st ON st.cluster_id = s.seed_id
+ORDER BY cluster_id
+"""
+
+
+@register("kmeans_refine_clusters", _KMEANS_REFINE_ORACLE)
+def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One unrolled Lloyd (k-means) refinement step on the IVF coarse
+    assignment: per-cluster centroids are the element-wise means of
+    member vectors — accumulated as EXACT integers (floor(x·1e6)) so
+    the 64 per-dimension sums are order-independent, then one division
+    each — and every vector reassigns to its nearest centroid. Reports
+    per-cluster membership before/after and how many stayed: the
+    convergence telemetry a k-means driver loop reads. Further
+    iterations chain the same two relational steps; at 100 TB each
+    step is one posexplode shuffle on (cluster, dim) plus a
+    broadcast-centroid reassignment scan.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = _ivf_assign_table(spark, sf_dir)  # (vec_id, cluster_id)
+    dims = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(v, x -> cast(floor(x * 1000000.0D) as bigint))")
+        ).alias("dim", "q"),
+    ).join(assigned, "vec_id")
+    cent_dims = dims.groupBy("cluster_id", "dim").agg(
+        (F.sum("q").cast("double") / F.count("*")).alias("cd")
+    )
+    cents = cent_dims.groupBy("cluster_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, cd))), x -> x.cd)"
+        ).alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("score"), F.asc("cluster_id")
+    )
+    reassigned = (
+        vecs.join(F.broadcast(cents))
+        .select(
+            "vec_id", "cluster_id",
+            F.round(cosine_similarity("v", "cv"), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id")
+    )
+    seeds = vecs.filter(F.col("vec_id") % ann.SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("cluster_id")
+    )
+    b = assigned.groupBy("cluster_id").agg(F.count("*").alias("n_before"))
+    f = reassigned.groupBy("cluster_id").agg(F.count("*").alias("n_after"))
+    st = (
+        assigned.alias("a")
+        .join(
+            reassigned.alias("r"),
+            (F.col("a.vec_id") == F.col("r.vec_id"))
+            & (F.col("a.cluster_id") == F.col("r.cluster_id")),
+        )
+        .groupBy(F.col("a.cluster_id").alias("cluster_id"))
+        .agg(F.count("*").alias("n_stayed"))
+    )
+    return (
+        seeds.join(b, "cluster_id", "left")
+        .join(f, "cluster_id", "left")
+        .join(st, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("n_before", F.lit(0)).alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).alias("n_after"),
+            F.coalesce("n_stayed", F.lit(0)).alias("n_stayed"),
+        )
+        .orderBy("cluster_id")
     )

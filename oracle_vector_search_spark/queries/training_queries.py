@@ -1270,3 +1270,63 @@ def mmr_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("query_id", "mmr_rank")
+
+
+@register(
+    "target_encode_loo",
+    """
+WITH b AS (
+  SELECT o_orderkey, o_orderpriority,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS target_cents
+  FROM orders
+),
+g AS (
+  SELECT o_orderpriority,
+         CAST(sum(target_cents) AS BIGINT) AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM b GROUP BY o_orderpriority
+)
+SELECT b.o_orderkey, b.o_orderpriority,
+       round(CAST(g.sum_cents - b.target_cents AS DOUBLE)
+             / (g.n - 1) / 100.0, 6) AS loo_mean_price
+FROM b JOIN g USING (o_orderpriority)
+ORDER BY b.o_orderkey
+""",
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the leakage-safe categorical
+    feature: each row's category is encoded as the mean target of the
+    OTHER rows in its category, (sum − x)/(n−1). The sums accumulate
+    as exact integer cents (order-independent), then one double
+    division per row — so the encoding is bit-reproducible across
+    engines and cluster sizes, which matters because a training
+    feature that drifts between runs silently changes the model.
+    One aggregate + one broadcast join back; the encoded table is
+    row-parallel at any scale.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias(
+            "target_cents"
+        ),
+    )
+    g = b.groupBy("o_orderpriority").agg(
+        F.sum("target_cents").alias("sum_cents"),
+        F.count("*").alias("n"),
+    )
+    return (
+        b.join(F.broadcast(g), "o_orderpriority")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("sum_cents") - F.col("target_cents")).cast("double")
+                / (F.col("n") - 1)
+                / F.lit(100.0),
+                6,
+            ).alias("loo_mean_price"),
+        )
+        .orderBy("o_orderkey")
+    )

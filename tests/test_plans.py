@@ -58,3 +58,46 @@ def test_scan_prunes_columns(spark, sf_dir, qs):
     plan = formatted_plan(df)
     # 4 selected columns; o_orderdate must NOT be read
     assert "o_orderdate" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_bm25_reads_pruned_postings(spark, sf_dir, qs):
+    """BM25 must hit the at-rest posting table with a partition filter
+    on the query terms' buckets — not re-tokenize the corpus."""
+    df = qs["bm25_retrieval_top10"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tb#" in plan, plan
+    # no explode of the documents table in the query-time plan
+    assert "Generate explode" not in plan, plan
+
+
+def test_bloom_prefilter_stays_in_scan_stage(spark, sf_dir, qs):
+    """The Bloom probe must be a Filter directly over the lineitem
+    scan (before any join/exchange), not post-join."""
+    df = qs["bloom_prefiltered_urgent_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the probe's hash appears in a Filter node; the join that follows
+    # is broadcast (fact side never shuffles before the probe)
+    assert "xxhash64" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    i_filter = plan.find("xxhash64")
+    i_join = plan.find("BroadcastHashJoin")
+    assert i_join < i_filter, (
+        "probe filter should sit below the join in the plan tree"
+    )
+
+
+def test_upsert_merge_single_shuffle(spark, sf_dir, qs):
+    """CDC merge = union + one hash exchange on the key + rank-1."""
+    df = qs["events_upsert_snapshot"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan or "Window" in plan, plan
+    assert plan.count("Union") >= 1, plan
+
+
+def test_correlation_is_map_side_partial_agg(spark, sf_dir, qs):
+    """The moment sums must partial-aggregate before the single-row
+    final aggregate — one scan, no wide shuffle."""
+    df = qs["feature_correlation_exact"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan
+    assert "HashAggregate" in plan, plan

@@ -206,3 +206,98 @@ def event_pairs_within_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp(F.col("r.ts")) - F.unix_timestamp(F.col("l.ts"))
         ).alias("gap_seconds"),
     )
+
+
+@register(
+    "events_hourly_gapfill_locf",
+    """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS value_cents
+  FROM events
+),
+h AS (
+  SELECT user_id, ts_us // 3600000000 AS hour_id, ts_us, event_id,
+         value_cents
+  FROM e
+),
+bounds AS (SELECT min(hour_id) AS hmin, max(hour_id) AS hmax FROM h),
+users AS (SELECT DISTINCT user_id FROM e),
+grid AS (
+  SELECT u.user_id, unnest(range(b.hmin, b.hmax + 1)) AS hour_id
+  FROM users u CROSS JOIN bounds b
+),
+obs AS (
+  SELECT user_id, hour_id, value_cents FROM (
+    SELECT user_id, hour_id, value_cents,
+           row_number() OVER (PARTITION BY user_id, hour_id
+                              ORDER BY ts_us DESC, event_id DESC) AS rn
+    FROM h
+  ) WHERE rn = 1
+),
+j AS (
+  SELECT g.user_id, g.hour_id, o.value_cents
+  FROM grid g LEFT JOIN obs o
+    ON o.user_id = g.user_id AND o.hour_id = g.hour_id
+)
+SELECT user_id, hour_id, value_cents,
+       last_value(value_cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hour_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cents
+FROM j
+ORDER BY user_id, hour_id
+""",
+)
+def events_hourly_gapfill_locf(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-series regularization: a dense per-user hourly grid over
+    the observed range (gap-fill), each cell carrying the hour's last
+    observation, gaps forward-filled (LOCF) per user — the
+    resample-then-fill step every sensor/metrics training pipeline
+    runs before windowed feature extraction. The grid explodes from a
+    broadcast 2-scalar bounds row; LOCF is one user-partitioned
+    window; rows before a user's first observation stay NULL rather
+    than inventing data.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    h = e.withColumn("hour_id", F.expr("ts_us div 3600000000"))
+    bounds = h.agg(
+        F.min("hour_id").alias("hmin"), F.max("hour_id").alias("hmax")
+    )
+    users = e.select("user_id").distinct()
+    grid = users.join(F.broadcast(bounds)).select(
+        "user_id",
+        F.explode(F.sequence(F.col("hmin"), F.col("hmax"))).alias(
+            "hour_id"
+        ),
+    )
+    w_obs = Window.partitionBy("user_id", "hour_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    obs = (
+        h.withColumn("rn", F.row_number().over(w_obs))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour_id", "value_cents")
+    )
+    j = grid.join(obs, ["user_id", "hour_id"], "left")
+    w_fill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        "hour_id",
+        "value_cents",
+        F.last("value_cents", ignorenulls=True)
+        .over(w_fill)
+        .alias("filled_cents"),
+    ).orderBy("user_id", "hour_id")

@@ -339,3 +339,74 @@ def feature_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return wide.unpivot([], ["qty_price", "qty_disc", "price_disc"],
                         "pair", "corr").orderBy("pair")
+
+
+@register(
+    "fuzzy_entity_match_pairs",
+    """
+WITH planted AS (
+  SELECT p_partkey + 1000000 AS typo_key,
+         concat(substr(p_name, 1, 2), 'x', substr(p_name, 4)) AS typo_name
+  FROM part WHERE p_partkey < 5
+),
+cand AS (
+  SELECT p_partkey, p_name,
+         list_extract(string_split(p_name, ' '), -1) AS block_key
+  FROM part
+),
+p2 AS (
+  SELECT typo_key, typo_name,
+         list_extract(string_split(typo_name, ' '), -1) AS block_key
+  FROM planted
+)
+SELECT p.typo_key, p.typo_name, c.p_partkey AS match_key,
+       c.p_name AS match_name,
+       CAST(levenshtein(p.typo_name, c.p_name) AS INTEGER)
+         AS edit_distance
+FROM p2 p JOIN cand c ON c.block_key = p.block_key
+WHERE levenshtein(p.typo_name, c.p_name) <= 1
+ORDER BY typo_key, match_key
+""",
+)
+def fuzzy_entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with blocking: 5 planted single-character
+    typos (derived in-query from real part names, the repo's
+    planted-fixture pattern) must resolve back to their source
+    entities via Levenshtein ≤ 1 — but ONLY pairs sharing a blocking
+    key (the name's last token) are ever compared, so the pair space
+    is per-block quadratic, never corpus-quadratic. The blocking
+    discipline is what makes edit-distance ER feasible at 100 TB;
+    swap the block key for a phonetic/sorted-ngram key for harder
+    datasets.
+    """
+    part = load_table(spark, sf_dir, "part")
+    planted = part.filter(F.col("p_partkey") < 5).select(
+        (F.col("p_partkey") + 1000000).alias("typo_key"),
+        F.concat(
+            F.substring("p_name", 1, 2),
+            F.lit("x"),
+            F.expr("substr(p_name, 4)"),
+        ).alias("typo_name"),
+    )
+    cand = part.select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("block_key"),
+    )
+    p2 = planted.withColumn(
+        "block_key", F.element_at(F.split("typo_name", " "), -1)
+    )
+    return (
+        p2.join(cand, "block_key")
+        .filter(F.levenshtein("typo_name", "p_name") <= 1)
+        .select(
+            "typo_key",
+            "typo_name",
+            F.col("p_partkey").alias("match_key"),
+            F.col("p_name").alias("match_name"),
+            F.levenshtein("typo_name", "p_name")
+            .cast("int")
+            .alias("edit_distance"),
+        )
+        .orderBy("typo_key", "match_key")
+    )

@@ -222,3 +222,101 @@ def token_frequencies_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(20)
     )
+
+
+@register(
+    "bigram_collocations_top20",
+    """
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+),
+big AS (
+  SELECT unnest([{'w1': toks[i], 'w2': toks[i + 1]}
+                 FOR i IN range(1, len(toks))]) AS b
+  FROM base
+),
+bc AS (
+  SELECT b.w1 AS w1, b.w2 AS w2, CAST(count(*) AS BIGINT) AS c12
+  FROM big GROUP BY b.w1, b.w2
+),
+uni AS (
+  SELECT unnest(toks) AS w FROM base
+),
+uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY w),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+scored AS (
+  SELECT bc.w1, bc.w2, bc.c12,
+         round(bc.c12 * 1.0 / u1.c, 6) AS cond_prob,
+         round((bc.c12 * 1.0 * t.n) / (u1.c * 1.0 * u2.c), 6) AS lift
+  FROM bc
+  JOIN uc u1 ON u1.w = bc.w1
+  JOIN uc u2 ON u2.w = bc.w2
+  CROSS JOIN tot t
+)
+SELECT w1, w2, c12, cond_prob, lift, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY c12 DESC, w1, w2) AS rn
+      FROM scored)
+WHERE rn <= 20
+ORDER BY rank
+""",
+)
+def bigram_collocations_top20(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Corpus collocation statistics for the 20 most frequent bigrams:
+    conditional probability P(w2|w1) and rational lift
+    P(w1w2)/(P(w1)P(w2)) — the ln-free form of PMI, computed as pure
+    ratios of exact counts so both engines agree bit-for-bit. The
+    n-gram language-model statistics a data pipeline extracts for
+    tokenizer/LM quality checks. One shuffle per count table; unigram
+    counts broadcast back onto the bigram table.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(F.split(T.norm_text("text"), " ").alias("toks"))
+    big = base.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) as w1, "
+                "element_at(toks, i + 1) as w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = big.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni = base.select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    tot = uni.agg(F.count("*").alias("n"))
+    scored = (
+        bc.join(
+            F.broadcast(uc.select(F.col("w").alias("w1"),
+                                  F.col("c").alias("c1"))), "w1"
+        )
+        .join(
+            F.broadcast(uc.select(F.col("w").alias("w2"),
+                                  F.col("c").alias("c2"))), "w2"
+        )
+        .join(F.broadcast(tot))
+        .select(
+            "w1", "w2", "c12",
+            F.round(F.col("c12") * 1.0 / F.col("c1"), 6).alias(
+                "cond_prob"
+            ),
+            F.round(
+                (F.col("c12") * 1.0 * F.col("n"))
+                / (F.col("c1") * 1.0 * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("w1", "w2", "c12", "cond_prob", "lift", "rank")
+        .orderBy("rank")
+    )

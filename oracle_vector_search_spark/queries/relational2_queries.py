@@ -306,3 +306,79 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_median"
         ),
     )
+
+
+@register(
+    "winsorized_price_stats",
+    """
+WITH bounds AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.05), 6) AS lo,
+         round(quantile_cont(l_extendedprice, 0.95), 6) AS hi
+  FROM lineitem GROUP BY l_returnflag
+),
+clipped AS (
+  SELECT l.l_returnflag,
+         CAST(floor(least(greatest(l.l_extendedprice, b.lo), b.hi) * 100)
+              AS BIGINT) AS w_cents,
+         CAST(floor(l.l_extendedprice * 100) AS BIGINT) AS raw_cents
+  FROM lineitem l JOIN bounds b ON b.l_returnflag = l.l_returnflag
+)
+SELECT c.l_returnflag, b.lo, b.hi,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(sum(c.raw_cents) AS DOUBLE) / 100.0 / count(*), 6)
+         AS raw_mean,
+       round(CAST(sum(c.w_cents) AS DOUBLE) / 100.0 / count(*), 6)
+         AS winsorized_mean
+FROM clipped c JOIN bounds b ON b.l_returnflag = c.l_returnflag
+GROUP BY c.l_returnflag, b.lo, b.hi
+ORDER BY c.l_returnflag
+""",
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (winsorized) means: per-group p05/p95 bounds, values
+    clipped into [lo, hi], then the usual exact-integer-cents mean —
+    the outlier-resistant statistic a feature pipeline reports next to
+    the raw mean. Bounds are rounded to 6 BEFORE clipping so both
+    engines clip at the identical threshold. Two passes over the fact
+    (bounds, then clip+sum), bounds broadcast back — no row-level
+    sort survives to the plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", 0.05), 6).alias("lo"),
+        F.round(F.percentile("l_extendedprice", 0.95), 6).alias("hi"),
+    )
+    clipped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        F.floor(
+            F.least(
+                F.greatest(F.col("l_extendedprice"), F.col("lo")),
+                F.col("hi"),
+            )
+            * 100
+        )
+        .cast("long")
+        .alias("w_cents"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias(
+            "raw_cents"
+        ),
+    )
+    return (
+        clipped.groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum("raw_cents").cast("double") / 100.0 / F.count("*"), 6
+            ).alias("raw_mean"),
+            F.round(
+                F.sum("w_cents").cast("double") / 100.0 / F.count("*"), 6
+            ).alias("winsorized_mean"),
+        )
+        .select(
+            "l_returnflag", "lo", "hi", "n", "raw_mean", "winsorized_mean"
+        )
+        .orderBy("l_returnflag")
+    )

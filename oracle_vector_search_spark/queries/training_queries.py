@@ -726,6 +726,20 @@ def bm25_retrieval_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is needed at query time. Top-10 compiles to
     TakeOrderedAndProject, never a global sort.
     """
+    agg = _bm25_doc_scores(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("bm25_micros"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("rank")
+    )
+
+
+def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bm25_micros) for the fixed BM25_TERMS query — shared by
+    the pure-lexical top-10 and the hybrid RRF fusion."""
     postings, stats = _posting_tables(spark, sf_dir)
     buckets = sorted({term_bucket(t) for t in BM25_TERMS})
     tf = (
@@ -765,16 +779,8 @@ def bm25_retrieval_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("term_score_micros"),
         )
     )
-    agg = scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id").agg(
         F.sum("term_score_micros").alias("bm25_micros")
-    )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.desc("bm25_micros"), F.asc("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .orderBy("rank")
     )
 
 

@@ -112,13 +112,16 @@ def decode_class(df: DataFrame, class_id_col: str = "class_id") -> DataFrame:
 def assign_index_ids(
     df: DataFrame, order_cols: list[str] = ("split", "stem", "box_idx")
 ) -> DataFrame:
-    """A5: deterministic, dense, partition-stable ids.
+    """A5: deterministic, dense, partition-stable ids — oracle tier.
 
-    A single global window (no partitionBy) serializes through one
-    task at the ranking step — acceptable because only the tiny
-    (order_cols) tuple is shuffled, not the payload. This is the
-    correctness/oracle tier; ``assign_index_ids_two_phase`` produces
-    the IDENTICAL ids fully in parallel for the 100 TB path."""
+    A single global window (no partitionBy) funnels EVERY input row —
+    the full payload, vectors included — through one task at the
+    ranking step. That is fine on fixture-sized inputs and gives the
+    simplest possible oracle twin, but it is NOT the production path:
+    ``assign_index_ids_two_phase`` produces the IDENTICAL ids with no
+    single-task stage and is the default in the build DAG
+    (queries/pipeline_queries.py). Keep this tier for tiny inputs and
+    cross-checks only."""
     w = Window.orderBy(*[F.col(c) for c in order_cols])
     return df.withColumn("id", F.row_number().over(w).cast("long"))
 

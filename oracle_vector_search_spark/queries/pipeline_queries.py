@@ -26,7 +26,7 @@ from oracle_vector_search_spark.functions import embed as E
 from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.operators.ingest import (
     CLASS_NAMES,
-    assign_index_ids,
+    assign_index_ids_two_phase,
     decode_class,
     denormalize_boxes,
     parse_yolo_labels,
@@ -229,8 +229,12 @@ def _built_index(spark: SparkSession, sf_dir: str, max_key: int) -> DataFrame:
     ).withColumn("unit0", F.col("e0") / F.col("enorm"))
     d = d.withColumn("split", F.lit("train"))
     # box_idx alone can tie (synthetic lineitem reuses (orderkey, linenumber));
-    # extend the A5 ordering with box content so ids are fully deterministic
-    return assign_index_ids(
+    # extend the A5 ordering with box content so ids are fully deterministic.
+    # Two-phase assignment is the default: the embedded payload range-
+    # partitions once and ranks locally — no single-task global window
+    # ever sees the vector column (ids proven identical to the window
+    # tier by tests/test_scale_ops.py::test_two_phase_ids_match_window_tier).
+    return assign_index_ids_two_phase(
         d, ["split", "stem", "box_idx", "class_id", "x1", "y1", "x2", "y2"]
     )
 

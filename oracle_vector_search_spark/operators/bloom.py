@@ -29,9 +29,15 @@ _SEED_STEP = 0x9E3779B9  # golden-ratio odd step decorrelates the k hashes
 
 
 def _positions(key: Column, m_bits: int, k: int) -> list[Column]:
+    # Seed via xxhash64's multi-arg form, NOT numeric addition: `key +
+    # lit(seed)` would implicit-cast a string key to NULL and collapse
+    # every key to the same k positions (filter passes everything —
+    # still exact, but zero selectivity). Multi-arg hashing works for
+    # any key type; build and probe share this exact expression, so the
+    # no-false-negative property is preserved.
     return [
         F.pmod(
-            F.xxhash64(key + F.lit(i * _SEED_STEP)), F.lit(m_bits)
+            F.xxhash64(key, F.lit(i * _SEED_STEP)), F.lit(m_bits)
         )
         for i in range(k)
     ]

@@ -332,13 +332,17 @@ def dedup_clusters_fixpoint(
     max_iterations: int = 50,
 ) -> DataFrame:
     """The 100 TB tier of ``dedup_clusters``: min-label propagation run
-    to a FIXPOINT, not a fixed unroll — exact for any component
-    diameter. Each round is one join + groupBy(min); convergence is
-    detected with a metadata-sized changed-labels count, and
-    ``localCheckpoint`` truncates the growing lineage every round so
-    the plan (and scheduler overhead) stays flat no matter how many
-    rounds a deep component needs. Converges in O(log diameter)-ish
-    rounds for typical near-dup chain graphs."""
+    to a FIXPOINT, not a fixed unroll — exact for any component whose
+    diameter fits in ``max_iterations``. Each round is one join +
+    groupBy(min); convergence is detected with a metadata-sized
+    changed-labels count, and ``localCheckpoint`` truncates the growing
+    lineage every round so the plan (and scheduler overhead) stays flat
+    no matter how many rounds a deep component needs. The min label
+    advances ONE hop per round, so a component of diameter D needs
+    O(D) rounds (near-dup graphs are overwhelmingly shallow; raise
+    ``max_iterations`` for pathological chains). If the cap is hit
+    before the fixpoint, a RuntimeWarning is emitted and the (possibly
+    unconverged) labels are returned."""
     edges = (
         pairs.select(
             F.col("left_id").alias("src"), F.col("right_id").alias("dst")
@@ -355,6 +359,7 @@ def dedup_clusters_fixpoint(
     labels = all_ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("canonical_id")
     ).localCheckpoint()
+    changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(
@@ -388,4 +393,15 @@ def dedup_clusters_fixpoint(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        import warnings
+
+        warnings.warn(
+            f"dedup_clusters_fixpoint hit max_iterations={max_iterations} "
+            f"with {changed} labels still changing — canonical ids are NOT "
+            "converged; raise max_iterations (component diameter exceeds "
+            "the cap).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select(F.col("node").alias(id_col), "canonical_id")

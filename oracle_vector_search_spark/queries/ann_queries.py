@@ -26,12 +26,12 @@ _BUCKET_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from oracle_vector_search_spark.scratch import scratch_dir
 
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _BUCKET_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="ovs_lsh_buckets_")
+        path = scratch_dir("ovs_lsh_buckets_")
         # single-file fixture → one input partition; spread the 16
         # per-row plane dot products across cores before evaluating.
         # Written partitioned by band — a band-scoped read prunes 3/4
@@ -58,12 +58,12 @@ _IVF_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _ivf_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from oracle_vector_search_spark.scratch import scratch_dir
 
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _IVF_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="ovs_ivf_assign_")
+        path = scratch_dir("ovs_ivf_assign_")
         emb = load_table(spark, sf_dir, "embeddings").repartition(32)
         ann.ivf_assign(emb).write.mode("overwrite").parquet(path)
         _IVF_CACHE[key] = path

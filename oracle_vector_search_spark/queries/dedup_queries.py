@@ -34,14 +34,14 @@ _SIG_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
+    from oracle_vector_search_spark.scratch import scratch_dir
 
     from oracle_vector_search_spark.operators.dedup import minhash_signatures
 
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _SIG_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="ovs_minhash_sigs_")
+        path = scratch_dir("ovs_minhash_sigs_")
         # the fixture is a single parquet file → one input partition;
         # spread the (interpreted, per-row) hash expressions across
         # cores before evaluating them

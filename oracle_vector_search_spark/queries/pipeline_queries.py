@@ -332,14 +332,14 @@ def _materialized_index(
     write_index_table (K3/K4), and serve queries from the parquet at
     rest. Breaking lineage here is the scale story — a 100 TB index is
     a table, not a subplan rebuilt per query."""
-    import tempfile
+    from oracle_vector_search_spark.scratch import scratch_dir
 
     from oracle_vector_search_spark.operators.ingest import write_index_table
 
     key = (spark.sparkContext.applicationId, sf_dir, max_key)
     path = _INDEX_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="ovs_index_")
+        path = scratch_dir("ovs_index_")
         idx = _built_index(spark, sf_dir, max_key).select(
             "id", "split", "stem", "box_idx", "class_id", "class_name",
             "x1", "y1", "x2", "y2", "e0", "enorm", "unit0", "emb",

@@ -21,7 +21,7 @@ choice exists. These are the distributed equivalents.
 from __future__ import annotations
 
 import re
-import tempfile
+from oracle_vector_search_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -52,11 +52,11 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         )
         write_bucketed(
             spark, orders, ord_t, "o_orderkey", buckets=_BUCKETS,
-            path=tempfile.mkdtemp(prefix="ovs_bucket_ord_"),
+            path=scratch_dir("ovs_bucket_ord_"),
         )
         write_bucketed(
             spark, li, li_t, "l_orderkey", buckets=_BUCKETS,
-            path=tempfile.mkdtemp(prefix="ovs_bucket_li_"),
+            path=scratch_dir("ovs_bucket_li_"),
         )
         names = (ord_t, li_t)
         _BUCKETED_CACHE[key] = names

@@ -561,13 +561,13 @@ def term_bucket(term: str) -> int:
 def _posting_tables(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
-    import tempfile
+    from oracle_vector_search_spark.scratch import scratch_dir
 
     key = (spark.sparkContext.applicationId, sf_dir)
     paths = _POSTING_CACHE.get(key)
     if paths is None:
-        p_path = tempfile.mkdtemp(prefix="ovs_postings_")
-        s_path = tempfile.mkdtemp(prefix="ovs_corpus_stats_")
+        p_path = scratch_dir("ovs_postings_")
+        s_path = scratch_dir("ovs_corpus_stats_")
         docs = load_table(spark, sf_dir, "documents")
         base = docs.select(
             "doc_id", F.split(T.norm_text("text"), " ").alias("toks")

@@ -171,9 +171,9 @@ def streaming_knn_scores(
     # driver, so throughput is unbounded in the number of queries). The
     # final re-rank is a window over the sink — candidates are ≤ k rows
     # per query per batch, so the sink stays tiny relative to the stream.
-    import tempfile
+    from oracle_vector_search_spark.scratch import scratch_dir
 
-    sink_path = tempfile.mkdtemp(prefix="ovs_knn_sink_")
+    sink_path = scratch_dir("ovs_knn_sink_")
 
     def score_batch(batch_df: DataFrame, epoch_id: int) -> None:
         q = batch_df.select(
@@ -296,15 +296,15 @@ def upsert_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch runs in a cloned session; state passes between
     epochs via the written parquet paths, not session objects.
     """
-    import tempfile
+    from oracle_vector_search_spark.scratch import scratch_dir
 
     from pyspark.sql import Window
 
     from oracle_vector_search_spark.io import load_table
     from oracle_vector_search_spark.operators.merge import merge_upsert
 
-    src_dir = tempfile.mkdtemp(prefix="ovs_upsert_src_")
-    snap_root = tempfile.mkdtemp(prefix="ovs_upsert_snap_")
+    src_dir = scratch_dir("ovs_upsert_src_")
+    snap_root = scratch_dir("ovs_upsert_snap_")
     (
         load_table(spark, sf_dir, "events")
         .select(

@@ -25,6 +25,33 @@ def top_k_global(df: DataFrame, k: int, *order: Column) -> DataFrame:
     return df.orderBy(*order).limit(k)
 
 
+def global_topn_ranked(
+    df: DataFrame, k: int, *order: Column, rank_col: str = "rank"
+) -> DataFrame:
+    """Global top-k WITH a dense 1..k rank column, warning-free.
+
+    Writing this as ``row_number() OVER (ORDER BY ...)`` + ``rank <= k``
+    produces the right physical plan (Spark rewrites it into
+    TakeOrderedAndProject feeding a k-row window) but logs the scary
+    "No Partition Defined for Window operation" warning on every run,
+    which buries REAL single-partition hazards in bench/oracle logs.
+    This shape is equivalent and silent: take the k rows first
+    (TakeOrderedAndProject — per-partition partial top-k, merge of
+    partitions×k rows), then rank only those k rows under a constant
+    non-empty partition spec. The window input is k rows by
+    construction, so the single partition is the point, not a hazard.
+
+    The partition anchor must be constant-valued but NOT foldable:
+    Spark 4's EliminateWindowPartitions strips foldable expressions
+    (``lit(1)`` degrades back to the warning case), so we anchor on
+    ``pmod(hash(first_col), 1)`` — always 0, but opaque to the
+    optimizer because it references a real column."""
+    top = df.orderBy(*order).limit(k)
+    anchor = F.pmod(F.hash(F.col(df.columns[0])), F.lit(1))
+    w = Window.partitionBy(anchor).orderBy(*order)
+    return top.withColumn(rank_col, F.row_number().over(w))
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: list[str],

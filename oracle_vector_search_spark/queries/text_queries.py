@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.topk import global_topn_ranked
 from oracle_vector_search_spark.queries import register
 
 _SW = T.STOPWORDS
@@ -313,10 +314,10 @@ def bigram_collocations_top20(
             ).alias("lift"),
         )
     )
-    w = Window.orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        global_topn_ranked(
+            scored, 20, F.desc("c12"), F.asc("w1"), F.asc("w2")
+        )
         .select("w1", "w2", "c12", "cond_prob", "lift", "rank")
         .orderBy("rank")
     )

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.topk import global_topn_ranked
 from oracle_vector_search_spark.queries import register
 
 QUANT_MAX_ID = 300  # embeddings subset for the per-vector fidelity report
@@ -478,12 +479,9 @@ def chunk_embed_retrieve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         F.round(cosine_similarity("qvec", "emb"), 6).alias("score"),
     )
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"), F.asc("chunk_idx"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= RAG_K)
-        .select("doc_id", "chunk_idx", "score", "rank")
-    )
+    return global_topn_ranked(
+        scored, RAG_K, F.desc("score"), F.asc("doc_id"), F.asc("chunk_idx")
+    ).select("doc_id", "chunk_idx", "score", "rank")
 
 
 @register(
@@ -644,10 +642,8 @@ def term_doc_frequency_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     dfreq = postings.groupBy("term").agg(F.count("*").alias("doc_freq"))
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("doc_freq"), F.asc("term"))
     return (
-        dfreq.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        global_topn_ranked(dfreq, 20, F.desc("doc_freq"), F.asc("term"))
         .join(F.broadcast(stats.select("n_docs")))
         .select(
             "term",
@@ -729,12 +725,9 @@ def bm25_retrieval_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = _bm25_doc_scores(spark, sf_dir)
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("bm25_micros"), F.asc("doc_id"))
-    return (
-        agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .orderBy("rank")
-    )
+    return global_topn_ranked(
+        agg, 10, F.desc("bm25_micros"), F.asc("doc_id")
+    ).orderBy("rank")
 
 
 def _bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -958,10 +951,8 @@ def boolean_and_retrieval_top20(
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("total_tf"), F.asc("doc_id"))
     return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        global_topn_ranked(cand, 20, F.desc("total_tf"), F.asc("doc_id"))
         .select("doc_id", "total_tf", "rank")
         .orderBy("rank")
     )
@@ -1034,12 +1025,9 @@ def phrase_retrieval_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("n_matches"), F.asc("doc_id"))
-    return (
-        m.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
-        .orderBy("rank")
-    )
+    return global_topn_ranked(
+        m, 20, F.desc("n_matches"), F.asc("doc_id")
+    ).orderBy("rank")
 
 
 MMR_LAMBDA = "0.5"  # relevance/diversity balance, as a literal for both engines

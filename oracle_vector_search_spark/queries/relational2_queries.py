@@ -92,7 +92,11 @@ WINDOW w AS (ORDER BY c_acctbal, c_custkey)
 )
 def ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile / percent_rank / cume_dist over a fully tie-broken global
-    ordering."""
+    ordering — ORACLE TIER: the empty-partition window funnels every
+    row through one task. Exact global quantile ranks inherently need
+    a total order; ``ntile_distribution_scaled`` computes the
+    identical answer with no single-task stage and is the tier a
+    100 TB run uses."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return cust.select(
@@ -100,6 +104,58 @@ def ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "ntile_distribution_scaled",
+    """
+SELECT c_custkey,
+       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM customer
+WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+""",
+)
+def ntile_distribution_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB tier of ``ntile_distribution`` — same oracle, no
+    single-partition window.
+
+    Global rank comes from the two-phase trick (range-partition on the
+    order key, rank locally, prefix-sum per-partition counts on the
+    driver — ``assign_index_ids_two_phase``); ntile / percent_rank /
+    cume_dist are then CLOSED-FORM in (rank, N) because the ordering is
+    fully tie-broken (unique ``c_custkey`` tie-break ⇒ cume_dist = r/N,
+    percent_rank = (r-1)/(N-1), and SQL ntile(4) puts the first N%4
+    buckets one row over size N//4). N is one metadata-sized count.
+    Every step is embarrassingly parallel; the only shuffle is the
+    range repartition Spark would need for ANY global ordering."""
+    from oracle_vector_search_spark.operators.ingest import (
+        assign_index_ids_two_phase,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    n = cust.count()
+    ranked = assign_index_ids_two_phase(
+        cust, ["c_acctbal", "c_custkey"]
+    ).withColumnRenamed("id", "__r")
+    q, rem = divmod(n, 4)
+    big = rem * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    r = F.col("__r")
+    quartile = (
+        F.when(F.lit(q == 0), r)  # n < 4: ntile degenerates to rank
+        .when(r <= big, F.ceil(r / F.lit(q + 1)))
+        .otherwise(F.lit(rem) + F.ceil((r - F.lit(big)) / F.lit(q)))
+    )
+    pct = (r - 1) / F.lit(n - 1) if n > 1 else F.lit(0.0)
+    return ranked.select(
+        "c_custkey",
+        quartile.cast("int").alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(r / F.lit(n), 6).alias("cume"),
     )
 
 

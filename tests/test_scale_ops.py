@@ -319,3 +319,25 @@ def test_two_phase_ids_match_window_tier(spark, sf_dir):
     # no global single-task exchange in the two-phase plan
     plan = b._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_ntile_scaled_matches_exact_tier(spark, sf_dir):
+    from oracle_vector_search_spark.queries.relational2_queries import (
+        ntile_distribution,
+        ntile_distribution_scaled,
+    )
+
+    exact = ntile_distribution(spark, sf_dir).collect()
+    scaled = ntile_distribution_scaled(spark, sf_dir).collect()
+    key = lambda r: r["c_custkey"]
+    assert sorted(map(tuple, exact), key=lambda t: t[0]) == sorted(
+        map(tuple, scaled), key=lambda t: t[0]
+    )
+    # the scale tier must not move the payload through one task
+    plan = (
+        ntile_distribution_scaled(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan

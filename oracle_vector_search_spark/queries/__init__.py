@@ -68,76 +68,73 @@ def load_all_modules() -> None:
 
 
 # Registry ordering exposed to the driver. The driver's hard correctness
-# gate checks a 50-entry prefix of queries(), so every operator-bearing
-# query must land in the first 50 slots. Redundant per-row function suites
-# and group-by variants (whose operators are proven elsewhere in the
-# prefix) sit past 50. Keep this list at exactly 50 names.
+# gate checks a 50-entry prefix of queries(), so the prefix ROTATES each
+# round to spread verification across the whole registry:
+#   r1 window ∪ r2 window = 79 distinct driver-checked queries;
+#   r3 (this file) = 8 always-on sentinels + the 36 queries never checked
+#   in any prior round + new round-3 queries. After r3 the union covers
+#   the entire registry. Queries past position 49 remain verified by the
+#   local gate (tools/oracle_check.py, full surface, CI via
+#   tests/test_full_surface.py). Keep this list at exactly 50 names.
 _PRIORITY: tuple[str, ...] = (
-    # end-to-end reference parity (build_faiss_db.py / app.py)
+    # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",
     "pipeline_bbox_denorm",
     "pipeline_index_build",
     "pipeline_query_topk",
-    # vector / kNN core
     "knn_exact_cosine_top5",
     "knn_exact_cosine_top5_gemm",
-    "knn_with_metadata",
-    "vector_normalize_stats",
-    "similarity_self_join",
-    # ANN / quantization tiers (lsh_bucket_distribution and
-    # lsh_similarity_join_approx sit past 50: the same signature
-    # pipeline is verified by lsh_ann_topk; pq_codes_fidelity past 50:
-    # quantization fidelity is verified by embedding_quantize_int8)
-    "lsh_ann_topk",
+    "exact_dedup_groups",
+    "streaming_upsert_snapshot",
+    # --- never driver-checked before round 3: retrieval family ---
+    "term_doc_frequency_top20",
+    "boolean_and_retrieval_top20",
+    "phrase_retrieval_top20",
+    "bigram_collocations_top20",
+    "mmr_rerank_top3",
+    "chunk_embed_retrieve_topk",
+    # --- never-checked: ANN / clustering audits ---
+    "pq_codes_fidelity",
+    "kmeans_refine_clusters",
+    "ngram_jaccard_pairs",
+    "fuzzy_entity_match_pairs",
+    # --- never-checked: ML-prep / training pipeline ---
+    "target_encode_loo",
+    "contrastive_negative_samples",
+    "hard_negative_mining_top3",
+    "stratified_sample_rates",
+    "feature_correlation_exact",
+    "winsorized_price_stats",
+    # --- never-checked: text analysis ---
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    # --- never-checked: temporal / CDC / streaming ---
+    "events_hourly_gapfill_locf",
+    "hourly_agg_partial_merge",
+    "view_purchase_funnel",
+    "streaming_view_purchase_pairs",
+    "streaming_sliding_windows_watermark",
+    "q6_forecast_revenue",
+    # --- never-checked: relational / join / window shapes ---
+    "bloom_prefiltered_urgent_revenue",
+    "min_cost_supplier_per_part",
+    "nation_pair_volume",
+    "brand_discount_revenue",
+    "small_order_revenue",
+    "priority_by_linestatus",
+    "top_returning_customers",
+    "top_revenue_suppliers",
+    "customer_order_distribution",
+    "unpivot_pricing_measures",
+    "array_functions",
+    "ntile_distribution_scaled",
+    # --- tail: re-checks, swapped out as new round-3 queries land ---
+    "minhash_near_dup_pairs",
+    "bm25_retrieval_top10",
     "ivf_ann_topk",
     "pq_ann_topk",
-    "pq_refined_topk",
-    # streaming + stateful
-    "streaming_hourly_windows",
-    "streaming_upsert_snapshot",
-    "streaming_session_counts",
     "streaming_knn_scores",
-    "streaming_dedup_event_types",
-    "stateful_user_counts",
-    "grouped_map_centroids",
-    # chunking / packing
     "document_chunks",
-    "packed_context_bins",
-    "packed_bins_greedy",
-    # dedup family
-    "exact_dedup_groups",
-    "minhash_near_dup_pairs",
-    "simhash_near_dup_pairs",
-    "dedup_canonical_ids",
-    "kmv_containment_pairs",
-    # text analysis / retrieval
-    "doc_token_stats",
-    "doc_language_id",
-    "doc_fingerprints",
-    "bm25_retrieval_top10",
-    # TPC-H core + distinctive relational operators
-    "q1_pricing_summary",
-    "top3_orders_per_customer",
-    "revenue_by_nation",
-    "customers_without_orders",
-    "argmax_line_per_order",
-    "purchase_asof_order",
-    "event_pairs_within_minute",
-    "user_sessions",
-    "lineitem_cube",
-    "null_safe_join",
-    # scale-tier join layouts (r2): shuffle-free bucketed join, salted
-    # skew join — both value-checked against the plain-join oracle
-    "bucketed_colocated_join_revenue",
-    "salted_skew_join_revenue",
-    "events_upsert_snapshot",
-    # dataset audit / versioning (r2)
-    "dataset_constraint_audit",
-    "snapshot_diff_users",
-    # training-pipeline operator families (r2)
-    "embedding_quantize_int8",
-    "dataset_split_assign",
-    "doc_gopher_quality_flags",
 )
 
 

@@ -1,14 +1,66 @@
 """Registry ordering guard.
 
 The driver's hard correctness gate compares only a 50-entry prefix of
-``queries()`` against the DuckDB oracle, so the prefix must contain every
-operator-bearing query (pipeline parity, streaming, chunking, dedup, ANN,
-text, distinctive relational shapes). ``_PRIORITY`` pins that prefix; this
-test fails loudly if registration drift ever pushes one of those queries
-past position 49.
+``queries()`` against the DuckDB oracle, so the prefix ROTATES per round
+(see ``_PRIORITY``'s comment): a fixed sentinel set is always present,
+and the rest of the window is filled with queries that have never had a
+driver correctness row. This test pins the sentinel set and the round-3
+rotation (the 36 queries absent from CORRECTNESS_r01 ∪ CORRECTNESS_r02);
+it fails loudly if registration drift pushes any of them past position 49.
 """
 
 from oracle_vector_search_spark import queries as registry
+
+SENTINELS = {
+    "pipeline_label_parse",
+    "pipeline_bbox_denorm",
+    "pipeline_index_build",
+    "pipeline_query_topk",
+    "knn_exact_cosine_top5",
+    "knn_exact_cosine_top5_gemm",
+    "exact_dedup_groups",
+    "streaming_upsert_snapshot",
+}
+
+# never driver-checked in rounds 1-2 — all must be in the r3 window
+NEVER_CHECKED_R3 = {
+    "array_functions",
+    "bigram_collocations_top20",
+    "bloom_prefiltered_urgent_revenue",
+    "boolean_and_retrieval_top20",
+    "brand_discount_revenue",
+    "chunk_embed_retrieve_topk",
+    "contrastive_negative_samples",
+    "customer_order_distribution",
+    "doc_pii_scrub",
+    "doc_repetition_stats",
+    "events_hourly_gapfill_locf",
+    "feature_correlation_exact",
+    "fuzzy_entity_match_pairs",
+    "hard_negative_mining_top3",
+    "hourly_agg_partial_merge",
+    "kmeans_refine_clusters",
+    "min_cost_supplier_per_part",
+    "mmr_rerank_top3",
+    "nation_pair_volume",
+    "ngram_jaccard_pairs",
+    "ntile_distribution_scaled",
+    "phrase_retrieval_top20",
+    "pq_codes_fidelity",
+    "priority_by_linestatus",
+    "q6_forecast_revenue",
+    "small_order_revenue",
+    "stratified_sample_rates",
+    "streaming_sliding_windows_watermark",
+    "streaming_view_purchase_pairs",
+    "target_encode_loo",
+    "term_doc_frequency_top20",
+    "top_returning_customers",
+    "top_revenue_suppliers",
+    "unpivot_pricing_measures",
+    "view_purchase_funnel",
+    "winsorized_price_stats",
+}
 
 
 def test_priority_is_exactly_50():
@@ -21,43 +73,9 @@ def test_first_50_matches_priority():
     assert names[:50] == list(registry._PRIORITY)
 
 
-def test_operator_bearing_queries_in_prefix():
+def test_rotation_covers_sentinels_and_never_checked():
     prefix = set(list(registry.queries())[:50])
-    must_have = {
-        "pipeline_label_parse",
-        "pipeline_bbox_denorm",
-        "pipeline_index_build",
-        "pipeline_query_topk",
-        "streaming_hourly_windows",
-        "streaming_upsert_snapshot",
-        "streaming_session_counts",
-        "streaming_knn_scores",
-        "stateful_user_counts",
-        "document_chunks",
-        "packed_context_bins",
-        "packed_bins_greedy",
-        "dedup_canonical_ids",
-        "pq_refined_topk",
-        "kmv_containment_pairs",
-        "grouped_map_centroids",
-        "lineitem_cube",
-        "null_safe_join",
-        "events_upsert_snapshot",
-        "dataset_constraint_audit",
-        "snapshot_diff_users",
-        "bucketed_colocated_join_revenue",
-        "salted_skew_join_revenue",
-        "bm25_retrieval_top10",
-        "pq_ann_topk",
-        "embedding_quantize_int8",
-        "dataset_split_assign",
-        "doc_gopher_quality_flags",
-        "knn_exact_cosine_top5",
-        "lsh_ann_topk",
-        "ivf_ann_topk",
-        "minhash_near_dup_pairs",
-        "streaming_dedup_event_types",
-    }
+    must_have = SENTINELS | NEVER_CHECKED_R3
     assert must_have <= prefix, sorted(must_have - prefix)
 
 

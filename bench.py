@@ -6,23 +6,36 @@ Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
 JSON line:
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "one_time_writes": {...},
+     "cold_first_run": {...}, "runs_per_query": 4, "sf": 0.1}
+
+Noise discipline (VERDICT r2 #3): single-shot timings on a shared host
+swing ±50%, so every query runs RUNS times; ``queries`` reports the
+per-query MEDIAN of the warm runs (runs 2..RUNS) and ``value`` is the
+sum of those medians. The first run is reported separately in
+``cold_first_run`` — for the at-rest-table queries (index, LSH buckets,
+minhash signatures, bucketed tables, BM25 postings) it includes the
+one-time table write, split out in ``one_time_writes`` as
+first_run - warm_median. Compare BENCH rounds on the medians; the
+one-time writes are the deployment's nightly build cost, not the query
+path (PERF.md §5).
 
 Headline set = one representative per operator family (scan-agg, joins,
 window, top-k, temporal, JSON, sessionize, as-of, dedup exact/minhash,
 text stats, vector exact kNN both tiers, LSH ANN, build pipeline).
-Each query is executed with a count() action after a warmup of the
-input metadata; timings are per-query wall clock.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+RUNS = 4  # 1 cold + 3 warm; medians are over the warm runs
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -44,11 +57,23 @@ HEADLINE = [
     # r2 additions — the two r1 weak spots, kept under watch
     "packed_context_bins",
     "pipeline_query_topk",
-    # r2 scale-tier joins + retrieval (bucketed pays its one-time table
-    # write in-bench; the warm path is the deployment story, PERF.md §5)
+    # r2 scale-tier joins + retrieval (one-time table writes split out
+    # into one_time_writes; the warm path is the deployment story)
     "bucketed_colocated_join_revenue",
     "bm25_retrieval_top10",
 ]
+
+# queries whose FIRST run materializes an at-rest table into a session
+# cache (_INDEX_CACHE / _BUCKET_CACHE / _SIG_CACHE / _BUCKETED_CACHE /
+# _POSTING_CACHE) — their cold-vs-warm delta is the one-time write cost
+AT_REST_WRITERS = {
+    "minhash_near_dup_pairs",
+    "lsh_ann_topk",
+    "pipeline_index_build",
+    "pipeline_query_topk",
+    "bucketed_colocated_join_revenue",
+    "bm25_retrieval_top10",
+}
 
 
 def main() -> None:
@@ -68,21 +93,33 @@ def main() -> None:
     # warm the JVM + parquet footers with one trivial action
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    times: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    cold: dict[str, float] = {}
+    one_time: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        times[name] = round(time.time() - t0, 3)
+        runs: list[float] = []
+        for _ in range(RUNS):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            runs.append(time.time() - t0)
+        warm = round(statistics.median(runs[1:]), 3)
+        medians[name] = warm
+        cold[name] = round(runs[0], 3)
+        if name in AT_REST_WRITERS:
+            one_time[name] = round(max(runs[0] - warm, 0.0), 3)
 
-    total = round(sum(times.values()), 3)
+    total = round(sum(medians.values()), 3)
     print(
         json.dumps(
             {
-                "metric": "headline_suite_total_wall_seconds",
+                "metric": "headline_suite_warm_median_total_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": medians,
+                "one_time_writes": one_time,
+                "cold_first_run": cold,
+                "runs_per_query": RUNS,
                 "sf": sf_val,
             }
         )

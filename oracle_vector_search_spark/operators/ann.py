@@ -292,16 +292,24 @@ def ivf_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed_stride: int = SEED_STRIDE,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """IVF coarse quantization with deterministic seeds: every vector is
     assigned to its highest-cosine seed vector (ties → lowest seed id).
     The seed set is O(√N)-ish and broadcast; assignment is a map-only
     pass. At rest the index is partitioned by cluster_id — a query
-    touches nprobe partitions only (partition pruning)."""
+    touches nprobe partitions only (partition pruning).
+
+    ``seeds`` (columns ``seed_id``, ``sv: array<double>``) supplies an
+    external frozen codebook — the incremental-maintenance path
+    (operators.index_maint) assigns new batches against the SAME seeds
+    the standing index was built with, so batch assignment composes
+    with the old table instead of invalidating it."""
     vecs = df.select(F.col(id_col), as_double_array(vec_col).alias("v"))
-    seeds = vecs.filter(F.col(id_col) % seed_stride == 0).select(
-        F.col(id_col).alias("seed_id"), F.col("v").alias("sv")
-    )
+    if seeds is None:
+        seeds = vecs.filter(F.col(id_col) % seed_stride == 0).select(
+            F.col(id_col).alias("seed_id"), F.col("v").alias("sv")
+        )
     scored = vecs.join(F.broadcast(seeds)).select(
         F.col(id_col),
         "seed_id",

@@ -128,11 +128,12 @@ _PRIORITY: tuple[str, ...] = (
     "unpivot_pricing_measures",
     "array_functions",
     "ntile_distribution_scaled",
+    # --- new round-3 queries (never checked by definition) ---
+    "index_upsert_merge",
+    "ivf_index_upsert",
     # --- tail: re-checks, swapped out as new round-3 queries land ---
     "minhash_near_dup_pairs",
     "bm25_retrieval_top10",
-    "ivf_ann_topk",
-    "pq_ann_topk",
     "streaming_knn_scores",
     "document_chunks",
 )

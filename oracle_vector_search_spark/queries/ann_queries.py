@@ -10,7 +10,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from oracle_vector_search_spark.functions.vector import cosine_similarity
+from oracle_vector_search_spark.functions.vector import (
+    as_double_array,
+    cosine_similarity,
+)
 from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.operators import ann
 from oracle_vector_search_spark.queries import register
@@ -421,3 +424,200 @@ def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (the operation a 100 TB corpus runs
+# nightly). The reference rebuilds its FAISS index from scratch on every
+# corpus change (/root/reference/build_faiss_db.py:138-225); here a batch
+# of new + changed vectors is merged into the standing at-rest index
+# tables with batch-proportional work, rewriting only affected
+# partitions (operators/index_maint.py). The merged table must be
+# row-identical to a full rebuild over the upserted corpus — exactly
+# what the DuckDB oracles compute.
+#
+# Shared deterministic scenario:
+#   base corpus = vec_id % 10 != 0                      (original vectors)
+#   inserts     = vec_id % 10 == 0                      (original vectors)
+#   updates     = vec_id % 10 == 1 AND vec_id % 31 != 0 (vector negated)
+# Updates never touch a seed id (% 31 == 0): the IVF codebook is frozen
+# between retrains — the precondition for incremental assignment.
+
+_UPSERT_SOURCE_DUCK = """
+SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+WHERE NOT (vec_id % 10 = 1 AND vec_id % 31 <> 0)
+UNION ALL
+SELECT vec_id, [-x for x in embedding::DOUBLE[]] AS v FROM embeddings
+WHERE vec_id % 10 = 1 AND vec_id % 31 <> 0
+"""
+
+
+def _upsert_batch(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding: array<double>) — the inserts + updates batch."""
+    inserts = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", as_double_array("embedding").alias("embedding")
+    )
+    updates = emb.filter(
+        (F.col("vec_id") % 10 == 1) & (F.col("vec_id") % 31 != 0)
+    ).select(
+        "vec_id",
+        F.transform(as_double_array("embedding"), lambda x: -x).alias(
+            "embedding"
+        ),
+    )
+    return inserts.unionByName(updates)
+
+
+_UPSERT_LSH_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _upserted_lsh_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the base LSH bucket table at rest (partitioned by band,
+    bucket), then apply one incremental upsert in place — hashing only
+    the batch, rewriting only affected partitions."""
+    from oracle_vector_search_spark.operators import index_maint
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _UPSERT_LSH_CACHE.get(key)
+    if path is None:
+        path = scratch_dir("ovs_lsh_upsert_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        # maintenance moves metadata-sized (id, band, bucket) rows; a
+        # 200-partition plain session drowns that in task overhead
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        try:
+            base = emb.filter(F.col("vec_id") % 10 != 0).repartition(32)
+            (
+                ann.lsh_bucket_table(base, dims=DIMS)
+                .repartition("band", "bucket")
+                .write.mode("overwrite")
+                .partitionBy("band", "bucket")
+                .parquet(path)
+            )
+            old = spark.read.parquet(path)
+            # checkpoint the batch signatures once: reused by the merge
+            # AND the affected-partition scan (batch-sized rows)
+            fresh = ann.lsh_bucket_table(
+                _upsert_batch(emb), dims=DIMS
+            ).localCheckpoint()
+            merged = index_maint.merge_index_rows(old, fresh)
+            affected = index_maint.affected_partitions(
+                old, fresh, ["band", "bucket"]
+            )
+            index_maint.incremental_overwrite(
+                spark, merged, affected, path, ["band", "bucket"]
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        _UPSERT_LSH_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+@register(
+    "index_upsert_merge",
+    f"""
+WITH {_duck_bits_cte(_UPSERT_SOURCE_DUCK)}
+SELECT vec_id, band, CAST(bucket AS INTEGER) AS bucket
+FROM buckets
+ORDER BY vec_id, band
+""",
+)
+def index_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index maintenance: merge an insert+update batch
+    into the standing bucket table. Work is proportional to the batch
+    (only batch vectors are re-hashed; stale rows drop via a broadcast
+    anti-join) and only partitions that gained or lost a row are
+    rewritten (dynamic partition overwrite). The oracle computes the
+    full rebuild over the upserted corpus — the driver hash-match IS
+    the incremental ≡ rebuild proof."""
+    t = _upserted_lsh_table(spark, sf_dir)
+    return t.select(
+        "vec_id",
+        F.col("band").cast("int").alias("band"),
+        F.col("bucket").cast("int").alias("bucket"),
+    ).orderBy("vec_id", "band")
+
+
+_UPSERT_IVF_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _upserted_ivf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same maintenance cycle for the IVF assignment table (partitioned
+    by cluster_id), assigning the batch against the FROZEN codebook the
+    base index was built with."""
+    from oracle_vector_search_spark.operators import index_maint
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _UPSERT_IVF_CACHE.get(key)
+    if path is None:
+        path = scratch_dir("ovs_ivf_upsert_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        seeds = emb.filter(F.col("vec_id") % ann.SEED_STRIDE == 0).select(
+            F.col("vec_id").alias("seed_id"),
+            as_double_array("embedding").alias("sv"),
+        )
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        try:
+            base = emb.filter(F.col("vec_id") % 10 != 0).repartition(32)
+            (
+                ann.ivf_assign(base, seeds=seeds)
+                .repartition("cluster_id")
+                .write.mode("overwrite")
+                .partitionBy("cluster_id")
+                .parquet(path)
+            )
+            old = spark.read.parquet(path)
+            fresh = ann.ivf_assign(
+                _upsert_batch(emb), seeds=seeds
+            ).localCheckpoint()
+            merged = index_maint.merge_index_rows(old, fresh)
+            affected = index_maint.affected_partitions(
+                old, fresh, ["cluster_id"]
+            )
+            index_maint.incremental_overwrite(
+                spark, merged, affected, path, ["cluster_id"]
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        _UPSERT_IVF_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+@register(
+    "ivf_index_upsert",
+    f"""
+WITH corpus AS ({_UPSERT_SOURCE_DUCK}),
+seeds AS (
+  SELECT vec_id AS seed_id, embedding::DOUBLE[] AS sv FROM embeddings
+  WHERE vec_id % 31 = 0
+),
+scored AS (
+  SELECT x.vec_id, s.seed_id,
+         round(list_dot_product(x.v, s.sv)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(s.sv, s.sv))), 6) AS seed_score
+  FROM corpus x CROSS JOIN seeds s
+)
+SELECT vec_id, cluster_id
+FROM (SELECT vec_id, seed_id AS cluster_id,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY seed_score DESC, seed_id) AS rn
+      FROM scored)
+WHERE rn = 1
+ORDER BY vec_id
+""",
+)
+def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF assignment maintenance: the batch is assigned
+    against the frozen codebook (only batch vectors score against
+    seeds), merged over the standing table, and only affected cluster
+    partitions are rewritten. Oracle = full re-assignment of the
+    upserted corpus."""
+    t = _upserted_ivf_table(spark, sf_dir)
+    return t.select(
+        "vec_id", F.col("cluster_id").cast("long").alias("cluster_id")
+    ).orderBy("vec_id")

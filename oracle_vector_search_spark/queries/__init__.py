@@ -129,13 +129,15 @@ _PRIORITY: tuple[str, ...] = (
     "array_functions",
     "ntile_distribution_scaled",
     # --- new round-3 queries (never checked by definition) ---
+    # phrase3_retrieval_top20 did not fit the 50-slot window; it heads
+    # the round-4 rotation (its operator chain is adjacent to
+    # phrase_retrieval_top20, which IS in this window)
     "index_upsert_merge",
     "ivf_index_upsert",
-    # --- tail: re-checks, swapped out as new round-3 queries land ---
-    "minhash_near_dup_pairs",
-    "bm25_retrieval_top10",
-    "streaming_knn_scores",
-    "document_chunks",
+    "signature_upsert_merge",
+    "kmeans_chain_two_steps",
+    "compacted_events_checksum",
+    "key_skew_profile",
 )
 
 

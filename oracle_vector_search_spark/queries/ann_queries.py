@@ -621,3 +621,167 @@ def ivf_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "vec_id", F.col("cluster_id").cast("long").alias("cluster_id")
     ).orderBy("vec_id")
+
+
+def _duck_lloyd_step(assign_cte: str, suffix: str) -> str:
+    """DuckDB CTE fragment: one Lloyd step — exact-integer centroids of
+    ``assign_cte`` (vec_id, cluster_id), then nearest-centroid
+    reassignment as ``reassigned{suffix}``."""
+    return f"""
+dim_rows{suffix} AS (
+  SELECT a.cluster_id,
+         unnest([{{'d': i - 1,
+                  'q': CAST(floor(x.v[i] * 1000000.0::DOUBLE) AS BIGINT)}}
+                 FOR i IN range(1, len(x.v) + 1)]) AS u
+  FROM vecs x JOIN {assign_cte} a USING (vec_id)
+),
+cent_dims{suffix} AS (
+  SELECT cluster_id, u.d AS dim,
+         CAST(sum(u.q) AS DOUBLE) / count(*) AS cd
+  FROM dim_rows{suffix} GROUP BY cluster_id, u.d
+),
+cents{suffix} AS (
+  SELECT cluster_id, list(cd ORDER BY dim) AS cv
+  FROM cent_dims{suffix} GROUP BY cluster_id
+),
+reassigned{suffix} AS (
+  SELECT vec_id, cluster_id
+  FROM (SELECT x.vec_id, c.cluster_id,
+               row_number() OVER (
+                 PARTITION BY x.vec_id
+                 ORDER BY round(list_dot_product(x.v, c.cv)
+                       / (sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                       c.cluster_id) AS rn
+        FROM vecs x CROSS JOIN cents{suffix} c)
+  WHERE rn = 1
+)"""
+
+
+_KMEANS_CHAIN_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS seed_id, v AS sv FROM vecs WHERE vec_id % 31 = 0
+),
+assign_scored AS (
+  SELECT x.vec_id, s.seed_id,
+         round(list_dot_product(x.v, s.sv)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(s.sv, s.sv))), 6) AS seed_score
+  FROM vecs x CROSS JOIN seeds s
+),
+assigned AS (
+  SELECT vec_id, seed_id AS cluster_id
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY seed_score DESC, seed_id) AS rn
+        FROM assign_scored)
+  WHERE rn = 1
+),
+{_duck_lloyd_step('assigned', '1')},
+{_duck_lloyd_step('reassigned1', '2')},
+f1 AS (SELECT cluster_id, count(*) AS n FROM reassigned1 GROUP BY cluster_id),
+f2 AS (SELECT cluster_id, count(*) AS n FROM reassigned2 GROUP BY cluster_id),
+st AS (
+  SELECT a.cluster_id, count(*) AS n
+  FROM reassigned1 a JOIN reassigned2 r
+    ON a.vec_id = r.vec_id AND a.cluster_id = r.cluster_id
+  GROUP BY a.cluster_id
+)
+SELECT s.seed_id AS cluster_id,
+       CAST(coalesce(f1.n, 0) AS BIGINT) AS n_after1,
+       CAST(coalesce(f2.n, 0) AS BIGINT) AS n_after2,
+       CAST(coalesce(st.n, 0) AS BIGINT) AS n_stayed
+FROM seeds s
+LEFT JOIN f1 ON f1.cluster_id = s.seed_id
+LEFT JOIN f2 ON f2.cluster_id = s.seed_id
+LEFT JOIN st ON st.cluster_id = s.seed_id
+ORDER BY cluster_id
+"""
+
+
+def _lloyd_step(vecs: DataFrame, assigned: DataFrame) -> DataFrame:
+    """One Lloyd refinement: exact-integer centroid means of the current
+    assignment, then nearest-centroid (round-6 cosine, lowest-id tie)
+    reassignment. At 100 TB: one posexplode shuffle on (cluster, dim)
+    plus a broadcast-centroid map-only scan."""
+    dims = vecs.select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(v, x -> cast(floor(x * 1000000.0D) as bigint))")
+        ).alias("dim", "q"),
+    ).join(assigned, "vec_id")
+    cent_dims = dims.groupBy("cluster_id", "dim").agg(
+        (F.sum("q").cast("double") / F.count("*")).alias("cd")
+    )
+    cents = cent_dims.groupBy("cluster_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(dim, cd))), x -> x.cd)"
+        ).alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("score"), F.asc("cluster_id")
+    )
+    return (
+        vecs.join(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.round(cosine_similarity("v", "cv"), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id")
+    )
+
+
+@register("kmeans_chain_two_steps", _KMEANS_CHAIN_ORACLE)
+def kmeans_chain_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained Lloyd iterations from the IVF coarse assignment —
+    the k-means driver loop a clustering job runs to convergence,
+    unrolled to depth 2 with per-cluster convergence telemetry
+    (n_after1 / n_after2 / n_stayed). Each iteration's assignment is
+    locally checkpointed: the tiny (vec_id, cluster_id) rows are
+    materialized so iteration N+1's plan doesn't recompute iteration N
+    — exactly how an iterative driver persists per-step state at scale
+    (cf. MLlib KMeans' per-iteration materialization)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = _ivf_assign_table(spark, sf_dir)
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        it1 = _lloyd_step(vecs, assigned).localCheckpoint()
+        it2 = _lloyd_step(vecs, it1).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    seeds = vecs.filter(F.col("vec_id") % ann.SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("cluster_id")
+    )
+    f1 = it1.groupBy("cluster_id").agg(F.count("*").alias("n_after1"))
+    f2 = it2.groupBy("cluster_id").agg(F.count("*").alias("n_after2"))
+    st = (
+        it1.alias("a")
+        .join(
+            it2.alias("r"),
+            (F.col("a.vec_id") == F.col("r.vec_id"))
+            & (F.col("a.cluster_id") == F.col("r.cluster_id")),
+        )
+        .groupBy(F.col("a.cluster_id").alias("cluster_id"))
+        .agg(F.count("*").alias("n_stayed"))
+    )
+    return (
+        seeds.join(f1, "cluster_id", "left")
+        .join(f2, "cluster_id", "left")
+        .join(st, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            F.coalesce("n_after1", F.lit(0)).alias("n_after1"),
+            F.coalesce("n_after2", F.lit(0)).alias("n_after2"),
+            F.coalesce("n_stayed", F.lit(0)).alias("n_stayed"),
+        )
+        .orderBy("cluster_id")
+    )

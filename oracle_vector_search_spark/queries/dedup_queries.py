@@ -312,3 +312,71 @@ def dedup_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         sigs=_minhash_sig_table(spark, sf_dir),
     )
     return dedup_clusters(pairs, docs.select("doc_id"), iterations=3)
+
+
+# ---------------------------------------------------------------------------
+# Incremental signature maintenance — the dedup twin of the vector-index
+# upsert (queries/ann_queries.py index_upsert_merge). A 100 TB corpus
+# ingests documents continuously; re-hashing the corpus per batch is the
+# reference's rebuild-everything shape (build_faiss_db.py:138-225), so
+# instead ONLY the new/changed documents are shingled+hashed and merged
+# over the standing signature table (operators/index_maint.py).
+#   base    = doc_id % 10 != 0                (original text)
+#   inserts = doc_id % 10 == 0                (original text)
+#   updates = doc_id % 10 == 1                (text || ' updated')
+# The oracle recomputes signatures over the upserted corpus — the
+# hash-match proves incremental ≡ rebuild.
+
+_SIG_UPSERT_SIGS = ", ".join(
+    f"{e} AS m{j}"
+    for j, e in enumerate(T.duck_minhash_sigs("hs"))
+)
+
+
+@register(
+    "signature_upsert_merge",
+    f"""
+WITH src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 1
+  UNION ALL
+  SELECT doc_id, text || ' updated' AS text FROM documents
+  WHERE doc_id % 10 = 1
+), base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM src
+), tok AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM base
+), sh AS (
+  SELECT doc_id, {T.duck_shingles('toks', 'norm')} AS shingles FROM tok
+), hs AS (
+  SELECT doc_id, shingles, {T.duck_shingle_hashes('shingles')} AS hs FROM sh
+)
+SELECT doc_id, {_SIG_UPSERT_SIGS}
+FROM hs
+ORDER BY doc_id
+""",
+)
+def signature_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash signature maintenance: hash ONLY the
+    insert+update batch, drop the batch ids' stale signature rows via a
+    broadcast anti-join, union the fresh rows. Work is proportional to
+    the batch; the standing corpus is never re-shingled."""
+    from oracle_vector_search_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from oracle_vector_search_spark.operators.index_maint import (
+        merge_index_rows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 1).select(
+            "doc_id", F.concat(F.col("text"), F.lit(" updated")).alias("text")
+        )
+    )
+    old = minhash_signatures(base.repartition(32))
+    fresh = minhash_signatures(batch)
+    merged = merge_index_rows(old, fresh, id_col="doc_id")
+    sig_cols = [f"m{j}" for j in range(T.MINHASH_PERMS)]
+    return merged.select("doc_id", *sig_cols).orderBy("doc_id")

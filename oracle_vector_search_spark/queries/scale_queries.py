@@ -341,3 +341,136 @@ def bloom_prefiltered_urgent_revenue(
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction (operators/compaction.py). Streaming sinks and
+# incremental merges fragment tables; compaction rewrites them into few
+# near-target-size files with content untouched. The scenario fragments
+# events into 64 small files (a streaming sink's output), compacts to a
+# handful of range-clustered files, and checksums the result — the
+# oracle runs the same checksum on the PRISTINE events table, so any
+# row lost, duplicated or mutated by the rewrite hash-mismatches.
+# File-count/size mechanics are pinned in tests/test_compaction.py.
+
+_COMPACT_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _compacted_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oracle_vector_search_spark.operators import compaction
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    dest = _COMPACT_CACHE.get(key)
+    if dest is None:
+        frag = scratch_dir("ovs_events_frag_")
+        dest = scratch_dir("ovs_events_compact_")
+        events = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value", "ts_ns"
+        )
+        # simulate a streaming sink's fragmentation: 64 tiny files
+        events.repartition(64).write.mode("overwrite").parquet(frag)
+        total = compaction.parquet_bytes(frag)
+        compaction.compact_parquet(
+            spark,
+            frag,
+            dest,
+            # local-scale stand-in for the 128 MiB production target:
+            # aim for ~4 files so the 64→4 collapse is observable
+            target_file_bytes=max(1, total // 4),
+            sort_cols=["event_id"],
+        )
+        _COMPACT_CACHE[key] = dest
+    return spark.read.parquet(dest)
+
+
+@register(
+    "compacted_events_checksum",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(user_id) AS BIGINT) AS user_sum,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents_sum,
+       CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+       CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def compacted_events_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content checksum of the fragmented-then-compacted events table,
+    oracle-compared against the pristine source: compaction preserved
+    every row, column and value. The compacted files are range-
+    clustered on event_id so zone maps stay selective."""
+    t = _compacted_events(spark, sf_dir)
+    return (
+        t.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum("user_id").alias("user_sum"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "value_cents_sum"
+            ),
+            F.min(F.expr("ts_ns div 1000")).alias("min_ts_us"),
+            F.max(F.expr("ts_ns div 1000")).alias("max_ts_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "key_skew_profile",
+    """
+WITH counts AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY user_id
+),
+tot AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS t,
+         CAST(count(*) AS BIGINT) AS k
+  FROM counts
+)
+SELECT user_id, n_rows,
+       round(n_rows * 100.0 / t, 6) AS share_pct,
+       round(n_rows * k * 1.0 / t, 6) AS skew_factor,
+       CAST(rn AS INTEGER) AS rank
+FROM (SELECT c.user_id, c.n_rows, tot.t, tot.k,
+             row_number() OVER (ORDER BY c.n_rows DESC, c.user_id) AS rn
+      FROM counts c CROSS JOIN tot) r
+WHERE rn <= 5
+ORDER BY rank
+""",
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics: the 5 heaviest events.user_id keys
+    with their row share and skew factor (key rows ÷ mean rows/key) —
+    the telemetry that decides whether a join needs salting
+    (operators/skew.py) or AQE skew splitting. One partial-agg shuffle
+    on the key plus a broadcast of the 2-value total; the per-key
+    count table never leaves the cluster."""
+    from oracle_vector_search_spark.operators.topk import global_topn_ranked
+
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count("*").alias("n_rows"))
+    tot = counts.agg(
+        F.sum("n_rows").alias("t"), F.count("*").alias("k")
+    )
+    top = global_topn_ranked(counts, 5, F.desc("n_rows"), F.asc("user_id"))
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_rows",
+            F.round(F.col("n_rows") * 100.0 / F.col("t"), 6).alias(
+                "share_pct"
+            ),
+            F.round(
+                F.col("n_rows") * F.col("k") * 1.0 / F.col("t"), 6
+            ).alias("skew_factor"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -1030,6 +1030,87 @@ def phrase_retrieval_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+PHRASE3 = ("stream", "table", "hash")  # fixed 3-term phrase (7 docs at sf0.01)
+
+
+@register(
+    "phrase3_retrieval_top20",
+    """
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         [i - 1 FOR i IN range(1, len(toks) + 1)
+          IF toks[i] = 'stream'] AS px,
+         [i - 1 FOR i IN range(1, len(toks) + 1)
+          IF toks[i] = 'table'] AS py,
+         [i - 1 FOR i IN range(1, len(toks) + 1)
+          IF toks[i] = 'hash'] AS pz
+  FROM base
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(list_intersect(
+           [p + 1 FOR p IN list_intersect([p + 1 FOR p IN px], py)], pz))
+           AS INTEGER) AS n_matches
+  FROM pos WHERE len(px) > 0 AND len(py) > 0 AND len(pz) > 0
+)
+SELECT doc_id, n_matches, CAST(rn AS INTEGER) AS rank
+FROM (SELECT doc_id, n_matches,
+             row_number() OVER (ORDER BY n_matches DESC, doc_id) AS rn
+      FROM m WHERE n_matches > 0) r
+WHERE rn <= 20
+ORDER BY rank
+""",
+)
+def phrase3_retrieval_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-term exact phrase ("stream table hash") over the positional
+    posting table — the left-to-right intersect chain the 2-term query's
+    docstring promises: positions surviving term₁→term₂ adjacency are
+    advanced one slot and intersected with term₃'s positions. Still
+    touches only the phrase terms' posting rows (partition-pruned by
+    term bucket); chain depth N costs N-1 tiny per-doc intersects, never
+    a text re-scan."""
+    postings, _ = _posting_tables(spark, sf_dir)
+    buckets = sorted({term_bucket(t) for t in PHRASE3})
+    pruned = postings.filter(F.col("tb").isin(buckets))
+    px = pruned.filter(F.col("term") == PHRASE3[0]).select(
+        "doc_id", F.col("positions").alias("px")
+    )
+    py = pruned.filter(F.col("term") == PHRASE3[1]).select(
+        "doc_id", F.col("positions").alias("py")
+    )
+    pz = pruned.filter(F.col("term") == PHRASE3[2]).select(
+        "doc_id", F.col("positions").alias("pz")
+    )
+    m = (
+        px.join(py, "doc_id")
+        .join(pz, "doc_id")
+        .select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.transform(
+                        F.array_intersect(
+                            F.transform("px", lambda p: p + 1), F.col("py")
+                        ),
+                        lambda p: p + 1,
+                    ),
+                    F.col("pz"),
+                )
+            ).alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+    return global_topn_ranked(
+        m, 20, F.desc("n_matches"), F.asc("doc_id")
+    ).orderBy("rank")
+
+
 MMR_LAMBDA = "0.5"  # relevance/diversity balance, as a literal for both engines
 
 

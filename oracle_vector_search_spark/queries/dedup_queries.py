@@ -380,3 +380,63 @@ def signature_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = merge_index_rows(old, fresh, id_col="doc_id")
     sig_cols = [f"m{j}" for j in range(T.MINHASH_PERMS)]
     return merged.select("doc_id", *sig_cols).orderBy("doc_id")
+
+
+@register(
+    "benchmark_decontamination",
+    f"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM base
+), sh AS (
+  SELECT doc_id, {T.duck_shingles('toks', 'norm')} AS shingles FROM tok
+), ex AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+), eval_sh AS (
+  SELECT doc_id AS eval_id, shingle FROM ex WHERE doc_id % 50 = 0
+), train_sh AS (
+  SELECT doc_id, shingle FROM ex WHERE doc_id % 50 <> 0
+), hits AS (
+  SELECT t.doc_id, e.eval_id, t.shingle
+  FROM train_sh t JOIN eval_sh e USING (shingle)
+)
+SELECT doc_id,
+       CAST(count(DISTINCT shingle) AS BIGINT) AS n_shared_shingles,
+       CAST(count(DISTINCT eval_id) AS BIGINT) AS n_eval_docs
+FROM hits
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag training documents that share
+    any word 3-shingle with a held-out eval set (doc_id % 50 == 0),
+    reporting how many shingles and eval docs each one collides with.
+    The standard pre-training hygiene pass (remove eval overlap before
+    training). Scale shape: the eval side is tiny by construction, so
+    its exploded shingle set BROADCASTS; the corpus side explodes
+    map-side into the broadcast join — the only shuffle is the final
+    per-doc aggregation. The corpus-sized shingle set is never
+    self-joined."""
+    from oracle_vector_search_spark.operators.dedup import with_norm_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = with_norm_tokens(docs)
+    ex = d.withColumn(
+        "shingles", F.expr(T.word_shingles_expr("toks", "norm"))
+    ).select("doc_id", F.explode("shingles").alias("shingle"))
+    eval_sh = ex.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_id"), "shingle"
+    )
+    train_sh = ex.filter(F.col("doc_id") % 50 != 0)
+    hits = train_sh.join(F.broadcast(eval_sh), "shingle")
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+            F.countDistinct("eval_id").alias("n_eval_docs"),
+        )
+        .orderBy("doc_id")
+    )

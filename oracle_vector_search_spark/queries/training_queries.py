@@ -1405,3 +1405,124 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# target language mixture for the training blend (sums to 1)
+_MIX_TARGETS = (
+    ("de", 0.15), ("en", 0.4), ("es", 0.15), ("fr", 0.15), ("zh", 0.15),
+)
+_MIX_DUCK_W = " UNION ALL ".join(
+    f"SELECT '{lang}' AS lang, {t}::DOUBLE AS target_share"
+    for lang, t in _MIX_TARGETS
+)
+
+
+@register(
+    "domain_mixture_rates",
+    f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+w AS ({_MIX_DUCK_W}),
+j AS (
+  SELECT c.lang, c.n_docs, w.target_share,
+         c.n_docs / w.target_share AS cap
+  FROM counts c JOIN w USING (lang)
+),
+b AS (SELECT min(cap) AS budget FROM j)
+SELECT lang, n_docs,
+       round(target_share, 6) AS target_share,
+       CAST(floor(target_share * budget) AS BIGINT) AS take_n,
+       round(floor(target_share * budget) / n_docs, 6) AS sample_rate
+FROM j CROSS JOIN b
+ORDER BY lang
+""",
+)
+def domain_mixture_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture planner: per-language sampling rates that hit a
+    target blend (DoReMi-style fixed weights) while keeping as much
+    data as possible — budget = min over languages of n/target, then
+    take_n = floor(target × budget). Pure relational closed form: one
+    tiny groupBy plus a broadcast of the 1-row budget; at 100 TB the
+    per-language counts come from the same partial-agg shuffle any
+    count-by-key costs, and the rates then drive a hash-based
+    per-row sampling filter (no global shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    wmap = F.create_map(
+        *[F.lit(x) for pair in _MIX_TARGETS for x in pair]
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    j = counts.select(
+        "lang",
+        "n_docs",
+        F.element_at(wmap, F.col("lang")).alias("target_share"),
+    ).withColumn("cap", F.col("n_docs") / F.col("target_share"))
+    b = j.agg(F.min("cap").alias("budget"))
+    return (
+        j.crossJoin(F.broadcast(b))
+        .select(
+            "lang",
+            "n_docs",
+            F.round("target_share", 6).alias("target_share"),
+            F.floor(F.col("target_share") * F.col("budget"))
+            .cast("long")
+            .alias("take_n"),
+            F.round(
+                F.floor(F.col("target_share") * F.col("budget"))
+                / F.col("n_docs"),
+                6,
+            ).alias("sample_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_SHUFFLE_SEED = "epoch0"  # deterministic per-epoch reshuffle key
+_N_SHARDS = 16
+
+
+@register(
+    "training_order_shuffle",
+    f"""
+WITH h AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuffle:{_SHUFFLE_SEED}:' || doc_id::VARCHAR),
+                         1, 15))::BIGINT AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(hv % {_N_SHARDS} AS INTEGER) AS shard,
+       CAST(row_number() OVER (ORDER BY hv, doc_id) AS BIGINT)
+         AS shuffle_pos
+FROM h
+ORDER BY shuffle_pos
+""",
+)
+def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded global training-order shuffle: every document gets a
+    portable-hash position (reshuffled per epoch by changing the seed)
+    and a shard assignment — the deterministic permutation a trainer
+    needs for reproducible data ordering. The global position uses the
+    two-phase range-partitioned rank (operators/ingest.py) — no
+    single-task window; at 100 TB this is one range shuffle of
+    metadata-sized (hash, id) pairs."""
+    from oracle_vector_search_spark.operators.ingest import (
+        assign_index_ids_two_phase,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = docs.withColumn(
+        "hv",
+        F.expr(
+            T.hash60_sql(
+                f"concat('shuffle:{_SHUFFLE_SEED}:', cast(doc_id as string))"
+            )
+        ),
+    )
+    ranked = assign_index_ids_two_phase(h, ["hv", "doc_id"])
+    return ranked.select(
+        "doc_id",
+        (F.col("hv") % _N_SHARDS).cast("int").alias("shard"),
+        F.col("id").alias("shuffle_pos"),
+    ).orderBy("shuffle_pos")

@@ -129,9 +129,11 @@ _PRIORITY: tuple[str, ...] = (
     "array_functions",
     "ntile_distribution_scaled",
     # --- new round-3 queries (never checked by definition) ---
-    # phrase3_retrieval_top20 did not fit the 50-slot window; it heads
-    # the round-4 rotation (its operator chain is adjacent to
-    # phrase_retrieval_top20, which IS in this window)
+    # Not all round-3 additions fit the 50-slot window; the round-4
+    # rotation queue is: phrase3_retrieval_top20, posting_upsert_merge,
+    # benchmark_decontamination, domain_mixture_rates,
+    # training_order_shuffle (each operator-adjacent to a query that IS
+    # in this window, and all green in the local full-surface gate)
     "index_upsert_merge",
     "ivf_index_upsert",
     "signature_upsert_merge",

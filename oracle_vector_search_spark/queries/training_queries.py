@@ -1526,3 +1526,94 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("hv") % _N_SHARDS).cast("int").alias("shard"),
         F.col("id").alias("shuffle_pos"),
     ).orderBy("shuffle_pos")
+
+
+@register(
+    "posting_upsert_merge",
+    """
+WITH src AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 1
+  UNION ALL
+  SELECT doc_id, text || ' updated' AS text FROM documents
+  WHERE doc_id % 10 = 1
+), base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM src
+), ex AS (
+  SELECT doc_id, toks, unnest(list_distinct(toks)) AS term FROM base
+), m AS (
+  SELECT doc_id, term,
+         len([i FOR i IN range(1, len(toks) + 1)
+              IF toks[i] = term]) AS tf,
+         list_sum([i - 1 FOR i IN range(1, len(toks) + 1)
+                   IF toks[i] = term]) AS pos_sum
+  FROM ex
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS doc_freq,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       CAST(sum(doc_id * tf) AS BIGINT) AS doc_tf_checksum,
+       CAST(sum(pos_sum) AS BIGINT) AS pos_checksum
+FROM m
+GROUP BY term
+ORDER BY term
+""",
+)
+def posting_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental posting-list maintenance — the retrieval twin of
+    index_upsert_merge / signature_upsert_merge, completing the
+    maintenance triad over the engine's three at-rest artifacts
+    (vector index, dedup signatures, inverted index). ONLY the
+    insert+update batch is re-tokenized; its stale posting rows drop
+    via a broadcast anti-join on doc_id and the fresh rows union in.
+    The term-level checksum (doc_freq / tf / positional sums) is
+    oracle-compared against a full rebuild over the upserted corpus.
+    At rest the merged rows rewrite only the term-bucket partitions
+    the batch touches (operators/index_maint.py, mechanics pinned in
+    tests/test_index_maint.py)."""
+    from oracle_vector_search_spark.operators.index_maint import (
+        merge_index_rows,
+    )
+
+    def postings_for(docs_df: DataFrame) -> DataFrame:
+        base = docs_df.select(
+            "doc_id", F.split(T.norm_text("text"), " ").alias("toks")
+        )
+        tok = base.select(
+            "doc_id",
+            F.posexplode("toks").alias("pos", "term"),
+        )
+        return tok.groupBy("doc_id", "term").agg(
+            F.count("*").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 10 != 0)
+    batch = docs.filter(F.col("doc_id") % 10 == 0).unionByName(
+        docs.filter(F.col("doc_id") % 10 == 1).select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" updated")).alias("text"),
+        )
+    )
+    old = postings_for(base.repartition(32))
+    fresh = postings_for(batch)
+    merged = merge_index_rows(old, fresh, id_col="doc_id")
+    return (
+        merged.groupBy("term")
+        .agg(
+            F.count("*").alias("doc_freq"),
+            F.sum("tf").alias("total_tf"),
+            F.sum(F.col("doc_id") * F.col("tf")).alias("doc_tf_checksum"),
+            F.sum(
+                F.aggregate(
+                    "positions",
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+            ).alias("pos_checksum"),
+        )
+        .orderBy("term")
+    )

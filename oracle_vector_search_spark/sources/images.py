@@ -244,12 +244,64 @@ def crop_boxes(df: DataFrame) -> DataFrame:
 
 
 # ------------------------------------------------------------ T8: embed
+_RESNET_CACHE: dict[str, object] = {}  # per-executor-process model cache
+
+
+def _resnet18_extractor():
+    """Reference parity: ResNet-18, fc=Identity, eval mode
+    (build_faiss_db.py:110-116), loaded once per executor process."""
+    if "model" not in _RESNET_CACHE:
+        import torch
+        from torchvision import models
+
+        m = models.resnet18(weights=models.ResNet18_Weights.DEFAULT)
+        m.fc = torch.nn.Identity()
+        m.eval()
+        _RESNET_CACHE["model"] = m
+    return _RESNET_CACHE["model"]
+
+
+def _torch_embed_batch(blobs: list) -> list:
+    """ResNet-18 features for one Arrow batch of crop blobs. Crops are
+    decoded, grouped by pixel shape, and each same-shape group runs as
+    ONE stacked NCHW forward pass (the reference loops batch-size-1 per
+    crop, build_faiss_db.py:126-134; variable shapes only cost one pass
+    per distinct shape, not per row). Undecodable blobs embed as None
+    (F3 rule). Native 512-d output."""
+    import torch
+    from torchvision.transforms import functional as TF
+
+    model = _resnet18_extractor()
+    arrays = [_decode_one(b) for b in blobs]
+    out: list = [None] * len(arrays)
+    groups: dict[tuple, list[int]] = {}
+    for i, a in enumerate(arrays):
+        if a is not None and a.size:
+            groups.setdefault(a.shape, []).append(i)
+    for idxs in groups.values():
+        stacked = np.stack([arrays[i] for i in idxs])
+        t = torch.from_numpy(stacked).permute(0, 3, 1, 2).float() / 255.0
+        # ImageNet preprocess (build_faiss_db.py:118-124), batched
+        t = TF.resize(t, 256, antialias=True)
+        t = TF.center_crop(t, 224)
+        t = TF.normalize(
+            t, mean=[0.485, 0.456, 0.406], std=[0.229, 0.224, 0.225]
+        )
+        with torch.no_grad():
+            feats = model(t)
+        for row, i in zip(feats.cpu().numpy(), idxs):
+            out[i] = [float(x) for x in row]
+    return out
+
+
 def embed_crops(df: DataFrame, dims: int = 8, use_torch: bool = False) -> DataFrame:
     """Pluggable embedder. Default: hash-projection (deterministic,
-    CI-friendly, matches functions.embed SQL). With use_torch=True a
-    per-executor-cached ResNet-18 (fc=Identity) embeds each crop —
-    the reference's model (build_faiss_db.py:109-134) — batched per
-    Arrow batch instead of the reference's batch-size-1 loop."""
+    CI-friendly, matches functions.embed SQL; ``dims`` applies here).
+    With use_torch=True a per-executor-cached ResNet-18 (fc=Identity)
+    embeds the crops — the reference's model (build_faiss_db.py:109-134)
+    — emitting its native 512-d features, with same-shape crops stacked
+    into one forward pass per Arrow batch instead of the reference's
+    batch-size-1 loop."""
     from oracle_vector_search_spark.functions.embed import (
         hash_projection_embed_batch,
     )
@@ -257,6 +309,7 @@ def embed_crops(df: DataFrame, dims: int = 8, use_torch: bool = False) -> DataFr
     if use_torch:
         try:
             import torch  # noqa: F401
+            import torchvision  # noqa: F401
         except ImportError as exc:  # pragma: no cover
             raise NotImplementedError(
                 "torch not installed in this environment; the default "
@@ -272,14 +325,18 @@ def embed_crops(df: DataFrame, dims: int = 8, use_torch: bool = False) -> DataFr
             blobs = [
                 bytes(b) if b is not None else None for b in pdf["crop"]
             ]
+            if use_torch:
+                emb = _torch_embed_batch(blobs)
+            else:
+                # whole-batch embed: stacked scale/normalize math,
+                # duplicate crops embedded once per batch
+                emb = hash_projection_embed_batch(blobs, dims)
             yield pd.DataFrame(
                 {
                     "stem": pdf["stem"],
                     "box_idx": pdf["box_idx"],
                     "class_id": pdf["class_id"],
-                    # whole-batch embed: stacked scale/normalize math,
-                    # duplicate crops embedded once per batch
-                    "embedding": hash_projection_embed_batch(blobs, dims),
+                    "embedding": emb,
                 }
             )
 

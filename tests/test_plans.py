@@ -101,3 +101,35 @@ def test_correlation_is_map_side_partial_agg(spark, sf_dir, qs):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan parquet") == 1, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_decontamination_broadcasts_eval_side(spark, sf_dir, qs):
+    df = qs["benchmark_decontamination"](spark, sf_dir)
+    # eval shingles broadcast; the corpus shingle set is never
+    # shuffle-joined against itself
+    assert_plan_contains(df, "BroadcastHashJoin")
+    assert_plan_lacks(df, "SortMergeJoin")
+
+
+def test_skew_profile_single_count_shuffle(spark, sf_dir, qs):
+    df = qs["key_skew_profile"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # per-key counts aggregate partially map-side, and the 2-value
+    # total joins by broadcast, not shuffle
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_training_shuffle_has_no_single_partition_stage(spark, sf_dir, qs):
+    df = qs["training_order_shuffle"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_signature_upsert_batch_ids_broadcast(spark, sf_dir, qs):
+    df = qs["signature_upsert_merge"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the anti-join that drops stale signature rows must broadcast the
+    # batch ids, never shuffle the standing corpus
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

@@ -474,3 +474,70 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "zorder_layout_stats",
+    (lambda duck_z: f"""
+WITH d AS (
+  SELECT event_id,
+         user_id & 65535 AS ux,
+         greatest(CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                  - 473352, 0) & 65535 AS tx
+  FROM events
+),
+z AS (SELECT event_id, ux, tx, {duck_z} AS zv FROM d)
+SELECT CAST(zv >> 12 AS BIGINT) AS z_bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(ux) AS BIGINT) AS min_ux,
+       CAST(max(ux) AS BIGINT) AS max_ux,
+       CAST(min(tx) AS BIGINT) AS min_tx,
+       CAST(max(tx) AS BIGINT) AS max_tx,
+       CAST(sum(event_id) AS BIGINT) AS id_checksum
+FROM z
+GROUP BY z_bucket
+ORDER BY z_bucket
+""")(__import__(
+        "oracle_vector_search_spark.operators.zorder",
+        fromlist=["duck_z_value"],
+    ).duck_z_value("ux", "tx")),
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering audit: events Morton-coded on
+    (user_id, event-hour), aggregated per z-bucket (the 64-ish
+    file-sized cells a ZORDER rewrite would range-partition into).
+    Each bucket's bounded (user, hour) rectangle is what makes BOTH
+    columns' zone maps selective after the rewrite — min/max per
+    bucket IS the pruning metadata a scan would use. The code is a
+    pure unrolled bit expression (operators/zorder.py), checked bit
+    for bit by the oracle; the file-level layout mechanics (compaction
+    with sort_cols=[z], per-file bounding boxes) are pinned in
+    tests/test_zorder.py."""
+    from oracle_vector_search_spark.operators.zorder import z_value
+
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        "event_id",
+        F.col("user_id").bitwiseAND(F.lit(65535)).alias("ux"),
+        F.greatest(
+            F.expr("ts_ns div 1000 div 3600000000") - F.lit(473352),
+            F.lit(0),
+        )
+        .bitwiseAND(F.lit(65535))
+        .alias("tx"),
+    )
+    z = d.withColumn("zv", z_value(F.col("ux"), F.col("tx")))
+    return (
+        z.groupBy(
+            F.shiftright("zv", 12).cast("long").alias("z_bucket")
+        )
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("ux").alias("min_ux"),
+            F.max("ux").alias("max_ux"),
+            F.min("tx").alias("min_tx"),
+            F.max("tx").alias("max_tx"),
+            F.sum("event_id").alias("id_checksum"),
+        )
+        .orderBy("z_bucket")
+    )

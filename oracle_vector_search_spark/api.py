@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from oracle_vector_search_spark.operators.ingest import (
-    assign_index_ids,
+    assign_index_ids_two_phase,
     decode_class,
     denormalize_boxes,
     parse_yolo_labels,
@@ -57,6 +57,36 @@ def build_index(
     with (stem, path, content). ``labels``: (stem, box_idx, value) raw
     YOLO lines. Returns the unified index table; writes it when
     ``out_path`` is given."""
+    embedded = _embedded_rows(
+        spark, images, labels, preprocess=preprocess, dims=dims,
+        split=split,
+    )
+    # A5 scale tier: range-partitioned two-phase assignment — ids are
+    # identical to the window tier (tests/test_scale_ops.py) with no
+    # single-task global sort
+    index = assign_index_ids_two_phase(
+        embedded, ["split", "stem", "box_idx"]
+    )
+    index = index.select(
+        "id", "split", "stem", "box_idx", "class_id", "class_name",
+        "embedding",
+    )
+    if out_path:
+        write_index_table(index, out_path)
+        index = spark.read.parquet(out_path)
+    return index
+
+
+def _embedded_rows(
+    spark: SparkSession,
+    images: str | DataFrame,
+    labels: DataFrame,
+    preprocess: str,
+    dims: int,
+    split: str,
+) -> DataFrame:
+    """Shared decode→preprocess→crop→embed DAG (no ids yet) — used by
+    the full build and, over just a batch, by :func:`upsert_index`."""
     if isinstance(images, str):
         images = scan_images(spark, images)
     decoded = decode_images(images).filter(F.col("pixels").isNotNull())
@@ -69,16 +99,63 @@ def build_index(
     embedded = embed_crops(
         crops.filter(F.col("crop").isNotNull()), dims=dims
     )
-    embedded = decode_class(embedded).withColumn("split", F.lit(split))
-    index = assign_index_ids(embedded, ["split", "stem", "box_idx"])
-    index = index.select(
+    return decode_class(embedded).withColumn("split", F.lit(split))
+
+
+def upsert_index(
+    spark: SparkSession,
+    index: DataFrame,
+    images: str | DataFrame,
+    labels: DataFrame,
+    out_path: str | None = None,
+    preprocess: str = "gamma_blur",
+    dims: int = 8,
+    split: str = "train",
+) -> DataFrame:
+    """Incremental index maintenance — the nightly operation the
+    reference lacks (build_faiss_db.py:138-225 rebuilds and renumbers
+    everything). ONLY the batch is decoded/embedded; stems already in
+    the index keep their ids (their rows are replaced in place), new
+    stems get dense ids continuing past the current max. Ids of
+    untouched rows never move, so downstream artifacts keyed on id
+    (cached results, ANN tables via operators/index_maint.py) stay
+    valid. Writes a NEW snapshot when ``out_path`` is given — the
+    versioned-table shape; at warehouse scale an id-bucket-partitioned
+    table with dynamic partition overwrite (operators/index_maint.py)
+    or a transactional format replaces the snapshot swap."""
+    batch = _embedded_rows(
+        spark, images, labels, preprocess=preprocess, dims=dims,
+        split=split,
+    )
+    key = ["split", "stem", "box_idx"]
+    ids = index.select("id", *key)
+    # updated rows keep their existing id
+    updated = batch.join(ids, key, "inner")
+    # new rows: dense ids continuing past the current max (two-phase
+    # rank over the batch only + one metadata-sized max)
+    max_id = index.agg(F.max("id")).collect()[0][0] or 0
+    fresh = assign_index_ids_two_phase(
+        batch.join(ids.select(*key), key, "left_anti"), key
+    ).withColumn("id", F.col("id") + F.lit(max_id))
+    # every batch stem's old rows are dropped (stale boxes must not
+    # survive a re-label); batch stems are small → broadcast anti-join
+    batch_stems = batch.select("split", "stem").distinct()
+    kept = index.join(
+        F.broadcast(batch_stems), ["split", "stem"], "left_anti"
+    )
+    cols = [
         "id", "split", "stem", "box_idx", "class_id", "class_name",
         "embedding",
+    ]
+    merged = (
+        kept.select(*cols)
+        .unionByName(updated.select(*cols))
+        .unionByName(fresh.select(*cols))
     )
     if out_path:
-        write_index_table(index, out_path)
-        index = spark.read.parquet(out_path)
-    return index
+        write_index_table(merged, out_path)
+        merged = spark.read.parquet(out_path)
+    return merged
 
 
 def load_index(spark: SparkSession, path: str) -> DataFrame:

@@ -80,3 +80,51 @@ def test_search_no_detection_is_dropped_not_fatal(spark, corpus_dir, labels):
         )
         res = search(spark, load_index(spark, f"{out}/index"), bad, k=3)
         assert res.count() == 0  # F3/F5: dropped, no exception
+
+
+def test_upsert_index_stable_ids(spark, corpus_dir, labels):
+    from oracle_vector_search_spark.api import upsert_index
+    from oracle_vector_search_spark.sources.images import encode_fake_image
+
+    index = build_index(spark, corpus_dir, labels)
+    before = {r["id"]: (r["stem"], r["box_idx"]) for r in index.collect()}
+    max_id = max(before)
+
+    # batch: re-label img1 (different class, one box) + brand-new img9
+    d = tempfile.mkdtemp(prefix="batch_")
+    rng = np.random.RandomState(77)
+    for stem in ("img1", "img9"):
+        img = rng.randint(0, 256, (32, 32, 3), dtype=np.uint8)
+        with open(os.path.join(d, f"{stem}.fake"), "wb") as f:
+            f.write(encode_fake_image(img))
+    batch_labels = spark.createDataFrame(
+        [
+            ("img1", 1, "3 0.5 0.5 0.6 0.6"),
+            ("img9", 1, "2 0.5 0.5 0.6 0.6"),
+            ("img9", 2, "1 0.3 0.3 0.2 0.2"),
+        ],
+        "stem string, box_idx long, value string",
+    )
+
+    merged = upsert_index(spark, index, d, batch_labels)
+    rows = merged.collect()
+    by_key = {(r["stem"], r["box_idx"]): r for r in rows}
+
+    # untouched stems keep their exact ids
+    for oid, (stem, box_idx) in before.items():
+        if stem not in ("img1", "img9"):
+            assert by_key[(stem, box_idx)]["id"] == oid
+    # re-labeled stem keeps its id, gets the new class
+    old_img1_id = next(
+        oid for oid, (s, b) in before.items() if s == "img1" and b == 1
+    )
+    assert by_key[("img1", 1)]["id"] == old_img1_id
+    assert by_key[("img1", 1)]["class_id"] == 3
+    # new stem's rows continue past the old max id, densely
+    new_ids = sorted(
+        r["id"] for r in rows if r["stem"] == "img9"
+    )
+    assert new_ids == [max_id + 1, max_id + 2]
+    # stale extra box of a re-labeled stem does not survive
+    img1_rows = [r for r in rows if r["stem"] == "img1"]
+    assert len(img1_rows) == 1

@@ -132,7 +132,8 @@ _PRIORITY: tuple[str, ...] = (
     # Not all round-3 additions fit the 50-slot window; the round-4
     # rotation queue is: phrase3_retrieval_top20, posting_upsert_merge,
     # benchmark_decontamination, domain_mixture_rates,
-    # training_order_shuffle, zorder_layout_stats (each
+    # training_order_shuffle, zorder_layout_stats,
+    # streaming_index_maintenance (each
     # operator-adjacent to a query that IS in this window, and all
     # green in the local full-surface gate)
     "index_upsert_merge",

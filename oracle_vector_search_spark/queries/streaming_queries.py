@@ -185,3 +185,50 @@ def streaming_upsert_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return upsert_snapshot_stream(spark, sf_dir).orderBy("user_id")
+
+
+def _streaming_index_oracle() -> str:
+    from oracle_vector_search_spark.queries.ann_queries import (
+        _duck_bits_cte,
+    )
+
+    return f"""
+WITH {_duck_bits_cte(
+    "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+)}
+SELECT band, CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(vec_id) AS BIGINT) AS id_sum
+FROM buckets
+GROUP BY band, bucket
+ORDER BY band, bucket
+"""
+
+
+@register("streaming_index_maintenance", _streaming_index_oracle())
+def streaming_index_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous vector ingestion: the embedding stream's micro-batches
+    each hash only their own vectors and merge into a versioned at-rest
+    LSH bucket table (streaming/ops.py index_maintenance_stream). The
+    merge is idempotent per id → the final version equals the full
+    rebuild, which the oracle computes directly. Aggregated to the
+    per-(band, bucket) layout with an id checksum."""
+    from pyspark.sql import functions as F
+
+    t = ops.index_maintenance_stream(spark, sf_dir)
+    return (
+        t.groupBy("band", "bucket")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("vec_id").alias("id_sum"),
+        )
+        .select(
+            "band",
+            F.col("bucket").cast("int").alias("bucket"),
+            "n_vectors",
+            "id_sum",
+        )
+        .orderBy("band", "bucket")
+    )

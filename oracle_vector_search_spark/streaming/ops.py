@@ -359,3 +359,74 @@ def upsert_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream produced fewer than 2 merge epochs"
     )
     return spark.read.schema(schema).parquet(state["path"])
+
+
+def index_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming vector ingestion driving incremental LSH index
+    maintenance: each micro-batch hashes ONLY its own vectors
+    (ann.lsh_bucket_table) and merges them over the previous index
+    version (operators.index_maint.merge_index_rows — broadcast
+    anti-join on the batch ids, then union), writing one at-rest
+    version per epoch. Because the merge replaces ids wholesale it is
+    idempotent per id and batching-independent, so the final version
+    must equal a full rebuild over the whole corpus — which is exactly
+    what the DuckDB oracle computes. The reference has no streaming
+    ingestion at all (build_faiss_db.py rebuilds offline); this is the
+    continuous-ingest shape a 100 TB corpus actually runs.
+
+    Source: embeddings re-split into 4 files, maxFilesPerTrigger=1 →
+    ≥4 genuine merge epochs. foreachBatch runs in a cloned session;
+    state passes between epochs via written parquet paths.
+    """
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.operators import ann, index_maint
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    src_dir = scratch_dir("ovs_idx_stream_src_")
+    snap_root = scratch_dir("ovs_idx_stream_snap_")
+    (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    schema = "vec_id long, embedding array<double>"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state = {"path": None, "version": 0}
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        fresh = ann.lsh_bucket_table(batch_df, dims=64)
+        if state["path"] is not None:
+            old = sess.read.parquet(state["path"])
+            merged = index_maint.merge_index_rows(old, fresh)
+        else:
+            merged = fresh
+        out = f"{snap_root}/v{state['version']}"
+        merged.write.mode("overwrite").parquet(out)
+        state["path"] = out
+        state["version"] += 1
+
+    # the per-epoch merge moves metadata-sized (id, band, bucket) rows;
+    # default 200 shuffle partitions drown it in task overhead
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+    assert state["path"] is not None and state["version"] >= 2, (
+        "stream produced fewer than 2 index maintenance epochs"
+    )
+    return spark.read.parquet(state["path"])

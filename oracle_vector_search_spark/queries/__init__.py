@@ -133,7 +133,8 @@ _PRIORITY: tuple[str, ...] = (
     # rotation queue is: phrase3_retrieval_top20, posting_upsert_merge,
     # benchmark_decontamination, domain_mixture_rates,
     # training_order_shuffle, zorder_layout_stats,
-    # streaming_index_maintenance (each
+    # streaming_index_maintenance, lsh_recall_audit,
+    # embedding_dim_stats (each
     # operator-adjacent to a query that IS in this window, and all
     # green in the local full-surface gate)
     "index_upsert_merge",

@@ -785,3 +785,101 @@ def kmeans_chain_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+@register(
+    "lsh_recall_audit",
+    f"""
+WITH {_duck_bits_cte("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")},
+qbuckets AS (
+  SELECT vec_id AS query_id, band, bucket FROM buckets WHERE vec_id < 10
+),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM qbuckets q
+  JOIN buckets b ON q.band = b.band AND q.bucket = b.bucket
+),
+lsh_scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS score
+  FROM cand c
+  JOIN v q ON q.vec_id = c.query_id
+  JOIN v n ON n.vec_id = c.neighbor_id
+),
+lsh_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+    FROM lsh_scored) WHERE rn <= 5
+),
+exact_scored AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+         round(list_dot_product(q.v, d.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(d.v, d.v))), 6) AS score
+  FROM v d CROSS JOIN (SELECT * FROM v WHERE vec_id < 10) q
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+    FROM exact_scored) WHERE rn <= 5
+),
+hits AS (
+  SELECT e.query_id, CAST(count(l.neighbor_id) AS BIGINT) AS n_overlap
+  FROM exact_top e
+  LEFT JOIN lsh_top l
+    ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT query_id, n_overlap,
+       round(n_overlap / 5.0, 6) AS recall_at_5
+FROM hits
+ORDER BY query_id
+""",
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality gate as a first-class query: recall@5 of the LSH
+    tier against the exact kNN tier, per query. Both tiers are fully
+    deterministic (hash-derived planes), so even the RECALL NUMBER is
+    oracle-checkable — the audit a production ANN deployment runs
+    nightly to catch index drift/corruption, here with a hard
+    cross-engine hash match instead of a statistical bound. (PQ has
+    the analogous gate in pq_codes_fidelity.)"""
+    from oracle_vector_search_spark.operators.knn import knn_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = knn_exact(emb, queries, k=5).select(
+        "query_id", "neighbor_id"
+    )
+    buckets = _bucket_table(spark, sf_dir)
+    qbuckets = buckets.filter(F.col("vec_id") < 10)
+    lsh = ann.lsh_ann_topk(
+        emb,
+        queries,
+        k=5,
+        dims=DIMS,
+        index_buckets=buckets,
+        query_buckets=qbuckets,
+    ).select("query_id", F.col("neighbor_id").alias("lsh_neighbor"))
+    hits = exact.join(
+        lsh,
+        (exact.query_id == lsh.query_id)
+        & (exact.neighbor_id == lsh.lsh_neighbor),
+        "left",
+    ).select(exact.query_id, "lsh_neighbor")
+    return (
+        hits.groupBy("query_id")
+        .agg(F.count("lsh_neighbor").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            F.round(F.col("n_overlap") / 5.0, 6).alias("recall_at_5"),
+        )
+        .orderBy("query_id")
+    )

@@ -236,3 +236,74 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("score"), 6).alias("avg_score"),
         )
     )
+
+
+@register(
+    "embedding_dim_stats",
+    """
+WITH d AS (
+  SELECT vec_id,
+         unnest([{'dim': i - 1,
+                  'q': CAST(floor(embedding[i] * 1000000.0::DOUBLE)
+                            AS BIGINT)}
+                 FOR i IN range(1, len(embedding) + 1)]) AS u
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings)
+),
+m AS (
+  SELECT u.dim AS dim,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(u.q) AS BIGINT) AS s1,
+         CAST(sum(u.q * u.q) AS BIGINT) AS s2
+  FROM d GROUP BY u.dim
+)
+SELECT dim, n,
+       round(CAST(s1 AS DOUBLE) / n / 1000000.0, 6) AS mean,
+       round(sqrt(greatest(
+         CAST(s2 AS DOUBLE) / n
+         - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n),
+         0.0)) / 1000000.0, 6) AS std
+FROM m
+ORDER BY dim
+""",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding telemetry (mean / std) — the drift audit
+    an embedding pipeline runs when the model or corpus changes (a
+    collapsed or shifted dimension shows up immediately). Moments
+    accumulate as EXACT integers (floor(x·1e6), the engine's standard
+    determinism trick), so the shuffle is order-independent and the one
+    final double formula hash-matches across engines. One posexplode +
+    one partial-agg shuffle on (dim); 64 output rows regardless of
+    corpus size."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "transform(cast(embedding as array<double>), "
+                "x -> cast(floor(x * 1000000.0D) as bigint))"
+            )
+        ).alias("dim", "q"),
+    )
+    m = d.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+    )
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    n = F.col("n")
+    return m.select(
+        "dim",
+        "n",
+        F.round(s1d / n / 1000000.0, 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    s2d / n - (s1d / n) * (s1d / n), F.lit(0.0)
+                )
+            )
+            / 1000000.0,
+            6,
+        ).alias("std"),
+    ).orderBy("dim")

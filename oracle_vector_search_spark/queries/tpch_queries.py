@@ -341,3 +341,148 @@ def small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+@register(
+    "q4_late_orders",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking), adapted to the
+    fixture's columns: orders in 1996Q1 having at least one lineitem
+    shipped more than 60 days after the order date. The EXISTS compiles
+    to a LEFT SEMI join on l_orderkey — at scale the date filter prunes
+    the orders side BEFORE the join (predicate pushdown into the scan)
+    and the semi join never duplicates order rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    """
+SELECT round(
+         100.0 * sum(CASE WHEN p.p_type = 'PROMO'
+           THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT) ELSE 0 END)
+         / sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)),
+         6) AS promo_pct,
+       CAST(sum(CASE WHEN p.p_type = 'PROMO'
+         THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                   AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): share of March-1996 revenue from
+    PROMO parts. Part is the small dimension → broadcast join; the
+    shipdate filter pushes into the lineitem scan; revenue accumulates
+    as exact integer cents so the single output row hash-matches."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    cents = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.sum(
+        F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0))
+    )
+    total = F.sum(cents)
+    return j.agg(
+        F.round(100.0 * promo / total, 6).alias("promo_pct"),
+        promo.cast("long").alias("promo_cents"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    """
+WITH pos AS (
+  SELECT CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+           AS sum_cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c.c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(CAST(floor(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM customer c CROSS JOIN pos
+WHERE CAST(floor(c.c_acctbal * 100) AS BIGINT) * pos.n > pos.sum_cents
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate >= TIMESTAMP '2000-08-01')
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+""",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global sales opportunity): customers with
+    above-average positive balance and no orders in the final year of
+    the fixture (every customer has SOME order, so the idle window
+    replaces Q22's no-orders-ever), grouped by market segment. The above-average comparison is cross-multiplied in exact
+    integer cents (bal·n > sum) — no double division anywhere near a
+    threshold, so the boundary can't flip between engines. The NOT
+    EXISTS compiles to a LEFT ANTI join; the 2-value average broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit("2000-08-01").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_cents("c_acctbal")).alias("sum_cents"),
+        F.count("*").alias("n"),
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        _cents("c_acctbal") * F.col("n") > F.col("sum_cents")
+    )
+    idle = rich.join(
+        o, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(_cents("c_acctbal")).alias("total_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )

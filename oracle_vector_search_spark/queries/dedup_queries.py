@@ -440,3 +440,75 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+WITH clusters AS ({_duck_cluster_sql(3)}),
+qual AS (
+  SELECT doc_id,
+         CAST(len(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT c.canonical_id, c.doc_id, q.n_tokens,
+         row_number() OVER (
+           PARTITION BY c.canonical_id
+           ORDER BY q.n_tokens DESC, c.doc_id) AS rn
+  FROM clusters c JOIN qual q ON q.doc_id = c.doc_id
+)
+SELECT canonical_id,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS keep_id,
+       CAST(max(CASE WHEN rn = 1 THEN n_tokens END) AS BIGINT)
+         AS keep_tokens,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM ranked
+GROUP BY canonical_id
+ORDER BY canonical_id
+""",
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the LONGEST document (ties → lowest id) instead of the lowest
+    id — the policy a training-data pipeline actually wants (near-dups
+    are usually truncations/boilerplate variants of one best copy).
+    Composes the connected-component clustering with a per-doc quality
+    metric via one rank-1 window per cluster; swapping in a richer
+    score (gopher flags, LM perplexity) changes only the ORDER BY."""
+    from oracle_vector_search_spark.operators.dedup import (
+        dedup_clusters,
+        with_norm_tokens,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(
+        docs,
+        threshold=MINHASH_THRESHOLD,
+        sigs=_minhash_sig_table(spark, sf_dir),
+    )
+    clusters = dedup_clusters(pairs, docs.select("doc_id"), iterations=3)
+    qual = with_norm_tokens(docs).select(
+        "doc_id", F.size("toks").cast("long").alias("n_tokens")
+    )
+    j = clusters.join(qual, "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    r = j.withColumn("rn", F.row_number().over(w))
+    return (
+        r.groupBy("canonical_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id")))
+            .cast("long")
+            .alias("keep_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_tokens")))
+            .cast("long")
+            .alias("keep_tokens"),
+            F.count("*").alias("n_members"),
+        )
+        .orderBy("canonical_id")
+    )

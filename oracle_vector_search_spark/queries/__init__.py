@@ -135,7 +135,8 @@ _PRIORITY: tuple[str, ...] = (
     # training_order_shuffle, zorder_layout_stats,
     # streaming_index_maintenance, lsh_recall_audit,
     # embedding_dim_stats, q4_late_orders, q14_promo_revenue,
-    # q22_idle_rich_customers, dedup_keep_best (each
+    # q22_idle_rich_customers, dedup_keep_best, domain_cap_sample,
+    # candidate_jaccard_histogram (each
     # operator-adjacent to a query that IS in this window, and all
     # green in the local full-surface gate)
     "index_upsert_merge",

@@ -512,3 +512,111 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("canonical_id")
     )
+
+
+@register(
+    "domain_cap_sample",
+    """
+WITH qual AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '))
+           AS BIGINT) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_tokens DESC, doc_id)
+           AS INTEGER) AS rank
+  FROM qual
+)
+SELECT source, doc_id, n_tokens, rank
+FROM ranked
+WHERE rank <= 5
+ORDER BY source, rank
+""",
+)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain capping — the anti-domination pass a training blend runs
+    so no single source floods the mix: keep at most 5 documents per
+    source, chosen by quality (longest first, ties → lowest id).
+    One WindowGroupLimit per source partition (Spark prunes to ≤5 rows
+    per group before the final sort — no global shuffle of the losers);
+    the per-domain cap composes with domain_mixture_rates' global
+    blend."""
+    from oracle_vector_search_spark.operators.dedup import (
+        with_norm_tokens,
+    )
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    qual = with_norm_tokens(docs).select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id")
+    )
+    return (
+        qual.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("source", "doc_id", "n_tokens", "rank")
+        .orderBy("source", "rank")
+    )
+
+
+@register(
+    "candidate_jaccard_histogram",
+    """
+WITH base AS (
+  SELECT doc_id, source, lang,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), g AS (
+  SELECT doc_id, source, lang,
+         list_distinct([substr(norm, i, 3)
+                        for i in range(1, greatest(length(norm) - 2, 1) + 1)])
+           AS grams
+  FROM base
+),
+scored AS (
+  SELECT round(len(list_intersect(a.grams, b.grams)) * 1.0
+               / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+           AS jaccard
+  FROM g a
+  JOIN g b ON a.source = b.source AND a.lang = b.lang
+          AND a.doc_id < b.doc_id
+)
+SELECT CAST(least(floor(jaccard * 10), 9) AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM scored
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def candidate_jaccard_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup threshold-tuning telemetry: the exact character-trigram
+    Jaccard distribution of ALL within-block pairs, bucketed by decile
+    — the curve an operator reads to place the near-dup threshold
+    (mass below the chosen decile = pairs a lower threshold would
+    merge). Blocking keys (source, lang) bound each block's pair space,
+    so the join is block-local and the global all-pairs space is never
+    scanned — the same blocking the production n-gram pass uses."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = ngram_jaccard_join(
+        docs, ["source", "lang"], n=3, threshold=0.0
+    )
+    return (
+        scored.select(
+            F.least(F.floor(F.col("jaccard") * 10), F.lit(9))
+            .cast("int")
+            .alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("decile")
+    )

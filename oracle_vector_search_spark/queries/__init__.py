@@ -136,7 +136,8 @@ _PRIORITY: tuple[str, ...] = (
     # streaming_index_maintenance, lsh_recall_audit,
     # embedding_dim_stats, q4_late_orders, q14_promo_revenue,
     # q22_idle_rich_customers, dedup_keep_best, domain_cap_sample,
-    # candidate_jaccard_histogram (each
+    # candidate_jaccard_histogram, index_health_audit,
+    # domain_mixture_apply (each
     # operator-adjacent to a query that IS in this window, and all
     # green in the local full-surface gate)
     "index_upsert_merge",

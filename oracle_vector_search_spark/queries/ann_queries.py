@@ -883,3 +883,67 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "index_health_audit",
+    f"""
+WITH {_duck_bits_cte("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")},
+per_id AS (
+  SELECT vec_id, count(*) AS n_rows,
+         count(DISTINCT band) AS n_bands
+  FROM buckets GROUP BY vec_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(n_rows) AS BIGINT) AS n_index_rows,
+       CAST(sum(CASE WHEN n_rows <> {ann.N_BANDS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS bad_row_count,
+       CAST(sum(CASE WHEN n_bands <> {ann.N_BANDS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS dup_band_count,
+       (SELECT CAST(sum(CASE WHEN bucket < 0
+                          OR bucket >= {2 ** ann.ROWS_PER_BAND}
+                        THEN 1 ELSE 0 END) AS BIGINT)
+        FROM buckets) AS out_of_range_buckets
+FROM per_id
+""",
+)
+def index_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style constraint audit for the at-rest LSH index table —
+    the invariants a deployment checks after every maintenance cycle:
+    every vector has exactly one row per band, no duplicate (id, band)
+    rows, every bucket key within [0, 2^rows_per_band). Violation
+    counts must be zero AND match the oracle's recomputation, so a
+    corrupted partition rewrite (the failure mode of incremental
+    maintenance) is caught by count, not by luck. Scan-local partial
+    aggregations only — one pass over the index."""
+    buckets = _bucket_table(spark, sf_dir)
+    per_id = buckets.groupBy("vec_id").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("band").alias("n_bands"),
+    )
+    oor = buckets.agg(
+        F.sum(
+            F.when(
+                (F.col("bucket") < 0)
+                | (F.col("bucket") >= 2 ** ann.ROWS_PER_BAND),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("out_of_range_buckets")
+    )
+    agg = per_id.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum("n_rows").alias("n_index_rows"),
+        F.sum(
+            F.when(F.col("n_rows") != ann.N_BANDS, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("bad_row_count"),
+        F.sum(
+            F.when(F.col("n_bands") != ann.N_BANDS, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("dup_band_count"),
+    )
+    return agg.crossJoin(F.broadcast(oor))

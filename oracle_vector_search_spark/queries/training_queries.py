@@ -1617,3 +1617,84 @@ def posting_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@register(
+    "domain_mixture_apply",
+    f"""
+WITH counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY lang
+),
+w AS ({_MIX_DUCK_W}),
+j AS (
+  SELECT c.lang, c.n_docs, w.target_share,
+         c.n_docs / w.target_share AS cap
+  FROM counts c JOIN w USING (lang)
+),
+b AS (SELECT min(cap) AS budget FROM j),
+rates AS (
+  SELECT lang,
+         floor(target_share * budget) / n_docs AS rate
+  FROM j CROSS JOIN b
+),
+sampled AS (
+  SELECT d.doc_id, d.lang
+  FROM documents d JOIN rates r USING (lang)
+  WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 7))::BIGINT
+        / 268435456.0 < r.rate
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM sampled
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def domain_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply half of domain_mixture_rates: per-row hash-Bernoulli
+    sampling at the planned per-language rate — keep a doc iff
+    hash28('mix:'||id)/2^28 < rate. rand()-free, so the SAMPLE ITSELF
+    is deterministic and oracle-checked down to the id checksum (the
+    property that makes a training run reproducible byte-for-byte).
+    The rates broadcast (5 rows); the filter evaluates scan-side —
+    no shuffle before the final per-language count. Kept counts track
+    floor(target·budget) to within binomial noise; the planner's
+    take_n is exact when exactness matters (rank <= take_n over a
+    hash ordering — same machinery as training_order_shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    wmap = F.create_map(
+        *[F.lit(x) for pair in _MIX_TARGETS for x in pair]
+    )
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    j = counts.select(
+        "lang",
+        "n_docs",
+        F.element_at(wmap, F.col("lang")).alias("target_share"),
+    ).withColumn("cap", F.col("n_docs") / F.col("target_share"))
+    b = j.agg(F.min("cap").alias("budget"))
+    rates = (
+        j.crossJoin(F.broadcast(b))
+        .select(
+            "lang",
+            (
+                F.floor(F.col("target_share") * F.col("budget"))
+                / F.col("n_docs")
+            ).alias("rate"),
+        )
+    )
+    h = F.expr(
+        T.hash28_sql("concat('mix:', cast(doc_id as string))")
+    ) / F.lit(268435456.0)
+    sampled = docs.join(F.broadcast(rates), "lang").filter(
+        h < F.col("rate")
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )

@@ -137,7 +137,8 @@ _PRIORITY: tuple[str, ...] = (
     # embedding_dim_stats, q4_late_orders, q14_promo_revenue,
     # q22_idle_rich_customers, dedup_keep_best, domain_cap_sample,
     # candidate_jaccard_histogram, index_health_audit,
-    # domain_mixture_apply (each
+    # domain_mixture_apply, jsonl_ingest_audit,
+    # cogroup_user_reconcile (each
     # operator-adjacent to a query that IS in this window, and all
     # green in the local full-surface gate)
     "index_upsert_merge",

@@ -125,3 +125,74 @@ def stateful_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "sum_value_cents")
     )
+
+
+@register(
+    "cogroup_user_reconcile",
+    """
+WITH ev AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+           AS events_cents
+  FROM events GROUP BY user_id
+),
+od AS (
+  SELECT o_custkey AS user_id,
+         CAST(count(*) AS BIGINT) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS orders_cents
+  FROM orders GROUP BY o_custkey
+)
+SELECT coalesce(ev.user_id, od.user_id) AS user_id,
+       CAST(coalesce(ev.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(od.n_orders, 0) AS BIGINT) AS n_orders,
+       CAST(coalesce(ev.events_cents, 0) AS BIGINT) AS events_cents,
+       CAST(coalesce(od.orders_cents, 0) AS BIGINT) AS orders_cents
+FROM ev FULL OUTER JOIN od ON od.user_id = ev.user_id
+ORDER BY user_id
+""",
+)
+def cogroup_user_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-table grouped reconciliation via ``cogroup.applyInPandas`` —
+    the engine's two-sided custom-aggregation surface (one pandas frame
+    per key from EACH side, including keys present on only one side).
+    The pandas body is integer-cents arithmetic, so the escape hatch is
+    oracle-checked exactly like the built-in path. Use sparingly at
+    scale: the cogroup shuffles both tables on the key — here it stands
+    in for logic a FULL OUTER JOIN + aggregate can't express (per-key
+    imperative reconciliation)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+
+    def reconcile(
+        key: tuple, ev_pdf: pd.DataFrame, od_pdf: pd.DataFrame
+    ) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(key[0]),
+                    "n_events": int(len(ev_pdf)),
+                    "n_orders": int(len(od_pdf)),
+                    "events_cents": int(ev_pdf["cents"].sum()),
+                    "orders_cents": int(od_pdf["cents"].sum()),
+                }
+            ]
+        )
+
+    out_schema = (
+        "user_id long, n_events long, n_orders long, "
+        "events_cents long, orders_cents long"
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(od.groupBy("user_id"))
+        .applyInPandas(reconcile, schema=out_schema)
+        .orderBy("user_id")
+    )

@@ -321,3 +321,68 @@ def bigram_collocations_top20(
         .select("w1", "w2", "c12", "cond_prob", "lift", "rank")
         .orderBy("rank")
     )
+
+
+_JSONL_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _jsonl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-time scratch JSONL corpus: documents re-serialized as JSON
+    lines plus one planted extra doc and two planted broken lines —
+    the realistic ingest wire format with its damage tail."""
+    import os
+
+    from oracle_vector_search_spark.scratch import scratch_dir
+    from oracle_vector_search_spark.sources.jsonl import (
+        read_documents_jsonl,
+    )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _JSONL_CACHE.get(key)
+    if path is None:
+        path = scratch_dir("ovs_docs_jsonl_")
+        docs = load_table(spark, sf_dir, "documents")
+        docs.repartition(4).write.mode("overwrite").json(path)
+        with open(os.path.join(path, "part-extra.json"), "w") as f:
+            f.write(
+                '{"doc_id": 999999, "text": "planted extra doc", '
+                '"lang": "xx", "source": "planted", "n_chars": 17}\n'
+            )
+            f.write('{"doc_id": 7, "text": "truncated rec\n')
+            f.write("not json at all }{\n")
+        _JSONL_CACHE[key] = path
+    return read_documents_jsonl(spark, path)
+
+
+@register(
+    "jsonl_ingest_audit",
+    """
+SELECT CAST(count(*) + 1 AS BIGINT) AS n_good,
+       CAST(2 AS BIGINT) AS n_corrupt,
+       CAST(sum(doc_id) + 999999 AS BIGINT) AS id_checksum,
+       CAST(sum(n_chars) + 17 AS BIGINT) AS chars_checksum
+FROM documents
+""",
+)
+def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permissive JSONL ingestion audit (sources/jsonl.py): the corpus
+    round-trips through the JSON wire format with 2 planted broken
+    lines and 1 planted extra document; good rows must parse exactly
+    (id and n_chars checksums vs the pristine table) and broken lines
+    must count as corrupt instead of failing the job — the F6
+    tolerance rule applied to the text-ingest source."""
+    d = _jsonl_corpus(spark, sf_dir)
+    return d.agg(
+        F.sum(
+            F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_good"),
+        F.sum(
+            F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_corrupt"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("chars_checksum"),
+    )

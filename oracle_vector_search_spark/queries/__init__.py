@@ -138,7 +138,8 @@ _PRIORITY: tuple[str, ...] = (
     # q22_idle_rich_customers, dedup_keep_best, domain_cap_sample,
     # candidate_jaccard_histogram, index_health_audit,
     # domain_mixture_apply, jsonl_ingest_audit,
-    # cogroup_user_reconcile (each
+    # cogroup_user_reconcile, sql_interface_pricing,
+    # udtf_token_windows (each
     # operator-adjacent to a query that IS in this window, and all
     # green in the local full-surface gate)
     "index_upsert_merge",

@@ -606,3 +606,33 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in_credit"
         ),
     )
+
+
+# ONE SQL string, both engines: runs verbatim through spark.sql() AND
+# as the DuckDB oracle — the engine's SQL-interface parity statement
+# (dialect-neutral ANSI subset: no ::casts, no engine list functions).
+_SQL_INTERFACE_TEXT = """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS base_cents,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_interface_pricing", _SQL_INTERFACE_TEXT)
+def sql_interface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the registered oracle string itself executed
+    via ``spark.sql`` over a temp view — byte-identical query text in
+    Spark and DuckDB, so a user's existing ANSI SQL ports with zero
+    translation. Catalyst treats the SQL and DataFrame paths
+    identically (same optimized plan as q1_pricing_summary's shape:
+    pushed shipdate filter, partial/final HashAggregate)."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_SQL_INTERFACE_TEXT)

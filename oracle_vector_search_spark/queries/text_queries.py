@@ -386,3 +386,67 @@ def jsonl_ingest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").alias("id_checksum"),
         F.sum("n_chars").alias("chars_checksum"),
     )
+
+
+@register(
+    "udtf_token_windows",
+    """
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+)
+, wins AS (
+  SELECT doc_id, toks,
+         unnest(range(0, least(3,
+           CAST(ceil(len(toks) / 4.0) AS BIGINT)))) AS w
+  FROM base
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS win_idx,
+       array_to_string(toks[w * 4 + 1 : w * 4 + 8], ' ') AS snippet,
+       CAST(len(toks[w * 4 + 1 : w * 4 + 8]) AS INTEGER) AS n_tokens
+FROM wins
+ORDER BY doc_id, win_idx
+""",
+)
+def udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4's native 1→N table function) emitting up to
+    3 overlapping token windows (size 8, stride 4) per document via a
+    LATERAL join — the API tier for generators whose row count depends
+    on the input (the reference's detect-1→N shape, but as a real
+    UDTF rather than explode-over-array). The window math is plain
+    slicing, so the Python generator is oracle-checked exactly. Escape
+    hatch, not hot path: the equivalent column-only chunker
+    (operators/chunking.py) stays the 100 TB default; Arrow-batched
+    UDTF evaluation keeps this tier usable when the generator logic is
+    genuinely imperative."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "doc_id bigint, win_idx int, snippet string, n_tokens int"
+    ))
+    class TokenWindows:
+        def eval(self, doc_id, norm):
+            toks = norm.split(" ")
+            idx = 0
+            for start in range(0, len(toks), 4):
+                if idx >= 3:
+                    break
+                window = toks[start:start + 8]
+                yield doc_id, idx, " ".join(window), len(window)
+                idx += 1
+
+    spark.udtf.register("token_windows", TokenWindows)
+    load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS norm",
+    ).createOrReplaceTempView("docs_norm")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.win_idx, t.snippet, t.n_tokens
+        FROM docs_norm, LATERAL token_windows(doc_id, norm) t
+        ORDER BY t.doc_id, t.win_idx
+        """
+    )

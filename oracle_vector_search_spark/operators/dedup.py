@@ -25,7 +25,7 @@ All computations use the portable md5-based hash family from
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from oracle_vector_search_spark.functions import text as T
 
@@ -214,6 +214,88 @@ def simhash_near_dup(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact word-shingle Jaccard join via PPJoin-style prefix filtering
+    (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    Detection") — no blocking key needed, yet never all-pairs.
+
+    Guarantee: order every document's shingle set by a GLOBAL total
+    order (ascending document frequency, ties by shingle) and keep only
+    the first ``n - ceil(t*n) + 1`` elements (the *prefix*). If
+    ``J(A, B) >= t`` the two prefixes must share an element, so the
+    prefix self-join yields a guaranteed SUPERSET of the true pairs;
+    an exact set-overlap verification then filters it. The threshold is
+    the rational ``threshold_num/threshold_den`` and every comparison is
+    cross-multiplied integer arithmetic, so the result is exact and
+    independent of partitioning.
+
+    Scale shape: one shuffle to count document frequencies, one
+    per-document window to rank (partitioned by id — never global), a
+    self-equi-join on prefix shingles (rare shingles first ⇒ tiny
+    candidate buckets), then an id-keyed join back to the set table for
+    verification. At 100 TB this is the standard set-similarity-join
+    layout; the candidate space degrades gracefully with corpus
+    near-dup rate rather than corpus size.
+    """
+    num, den = threshold_num, threshold_den
+    d = df.withColumn("norm", T.norm_text(text_col)).withColumn(
+        "toks", T.tokens("norm")
+    )
+    sets = d.select(
+        F.col(id_col).alias("__id"),
+        F.expr(T.word_shingles_expr("toks", "norm")).alias("shingles"),
+    ).withColumn("set_size", F.size("shingles"))
+
+    ex = sets.select("__id", "set_size", F.explode("shingles").alias("s"))
+    dfreq = ex.groupBy("s").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("__id").orderBy(F.col("df").asc(), F.col("s").asc())
+    # prefix length: n - ceil(t*n) + 1, with ceil via integer arithmetic
+    pref = (
+        ex.join(dfreq, "s")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(
+            F.col("rk")
+            <= F.expr(
+                f"set_size - (({num} * set_size + {den - 1}) DIV {den}) + 1"
+            )
+        )
+        .select("__id", "s")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "s")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("left_id"), F.col("b.__id").alias("right_id")
+        )
+        .distinct()
+    )
+    lsets = sets.select(
+        F.col("__id").alias("left_id"), F.col("shingles").alias("sh_l")
+    )
+    rsets = sets.select(
+        F.col("__id").alias("right_id"), F.col("shingles").alias("sh_r")
+    )
+    return (
+        cand.join(lsets, "left_id")
+        .join(rsets, "right_id")
+        .withColumn("inter", F.size(F.array_intersect("sh_l", "sh_r")))
+        .withColumn("uni", F.size(F.array_union("sh_l", "sh_r")))
+        .filter(F.col("inter") * den >= F.col("uni") * num)
+        .select(
+            "left_id",
+            "right_id",
+            F.round(F.col("inter") * 1.0 / F.col("uni"), 6).alias("jaccard"),
+        )
     )
 
 

@@ -16,6 +16,7 @@ from oracle_vector_search_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup,
     ngram_jaccard_join,
+    prefix_filter_jaccard_join,
     simhash_fingerprints,
     simhash_near_dup,
 )
@@ -620,3 +621,54 @@ def candidate_jaccard_histogram(
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("decile")
     )
+
+
+@register(
+    "prefix_filter_jaccard_pairs",
+    f"""
+WITH base AS (
+  SELECT doc_id, {T.duck_norm('text')} AS norm FROM documents
+), tok AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM base
+), sh AS (
+  SELECT doc_id, {T.duck_shingles('toks', 'norm')} AS shingles FROM tok
+), sets AS (
+  SELECT doc_id, shingles, len(shingles) AS set_size FROM sh
+), ex AS (
+  SELECT doc_id, set_size, unnest(shingles) AS s FROM sets
+), dfreq AS (
+  SELECT s, count(*) AS df FROM ex GROUP BY s
+), ranked AS (
+  SELECT e.doc_id, e.s,
+         row_number() OVER (
+           PARTITION BY e.doc_id ORDER BY d.df ASC, e.s ASC) AS rk,
+         e.set_size
+  FROM ex e JOIN dfreq d USING (s)
+), pref AS (
+  SELECT doc_id, s FROM ranked
+  WHERE rk <= set_size - ((3 * set_size + 4) // 5) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+)
+SELECT c.left_id, c.right_id,
+       round(len(list_intersect(s1.shingles, s2.shingles)) * 1.0
+             / len(list_distinct(list_concat(s1.shingles, s2.shingles))), 6)
+         AS jaccard
+FROM cand c
+JOIN sets s1 ON s1.doc_id = c.left_id
+JOIN sets s2 ON s2.doc_id = c.right_id
+WHERE len(list_intersect(s1.shingles, s2.shingles)) * 5
+      >= len(list_distinct(list_concat(s1.shingles, s2.shingles))) * 3
+""",
+)
+def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-similarity self-join WITHOUT a blocking key: PPJoin prefix
+    filtering over word 3-shingles at Jaccard >= 3/5. Complements
+    ``ngram_jaccard_pairs`` (explicit blocking) and
+    ``minhash_near_dup_pairs`` (probabilistic banding) with the third
+    standard recipe — exact, global, frequency-ordered prefix
+    candidates. All threshold comparisons are cross-multiplied integer
+    arithmetic, so Spark and the oracle agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_join(docs, threshold_num=3, threshold_den=5)

@@ -391,3 +391,73 @@ def packed_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").alias("n_tokens"),
         F.max("bin_fill").alias("final_fill"),
     )
+
+
+HEAVY_K = 30  # heavy hitter := frequency strictly above total/HEAVY_K
+
+
+@register(
+    "heavy_hitter_tokens_twophase",
+    f"""
+WITH tok AS (
+  SELECT unnest(string_split(
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS token
+  FROM documents
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM tok
+)
+SELECT t.token,
+       CAST(count(*) AS BIGINT) AS n,
+       round(count(*) * 1.0 / any_value(tot.n_total), 6) AS share
+FROM tok t CROSS JOIN tot
+GROUP BY t.token
+HAVING count(*) * {HEAVY_K} > any_value(tot.n_total)
+""",
+)
+def heavy_hitter_tokens_twophase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact heavy hitters (tokens with frequency > N/k) found with the
+    two-phase Misra-Gries-style candidate pass a 100 TB vocabulary
+    needs.
+
+    Phase 1 never shuffles the full token stream on token: each input
+    partition p finds its LOCAL heavy hitters (count_p * k >
+    n_p). Pigeonhole guarantees the candidate set is a superset of the
+    global answer — if count(x) * k > N globally, then count_p(x) * k >
+    n_p in at least one partition. Phase 2 exact-counts ONLY the
+    candidates (semi-join, broadcast — candidate count is bounded by
+    partitions * k) and applies the exact global filter, so the result
+    is identical for ANY partition layout. The oracle is the plain
+    exact SQL; correctness does not depend on where Spark split the
+    input.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.withColumn("norm", T.norm_text("text"))
+        .select(F.explode(T.tokens("norm")).alias("token"))
+    )
+    # phase 1: per-partition local heavy hitters (map-side, no token shuffle)
+    part = toks.withColumn("pid", F.spark_partition_id())
+    local = part.groupBy("pid", "token").agg(F.count("*").alias("cnt"))
+    local_tot = part.groupBy("pid").agg(F.count("*").alias("n_p"))
+    cand = (
+        local.join(F.broadcast(local_tot), "pid")
+        .filter(F.col("cnt") * HEAVY_K > F.col("n_p"))
+        .select("token")
+        .distinct()
+    )
+    # phase 2: exact global counts for candidates only
+    total = toks.agg(F.count("*").alias("n_total"))
+    return (
+        toks.join(F.broadcast(cand), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n") * HEAVY_K > F.col("n_total"))
+        .select(
+            "token",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("n_total"), 6).alias("share"),
+        )
+    )

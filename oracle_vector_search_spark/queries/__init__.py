@@ -56,6 +56,7 @@ def load_all_modules() -> None:
         "dedup_queries",
         "grouped_map_queries",
         "sketch_queries",
+        "feature_queries",
         "training_queries",
         "scale_queries",
         "audit_queries",

@@ -1,0 +1,191 @@
+"""Feature-engineering oracle corpus — the per-row derived-signal
+operators an ML training pipeline computes before writing feature
+tables: ordered per-key rolling windows, equal-width binning against
+global bounds, and exact z-score outlier flagging.
+
+All determinism policies follow the engine convention: money/value
+columns are integerized to cents, thresshold comparisons are
+cross-multiplied integer (or decimal) arithmetic so no float boundary
+can flip a row between engines, and every float score is rounded to 6
+decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.queries import register
+
+N_BINS = 10
+ZSCORE_THRESHOLD = 3  # |z| > 3 flags an outlier
+
+
+@register(
+    "events_rolling_features",
+    """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id, cents AS value_cents,
+       lag(cents) OVER w AS prev_cents,
+       round(sum(cents) OVER w3 * 1.0 / count(*) OVER w3, 6) AS ma3_value,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM e
+WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w3 AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered rolling features: previous value, 3-event moving
+    average, inter-event gap. The window is partitioned by ``user_id``
+    (one shuffle on the key, no global sort) — the layout that scales to
+    any number of users; skewed power-users are bounded by their own
+    event counts, not the corpus. Order ties broken by ``event_id`` so
+    both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("long")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w3 = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("cents").alias("value_cents"),
+        F.lag("cents").over(w).alias("prev_cents"),
+        F.round(
+            F.sum("cents").over(w3) * 1.0 / F.count("*").over(w3), 6
+        ).alias("ma3_value"),
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us"),
+    )
+
+
+@register(
+    "feature_binning_equal_width",
+    f"""
+WITH c AS (
+  SELECT CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), bounds AS (
+  SELECT min(cents) AS min_c, max(cents) AS max_c FROM c
+)
+SELECT CAST((cents - min_c) * {N_BINS} // (max_c - min_c + 1) AS INTEGER)
+         AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM c CROSS JOIN bounds
+GROUP BY 1
+""",
+)
+def feature_binning_equal_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram binning of ``l_extendedprice`` into
+    {N_BINS} bins against GLOBAL min/max. The bounds aggregate is a
+    1-row broadcast cross join (never a collect); the bin id is pure
+    integer arithmetic ``(c - min) * k div (max - min + 1)`` which lands
+    in 0..k-1 exactly, so both engines agree with no float edges."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    bounds = li.agg(
+        F.min("cents").alias("min_c"), F.max("cents").alias("max_c")
+    )
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.expr(
+                f"cast((cents - min_c) * {N_BINS} DIV (max_c - min_c + 1)"
+                " as int)"
+            ),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+            F.sum("cents").alias("sum_cents"),
+        )
+    )
+
+
+@register(
+    "event_value_zscore_outliers",
+    f"""
+WITH p AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sum_c,
+         CAST(sum(c * c) AS BIGINT) AS sum_c2
+  FROM p GROUP BY event_type
+)
+SELECT p.event_id, p.event_type, p.c AS value_cents,
+       round((p.n2 * 1.0) / sqrt(p.var2 * 1.0), 6) AS z
+FROM (
+  SELECT p.event_id, p.event_type, p.c,
+         CAST(s.n AS HUGEINT) * p.c - s.sum_c AS n2,
+         CAST(s.n AS HUGEINT) * s.sum_c2
+           - CAST(s.sum_c AS HUGEINT) * s.sum_c AS var2
+  FROM p JOIN s USING (event_type)
+  WHERE s.n >= 2
+) p
+WHERE p.n2 * p.n2 > {ZSCORE_THRESHOLD * ZSCORE_THRESHOLD} * p.var2
+""",
+)
+def event_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact z-score outlier flags (|z| > {ZSCORE_THRESHOLD})
+    over ``events.value`` grouped by ``event_type``.
+
+    The flag predicate never touches a float: with integer moments
+    ``S = sum(c)``, ``Q = sum(c^2)`` the condition ``|z| > t`` is
+    ``(n*c - S)^2 > t^2 * (n*Q - S^2)`` (population variance), evaluated
+    in decimal(38)/HUGEINT so it cannot overflow at any SF. Only the
+    reported ``z`` value itself is float (both engines compute the
+    identical expression and round to 6). Group stats are one partial
+    aggregation broadcast back — no window, no global sort."""
+    t2 = ZSCORE_THRESHOLD * ZSCORE_THRESHOLD
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+    )
+    dec = "decimal(38,0)"
+    joined = (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n") >= 2)
+        .withColumn(
+            "n2",
+            F.col("n").cast(dec) * F.col("c") - F.col("sum_c"),
+        )
+        .withColumn(
+            "var2",
+            F.col("n").cast(dec) * F.col("sum_c2")
+            - F.col("sum_c").cast(dec) * F.col("sum_c"),
+        )
+    )
+    return joined.filter(
+        F.col("n2") * F.col("n2") > F.lit(t2) * F.col("var2")
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("c").alias("value_cents"),
+        F.round(
+            F.col("n2").cast("double") / F.sqrt(F.col("var2").cast("double")),
+            6,
+        ).alias("z"),
+    )

@@ -34,26 +34,46 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's timestamp
-    type (µs) cannot hold — read it as a long (``nanosAsLong``) and expose
-    BOTH ``ts_ns BIGINT`` (exact, for arithmetic/oracle output) and ``ts
-    TIMESTAMP`` (µs-truncated, for window/streaming functions; hour and
-    second boundaries are µs-aligned so truncation never flips a bucket).
+    ``events.ts`` has shipped as BOTH parquet TIMESTAMP(NANOS) (older
+    fixtures) and timestamp[us] (current fixtures), so we branch on the
+    ACTUAL type the reader hands back rather than assuming a physical
+    layout. Either way the loaded frame exposes BOTH ``ts_ns BIGINT``
+    (exact epoch-nanos, for arithmetic/oracle output) and ``ts
+    TIMESTAMP`` (µs precision, for window/streaming functions; hour and
+    second boundaries are µs-aligned so precision never flips a bucket).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     # Oracle comparability + determinism: wall-clock↔epoch conversions
     # (NTZ casts, unix_micros) must not depend on the host timezone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
+        # nanosAsLong only affects TIMESTAMP(NANOS) columns; harmless
+        # (no-op) when the fixture stores µs.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return (
-            spark.read.parquet(path)
-            .withColumnRenamed("ts", "ts_ns")
-            .withColumn(
+        raw = spark.read.parquet(path)
+        ts_type = raw.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # Legacy nanos fixture: raw int64 nanoseconds.
+            return raw.withColumnRenamed("ts", "ts_ns").withColumn(
                 "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
             )
+        if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
+            # Current fixture: timestamp[us]. Cast NTZ→TIMESTAMP under the
+            # UTC session zone (bit-identical instant), derive exact nanos.
+            # Column order matches the legacy-nanos branch so star-selects
+            # are stable across fixture generations.
+            other = [c for c in raw.columns if c != "ts"]
+            return (
+                raw.withColumn("ts", F.col("ts").cast("timestamp"))
+                .withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
+                .select(other[0], "ts_ns", *other[1:], "ts")
+            )
+        raise TypeError(
+            f"events.ts has unsupported parquet-read type {ts_type}; "
+            "expected int64 nanos or timestamp"
         )
     return spark.read.parquet(path)
 

@@ -14,37 +14,47 @@ same code runs against kafka/socket sources on a cluster.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) as long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as an unbounded stream (ts_ns BIGINT + µs ts,
-    mirroring io.load_table's nanosecond policy)."""
+    mirroring io.load_table's type policy).
+
+    The stream schema is DERIVED from a batch read of the same path —
+    never hard-coded — so a fixture regeneration that changes the
+    physical ``ts`` type (int64-nanos vs timestamp[us]) can't silently
+    reinterpret values; the batch path (io.load_table) branches on the
+    actual type and the stream inherits that decision.
+    """
+    from oracle_vector_search_spark.io import load_table
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    ).schema
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")  # file source needs a dir
         .load(sf_dir)
     )
-    return raw.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
-    )
+    ts_type = raw_schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        out = raw.withColumnRenamed("ts", "ts_ns").withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+        )
+    else:
+        out = raw.withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        ).withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
+    # Same column order as the batch loader.
+    return out.select(*batch.columns)
 
 
 def run_to_memory(stream_df: DataFrame, output_mode: str) -> DataFrame:

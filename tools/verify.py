@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Round-end verification battery (VERDICT r3 #4: non-negotiable gating).
+
+Runs, in order:
+  1. the full pytest suite (with OVS_FULL_ORACLE=1 so the beyond-prefix
+     oracle gate in tests/test_oracle_surface.py runs too),
+  2. the full local oracle gate (tools/oracle_check.py) at sf0.01,
+  3. a bench.py smoke at the smallest fixture (rc=0 + parseable JSON).
+
+Writes a VERIFY.log summary at the repo root and exits non-zero if any
+stage fails. The LAST commit of every round must include a VERIFY.log
+showing 0 failures.
+
+Usage: python tools/verify.py [--fast]   (--fast skips the full-oracle
+pytest env var and uses the default fast suite)
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(name: str, cmd: list[str], env: dict[str, str]) -> dict:
+    print(f"=== {name}: {' '.join(cmd)}", flush=True)
+    p = subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True
+    )
+    tail = "\n".join((p.stdout + p.stderr).strip().splitlines()[-15:])
+    print(tail, flush=True)
+    return {"name": name, "rc": p.returncode, "tail": tail,
+            "stdout": p.stdout}
+
+
+def main() -> int:
+    fast = "--fast" in sys.argv
+    env = dict(os.environ)
+    stages = []
+
+    pytest_env = dict(env)
+    if not fast:
+        pytest_env["OVS_FULL_ORACLE"] = "1"
+    stages.append(
+        run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"],
+            pytest_env)
+    )
+    stages.append(
+        run(
+            "oracle_check",
+            [sys.executable, "tools/oracle_check.py", "/root/testdata/sf0.01"],
+            env,
+        )
+    )
+    bench_env = dict(env)
+    bench_env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    bench = run("bench_smoke", [sys.executable, "bench.py"], bench_env)
+    if bench["rc"] == 0:
+        try:
+            last = bench["stdout"].strip().splitlines()[-1]
+            json.loads(last)
+        except (json.JSONDecodeError, IndexError):
+            bench["rc"] = 97
+            bench["tail"] += "\n[verify] bench output not parseable JSON"
+    stages.append(bench)
+
+    ok = all(s["rc"] == 0 for s in stages)
+    lines = [
+        f"VERIFY {'PASS' if ok else 'FAIL'} "
+        f"{datetime.datetime.now(datetime.timezone.utc).isoformat()}",
+    ]
+    for s in stages:
+        lines.append(f"--- {s['name']}: rc={s['rc']}")
+        lines.append(s["tail"])
+    with open(os.path.join(REPO, "VERIFY.log"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("\n".join(lines[:1]))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,3 +48,70 @@ def salted_join(
     )
     out = l.join(r, [key, "__salt"], how)
     return out.drop("__salt")
+
+
+def profile_guided_salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    top_n: int = 20,
+    skew_mult: float = 4.0,
+    salt_buckets: int = 8,
+    salt_on: str | None = None,
+) -> DataFrame:
+    """Differentiated skew join driven by the skew profiler's telemetry
+    (the ``key_skew_profile`` query shape made actionable).
+
+    Blanket salting (``salted_join``) replicates the ENTIRE right side
+    ×salt_buckets — wasteful when only a handful of keys are hot. This
+    operator profiles first, then salts only what needs it:
+
+      1. profile: per-key counts on the left (one partial-agg shuffle —
+         the same shape as ``key_skew_profile``), global mean rows/key;
+      2. detect: the ≤``top_n`` heaviest keys whose count exceeds
+         ``skew_mult ×`` mean — a metadata-sized driver list (bounded by
+         ``top_n`` regardless of data scale);
+      3. split: left/right each into a hot slice (broadcast hot-key
+         ``isin`` — no shuffle) and a cold rest;
+      4. join: hot slice via ``salted_join`` (right-hot replicates
+         ×salt_buckets, but right-hot is only the hot keys' rows), cold
+         slice via the plain equi-join AQE already handles;
+      5. union. The output is exactly the plain join's result (inner
+         semantics; NULL keys never match, so the cold path owning them
+         is correct), which is how the oracle checks it.
+
+    At 100 TB: the profile pass reads one column and reduces to K rows;
+    the only driver-side data is the ≤top_n hot-key list; replication
+    cost is confined to the hot keys' right-side rows.
+    """
+    from oracle_vector_search_spark.operators.topk import global_topn_ranked
+
+    # One profiling job: top-N candidate keys + global totals in the
+    # same action (≤top_n+1 rows ever reach the driver).
+    counts = left.groupBy(key).agg(F.count("*").alias("__n"))
+    tot = counts.agg(F.sum("__n").alias("__t"), F.count("*").alias("__k"))
+    hot_rows = (
+        global_topn_ranked(counts, top_n, F.desc("__n"), F.asc(key))
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("__n") * F.col("__k")
+            >= F.lit(skew_mult) * F.col("__t")
+        )
+        .collect()
+    )
+    hot_keys = [r[key] for r in hot_rows]
+    if not hot_keys:
+        return left.join(right, key, "inner")
+    hot = F.col(key).isin(hot_keys)
+    joined_cold = left.filter(~hot | F.col(key).isNull()).join(
+        right.filter(~hot), key, "inner"
+    )
+    joined_hot = salted_join(
+        left.filter(hot),
+        right.filter(hot),
+        key,
+        salt_buckets=salt_buckets,
+        salt_on=salt_on,
+        how="inner",
+    )
+    return joined_cold.unionByName(joined_hot)

@@ -28,17 +28,25 @@ def asof_join(
     right_payload: list[str],
     tolerance_seconds: int | None = None,
     right_tiebreak: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` for the same key (backward as-of join).
+    """For each left row, attach the nearest right row for the same key:
+    ``direction="backward"`` (default) takes the latest right row with
+    ``right_ts <= left_ts``; ``direction="forward"`` takes the earliest
+    right row with ``right_ts >= left_ts``.
 
     Implementation: tag both sides, union, sort within key by time via a
     window, and carry the last non-null right payload forward
-    (``last(..., ignorenulls=True)``). One shuffle on ``key``; scales
-    linearly in rows regardless of key skew in the time dimension.
-    Left rows keep NULL payload when no earlier right row exists (or when
-    outside ``tolerance_seconds``).
+    (``last(..., ignorenulls=True)``) — the forward direction reuses the
+    same machinery over a DESCENDING time order, so both directions are
+    one shuffle on ``key`` + one window pass; scales linearly in rows
+    regardless of key skew in the time dimension. Left rows keep NULL
+    payload when no matching right row exists (or when outside
+    ``tolerance_seconds``).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    fwd = direction == "forward"
     lcols = left.columns
     l = left.withColumn("__side", F.lit(1)).withColumn("__ts", F.col(left_ts))
     r = right.select(
@@ -49,12 +57,21 @@ def asof_join(
     ).withColumn("__rts", F.col("__ts"))
 
     unioned = l.unionByName(r, allowMissingColumns=True)
-    # right rows sort before left rows at equal timestamps (__side 0 < 1)
-    # so an exactly-simultaneous right row IS visible to the left row;
-    # ties among right rows resolve by right_tiebreak (last one wins).
-    order = [F.col("__ts").asc(), F.col("__side").asc()]
-    if right_tiebreak is not None:
-        order.append(F.col(right_tiebreak).asc())
+    # Backward: ascending time, right rows sort before left rows at equal
+    # timestamps (__side 0 < 1) so an exactly-simultaneous right row IS
+    # visible to the left row; ties among right rows resolve by
+    # right_tiebreak (last one wins). Forward: the mirror image —
+    # descending time, so the running last() carries the EARLIEST
+    # following right row; tiebreak descending so the smallest key wins
+    # as the carried value.
+    if fwd:
+        order = [F.col("__ts").desc(), F.col("__side").asc()]
+        if right_tiebreak is not None:
+            order.append(F.col(right_tiebreak).desc())
+    else:
+        order = [F.col("__ts").asc(), F.col("__side").asc()]
+        if right_tiebreak is not None:
+            order.append(F.col(right_tiebreak).asc())
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
@@ -71,13 +88,18 @@ def asof_join(
     )
     out = carried.filter(F.col("__side") == 1)
     if tolerance_seconds is not None:
-        within = (
-            F.col("__matched_ts").isNotNull()
-            & (
-                F.unix_timestamp(F.col(left_ts))
-                - F.unix_timestamp(F.col("__matched_ts"))
-                <= tolerance_seconds
-            )
+        # Exact µs arithmetic (unix_timestamp would truncate to whole
+        # seconds and admit matches up to 1s beyond the tolerance);
+        # requires TIMESTAMP-typed ts columns.
+        gap_us = (
+            F.unix_micros(F.col("__matched_ts"))
+            - F.unix_micros(F.col(left_ts))
+            if fwd
+            else F.unix_micros(F.col(left_ts))
+            - F.unix_micros(F.col("__matched_ts"))
+        )
+        within = F.col("__matched_ts").isNotNull() & (
+            gap_us <= tolerance_seconds * 1_000_000
         )
         out = out.select(
             *lcols,

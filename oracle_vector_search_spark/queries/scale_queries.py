@@ -27,7 +27,10 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.operators.bucketing import write_bucketed
-from oracle_vector_search_spark.operators.skew import salted_join
+from oracle_vector_search_spark.operators.skew import (
+    profile_guided_salted_join,
+    salted_join,
+)
 from oracle_vector_search_spark.queries import register
 
 # Session-scoped bucketed fact tables: (applicationId, sf_dir) ->
@@ -156,6 +159,53 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_cents"),
         )
         .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "profile_guided_skew_join_spend",
+    """
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS spend_cents
+FROM events e JOIN orders o ON o.o_custkey = e.user_id
+GROUP BY e.event_type
+ORDER BY e.event_type
+""",
+)
+def profile_guided_skew_join_spend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The skew profiler feeding an actual mitigation: events⋈orders on
+    the skewed user_id key via ``profile_guided_salted_join`` — per-key
+    counts detect the hot keys (the ``key_skew_profile`` telemetry),
+    ONLY those are salted (right side replicated ×8 for hot keys alone),
+    the cold rest takes the plain equi-join. Salt- and split-invariant,
+    so the plain-join oracle hash-matches exactly.
+
+    vs ``salted_skew_join_revenue`` (blanket salting): replication cost
+    here is proportional to the hot keys' rows, not the whole right
+    side — the shape that survives a 100 TB right side."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_totalprice"
+    )
+    joined = profile_guided_salted_join(
+        ev, orders, "user_id", top_n=20, skew_mult=2.0,
+        salt_buckets=8, salt_on="event_id",
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100).cast("long")
+            ).alias("spend_cents"),
+        )
+        .orderBy("event_type")
     )
 
 

@@ -180,6 +180,64 @@ def purchase_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "view_next_purchase_asof",
+    """
+WITH v AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+  FROM events WHERE event_type = 'view'
+), p AS (
+  SELECT event_id AS p_id, user_id, epoch_ns(ts) // 1000 AS p_ts_us
+  FROM events WHERE event_type = 'purchase'
+), cand AS (
+  SELECT v.event_id, v.user_id, v.ts_us, p.p_id, p.p_ts_us,
+         row_number() OVER (PARTITION BY v.event_id
+                            ORDER BY p.p_ts_us, p.p_id) AS rn
+  FROM v JOIN p ON p.user_id = v.user_id
+              AND p.p_ts_us >= v.ts_us
+              AND p.p_ts_us <= v.ts_us + 3600000000
+)
+SELECT v.event_id, v.user_id, v.ts_us,
+       c.p_id AS next_purchase_id, c.p_ts_us AS next_purchase_ts_us
+FROM v LEFT JOIN cand c ON c.event_id = v.event_id AND c.rn = 1
+""",
+)
+def view_next_purchase_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (the mirror of ``purchase_asof_order``): each
+    view event picks up the user's EARLIEST purchase within the next
+    hour, via the same union-marker window operator run over descending
+    time — one shuffle on user_id, no per-key pandas, exact-µs
+    tolerance. The batch twin of the streaming view→purchase interval
+    join, as a 1-row-per-view attribution instead of all pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("next_purchase_id"),
+        F.expr("ts_ns div 1000").alias("next_purchase_ts_us"),
+    )
+    return asof_join(
+        views,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="p_ts",
+        right_payload=["next_purchase_id", "next_purchase_ts_us"],
+        tolerance_seconds=3600,
+        right_tiebreak="next_purchase_id",
+        direction="forward",
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "next_purchase_id",
+        "next_purchase_ts_us",
+    )
+
+
+@register(
     "event_pairs_within_minute",
     """
 SELECT a.event_id AS first_id, b.event_id AS second_id, a.user_id,

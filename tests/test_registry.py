@@ -4,9 +4,11 @@ The driver's hard correctness gate compares only a 50-entry prefix of
 ``queries()`` against the DuckDB oracle, so the prefix ROTATES per round
 (see ``_PRIORITY``'s comment): a fixed sentinel set is always present,
 and the rest of the window is filled with queries that have never had a
-driver correctness row. This test pins the sentinel set and the round-3
-rotation (the 36 queries absent from CORRECTNESS_r01 ∪ CORRECTNESS_r02);
-it fails loudly if registration drift pushes any of them past position 49.
+driver correctness row. This test pins the sentinel set and the round-4
+rotation (the 26 queries absent from CORRECTNESS_r01 ∪ r02 ∪ r03, plus
+the 16 events/streaming queries broken in r3 and repaired by the r4
+timestamp fix); it fails loudly if registration drift pushes any of
+them past position 49.
 """
 
 from oracle_vector_search_spark import queries as registry
@@ -22,44 +24,55 @@ SENTINELS = {
     "streaming_upsert_snapshot",
 }
 
-# never driver-checked in rounds 1-2 — all must be in the r3 window
-NEVER_CHECKED_R3 = {
-    "array_functions",
-    "bigram_collocations_top20",
-    "bloom_prefiltered_urgent_revenue",
-    "boolean_and_retrieval_top20",
-    "brand_discount_revenue",
-    "chunk_embed_retrieve_topk",
-    "contrastive_negative_samples",
-    "customer_order_distribution",
-    "doc_pii_scrub",
-    "doc_repetition_stats",
+# never driver-checked in rounds 1-3 — all must be in the r4 window
+NEVER_CHECKED_R4 = {
+    "embedding_dim_stats",
+    "lsh_recall_audit",
+    "index_health_audit",
+    "sql_interface_pricing",
+    "jsonl_ingest_audit",
+    "udtf_token_windows",
+    "benchmark_decontamination",
+    "dedup_keep_best",
+    "domain_cap_sample",
+    "candidate_jaccard_histogram",
+    "prefix_filter_jaccard_pairs",
+    "cogroup_user_reconcile",
+    "heavy_hitter_tokens_twophase",
+    "events_rolling_features",
+    "feature_binning_equal_width",
+    "event_value_zscore_outliers",
+    "phrase3_retrieval_top20",
+    "domain_mixture_rates",
+    "training_order_shuffle",
+    "posting_upsert_merge",
+    "domain_mixture_apply",
+    "zorder_layout_stats",
+    "q4_late_orders",
+    "q14_promo_revenue",
+    "q22_idle_rich_customers",
+    "streaming_index_maintenance",
+}
+
+# broken by the µs-fixture regression in r3, repaired by the r4
+# timestamp fix — all must be driver re-verified in the r4 window
+REPAIRED_R4 = {
     "events_hourly_gapfill_locf",
-    "feature_correlation_exact",
-    "fuzzy_entity_match_pairs",
-    "hard_negative_mining_top3",
     "hourly_agg_partial_merge",
-    "kmeans_refine_clusters",
-    "min_cost_supplier_per_part",
-    "mmr_rerank_top3",
-    "nation_pair_volume",
-    "ngram_jaccard_pairs",
-    "ntile_distribution_scaled",
-    "phrase_retrieval_top20",
-    "pq_codes_fidelity",
-    "priority_by_linestatus",
-    "q6_forecast_revenue",
-    "small_order_revenue",
-    "stratified_sample_rates",
-    "streaming_sliding_windows_watermark",
-    "streaming_view_purchase_pairs",
-    "target_encode_loo",
-    "term_doc_frequency_top20",
-    "top_returning_customers",
-    "top_revenue_suppliers",
-    "unpivot_pricing_measures",
     "view_purchase_funnel",
-    "winsorized_price_stats",
+    "streaming_view_purchase_pairs",
+    "streaming_sliding_windows_watermark",
+    "compacted_events_checksum",
+    "key_skew_profile",
+    "hourly_event_windows",
+    "user_sessions",
+    "purchase_asof_order",
+    "events_json_agg",
+    "events_upsert_snapshot",
+    "event_pairs_within_minute",
+    "snapshot_diff_users",
+    "null_safe_join",
+    "stateful_user_counts",
 }
 
 
@@ -75,7 +88,7 @@ def test_first_50_matches_priority():
 
 def test_rotation_covers_sentinels_and_never_checked():
     prefix = set(list(registry.queries())[:50])
-    must_have = SENTINELS | NEVER_CHECKED_R3
+    must_have = SENTINELS | NEVER_CHECKED_R4 | REPAIRED_R4
     assert must_have <= prefix, sorted(must_have - prefix)
 
 

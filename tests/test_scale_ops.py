@@ -9,7 +9,10 @@ from pyspark.sql import functions as F
 
 from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.operators.ingest import write_index_table
-from oracle_vector_search_spark.operators.skew import salted_join
+from oracle_vector_search_spark.operators.skew import (
+    profile_guided_salted_join,
+    salted_join,
+)
 
 
 def test_salted_join_equals_plain_join(spark, sf_dir):
@@ -39,6 +42,39 @@ def test_salted_join_deterministic(spark, sf_dir):
         li.repartition(13), orders, "l_orderkey", salt_on="l_linenumber"
     ).count()
     assert a == b
+
+
+def test_profile_guided_join_equals_plain_join(spark, sf_dir):
+    """Hot keys routed through the salted path + cold keys through the
+    plain path must reproduce the plain join exactly (events.user_id is
+    the deliberately-skewed fixture key)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey"
+    )
+    plain = ev.join(orders, "user_id")
+    guided = profile_guided_salted_join(
+        ev, orders, "user_id", top_n=10, skew_mult=1.5, salt_on="event_id"
+    )
+    key = lambda r: (r["user_id"], r["event_id"], r["o_orderkey"])
+    assert sorted(map(key, plain.collect())) == sorted(
+        map(key, guided.collect())
+    )
+
+
+def test_profile_guided_join_no_hot_keys_fast_path(spark, sf_dir):
+    """An impossible skew threshold detects nothing hot — the operator
+    must degrade to the plain join, not an empty hot branch."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey"
+    )
+    guided = profile_guided_salted_join(
+        ev, orders, "user_id", skew_mult=1e12, salt_on="event_id"
+    )
+    assert guided.count() == ev.join(orders, "user_id").count()
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):

@@ -1,0 +1,143 @@
+"""As-of join family: direction semantics on a hand-built frame, and
+plan audits (one key-shuffle, never a cartesian/BNLJ candidate space).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from oracle_vector_search_spark.operators.temporal import (
+    asof_join,
+    range_join_within,
+)
+
+
+def _ts(s: str):
+    return datetime.datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u", _ts("2024-01-01 10:00:00")),
+            (2, "u", _ts("2024-01-01 12:00:00")),
+            (3, "v", _ts("2024-01-01 10:30:00")),
+        ],
+        "lid INT, k STRING, lts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "u", _ts("2024-01-01 09:00:00")),
+            (11, "u", _ts("2024-01-01 11:00:00")),
+            (12, "u", _ts("2024-01-01 13:00:00")),
+            (13, "w", _ts("2024-01-01 10:00:00")),
+        ],
+        "rid INT, k STRING, rts TIMESTAMP",
+    )
+    return left, right
+
+
+def test_asof_backward_latest_at_or_before(spark):
+    left, right = _frames(spark)
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left, right, "k", "lts", "rts", ["rid"], right_tiebreak="rid"
+        ).collect()
+    }
+    # lid1@10:00 ← rid10@09:00; lid2@12:00 ← rid11@11:00; lid3 (key v) none
+    assert got == {1: 10, 2: 11, 3: None}
+
+
+def test_asof_forward_earliest_at_or_after(spark):
+    left, right = _frames(spark)
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left,
+            right,
+            "k",
+            "lts",
+            "rts",
+            ["rid"],
+            right_tiebreak="rid",
+            direction="forward",
+        ).collect()
+    }
+    # lid1@10:00 → rid11@11:00; lid2@12:00 → rid12@13:00; lid3 none
+    assert got == {1: 11, 2: 12, 3: None}
+
+
+def test_asof_forward_tolerance_exact_micros(spark):
+    left, right = _frames(spark)
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left,
+            right,
+            "k",
+            "lts",
+            "rts",
+            ["rid"],
+            tolerance_seconds=3600,
+            right_tiebreak="rid",
+            direction="forward",
+        ).collect()
+    }
+    # 1h tolerance keeps both matches (gaps exactly 3600s — inclusive)
+    assert got == {1: 11, 2: 12, 3: None}
+    tight = {
+        r["lid"]: r["rid"]
+        for r in asof_join(
+            left,
+            right,
+            "k",
+            "lts",
+            "rts",
+            ["rid"],
+            tolerance_seconds=3599,
+            right_tiebreak="rid",
+            direction="forward",
+        ).collect()
+    }
+    assert tight == {1: None, 2: None, 3: None}
+
+
+def test_asof_plan_no_cartesian_single_key_shuffle(spark, sf_dir):
+    """The union-marker as-of join must plan as window-over-one-shuffle:
+    no CartesianProduct / BroadcastNestedLoopJoin anywhere."""
+    from oracle_vector_search_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("pid")
+    )
+    plan = asof_join(
+        views, purchases, "user_id", "ts", "p_ts", ["pid"],
+        direction="forward",
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_plan_is_equi_join(spark, sf_dir):
+    """Bucketized range join must execute as an equi-join on
+    (key, bucket) — the residual predicate stays a post-join filter,
+    never a nested-loop candidate space."""
+    from oracle_vector_search_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    plan = range_join_within(
+        ev, ev, key="user_id", left_ts="ts", right_ts="ts",
+        max_gap_seconds=60,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

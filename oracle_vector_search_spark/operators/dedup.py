@@ -37,6 +37,35 @@ def with_norm_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def span_grams(
+    df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Every positional word n-gram of every document:
+    (id, pos, gram) — the span granularity between whole-document
+    dedup (exact_dedup) and shingle-set dedup (minhash).
+
+    Pure column ops: split → transform(sequence) → posexplode; the
+    gram strings are born in the scan projection, so a downstream
+    groupBy(gram) shuffles (gram, id) pairs only — the RefinedWeb /
+    Falcon "repeated span" recipe at 100 TB. Documents shorter than
+    ``n`` tokens emit no rows.
+    """
+    d = with_norm_tokens(df)
+    grams = F.expr(
+        f"CASE WHEN size(toks) >= {n} THEN "
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> array_join(slice(toks, i + 1, {n}), ' ')) "
+        "ELSE array() END"
+    )
+    return d.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+
+
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -672,3 +672,155 @@ def prefix_filter_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, so Spark and the oracle agree bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
     return prefix_filter_jaccard_join(docs, threshold_num=3, threshold_den=5)
+
+
+@register(
+    "repeated_span_doc_stats",
+    """
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(range(len(toks) - 7)) AS i, toks
+  FROM base WHERE len(toks) >= 8
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(toks, i + 1, i + 8), ' ') AS gram
+  FROM pos
+),
+gcount AS (
+  SELECT gram, count(DISTINCT doc_id) AS n_docs FROM grams GROUP BY gram
+),
+perdoc AS (
+  SELECT g.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN c.n_docs >= 2 THEN 1 ELSE 0 END) AS n_dup
+  FROM grams g JOIN gcount c USING (gram)
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       round(coalesce(p.n_dup, 0) * 1.0
+             / greatest(coalesce(p.n_grams, 0), 1), 6) AS dup_frac
+FROM documents d LEFT JOIN perdoc p USING (doc_id)
+""",
+)
+def repeated_span_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (sub-document) duplication: per document, the
+    fraction of its word 8-gram spans that also appear in ANOTHER
+    document — the RefinedWeb/Falcon "repeated span removal" signal at
+    the granularity between whole-doc exact dedup and shingle-set
+    near-dedup.
+
+    Shape at 100 TB: grams are born in the scan projection
+    (split→transform→posexplode, all JVM), one groupBy(gram) counting
+    DISTINCT doc_ids, one join back on gram — both shuffles carry
+    (gram, id) pairs only; no document text ever shuffles."""
+    from oracle_vector_search_spark.operators.dedup import span_grams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = span_grams(docs, n=8)
+    gcount = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    perdoc = (
+        grams.join(gcount, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum((F.col("n_docs") >= 2).cast("long")).alias("n_dup"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0))
+                * 1.0
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "boilerplate_spans_per_source",
+    """
+WITH base AS (
+  SELECT doc_id, source,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, source, unnest(range(len(toks) - 4)) AS i, toks
+  FROM base WHERE len(toks) >= 5
+),
+grams AS (
+  SELECT DISTINCT doc_id, source,
+         array_to_string(list_slice(toks, i + 1, i + 5), ' ') AS gram
+  FROM pos
+),
+src AS (
+  SELECT source, count(DISTINCT doc_id) AS src_docs FROM documents
+  GROUP BY source
+),
+hits AS (
+  SELECT g.source, g.gram, count(*) AS n_docs
+  FROM grams g GROUP BY g.source, g.gram
+)
+SELECT h.source, h.gram,
+       CAST(h.n_docs AS BIGINT) AS n_docs,
+       round(h.n_docs * 1.0 / s.src_docs, 6) AS doc_frac
+FROM hits h JOIN src s USING (source)
+WHERE h.n_docs >= 2
+ORDER BY h.source, h.gram
+""",
+)
+def boilerplate_spans_per_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Boilerplate detection (C4-style): word 5-gram spans recurring
+    across a source's documents — the headers/footers/navigation
+    chrome a web-scale pipeline strips before training. The recurrence
+    threshold is integer-exact (here ≥2 docs — the synthetic corpus's
+    planted near-dups; a web corpus would use n_docs*5 >= src_docs);
+    ``doc_frac`` reports the per-source share for downstream tuning.
+
+    Shape at 100 TB: per-doc DISTINCT grams in the map stage, one
+    groupBy(source, gram) — the boilerplate table this emits is tiny
+    and broadcast-joins back against the corpus for removal."""
+    from oracle_vector_search_spark.operators.dedup import span_grams
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = span_grams(docs, n=5, extra_cols=("source",)).select(
+        "doc_id", "source", "gram"
+    ).distinct()
+    src = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("src_docs")
+    )
+    hits = grams.groupBy("source", "gram").agg(
+        F.count("*").alias("n_docs")
+    )
+    return (
+        hits.join(F.broadcast(src), "source")
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "source",
+            "gram",
+            "n_docs",
+            F.round(F.col("n_docs") * 1.0 / F.col("src_docs"), 6).alias(
+                "doc_frac"
+            ),
+        )
+        .orderBy("source", "gram")
+    )

@@ -64,6 +64,7 @@ def load_all_modules() -> None:
         "tpch_queries",
         "pipeline_queries",
         "streaming_queries",
+        "format_queries",
     ):
         __import__(f"oracle_vector_search_spark.queries.{mod}")
 

@@ -1,0 +1,67 @@
+"""Format round-trip audits: ORC and CSV vs the pristine parquet.
+
+The checksum shape mirrors ``compacted_events_checksum``: per
+event_type counts + exact-integer sums over every column (ids, users,
+value-cents, epoch-µs timestamps, props lengths). The oracle runs on
+the ORIGINAL parquet table, so the queries prove the format round-trip
+is lossless — a formatting-precision bug, a mangled quote, or a
+truncated timestamp changes a sum and fails the hash gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from oracle_vector_search_spark.queries import register
+
+_CHECKSUM_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(event_id) AS BIGINT) AS id_sum,
+       CAST(sum(user_id) AS BIGINT) AS user_sum,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS value_cents_sum,
+       CAST(sum(epoch_ns(ts) // 1000) AS BIGINT) AS ts_us_sum,
+       CAST(sum(length(props)) AS BIGINT) AS props_chars_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def _checksum(df: DataFrame) -> DataFrame:
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("event_id").alias("id_sum"),
+            F.sum("user_id").alias("user_sum"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "value_cents_sum"
+            ),
+            F.sum(F.unix_micros("ts")).alias("ts_us_sum"),
+            F.sum(F.length("props")).alias("props_chars_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("orc_roundtrip_checksum", _CHECKSUM_ORACLE)
+def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → ORC → events: full-column checksum equality against the
+    pristine parquet (sources/formats.py). ORC is the second splittable
+    columnar format the engine reads/writes natively."""
+    from oracle_vector_search_spark.sources.formats import events_via_orc
+
+    return _checksum(events_via_orc(spark, sf_dir))
+
+
+@register("csv_roundtrip_checksum", _CHECKSUM_ORACLE)
+def csv_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → CSV → events with explicit schema, µs timestamp format
+    and RFC-4180 quoting; props (JSON text with quotes/commas) is the
+    adversarial payload. Checksum equality against pristine parquet
+    proves the text round-trip is lossless (sources/formats.py)."""
+    from oracle_vector_search_spark.sources.formats import events_via_csv
+
+    return _checksum(events_via_csv(spark, sf_dir))

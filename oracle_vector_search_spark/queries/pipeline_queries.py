@@ -422,3 +422,108 @@ def pipeline_query_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qname", "rank", "id", "class_name", "score")
     )
+
+
+# ------------------------------------------- custom Python data source
+_LABEL_DIR_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _label_file_corpus(spark: SparkSession, sf_dir: str) -> str:
+    """One-time scratch directory of REAL YOLO ``stem.txt`` files (one
+    per image stem, lines ordered by box_idx) materialized from the
+    same deterministic formulas as ``_label_lines_df`` — so the custom
+    connector reads genuine files while staying oracle-checkable.
+
+    The writer is distributed (foreachPartition; local-mode shared FS
+    stands in for the object store) — no driver collect."""
+    import os
+
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _LABEL_DIR_CACHE.get(key)
+    if path is None:
+        path = scratch_dir("ovs_label_files_")
+        content = (
+            _label_lines_df(spark, sf_dir, 500)
+            .groupBy("stem")
+            .agg(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("box_idx", "value"))
+                        ),
+                        lambda s: s["value"],
+                    ),
+                ).alias("content")
+            )
+        )
+
+        def _write(rows):
+            for r in rows:
+                fpath = os.path.join(path, f"{r['stem']}.txt")
+                with open(fpath, "w", encoding="utf-8") as f:
+                    f.write(r["content"] + "\n")
+
+        content.foreachPartition(_write)
+        _LABEL_DIR_CACHE[key] = path
+    return path
+
+
+@register(
+    "yolo_source_class_stats",
+    "WITH lines AS ("
+    + _DUCK_LABEL_LINES.format(max_key=500)
+    + "), "
+    + _DUCK_PARSE
+    + """
+SELECT class_id,
+       CAST(count(*) AS BIGINT) AS n_boxes,
+       CAST(count(DISTINCT stem) AS BIGINT) AS n_stems,
+       CAST(sum(CAST(round(x_c * 10000) AS BIGINT)) AS BIGINT) AS x_tenk_sum,
+       CAST(sum(CAST(round(y_c * 10000) AS BIGINT)) AS BIGINT) AS y_tenk_sum,
+       CAST(sum(CAST(round(w * 10000) AS BIGINT)) AS BIGINT) AS w_tenk_sum,
+       CAST(sum(CAST(round(h * 10000) AS BIGINT)) AS BIGINT) AS h_tenk_sum
+FROM labels
+GROUP BY class_id
+ORDER BY class_id
+""",
+)
+def yolo_source_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end custom-connector path: real ``stem.txt`` YOLO files
+    read through the Spark 4 Python Data Source API
+    (sources/yolo_datasource.py — partition-planned file chunks,
+    executor-side line reads), parsed permissively
+    (parse_yolo_labels, F6), aggregated per class with exact-integer
+    coordinate sums. The oracle replays the same lines from the
+    deterministic fixture formulas — proving the connector loses/
+    mangles nothing on its way through real files."""
+    from oracle_vector_search_spark.sources.yolo_datasource import (
+        register_yolo_source,
+    )
+
+    register_yolo_source(spark)
+    path = _label_file_corpus(spark, sf_dir)
+    lines = (
+        spark.read.format("yolo_labels")
+        .option("path", path)
+        .option("filesPerPartition", "32")
+        .load()
+    )
+    labels = parse_yolo_labels(lines)
+    tenk = lambda c: F.sum(F.round(F.col(c) * 10000).cast("long")).alias(
+        f"{c[0]}_tenk_sum"
+    )
+    return (
+        labels.groupBy("class_id")
+        .agg(
+            F.count("*").alias("n_boxes"),
+            F.countDistinct("stem").alias("n_stems"),
+            tenk("x_c"),
+            tenk("y_c"),
+            tenk("w"),
+            tenk("h"),
+        )
+        .orderBy("class_id")
+    )

@@ -440,3 +440,111 @@ def index_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream produced fewer than 2 index maintenance epochs"
     )
     return spark.read.parquet(state["path"])
+
+
+def has_protobuf() -> bool:
+    """``transformWithStateInPandas`` (the v2 arbitrary-state API) talks
+    to the JVM state server over protobuf; absent in this container."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def transform_with_state_user_type_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark 4 v2 arbitrary-state streaming (transformWithStateInPandas):
+    per-user totals in a ValueState plus a per-event-type MapState — the
+    typed composite state v1's single tuple (``stateful_user_counts``,
+    queries/grouped_map_queries.py) can't hold. Bounded drain ⇒ final
+    emission equals the batch groupBy, so when protobuf is available
+    this is oracle-comparable exactly like its v1 twin.
+
+    Raises ImportError when protobuf is missing (probe with
+    ``has_protobuf()``); the pytest tier skips, mirroring the torch/cv2
+    seams (PERF.md optional-deps note).
+    """
+    import math
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    if not has_protobuf():
+        raise ImportError(
+            "transformWithStateInPandas requires google.protobuf"
+        )
+
+    class UserTypeStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState(
+                "totals", "n long, cents long"
+            )
+            self.type_counts = handle.getMapState(
+                "type_counts", "t string", "c long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = (
+                self.totals.get() if self.totals.exists() else (0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(
+                    sum(math.floor(v * 100) for v in pdf["value"])
+                )
+                for t, c in pdf["event_type"].value_counts().items():
+                    prev = (
+                        self.type_counts.getValue((t,))[0]
+                        if self.type_counts.containsKey((t,))
+                        else 0
+                    )
+                    self.type_counts.updateValue((t,), (prev + int(c),))
+            self.totals.update((n, cents))
+            n_types = sum(1 for _ in self.type_counts.keys())
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": key[0],
+                        "n_events": n,
+                        "n_types": n_types,
+                        "sum_value_cents": cents,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    out_schema = (
+        "user_id long, n_events long, n_types long, sum_value_cents long"
+    )
+    updated = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTypeStats(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        mem = run_to_memory(updated, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        mem.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "n_types", "sum_value_cents")
+    )

@@ -93,3 +93,58 @@ def test_real_wav_decode(spark):
     rows = audio_features(df).collect()
     assert rows and rows[0]["sample_rate"] == 16000
     assert rows[0]["n_samples"] == 1600
+
+
+try:
+    HAS_PROTOBUF = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:  # parent 'google' namespace absent entirely
+    HAS_PROTOBUF = False
+
+
+@pytest.mark.skipif(
+    not HAS_PROTOBUF,
+    reason="google.protobuf not installed: transformWithStateInPandas "
+    "(v2 arbitrary-state API) needs the state-server protocol",
+)
+def test_transform_with_state_matches_batch(spark, sf_dir):
+    """v2 stateful (ValueState + MapState) over a fully-drained bounded
+    stream must equal the batch aggregation — the same contract its v1
+    twin stateful_user_counts is oracle-checked on."""
+    from pyspark.sql import functions as F
+
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.streaming.ops import (
+        transform_with_state_user_type_stats,
+    )
+
+    got = {
+        r["user_id"]: (r["n_events"], r["n_types"], r["sum_value_cents"])
+        for r in transform_with_state_user_type_stats(
+            spark, sf_dir
+        ).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["n_types"], r["sum_value_cents"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+                "sum_value_cents"
+            ),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_transform_with_state_guard_raises_when_absent(spark, sf_dir):
+    if HAS_PROTOBUF:
+        pytest.skip("protobuf installed: the absent-dep guard cannot fire")
+    from oracle_vector_search_spark.streaming.ops import (
+        transform_with_state_user_type_stats,
+    )
+
+    with pytest.raises(ImportError, match="protobuf"):
+        transform_with_state_user_type_stats(spark, sf_dir)

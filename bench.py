@@ -61,6 +61,9 @@ HEADLINE = [
     # into one_time_writes; the warm path is the deployment story)
     "bucketed_colocated_join_revenue",
     "bm25_retrieval_top10",
+    # r4 additions — span-level dedup + profiler-fed skew join
+    "repeated_span_doc_stats",
+    "profile_guided_skew_join_spend",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session

@@ -947,3 +947,106 @@ def index_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dup_band_count"),
     )
     return agg.crossJoin(F.broadcast(oor))
+
+
+@register(
+    "matryoshka_recall_audit",
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+full_scored AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, d.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(d.v, d.v))), 6) AS score
+  FROM v d CROSS JOIN q
+),
+full_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+    FROM full_scored) WHERE rn <= 5
+),
+trunc_scored AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv[1:16], d.v[1:16])
+               / (sqrt(list_dot_product(q.qv[1:16], q.qv[1:16]))
+                  * sqrt(list_dot_product(d.v[1:16], d.v[1:16]))), 6)
+           AS score
+  FROM v d CROSS JOIN q
+),
+trunc_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+    FROM trunc_scored) WHERE rn <= 5
+)
+SELECT f.query_id,
+       CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+       round(count(t.neighbor_id) / 5.0, 6) AS recall_at5
+FROM full_top f
+LEFT JOIN trunc_top t
+  ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+ORDER BY f.query_id
+""",
+)
+def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension (matryoshka-style) retrieval audit: recall@5
+    of cosine top-k computed on the FIRST 16 of 64 dims vs the full
+    vectors — the measurement that decides whether a deployment can
+    serve its coarse ANN stage from a 4× narrower (4× cheaper to scan,
+    shuffle, and cache) prefix slice and refine only the survivors with
+    full vectors. Deterministic end to end, so the recall numbers
+    themselves hash-match the oracle (same discipline as
+    ``lsh_recall_audit`` / ``pq_codes_fidelity``).
+
+    Shape at 100 TB: the prefix slice is a pure column projection
+    (``slice(v, 1, 16)``) — at rest it becomes a narrow sibling table;
+    the audit's cross join is bounded by the query sample, never the
+    corpus squared."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+
+    def topk(score_col):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("score"), F.asc("neighbor_id")
+        )
+        return (
+            emb.crossJoin(F.broadcast(q))
+            .select(
+                "query_id",
+                F.col("vec_id").alias("neighbor_id"),
+                F.round(score_col, 6).alias("score"),
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_top = topk(cosine_similarity("qv", "v"))
+    trunc_top = topk(
+        cosine_similarity(F.slice("qv", 1, 16), F.slice("v", 1, 16))
+    )
+    return (
+        full_top.join(
+            trunc_top.withColumnRenamed("neighbor_id", "t_neighbor"),
+            (full_top.query_id == trunc_top.query_id)
+            & (full_top.neighbor_id == F.col("t_neighbor")),
+            "left",
+        )
+        .groupBy(full_top.query_id)
+        .agg(
+            F.count("t_neighbor").alias("n_overlap"),
+            F.round(F.count("t_neighbor") / 5.0, 6).alias("recall_at5"),
+        )
+        .orderBy("query_id")
+    )

@@ -636,3 +636,80 @@ def sql_interface_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem"
     )
     return spark.sql(_SQL_INTERFACE_TEXT)
+
+
+# SQL scalar UDF (Spark 4 CREATE FUNCTION ... RETURN <expression>):
+# declarative, expression-backed — Catalyst inlines the body into the
+# plan (NOT a Python UDF; stays inside codegen). The engine's mechanism
+# for letting SQL-only users define vector kernels.
+_SQL_UDF_COS = """
+CREATE OR REPLACE TEMPORARY FUNCTION cos_sim(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+RETURNS DOUBLE RETURN try_divide(
+  aggregate(zip_with(a, b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x),
+  sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x))
+  * sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)))
+"""
+
+_SQL_UDF_KNN_TEXT = """
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS emb FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round(cos_sim(q.qemb, v.emb), 6) AS score
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id, score
+FROM ranked WHERE rn <= 3
+ORDER BY query_id, rank
+"""
+
+
+@register(
+    "sql_udf_knn_top3",
+    """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < 5),
+scored AS (
+  SELECT q.query_id, v.vec_id AS neighbor_id,
+         round(list_dot_product(q.qemb, v.emb)
+               / (sqrt(list_dot_product(q.qemb, q.qemb))
+                  * sqrt(list_dot_product(v.emb, v.emb))), 6) AS score
+  FROM v CROSS JOIN q
+  WHERE v.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+  FROM scored
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score
+FROM ranked WHERE rn <= 3
+ORDER BY query_id, rank
+""",
+)
+def sql_udf_knn_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector search through the pure-SQL front door: a SQL scalar UDF
+    (``CREATE TEMPORARY FUNCTION cos_sim ... RETURN <expr>``, Spark 4)
+    wraps the higher-order cosine kernel, and the kNN itself is one
+    ANSI SQL statement over a temp view — no DataFrame code, no Python
+    UDF, the function body inlined by Catalyst into whole-stage
+    codegen. A SQL-only user of the reference gets the same top-k
+    semantics (rank window, id tie-break, round-6 scores) as the
+    DataFrame tier ``knn_exact_cosine_top5``."""
+    load_table(spark, sf_dir, "embeddings").createOrReplaceTempView(
+        "embeddings"
+    )
+    spark.sql(_SQL_UDF_COS)
+    return spark.sql(_SQL_UDF_KNN_TEXT)

@@ -133,3 +133,12 @@ def test_signature_upsert_batch_ids_broadcast(spark, sf_dir, qs):
     # the anti-join that drops stale signature rows must broadcast the
     # batch ids, never shuffle the standing corpus
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+def test_sql_udf_knn_stays_jvm_side(spark, sf_dir, qs):
+    """The SQL scalar UDF (cos_sim) must inline into the plan as
+    expressions — never a Python-worker evaluation stage."""
+    df = qs["sql_udf_knn_top3"](spark, sf_dir)
+    assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython", "PythonUDF")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "aggregate(zip_with" in plan or "WindowGroupLimit" in plan

@@ -1698,3 +1698,212 @@ def domain_mixture_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _maxsim_oracle_sql() -> str:
+    from oracle_vector_search_spark.functions import embed as E
+
+    emb = E.duck_embedding_expr("md5(chunk_text)", RAG_DIMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents WHERE doc_id < 100
+),
+st AS (
+  SELECT doc_id, toks,
+         range(1, greatest(len(toks) - 10, 1) + 1, 30) AS starts
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id,
+         generate_subscripts(starts, 1) - 1 AS chunk_idx,
+         array_to_string(toks[unnest(starts):unnest(starts) + 39], ' ')
+           AS chunk_text
+  FROM st
+),
+embedded AS (
+  SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx, {emb} AS emb
+  FROM chunks
+),
+qc AS (
+  SELECT chunk_idx AS q_idx, emb AS qvec FROM embedded WHERE doc_id = 0
+),
+pair AS (
+  SELECT d.doc_id, q.q_idx,
+         round(list_dot_product(q.qvec, d.emb)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(d.emb, d.emb))), 6) AS score
+  FROM embedded d CROSS JOIN qc q
+  WHERE d.doc_id <> 0
+),
+best AS (
+  SELECT doc_id, q_idx, max(score) AS max_score
+  FROM pair GROUP BY doc_id, q_idx
+),
+agg AS (
+  SELECT doc_id, round(sum(max_score), 6) AS maxsim,
+         CAST(count(*) AS BIGINT) AS n_query_vectors
+  FROM best GROUP BY doc_id
+)
+SELECT doc_id, maxsim, n_query_vectors, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY maxsim DESC, doc_id) AS rn
+      FROM agg)
+WHERE rn <= 5
+"""
+
+
+@register("maxsim_late_interaction_top5", _maxsim_oracle_sql())
+def maxsim_late_interaction_top5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Late-interaction retrieval (the ColBERT MaxSim shape): the query
+    is a SET of vectors (doc 0's chunk embeddings), a document's score
+    is Σ over query vectors of the MAX cosine against any of its
+    chunks. Two grouped aggregations — (doc, query-vector) max, then
+    per-doc sum — with the multi-vector query broadcast; chunking +
+    embedding ride the scan exactly as in ``chunk_embed_retrieve_topk``.
+
+    Shape at 100 TB: the per-pair score space is |corpus chunks| ×
+    |query vectors| with the query side broadcast — never corpus ×
+    corpus; at rest the chunk-embedding table is the same artifact the
+    single-vector RAG tier reads."""
+    from oracle_vector_search_spark.functions import embed as E
+    from oracle_vector_search_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from oracle_vector_search_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 100
+    )
+    chunks = chunk_documents(docs, chunk_size=40, overlap=10)
+    embedded = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.expr(
+            E.spark_embedding_expr(
+                "md5(cast(chunk_text as binary))", RAG_DIMS
+            )
+        ).alias("emb"),
+    )
+    qc = embedded.filter(F.col("doc_id") == 0).select(
+        F.col("chunk_idx").alias("q_idx"), F.col("emb").alias("qvec")
+    )
+    pair = (
+        embedded.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qc))
+        .select(
+            "doc_id",
+            "q_idx",
+            F.round(cosine_similarity("qvec", "emb"), 6).alias("score"),
+        )
+    )
+    best = pair.groupBy("doc_id", "q_idx").agg(
+        F.max("score").alias("max_score")
+    )
+    agg = best.groupBy("doc_id").agg(
+        F.round(F.sum("max_score"), 6).alias("maxsim"),
+        F.count("*").alias("n_query_vectors"),
+    )
+    return global_topn_ranked(
+        agg, 5, F.desc("maxsim"), F.asc("doc_id")
+    ).select("doc_id", "maxsim", "n_query_vectors", "rank")
+
+
+@register(
+    "span_corruption_pairs",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id,
+         unnest(toks) AS tok,
+         generate_subscripts(toks, 1) AS p
+  FROM tok
+),
+flagged AS (
+  SELECT doc_id, tok, p,
+         ((doc_id * 31 + p) % 8 = 0) AS masked
+  FROM pos
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN masked THEN '<extra_id>' ELSE tok END,
+                    ' ' ORDER BY p) AS input_text,
+         string_agg(CASE WHEN masked THEN tok END, ' ' ORDER BY p)
+           AS target_text,
+         sum(CASE WHEN masked THEN 1 ELSE 0 END) AS n_masked,
+         sum(CASE WHEN masked THEN 0 ELSE 1 END) AS n_kept
+  FROM flagged GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_masked AS BIGINT) AS n_masked,
+       CAST(n_kept AS BIGINT) AS n_kept,
+       md5(input_text) AS input_md5,
+       md5(coalesce(target_text, '')) AS target_md5
+FROM rebuilt
+""",
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic denoising-objective pairs (the T5 span-corruption
+    shape): tokens at hash-selected positions are replaced by a
+    sentinel in the input and collected in order as the target.
+    Masking is a pure position-hash predicate — reproducible under
+    retry/recompute, no rand() — and the reconstruction is one
+    order-preserving aggregation per document. The oracle md5-matches
+    BOTH reconstructed texts, proving byte-exact augmentation parity.
+
+    Shape at 100 TB: posexplode + one groupBy(doc_id) whose aggregation
+    carries (pos, token) pairs — document text never shuffles twice;
+    in practice the rebuild rides the same shuffle as any per-doc
+    aggregation."""
+    from oracle_vector_search_spark.operators.dedup import (
+        with_norm_tokens,
+    )
+
+    docs = with_norm_tokens(load_table(spark, sf_dir, "documents"))
+    pos = docs.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    flagged = pos.withColumn(
+        "masked", (F.col("doc_id") * 31 + F.col("p")) % 8 == 0
+    )
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("p", "tok", "masked"))
+        ).alias("seq")
+    )
+    inp = F.array_join(
+        F.transform(
+            "seq",
+            lambda s: F.when(s["masked"], F.lit("<extra_id>")).otherwise(
+                s["tok"]
+            ),
+        ),
+        " ",
+    )
+    tgt = F.array_join(
+        F.transform(
+            F.filter("seq", lambda s: s["masked"]), lambda s: s["tok"]
+        ),
+        " ",
+    )
+    return rebuilt.select(
+        "doc_id",
+        F.size(F.filter("seq", lambda s: s["masked"]))
+        .cast("long")
+        .alias("n_masked"),
+        F.size(F.filter("seq", lambda s: ~s["masked"]))
+        .cast("long")
+        .alias("n_kept"),
+        F.md5(inp.cast("binary")).alias("input_md5"),
+        F.md5(tgt.cast("binary")).alias("target_md5"),
+    )

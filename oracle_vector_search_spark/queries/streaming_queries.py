@@ -232,3 +232,25 @@ def streaming_index_maintenance(
         )
         .orderBy("band", "bucket")
     )
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY event_type
+""",
+)
+def streaming_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermark-bounded streaming dedup
+    (``dropDuplicatesWithinWatermark``) over a source where EVERY event
+    is planted twice: the drained per-type aggregation must equal the
+    batch aggregation over the original (unduplicated) table — the
+    exactly-once ingest-dedup primitive with provably bounded state."""
+    return ops.dedup_within_watermark_stream(spark, sf_dir)

@@ -548,3 +548,48 @@ def transform_with_state_user_type_stats(
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "n_types", "sum_value_cents")
     )
+
+
+def dedup_within_watermark_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the production-shape
+    streaming dedup whose state is BOUNDED by the event-time watermark
+    (plain ``dropDuplicates`` state grows forever on an unbounded
+    stream). The source is the events fixture written TWICE into one
+    directory (every event a planted duplicate); the watermarked dedup
+    must collapse each pair to one row before the downstream per-type
+    aggregation, so the drained result equals the batch aggregation
+    over the original table exactly.
+
+    At 100 TB: dedup state holds only event-ids younger than
+    (max event time − watermark delay) per partition — the property
+    that makes exactly-once ingest dedup feasible at all.
+    """
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    src = scratch_dir("ovs_dup_events_")
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    for _ in range(2):  # every event_id appears in two files
+        base.coalesce(2).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    raw = spark.readStream.schema(schema).parquet(src)
+    dedup = raw.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = dedup.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
+            "sum_value_cents"
+        ),
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return run_to_memory(agg, "complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

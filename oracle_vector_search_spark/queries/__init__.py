@@ -76,10 +76,19 @@ def load_all_modules() -> None:
 #   r4 (this file) = 8 always-on sentinels + the 26 queries never checked
 #   in rounds 1-3 + the 16 events/streaming queries repaired by the r4
 #   timestamp fix (io.py/streaming ops.py), so the repair gets
-#   driver-visible proof. After r4 the union covers the entire registry.
+#   driver-visible proof. After r4 the union covers every query that
+#   existed before round 4.
+#   The round-5 rotation queue is the 12 queries ADDED in round 4
+#   (never driver-checked by definition, all green in the local full
+#   gate): matryoshka_recall_audit, sql_udf_knn_top3,
+#   view_next_purchase_asof, repeated_span_doc_stats,
+#   boilerplate_spans_per_source, maxsim_late_interaction_top5,
+#   span_corruption_pairs, profile_guided_skew_join_spend,
+#   yolo_source_class_stats, streaming_dedup_within_watermark,
+#   orc_roundtrip_checksum, csv_roundtrip_checksum.
 #   Queries past position 49 remain verified by the local gate
 #   (tools/oracle_check.py, full surface, CI via
-#   tests/test_full_surface.py). Keep this list at exactly 50 names.
+#   tests/test_oracle_surface.py). Keep this list at exactly 50 names.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

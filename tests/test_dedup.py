@@ -106,3 +106,25 @@ def test_fixpoint_clusters_match_unrolled_and_converge(spark):
     assert fixed[30] == 30
     # the unrolled tier with enough iterations agrees everywhere
     assert fixed == unrolled
+
+
+def test_span_grams_positions_and_short_docs(spark):
+    from oracle_vector_search_spark.operators.dedup import span_grams
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),      # 3 bigram... with n=3: 2 grams
+            (2, "x y"),          # shorter than n → no rows
+            (3, "p  q   r"),     # whitespace collapses in norm
+        ],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        (r["doc_id"], r["pos"], r["gram"])
+        for r in span_grams(docs, n=3).collect()
+    )
+    assert rows == [
+        (1, 0, "a b c"),
+        (1, 1, "b c d"),
+        (3, 0, "p q r"),
+    ]

@@ -410,3 +410,66 @@ def fuzzy_entity_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("typo_key", "match_key")
     )
+
+
+@register(
+    "k_anonymity_audit",
+    """
+WITH qi AS (
+  SELECT c_nationkey,
+         c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+  FROM customer
+),
+cells AS (
+  SELECT c_nationkey, c_mktsegment, bal_band,
+         CAST(count(*) AS BIGINT) AS cell_size
+  FROM qi GROUP BY c_nationkey, c_mktsegment, bal_band
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(CASE WHEN cell_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_small_cells,
+       CAST(sum(CASE WHEN cell_size < 5 THEN cell_size ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk,
+       CAST(min(cell_size) AS BIGINT) AS k_anonymity
+FROM cells
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-compliance audit for a training-data release: k-anonymity
+    over the quasi-identifier tuple (nation, market segment, account-
+    balance band). Rows in cells smaller than k=5 are re-identifiable
+    joins waiting to happen — the per-nation rollup reports how many
+    cells/rows need suppression or coarsening before the table ships.
+    Complements the regex tier (``doc_pii_scrub``): that removes direct
+    identifiers, this measures indirect ones.
+
+    Shape at 100 TB: one partial-agg shuffle on the QI tuple, one on
+    the rollup key — both carry counts only; no raw rows move."""
+    qi = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+    cells = qi.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").alias("cell_size")
+    )
+    return (
+        cells.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.sum((F.col("cell_size") < 5).cast("long")).alias(
+                "n_small_cells"
+            ),
+            F.sum(
+                F.when(F.col("cell_size") < 5, F.col("cell_size")).otherwise(
+                    0
+                )
+            ).alias("n_rows_at_risk"),
+            F.min("cell_size").alias("k_anonymity"),
+        )
+        .orderBy("c_nationkey")
+    )

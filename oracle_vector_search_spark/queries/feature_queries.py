@@ -189,3 +189,129 @@ def event_value_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+@register(
+    "per_group_linear_fit",
+    """
+WITH b AS (
+  SELECT event_type,
+         CAST(epoch_ns(ts) // 1000 // 86400000000 AS BIGINT) AS x,
+         CAST(floor(value * 100) AS BIGINT) AS y
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx,
+         CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(x * y) AS DOUBLE) AS sxy,
+         CAST(sum(x * x) AS DOUBLE) AS sxx
+  FROM b GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+             6) AS intercept
+FROM m
+ORDER BY event_type
+""",
+)
+def per_group_linear_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-group OLS (value-cents vs event day): the raw
+    moments accumulate as exact integers (DECIMAL(38)/HUGEINT where
+    int64 would overflow at scale) and ONE final double formula
+    computes slope/intercept from the identical five numbers in both
+    engines — the engine-exact per-segment trend fit, same discipline
+    as ``feature_correlation_exact``. One partial-agg shuffle on the
+    group key; no per-row doubles ever sum."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        "event_type",
+        F.expr("ts_ns div 1000 div 86400000000").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+
+    def s(expr) -> F.Column:
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    m = b.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        s(F.col("x")).alias("sx"),
+        s(F.col("y")).alias("sy"),
+        s(F.col("x") * F.col("y")).alias("sxy"),
+        s(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    ).orderBy("event_type")
+
+
+@register(
+    "mad_outlier_flags",
+    """
+WITH b AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+med AS (
+  SELECT event_type, median(cents) AS med_cents FROM b GROUP BY event_type
+),
+dev AS (
+  SELECT b.event_type, b.cents, abs(b.cents - m.med_cents) AS adev
+  FROM b JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, median(adev) AS mad_cents FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(any_value(m2.med_cents), 1) AS median_cents,
+       round(any_value(m2.mad_cents), 1) AS mad_cents,
+       CAST(sum(CASE WHEN d.adev > 3 * m2.mad_cents THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d
+JOIN (SELECT med.event_type, med.med_cents, mad.mad_cents
+      FROM med JOIN mad USING (event_type)) m2
+  ON m2.event_type = d.event_type
+GROUP BY d.event_type
+ORDER BY d.event_type
+""",
+)
+def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) outlier detection per group — the
+    skew-immune complement to ``event_value_zscore_outliers``: medians
+    over integer cents are exact (averaging two middle ints yields an
+    exact .5 half in double), absolute deviations stay exact, and the
+    3×MAD comparison is on those exact values — so even the outlier
+    COUNTS hash-match the oracle. Two grouped medians + one broadcast
+    join of the per-group statistics."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") * 100).cast("long").alias("cents")
+    )
+    med = e.groupBy("event_type").agg(F.median("cents").alias("med_cents"))
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("event_type").agg(F.median("adev").alias("mad_cents"))
+    stats = med.join(mad, "event_type")
+    return (
+        dev.join(F.broadcast(stats.select("event_type", "mad_cents")),
+                 "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.any_value("med_cents"), 1).alias("median_cents"),
+            F.round(F.any_value("mad_cents"), 1).alias("mad_cents"),
+            F.sum(
+                (F.col("adev") > 3 * F.col("mad_cents")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )

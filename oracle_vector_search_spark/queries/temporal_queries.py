@@ -359,3 +359,120 @@ def events_hourly_gapfill_locf(
         .over(w_fill)
         .alias("filled_cents"),
     ).orderBy("user_id", "hour_id")
+
+
+@register(
+    "retention_cohorts",
+    """
+WITH e AS (
+  SELECT user_id,
+         CAST(epoch_ns(ts) // 1000 // 86400000000 // 7 AS BIGINT) AS week
+  FROM events
+),
+first_week AS (
+  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         e.week - f.cohort_week AS week_offset
+  FROM e JOIN first_week f USING (user_id)
+)
+SELECT cohort_week, week_offset,
+       CAST(count(*) AS BIGINT) AS n_active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-activity week,
+    counted as active per week offset — the classic product-analytics
+    rollup a training-data team also runs on corpus contribution
+    (which crawl cohorts still contribute documents N snapshots
+    later). Integer epoch-week arithmetic end to end.
+
+    Shape at 100 TB: one groupBy(user) for cohort assignment, a
+    broadcast-joinable (user → cohort) map, one distinct + count —
+    every shuffle carries ids and small ints only."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr("ts_ns div 1000 div 86400000000 div 7").alias("week"),
+    )
+    first = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    activity = (
+        e.join(F.broadcast(first), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "session_path_bigrams",
+    """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_ns(ts) // 1000 AS ts_us,
+         epoch_ns(ts) // 1000000000 AS ts_s
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, event_type, ts_us, ts_s,
+         CASE WHEN lag(ts_s) OVER w IS NULL
+                   OR ts_s - lag(ts_s) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sessions AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), steps AS (
+  SELECT user_id, session_id, event_type,
+         lead(event_type) OVER (
+           PARTITION BY user_id, session_id
+           ORDER BY ts_us, event_id) AS next_type
+  FROM sessions
+)
+SELECT event_type AS from_type, next_type AS to_type,
+       CAST(count(*) AS BIGINT) AS n_transitions
+FROM steps WHERE next_type IS NOT NULL
+GROUP BY from_type, to_type
+ORDER BY from_type, to_type
+""",
+)
+def session_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-session behavior paths: event-type transition counts
+    (bigrams) within 30-minute-gap sessions — sessionize (lag +
+    conditional cumsum), one ``lead`` window for the next step, one
+    count aggregation. The funnel family's generalization from one
+    hand-picked pair (view→purchase) to the full transition matrix.
+
+    Shape at 100 TB: both windows ride the SAME shuffle on user_id
+    (session_id partitions refine it), then a count-only aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize(ev, "user_id", "ts", 1800, order_tiebreak="event_id")
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.expr("ts_ns div 1000"), "event_id"
+    )
+    steps = s.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+    return (
+        steps.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("from_type", "to_type")
+    )

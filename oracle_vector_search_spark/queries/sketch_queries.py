@@ -461,3 +461,105 @@ def heavy_hitter_tokens_twophase(
             F.round(F.col("n") * 1.0 / F.col("n_total"), 6).alias("share"),
         )
     )
+
+
+_CM_DEPTH = 4
+_CM_WIDTH = 1024
+
+
+@register(
+    "countmin_token_freq_audit",
+    f"""
+WITH toks AS (
+  SELECT unnest(string_split(
+           trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS tok
+  FROM documents
+),
+cells AS (
+  SELECT r,
+         CAST(('0x' || substr(md5(tok || ':' || r), 1, 7)) AS BIGINT)
+           % {_CM_WIDTH} AS cell,
+         CAST(count(*) AS BIGINT) AS cell_n
+  FROM toks, (SELECT unnest(range({_CM_DEPTH})) AS r)
+  GROUP BY r, cell
+),
+exact AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS exact_n FROM toks GROUP BY tok
+),
+top AS (
+  SELECT tok, exact_n FROM exact
+  ORDER BY exact_n DESC, tok LIMIT 10
+),
+probes AS (
+  SELECT t.tok, t.exact_n, r.r,
+         CAST(('0x' || substr(md5(t.tok || ':' || r.r), 1, 7)) AS BIGINT)
+           % {_CM_WIDTH} AS cell
+  FROM top t, (SELECT unnest(range({_CM_DEPTH})) AS r) r
+),
+est AS (
+  SELECT p.tok, p.exact_n, min(c.cell_n) AS est_n
+  FROM probes p JOIN cells c ON c.r = p.r AND c.cell = p.cell
+  GROUP BY p.tok, p.exact_n
+)
+SELECT tok, exact_n, CAST(est_n AS BIGINT) AS est_n,
+       CAST(est_n - exact_n AS BIGINT) AS overcount
+FROM est
+ORDER BY exact_n DESC, tok
+""",
+)
+def countmin_token_freq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch fidelity audit: a 4x1024 CM
+    sketch of the token stream (portable md5-derived row hashes, so
+    BOTH engines build the identical sketch), probed for the 10 most
+    frequent tokens against their exact counts. Count-Min never
+    undercounts — ``overcount >= 0`` always — and the audit reports the
+    actual collision inflation, the number that sizes width/depth
+    before trusting the sketch on a 100 TB stream the exact counter
+    can't afford.
+
+    Shape at scale: the sketch is a groupBy on (row, cell) — at most
+    depth×width cells regardless of input size — and merges across
+    partitions/streams by cell-wise addition (the CM monoid)."""
+    from oracle_vector_search_spark.functions.text import (
+        hash28_sql,
+        norm_text,
+    )
+
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(norm_text("text").alias("norm"))
+        .select(F.explode(F.split("norm", " ")).alias("tok"))
+    )
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(_CM_DEPTH)])
+    ).alias("r")
+    cell = (
+        F.expr(hash28_sql("concat(tok, ':', cast(r as string))"))
+        % _CM_WIDTH
+    ).alias("cell")
+    cells = (
+        toks.select("tok", rows)
+        .select("r", cell)
+        .groupBy("r", "cell")
+        .agg(F.count("*").alias("cell_n"))
+    )
+    exact = toks.groupBy("tok").agg(F.count("*").alias("exact_n"))
+    from oracle_vector_search_spark.operators.topk import global_topn_ranked
+
+    top = global_topn_ranked(
+        exact, 10, F.desc("exact_n"), F.asc("tok")
+    ).select("tok", "exact_n")
+    probes = top.select("tok", "exact_n", rows).select(
+        "tok", "exact_n", "r", cell
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["r", "cell"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cell_n").alias("est_n"))
+    )
+    return est.select(
+        "tok",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overcount"),
+    ).orderBy(F.desc("exact_n"), "tok")

@@ -1907,3 +1907,130 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(inp.cast("binary")).alias("input_md5"),
         F.md5(tgt.cast("binary")).alias("target_md5"),
     )
+
+
+_RRF_TERMS = ("table", "scan")
+_RRF_QTEXT = "table scan query"
+_RRF_K = 60
+
+
+def _rrf_oracle_sql() -> str:
+    from oracle_vector_search_spark.functions import embed as E
+
+    demb = E.duck_embedding_expr("md5(norm)", RAG_DIMS)
+    qemb = E.duck_embedding_expr(f"md5('{_RRF_QTEXT}')", RAG_DIMS)
+    terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id < 200
+),
+lex AS (
+  SELECT doc_id,
+         len(list_filter(string_split(norm, ' '), t -> t IN ({terms})))
+           AS tf
+  FROM base
+),
+lex_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS lex_rank
+  FROM lex
+),
+vec AS (
+  SELECT doc_id, {demb} AS emb FROM base
+),
+q AS (SELECT {qemb} AS qvec),
+vec_ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id)
+           AS vec_rank
+  FROM (SELECT v.doc_id,
+               round(list_dot_product(q.qvec, v.emb)
+                     / (sqrt(list_dot_product(q.qvec, q.qvec))
+                        * sqrt(list_dot_product(v.emb, v.emb))), 6)
+                 AS score
+        FROM vec v CROSS JOIN q)
+),
+fused AS (
+  SELECT l.doc_id,
+         CAST(l.lex_rank AS BIGINT) AS lex_rank,
+         CAST(v.vec_rank AS BIGINT) AS vec_rank,
+         round(1.0 / ({_RRF_K} + l.lex_rank)
+               + 1.0 / ({_RRF_K} + v.vec_rank), 6) AS rrf_score
+  FROM lex_ranked l JOIN vec_ranked v USING (doc_id)
+)
+SELECT doc_id, lex_rank, vec_rank, rrf_score, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS rn
+      FROM fused)
+WHERE rn <= 10
+"""
+
+
+@register("hybrid_rrf_retrieval_top10", _rrf_oracle_sql())
+def hybrid_rrf_retrieval_top10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion — the standard way a
+    vector-search deployment combines its lexical and embedding legs
+    without score calibration: each leg contributes 1/(k + rank), pure
+    rational arithmetic, so the fused ranking is engine-exact. Lexical
+    leg = query-term frequency; vector leg = hash-embedding cosine; a
+    production system swaps in BM25 (`bm25_retrieval_top10`) and the
+    at-rest index (`pipeline_query_topk`) — the fusion math is this.
+
+    Shape at 100 TB: each leg is an existing bounded top-k plan; the
+    fusion joins two (doc, rank) lists of candidate size, never
+    corpus-sized."""
+    from pyspark.sql import Window
+
+    from oracle_vector_search_spark.functions import embed as E
+    from oracle_vector_search_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from oracle_vector_search_spark.operators.dedup import with_norm_tokens
+
+    docs = with_norm_tokens(
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    )
+    terms = ", ".join(f"'{t}'" for t in _RRF_TERMS)
+    lex = docs.select(
+        "doc_id",
+        F.size(F.expr(f"filter(toks, t -> t IN ({terms}))")).alias("tf"),
+    )
+    w_lex = Window.orderBy(F.desc("tf"), F.asc("doc_id"))
+    lex_ranked = lex.select(
+        "doc_id", F.row_number().over(w_lex).alias("lex_rank")
+    )
+    vec = docs.select(
+        "doc_id",
+        F.expr(
+            E.spark_embedding_expr("md5(cast(norm as binary))", RAG_DIMS)
+        ).alias("emb"),
+    )
+    q = spark.range(1).select(
+        F.expr(
+            E.spark_embedding_expr(
+                f"md5(cast('{_RRF_QTEXT}' as binary))", RAG_DIMS
+            )
+        ).alias("qvec")
+    )
+    scored = vec.join(F.broadcast(q)).select(
+        "doc_id",
+        F.round(cosine_similarity("qvec", "emb"), 6).alias("score"),
+    )
+    w_vec = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    vec_ranked = scored.select(
+        "doc_id", F.row_number().over(w_vec).alias("vec_rank")
+    )
+    fused = lex_ranked.join(vec_ranked, "doc_id").select(
+        "doc_id",
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("vec_rank").cast("long").alias("vec_rank"),
+        F.round(
+            1.0 / (F.lit(_RRF_K) + F.col("lex_rank"))
+            + 1.0 / (F.lit(_RRF_K) + F.col("vec_rank")),
+            6,
+        ).alias("rrf_score"),
+    )
+    return global_topn_ranked(
+        fused, 10, F.desc("rrf_score"), F.asc("doc_id")
+    ).select("doc_id", "lex_rank", "vec_rank", "rrf_score", "rank")

@@ -142,3 +142,58 @@ def test_sql_udf_knn_stays_jvm_side(spark, sf_dir, qs):
     assert_plan_lacks(df, "BatchEvalPython", "ArrowEvalPython", "PythonUDF")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "aggregate(zip_with" in plan or "WindowGroupLimit" in plan
+
+
+def test_repeated_span_shuffles_grams_not_text(spark, sf_dir, qs):
+    """Span dedup must project grams in the scan stage; the document
+    text column must not survive past the first projection."""
+    df = qs["repeated_span_doc_stats"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "posexplode" in plan or "Generate" in plan, plan
+    # the shuffled aggregations carry gram/doc_id only — text never
+    # appears as an exchange output attribute
+    exchanges = [
+        seg.split("\n")[0]
+        for seg in plan.split("Exchange")[1:]
+    ]
+    assert all("text#" not in seg for seg in exchanges), exchanges
+
+
+def test_maxsim_broadcasts_query_vectors(spark, sf_dir, qs):
+    """Late-interaction scoring must broadcast the multi-vector query
+    side, never sort-merge the chunk table against it."""
+    df = qs["maxsim_late_interaction_top5"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_rrf_no_cartesian_beyond_broadcast_query(spark, sf_dir, qs):
+    """RRF fusion joins two rank lists on doc_id — the only cross join
+    allowed is the 1-row query-vector broadcast."""
+    df = qs["hybrid_rrf_retrieval_top10"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_profile_guided_join_unions_hot_and_cold(spark, sf_dir, qs):
+    """With the threshold forced low enough to detect hot keys, the
+    plan must be the hot-salted ∪ cold-plain union; the registered
+    query at smoke scale may legitimately take the no-hot-keys fast
+    path (plain join, no Union)."""
+    from pyspark.sql import functions as F
+
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.operators.skew import (
+        profile_guided_salted_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey"
+    )
+    df = profile_guided_salted_join(
+        ev, orders, "user_id", top_n=5, skew_mult=0.5, salt_on="event_id"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in plan, plan

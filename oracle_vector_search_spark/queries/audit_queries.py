@@ -473,3 +473,82 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@register(
+    "range_checksum_diff",
+    """
+WITH a AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+b AS (
+  SELECT event_id, user_id,
+         CAST(floor(value * 100) AS BIGINT)
+           + CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END AS cents
+  FROM events
+),
+ca AS (
+  SELECT event_id // 1000 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_a,
+         CAST(sum(event_id * 31 + user_id * 7 + cents) AS BIGINT) AS sum_a
+  FROM a GROUP BY bucket
+),
+cb AS (
+  SELECT event_id // 1000 AS bucket,
+         CAST(count(*) AS BIGINT) AS n_b,
+         CAST(sum(event_id * 31 + user_id * 7 + cents) AS BIGINT) AS sum_b
+  FROM b GROUP BY bucket
+)
+SELECT ca.bucket, ca.n_a, cb.n_b,
+       (ca.n_a = cb.n_b AND ca.sum_a = cb.sum_b) AS in_sync
+FROM ca JOIN cb USING (bucket)
+WHERE NOT (ca.n_a = cb.n_b AND ca.sum_a = cb.sum_b)
+ORDER BY ca.bucket
+""",
+)
+def range_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replica reconciliation by range checksums (the Merkle-tree
+    pattern flattened one level): two copies of the events table — one
+    with planted mutations on event_id % 97 — are each reduced to
+    per-1000-id-range (count, additive checksum) summaries, and only
+    the DIVERGING ranges are reported. At 100 TB you repair by
+    re-syncing just those ranges instead of diffing row-by-row: the
+    comparison moves two |ranges|-sized summaries, never the tables.
+    The additive checksum makes each summary a partial-agg monoid —
+    map-side combined, order-independent."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = e.withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("event_id") % 97 == 0, 1).otherwise(0),
+    )
+
+    def summarize(df, n, s):
+        return df.groupBy(
+            F.expr("event_id div 1000").alias("bucket")
+        ).agg(
+            F.count("*").alias(n),
+            F.sum(
+                F.col("event_id") * 31 + F.col("user_id") * 7 + F.col("cents")
+            ).alias(s),
+        )
+
+    ca = summarize(e, "n_a", "sum_a")
+    cb = summarize(b, "n_b", "sum_b")
+    return (
+        ca.join(cb, "bucket")
+        .withColumn(
+            "in_sync",
+            (F.col("n_a") == F.col("n_b"))
+            & (F.col("sum_a") == F.col("sum_b")),
+        )
+        .filter(~F.col("in_sync"))
+        .select("bucket", "n_a", "n_b", "in_sync")
+        .orderBy("bucket")
+    )

@@ -65,3 +65,76 @@ def csv_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_vector_search_spark.sources.formats import events_via_csv
 
     return _checksum(events_via_csv(spark, sf_dir))
+
+
+_EVOLVE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _evolved_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Scratch parquet dir simulating schema evolution: an 'old' file
+    set written WITHOUT the props column (events before the field
+    existed) and a 'new' file set with it — the layout a long-lived
+    100 TB table actually has after a column was added mid-history."""
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _EVOLVE_CACHE.get(key)
+    if path is None:
+        path = scratch_dir("ovs_evolved_")
+        ev = load_table(spark, sf_dir, "events")
+        old = ev.filter(F.col("event_id") % 2 == 0).drop("props")
+        new = ev.filter(F.col("event_id") % 2 == 1)
+        old.coalesce(2).write.mode("append").parquet(path)
+        new.coalesce(2).write.mode("append").parquet(path)
+        _EVOLVE_CACHE[key] = path
+    return path
+
+
+@register(
+    "merge_schema_evolution_audit",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_props,
+       CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_props,
+       CAST(sum(CASE WHEN event_id % 2 = 1
+                     THEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS sum_k_present
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def merge_schema_evolution_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Schema-evolution read: half the files lack the ``props`` column
+    (written before the field existed), half have it;
+    ``mergeSchema=true`` must reconcile them into one frame where the
+    missing column reads as NULL — counted per event_type and checked
+    against the pristine table's parity split. The audit every
+    long-lived table needs after any column addition.
+
+    At 100 TB: mergeSchema pays a footer read per file at planning
+    time — production tables pin the merged schema in a catalog; the
+    NULL-fill semantics verified here are identical."""
+    path = _evolved_events_dir(spark, sf_dir)
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("props").isNotNull().cast("long")).alias(
+                "n_with_props"
+            ),
+            F.sum(F.col("props").isNull().cast("long")).alias(
+                "n_null_props"
+            ),
+            F.sum(F.coalesce(k, F.lit(0))).alias("sum_k_present"),
+        )
+        .orderBy("event_type")
+    )

@@ -14,14 +14,22 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from oracle_vector_search_spark.queries import register
 
-_CHECKSUM_ORACLE = """
+# Timestamp checksums split into relative-ms + sub-ms sums: a raw
+# epoch-µs sum overflows int64 under ANSI mode already at sf0.1
+# (1.5e5 rows × 1.7e15 µs), while the split terms stay < 1e16 even at
+# sf100. Together they change if ANY row's µs value changes.
+_TS_BASE_US = 1_700_000_000_000_000
+
+_CHECKSUM_ORACLE = f"""
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
        CAST(sum(event_id) AS BIGINT) AS id_sum,
        CAST(sum(user_id) AS BIGINT) AS user_sum,
        CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
          AS value_cents_sum,
-       CAST(sum(epoch_ns(ts) // 1000) AS BIGINT) AS ts_us_sum,
+       CAST(sum((epoch_ns(ts) // 1000 - {_TS_BASE_US}) // 1000) AS BIGINT)
+         AS ts_ms_rel_sum,
+       CAST(sum(epoch_ns(ts) // 1000 % 1000) AS BIGINT) AS ts_sub_ms_sum,
        CAST(sum(length(props)) AS BIGINT) AS props_chars_sum
 FROM events
 GROUP BY event_type
@@ -30,6 +38,7 @@ ORDER BY event_type
 
 
 def _checksum(df: DataFrame) -> DataFrame:
+    ts_us = F.unix_micros("ts")
     return (
         df.groupBy("event_type")
         .agg(
@@ -39,7 +48,10 @@ def _checksum(df: DataFrame) -> DataFrame:
             F.sum(F.floor(F.col("value") * 100).cast("long")).alias(
                 "value_cents_sum"
             ),
-            F.sum(F.unix_micros("ts")).alias("ts_us_sum"),
+            F.sum(
+                F.expr(f"(unix_micros(ts) - {_TS_BASE_US}) div 1000")
+            ).alias("ts_ms_rel_sum"),
+            F.sum(ts_us % 1000).alias("ts_sub_ms_sum"),
             F.sum(F.length("props")).alias("props_chars_sum"),
         )
         .orderBy("event_type")

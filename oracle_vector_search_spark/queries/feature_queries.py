@@ -315,3 +315,56 @@ def mad_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "equidepth_value_histogram",
+    """
+WITH b AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+t AS (
+  SELECT event_type, cents,
+         ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY cents, event_id) AS bucket
+  FROM b
+)
+SELECT event_type, CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min(cents) AS BIGINT) AS lo_cents,
+       CAST(max(cents) AS BIGINT) AS hi_cents
+FROM t
+GROUP BY event_type, bucket
+ORDER BY event_type, bucket
+""",
+)
+def equidepth_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (quartiles by population, the complement of
+    ``feature_binning_equal_width``'s equal-WIDTH bins): per event
+    type, values split into 4 equal-count buckets with exact integer
+    bounds — the bucket boundaries an optimizer or feature-binning
+    stage derives from data distribution rather than range. ntile over
+    a per-group window with an id tie-break is fully deterministic.
+
+    The per-group window sorts within event_type partitions (5 groups
+    here); at scale the two-phase rank tier (``ntile_distribution_
+    scaled``) replaces the window the same way it does for the global
+    ntile."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    t = e.withColumn("bucket", F.ntile(4).over(w))
+    return (
+        t.groupBy("event_type", "bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -2034,3 +2034,86 @@ def hybrid_rrf_retrieval_top10(
     return global_topn_ranked(
         fused, 10, F.desc("rrf_score"), F.asc("doc_id")
     ).select("doc_id", "lex_rank", "vec_rank", "rrf_score", "rank")
+
+
+# target oversampling rates for the minority-domain upsampling demo —
+# fractional parts exercise the hash-Bernoulli extra-copy path
+_OVERSAMPLE_RATES = {"src0": 2.5, "src1": 1.25}
+
+
+def _oversample_oracle_sql() -> str:
+    from oracle_vector_search_spark.functions.text import duck_hash28
+
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {r}"
+        for s, r in sorted(_OVERSAMPLE_RATES.items())
+    )
+    h = duck_hash28("doc_id::VARCHAR || ':oversample'")
+    return f"""
+WITH rated AS (
+  SELECT doc_id, source,
+         CASE {cases} ELSE 1.0 END AS rate
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, source,
+         CAST(floor(rate) AS BIGINT)
+           + CASE WHEN {h} % 1000000
+                       < CAST(round((rate - floor(rate)) * 1000000)
+                              AS BIGINT)
+                  THEN 1 ELSE 0 END AS n_copies
+  FROM rated
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs_in,
+       CAST(sum(n_copies) AS BIGINT) AS n_rows_out,
+       CAST(sum(doc_id * n_copies) AS BIGINT) AS weighted_id_sum
+FROM counted
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("domain_oversample_apply", _oversample_oracle_sql())
+def domain_oversample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic minority-domain OVERSAMPLING (the upsampling half
+    of mixture application; ``domain_mixture_apply`` handles
+    downsampling): each doc replicates floor(rate) times plus one
+    hash-Bernoulli extra copy with probability frac(rate) — rand()-
+    free, so the expansion is reproducible under retry/recompute and
+    hash-checkable. Emission is ``explode(sequence(1, n_copies))`` —
+    a per-row generator in the scan stage, no shuffle until the
+    verification rollup.
+
+    At 100 TB the replicated stream feeds the seeded global shuffle
+    (``training_order_shuffle``) so copies disperse across the epoch."""
+    from oracle_vector_search_spark.functions.text import hash28_sql
+
+    rate = F.lit(1.0)
+    for s, r in sorted(_OVERSAMPLE_RATES.items()):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    ).withColumn("rate", rate)
+    h = F.expr(hash28_sql("concat(cast(doc_id as string), ':oversample')"))
+    frac_scaled = F.round(
+        (F.col("rate") - F.floor("rate")) * 1000000
+    ).cast("long")
+    counted = docs.withColumn(
+        "n_copies",
+        F.floor("rate").cast("long")
+        + (h % 1000000 < frac_scaled).cast("long"),
+    )
+    # the expansion itself (what a training pipeline materializes):
+    expanded = counted.withColumn(
+        "copy_idx", F.explode(F.expr("sequence(1, n_copies)"))
+    )
+    return (
+        expanded.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs_in"),
+            F.count("*").alias("n_rows_out"),
+            F.sum("doc_id").alias("weighted_id_sum"),
+        )
+        .orderBy("source")
+    )

@@ -476,3 +476,67 @@ def session_path_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_transitions"))
         .orderBy("from_type", "to_type")
     )
+
+
+@register(
+    "event_type_twap",
+    """
+WITH e AS (
+  SELECT event_type,
+         epoch_ns(ts) // 1000 AS ts_us,
+         event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+stepped AS (
+  SELECT event_type, cents,
+         lead(ts_us) OVER (PARTITION BY event_type
+                           ORDER BY ts_us, event_id) - ts_us AS hold_us
+  FROM e
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(hold_us) AS BIGINT) AS total_hold_us,
+       round(sum(cents * hold_us) * 1.0 / sum(hold_us) / 100, 6) AS twap
+FROM stepped
+WHERE hold_us IS NOT NULL AND hold_us > 0
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def event_type_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (the TWAP/VWAP family): each event's
+    value holds until the next event of the same type, and the average
+    weights by exact µs holding time — one lead window over one
+    shuffle on the group key, integer cents×µs products summed exactly
+    (≤1e13 per row, int64-safe at this scale; DECIMAL(38) at 100 TB),
+    one final division. The time-series aggregate a metrics pipeline
+    computes per instrument/sensor."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    stepped = e.select(
+        "event_type",
+        "cents",
+        (F.lead("ts_us").over(w) - F.col("ts_us")).alias("hold_us"),
+    )
+    return (
+        stepped.filter(F.col("hold_us").isNotNull() & (F.col("hold_us") > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_intervals"),
+            F.sum("hold_us").alias("total_hold_us"),
+            F.round(
+                F.sum(F.col("cents") * F.col("hold_us"))
+                * 1.0
+                / F.sum("hold_us")
+                / 100,
+                6,
+            ).alias("twap"),
+        )
+        .orderBy("event_type")
+    )

@@ -307,3 +307,89 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("std"),
     ).orderBy("dim")
+
+
+@register(
+    "embedding_drift_audit",
+    """
+WITH halves AS (
+  SELECT vec_id, vec_id % 2 = 0 AS is_base, embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+comps AS (
+  SELECT is_base, generate_subscripts(v, 1) AS dim,
+         CAST(floor(unnest(v) * 1000000) AS BIGINT) AS micro
+  FROM halves
+),
+stats AS (
+  SELECT dim,
+         CAST(sum(CASE WHEN is_base THEN micro ELSE 0 END) AS BIGINT)
+           AS base_sum,
+         CAST(sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+           AS base_n,
+         CAST(sum(CASE WHEN is_base THEN 0 ELSE micro END) AS BIGINT)
+           AS cur_sum,
+         CAST(sum(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT) AS cur_n
+  FROM comps GROUP BY dim
+),
+drift AS (
+  SELECT CAST(dim AS INTEGER) AS dim,
+         round(base_sum * 1.0 / base_n / 1000000, 6) AS base_mean,
+         round(cur_sum * 1.0 / cur_n / 1000000, 6) AS cur_mean,
+         round(abs(cur_sum * 1.0 / cur_n - base_sum * 1.0 / base_n)
+               / 1000000, 6) AS abs_shift
+  FROM stats
+)
+SELECT dim, base_mean, cur_mean, abs_shift, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (ORDER BY abs_shift DESC, dim) AS rn
+      FROM drift)
+WHERE rn <= 10
+""",
+)
+def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution drift between two index snapshots (vec_id
+    parity stands in for yesterday/today): per-dimension means from
+    EXACT integer micro-unit sums (float components floored to 1e-6
+    units before summation, so partial-agg order can never move a
+    mean), ranked by absolute shift — the nightly audit that catches a
+    silently retrained or corrupted embedder before it poisons
+    retrieval. Top-10 drifting dimensions with engine-exact shift
+    values.
+
+    Shape at 100 TB: posexplode rides the scan, one groupBy(dim) with
+    map-side partial aggregation — 64 output rows regardless of corpus
+    size."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 2 == 0).alias("is_base"),
+        F.posexplode(as_double_array("embedding")).alias("dim0", "comp"),
+    )
+    comps = emb.select(
+        "is_base",
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("comp") * 1000000).cast("long").alias("micro"),
+    )
+    stats = comps.groupBy("dim").agg(
+        F.sum(F.when(F.col("is_base"), F.col("micro")).otherwise(0)).alias(
+            "base_sum"
+        ),
+        F.sum(F.col("is_base").cast("long")).alias("base_n"),
+        F.sum(
+            F.when(~F.col("is_base"), F.col("micro")).otherwise(0)
+        ).alias("cur_sum"),
+        F.sum((~F.col("is_base")).cast("long")).alias("cur_n"),
+    )
+    base_mean = F.col("base_sum") * 1.0 / F.col("base_n")
+    cur_mean = F.col("cur_sum") * 1.0 / F.col("cur_n")
+    drift = stats.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round(base_mean / 1000000, 6).alias("base_mean"),
+        F.round(cur_mean / 1000000, 6).alias("cur_mean"),
+        F.round(F.abs(cur_mean - base_mean) / 1000000, 6).alias(
+            "abs_shift"
+        ),
+    )
+    from oracle_vector_search_spark.operators.topk import global_topn_ranked
+
+    return global_topn_ranked(
+        drift, 10, F.desc("abs_shift"), F.asc("dim")
+    ).select("dim", "base_mean", "cur_mean", "abs_shift", "rank")

@@ -438,3 +438,46 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ONE SQL string, both engines (like sql_interface_pricing): Spark 4's
+# WITH RECURSIVE and DuckDB's execute it verbatim. The synthetic
+# parent edge (doc - 7 while doc % 49 >= 7) gives every doc a chain of
+# AT MOST 6 hops at ANY scale factor — recursion depth is bounded by
+# the formula, not the data, which is what makes a recursive CTE
+# scale-safe. (The near-dup graph's transitive closure is NOT safe to
+# recurse this way — UNION ALL walk counts explode on its high-degree
+# components (degree >100 at sf0.1); that closure belongs to the
+# iterative operator dedup_clusters_fixpoint, which converges in
+# O(diameter) joins instead of O(degree^diameter) paths.)
+_RECURSIVE_CHAIN_TEXT = """
+WITH RECURSIVE chain(doc_id, cur, depth) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT doc_id, cur - 7, depth + 1 FROM chain
+  WHERE cur % 49 >= 7
+)
+SELECT depth,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum,
+       CAST(sum(cur) AS BIGINT) AS root_sum
+FROM chain
+WHERE cur % 49 < 7
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+@register("recursive_ancestry_rollup", _RECURSIVE_CHAIN_TEXT)
+def recursive_ancestry_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (WITH RECURSIVE ... UNION ALL): every doc
+    follows a synthetic parent chain (doc → doc-7 while doc % 49 ≥ 7)
+    to its root — formula-bounded at ≤6 hops regardless of scale — and
+    the terminal rows roll up per depth. The SAME SQL text runs
+    verbatim through spark.sql and DuckDB, extending the SQL-interface
+    parity surface to the recursive feature a hierarchy/BOM workload
+    needs."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents"
+    )
+    return spark.sql(_RECURSIVE_CHAIN_TEXT)

@@ -368,3 +368,79 @@ def equidepth_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "value_skew_kurtosis_exact",
+    """
+WITH b AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+),
+m AS (
+  SELECT event_type,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(c) AS DOUBLE) AS s1,
+         CAST(sum(c * c) AS DOUBLE) AS s2,
+         -- widen before the cubic/quartic products: c^4 exceeds int64
+         -- per ROW once cents pass ~55k (seen at sf0.1)
+         CAST(sum(((c * c)::HUGEINT) * c) AS DOUBLE) AS s3,
+         CAST(sum(((c * c)::HUGEINT) * (c * c)) AS DOUBLE) AS s4
+  FROM b GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) ^ 3)
+             / ((s2 / n - (s1 / n) ^ 2) ^ 1.5), 6) AS skewness,
+       round((s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * (s1 / n) ^ 2 * (s2 / n) - 3 * (s1 / n) ^ 4)
+             / ((s2 / n - (s1 / n) ^ 2) ^ 2) - 3, 6) AS excess_kurtosis
+FROM m
+ORDER BY event_type
+""",
+)
+def value_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-exact 3rd/4th standardized moments per group: raw power
+    sums accumulate as exact integers (DECIMAL(38) — cents⁴ ≈ 1e16 per
+    row already needs it beyond ~100 rows) and ONE final double
+    formula produces skewness and excess kurtosis from the identical
+    five numbers in both engines — the same discipline as
+    ``feature_correlation_exact``/``per_group_linear_fit``, extended to
+    the distribution-shape statistics a feature-quality monitor
+    tracks. Spark's built-in ``skewness``/``kurtosis`` stream doubles
+    and are order-dependent; this formulation is reproducible at any
+    parallelism."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+
+    def s(expr) -> F.Column:
+        return F.sum(expr.cast("decimal(38,0)")).cast("double")
+
+    c = F.col("c")
+    # c² stays int64-safe per row; widen to decimal BEFORE the cubic/
+    # quartic products — c⁴ exceeds int64 per ROW once cents pass ~55k
+    # (seen at sf0.1)
+    c2d = (c * c).cast("decimal(38,0)")
+    m = e.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        s(c).alias("s1"),
+        s(c * c).alias("s2"),
+        s(c2d * c).alias("s3"),
+        s(c2d * c2d).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    var = s2 / n - mu * mu
+    skew = (s3 / n - 3 * mu * (s2 / n) + 2 * mu * mu * mu) / F.pow(var, 1.5)
+    kurt = (
+        s4 / n - 4 * mu * (s3 / n) + 6 * mu * mu * (s2 / n)
+        - 3 * mu * mu * mu * mu
+    ) / (var * var) - 3
+    return m.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    ).orderBy("event_type")

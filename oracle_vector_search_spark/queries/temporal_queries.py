@@ -540,3 +540,98 @@ def event_type_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "variant_props_stats",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS n_distinct_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured columns through Spark 4's VARIANT type:
+    ``parse_json`` shreds props once into the binary variant encoding,
+    ``variant_get`` extracts typed fields without re-parsing — the
+    engine's path for schema-on-read JSON at scale, where repeated
+    ``get_json_object`` string parsing is the classic CPU sink. The
+    oracle extracts the same field with DuckDB's JSON functions, so
+    the typed results must agree exactly."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "v", F.parse_json("props")
+    )
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.countDistinct(k).alias("n_distinct_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "events_ohlc_bars",
+    """
+WITH e AS (
+  SELECT event_type,
+         epoch_ns(ts) // 1000 AS ts_us,
+         event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         epoch_ns(ts) // 1000 // 21600000000 AS bar_id
+  FROM events
+)
+SELECT event_type, CAST(bar_id AS BIGINT) AS bar_id,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(min_by(cents, lpad(ts_us::VARCHAR, 20, '0')
+                          || lpad(event_id::VARCHAR, 12, '0'))
+            AS BIGINT) AS open_cents,
+       CAST(max(cents) AS BIGINT) AS high_cents,
+       CAST(min(cents) AS BIGINT) AS low_cents,
+       CAST(max_by(cents, lpad(ts_us::VARCHAR, 20, '0')
+                          || lpad(event_id::VARCHAR, 12, '0'))
+            AS BIGINT) AS close_cents
+FROM e
+GROUP BY event_type, bar_id
+ORDER BY event_type, bar_id
+""",
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (the finance/metrics rollup): 6-hour bars per
+    event type with open/close via ``min_by``/``max_by`` on the
+    (ts, event_id) total order — no window, ONE aggregation shuffle,
+    and the composite argmin/argmax key (zero-padded string, the form
+    both engines order identically) makes open/close deterministic
+    under equal timestamps. high/low are plain min/max on exact
+    integer cents."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+        F.expr("ts_ns div 1000 div 21600000000").alias("bar_id"),
+    )
+    key = F.concat(
+        F.lpad(F.col("ts_us").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.groupBy("event_type", "bar_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min_by("cents", key).alias("open_cents"),
+            F.max("cents").alias("high_cents"),
+            F.min("cents").alias("low_cents"),
+            F.max_by("cents", key).alias("close_cents"),
+        )
+        .orderBy("event_type", "bar_id")
+    )

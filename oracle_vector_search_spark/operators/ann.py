@@ -388,3 +388,28 @@ def ivf_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def multiprobe_query_buckets(
+    qbuckets: DataFrame, id_col: str = "vec_id"
+) -> DataFrame:
+    """Multi-probe expansion of a query's LSH buckets: probe each band's
+    own bucket PLUS every bucket at Hamming distance 1 (one band bit
+    flipped) — the standard recall lever that trades a bounded number
+    of extra bucket lookups (rows_per_band per band) for fewer misses,
+    instead of adding whole hash tables. Pure column expansion: explode
+    over the XOR masks; the downstream bucket join is unchanged."""
+    masks = F.array(
+        F.lit(0), *[F.lit(1 << r) for r in range(ROWS_PER_BAND)]
+    )
+    return (
+        qbuckets.select(
+            F.col(id_col), "band", "bucket", F.explode(masks).alias("m")
+        )
+        .select(
+            F.col(id_col),
+            "band",
+            F.col("bucket").bitwiseXOR(F.col("m")).alias("bucket"),
+        )
+        .distinct()
+    )

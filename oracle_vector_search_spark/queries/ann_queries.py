@@ -1050,3 +1050,129 @@ def matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "lsh_multiprobe_topk",
+    f"""
+WITH {_duck_bits_cte("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")},
+qbuckets AS (
+  SELECT vec_id AS query_id, band, bucket FROM buckets WHERE vec_id < 10
+),
+qprobes AS (
+  SELECT DISTINCT query_id, band, xor(bucket, m.mask) AS bucket
+  FROM qbuckets, (SELECT unnest([0, 1, 2, 4, 8]) AS mask) m
+),
+cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM qprobes q
+  JOIN buckets b ON q.band = b.band AND q.bucket = b.bucket
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round(list_dot_product(q.v, n.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(n.v, n.v))), 6) AS score
+  FROM cand c
+  JOIN v q ON q.vec_id = c.query_id
+  JOIN v n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY score DESC, neighbor_id
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, score, rank FROM ranked WHERE rank <= 5
+""",
+)
+def lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query probes its own bucket plus every
+    Hamming-distance-1 bucket per band (operators/ann.py:
+    multiprobe_query_buckets) — the recall lever that costs
+    rows_per_band extra bucket lookups instead of more hash tables.
+    Candidates then score and rank exactly like ``lsh_ann_topk``;
+    deterministic hash-derived planes keep even this approximate tier
+    fully oracle-checkable."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    ibuckets = _bucket_table(spark, sf_dir)
+    qprobes = ann.multiprobe_query_buckets(
+        ibuckets.filter(F.col("vec_id") < 10)
+    )
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        return ann.lsh_ann_topk(
+            emb,
+            queries,
+            k=5,
+            dims=DIMS,
+            index_buckets=ibuckets,
+            query_buckets=qprobes,
+        ).localCheckpoint()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+@register(
+    "filtered_knn_label",
+    """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, d.vec_id AS neighbor_id, d.label,
+         round(list_dot_product(q.qv, d.v)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(d.v, d.v))), 6) AS score
+  FROM v d CROSS JOIN q
+  WHERE d.label = 2 AND d.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, label, score, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 3
+ORDER BY query_id, rank
+""",
+)
+def filtered_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (the vector-db table stake): top-3 cosine
+    neighbors restricted to a metadata predicate (label = 2), with the
+    filter applied BEFORE scoring so it pushes into the parquet scan —
+    pre-filtering semantics (exact top-k of the filtered set), not
+    post-filtering's recall-losing prune of an unfiltered top-k. On
+    the at-rest index the same predicate prunes bucket/cluster
+    partitions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("qv"),
+    )
+    cand = emb.filter(F.col("label") == 2).select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        as_double_array("embedding").alias("nv"),
+    )
+    scored = (
+        cand.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round(cosine_similarity("qv", "nv"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "label", "score", "rank")
+        .orderBy("query_id", "rank")
+    )

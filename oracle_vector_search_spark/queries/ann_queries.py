@@ -1176,3 +1176,122 @@ def filtered_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "label", "score", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "multiprobe_recall_audit",
+    f"""
+WITH {_duck_bits_cte("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")},
+qbuckets AS (
+  SELECT vec_id AS query_id, band, bucket FROM buckets WHERE vec_id < 10
+),
+single_cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM qbuckets q JOIN buckets b
+    ON q.band = b.band AND q.bucket = b.bucket
+),
+qprobes AS (
+  SELECT DISTINCT query_id, band, xor(bucket, m.mask) AS bucket
+  FROM qbuckets, (SELECT unnest([0, 1, 2, 4, 8]) AS mask) m
+),
+multi_cand AS (
+  SELECT DISTINCT q.query_id, b.vec_id AS neighbor_id
+  FROM qprobes q JOIN buckets b
+    ON q.band = b.band AND q.bucket = b.bucket
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_dot_product(q.v, d.v)
+                   / (sqrt(list_dot_product(q.v, q.v))
+                      * sqrt(list_dot_product(d.v, d.v))), 6) DESC,
+                   d.vec_id) AS rn
+    FROM v d CROSS JOIN (SELECT * FROM v WHERE vec_id < 10) q)
+  WHERE rn <= 5
+)
+SELECT e.query_id,
+       CAST(count(s.neighbor_id) AS BIGINT) AS single_hits,
+       CAST(count(m.neighbor_id) AS BIGINT) AS multi_hits,
+       round(count(s.neighbor_id) / 5.0, 6) AS single_recall_at5,
+       round(count(m.neighbor_id) / 5.0, 6) AS multi_recall_at5
+FROM exact_top e
+LEFT JOIN single_cand s
+  ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+LEFT JOIN multi_cand m
+  ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+)
+def multiprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies the multi-probe recall lever: per query, how many of
+    the exact top-5 fall in the single-probe candidate set vs the
+    Hamming-1 multi-probe set — multi_recall ≥ single_recall by
+    construction (the probe set is a superset), and the gap is the
+    number that decides whether the extra bucket lookups pay. All
+    three tiers deterministic, so the recall numbers themselves
+    hash-match the oracle (discipline of ``lsh_recall_audit``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ibuckets = _bucket_table(spark, sf_dir)
+    qb = ibuckets.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "band", "bucket"
+    )
+    qprobes = ann.multiprobe_query_buckets(
+        ibuckets.filter(F.col("vec_id") < 10)
+    ).select(F.col("vec_id").alias("query_id"), "band", "bucket")
+    ib = ibuckets.select(
+        F.col("vec_id").alias("neighbor_id"), "band", "bucket"
+    )
+    single = qb.join(ib, ["band", "bucket"]).select(
+        "query_id", "neighbor_id"
+    ).distinct()
+    multi = qprobes.join(ib, ["band", "bucket"]).select(
+        "query_id", "neighbor_id"
+    ).distinct()
+    # exact top-5 ground truth
+    vs = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    q = vs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    exact_top = (
+        vs.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity("qv", "v"), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    s = single.withColumnRenamed("neighbor_id", "s_n")
+    m = multi.withColumnRenamed("neighbor_id", "m_n")
+    return (
+        exact_top.join(
+            s,
+            (exact_top.query_id == s.query_id)
+            & (exact_top.neighbor_id == F.col("s_n")),
+            "left",
+        )
+        .drop(s.query_id)
+        .join(
+            m,
+            (exact_top.query_id == m.query_id)
+            & (exact_top.neighbor_id == F.col("m_n")),
+            "left",
+        )
+        .drop(m.query_id)
+        .groupBy("query_id")
+        .agg(
+            F.count("s_n").alias("single_hits"),
+            F.count("m_n").alias("multi_hits"),
+            F.round(F.count("s_n") / 5.0, 6).alias("single_recall_at5"),
+            F.round(F.count("m_n") / 5.0, 6).alias("multi_recall_at5"),
+        )
+        .orderBy("query_id")
+    )

@@ -146,3 +146,24 @@ def test_pq_recall_and_fidelity(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, recall  # floor, not a tuning claim
+
+
+def test_multiprobe_expands_to_hamming_one(spark):
+    """Each (band, bucket) expands to itself + ROWS_PER_BAND flipped-bit
+    buckets, distinct."""
+    from oracle_vector_search_spark.operators.ann import (
+        ROWS_PER_BAND,
+        multiprobe_query_buckets,
+    )
+
+    qb = spark.createDataFrame(
+        [(1, 0, 5), (1, 1, 0)], "vec_id long, band int, bucket int"
+    )
+    rows = {
+        (r["band"], r["bucket"])
+        for r in multiprobe_query_buckets(qb).collect()
+    }
+    assert (0, 5) in rows and (1, 0) in rows
+    expect0 = {(0, 5 ^ (1 << r)) for r in range(ROWS_PER_BAND)} | {(0, 5)}
+    expect1 = {(1, 0 ^ (1 << r)) for r in range(ROWS_PER_BAND)} | {(1, 0)}
+    assert rows == expect0 | expect1

@@ -824,3 +824,66 @@ def boilerplate_spans_per_source(
         )
         .orderBy("source", "gram")
     )
+
+
+@register(
+    "hamming_knn_top5",
+    f"""
+WITH base AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), tok AS (
+  SELECT doc_id, list_distinct(string_split(norm, ' ')) AS toks FROM base
+), h AS (
+  SELECT doc_id, {T.duck_shingle_hashes('toks')} AS hs FROM tok
+), fp AS (
+  SELECT doc_id, {T.duck_simhash('hs')} AS simhash FROM h
+), q AS (
+  SELECT doc_id AS query_id, simhash AS qfp FROM fp WHERE doc_id < 10
+), scored AS (
+  SELECT q.query_id, fp.doc_id AS neighbor_id,
+         CAST(bit_count(xor(q.qfp, fp.simhash)) AS BIGINT) AS hamming
+  FROM fp CROSS JOIN q
+  WHERE fp.doc_id <> q.query_id
+)
+SELECT query_id, neighbor_id, hamming, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+ORDER BY query_id, rank
+""",
+)
+def hamming_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-distance kNN over 28-bit SimHash fingerprints — the
+    bit-twiddling coarse search tier: distance is ONE xor + popcount
+    per pair (vs 64 multiply-adds for cosine), the classic first pass
+    of a dedup-oriented retrieval cascade whose survivors go to exact
+    Jaccard/cosine. Query fingerprints broadcast; the fingerprint
+    column is 4 bytes/doc at rest (vs 256 for the float vector), so at
+    100 TB the whole coarse index fits where the vectors don't."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = simhash_fingerprints(docs)
+    q = fp.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), F.col("simhash").alias("qfp")
+    )
+    from pyspark.sql import Window
+
+    scored = (
+        fp.join(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("doc_id").alias("neighbor_id"),
+            F.bit_count(
+                F.col("qfp").bitwiseXOR(F.col("simhash"))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "hamming", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -78,7 +78,7 @@ def load_all_modules() -> None:
 #   timestamp fix (io.py/streaming ops.py), so the repair gets
 #   driver-visible proof. After r4 the union covers every query that
 #   existed before round 4.
-#   The round-5 rotation queue is the 33 queries ADDED in round 4
+#   The round-5 rotation queue is the 34 queries ADDED in round 4
 #   (never driver-checked by definition, all green in the local full
 #   gate): matryoshka_recall_audit, sql_udf_knn_top3,
 #   view_next_purchase_asof, retention_cohorts, session_path_bigrams,
@@ -93,7 +93,7 @@ def load_all_modules() -> None:
 #   embedding_drift_audit, event_type_twap, recursive_ancestry_rollup,
 #   variant_props_stats, events_ohlc_bars, value_skew_kurtosis_exact,
 #   lsh_multiprobe_topk, filtered_knn_label, multiprobe_recall_audit,
-#   hamming_knn_top5.
+#   hamming_knn_top5, dedup_cleaned_corpus_checksum.
 #   Queries past position 49 remain verified by the local gate
 #   (tools/oracle_check.py, full surface, CI via
 #   tests/test_oracle_surface.py). Keep this list at exactly 50 names.

@@ -887,3 +887,60 @@ def hamming_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "hamming", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@register(
+    "dedup_cleaned_corpus_checksum",
+    f"""
+WITH canon AS ({_duck_cluster_sql(3)}),
+kept AS (
+  SELECT d.doc_id, d.n_chars, d.source
+  FROM documents d
+  JOIN canon c ON c.doc_id = d.doc_id AND c.canonical_id = d.doc_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs_kept,
+       CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs_in,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(n_chars) AS BIGINT) AS chars_checksum,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources_kept
+FROM kept
+""",
+)
+def dedup_cleaned_corpus_checksum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The end-to-end dedup statement: MinHash-LSH pairs → connected-
+    component canonical ids → keep ONLY cluster representatives → the
+    cleaned corpus, checksummed. This is the artifact a training run
+    actually consumes; the checksum proves the whole cascade (shingle →
+    signature → band join → exact-Jaccard verify → min-label
+    components → canonical filter) is engine-exact end to end, not
+    just each stage in isolation."""
+    from oracle_vector_search_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(
+        docs,
+        threshold=MINHASH_THRESHOLD,
+        sigs=_minhash_sig_table(spark, sf_dir),
+    )
+    labels = dedup_clusters(pairs, docs.select("doc_id"), iterations=3)
+    kept = docs.join(
+        labels.filter(F.col("doc_id") == F.col("canonical_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+    )
+    total = docs.agg(F.count("*").alias("n_docs_in"))
+    return kept.agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+        F.sum("n_chars").alias("chars_checksum"),
+        F.countDistinct("source").alias("n_sources_kept"),
+    ).crossJoin(F.broadcast(total)).select(
+        "n_docs_kept",
+        "n_docs_in",
+        "id_checksum",
+        "chars_checksum",
+        "n_sources_kept",
+    )

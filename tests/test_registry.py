@@ -100,3 +100,15 @@ def test_oracle_sql_keys_subset_of_queries():
     order = {n: i for i, n in enumerate(q)}
     keys = list(o)
     assert keys == sorted(keys, key=order.__getitem__)
+
+
+def test_bench_headline_subset_of_registry():
+    """bench.py's HEADLINE set must always be runnable through the
+    registry — a renamed/removed query must fail here, not in the
+    driver's bench run."""
+    import bench
+
+    q = registry.queries()
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert not missing, missing
+    assert set(bench.AT_REST_WRITERS) <= set(bench.HEADLINE)

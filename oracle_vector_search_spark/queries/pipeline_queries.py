@@ -208,6 +208,13 @@ def _built_index(spark: SparkSession, sf_dir: str, max_key: int) -> DataFrame:
         )
     )
     joined = boxes.join(images, "stem")  # J1 (F2 implicit: inner)
+    # The fixture tables are single parquet files, so the join output
+    # lands on ~3 partitions — and the (interpreted higher-order) hash-
+    # embedding projection downstream would run near-single-core.
+    # Spread it across the cluster BEFORE the embed column; ids are
+    # repartition-stable by construction (two-phase assignment,
+    # tests/test_scale_ops.py). Measured: 15.8 s → 4.1 s at sf0.1.
+    joined = joined.repartition(32)
     joined = decode_class(joined)
     crop_md5 = F.md5(
         F.concat_ws(

@@ -64,6 +64,13 @@ HEADLINE = [
     # r4 additions — span-level dedup + profiler-fed skew join
     "repeated_span_doc_stats",
     "profile_guided_skew_join_spend",
+    # r5 additions — newest operator families under the headline number:
+    # binary-fingerprint kNN, hybrid lexical∪vector fusion, MaxSim late
+    # interaction, and the int8-codes exact-search fast path
+    "hamming_knn_top5",
+    "hybrid_rrf_retrieval_top10",
+    "maxsim_late_interaction_top5",
+    "knn_exact_gemm_int8",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session
@@ -76,6 +83,8 @@ AT_REST_WRITERS = {
     "pipeline_query_topk",
     "bucketed_colocated_join_revenue",
     "bm25_retrieval_top10",
+    "profile_guided_skew_join_spend",
+    "knn_exact_gemm_int8",
 }
 
 

@@ -63,13 +63,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)):
             # Current fixture: timestamp[us]. Cast NTZ→TIMESTAMP under the
             # UTC session zone (bit-identical instant), derive exact nanos.
-            # Column order matches the legacy-nanos branch so star-selects
-            # are stable across fixture generations.
-            other = [c for c in raw.columns if c != "ts"]
+            # Column order matches the legacy-nanos branch (ts_ns takes
+            # ts's ORIGINAL position, wherever that is; ts appends last)
+            # so star-selects are stable across fixture generations.
+            order = ["ts_ns" if c == "ts" else c for c in raw.columns]
             return (
                 raw.withColumn("ts", F.col("ts").cast("timestamp"))
                 .withColumn("ts_ns", F.unix_micros("ts") * F.lit(1000))
-                .select(other[0], "ts_ns", *other[1:], "ts")
+                .select(*order, "ts")
             )
         raise TypeError(
             f"events.ts has unsupported parquet-read type {ts_type}; "

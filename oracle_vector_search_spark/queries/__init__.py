@@ -72,28 +72,15 @@ def load_all_modules() -> None:
 # Registry ordering exposed to the driver. The driver's hard correctness
 # gate checks a 50-entry prefix of queries(), so the prefix ROTATES each
 # round to spread verification across the whole registry:
-#   r1 ∪ r2 ∪ r3 windows = 121 distinct driver-checked queries;
-#   r4 (this file) = 8 always-on sentinels + the 26 queries never checked
-#   in rounds 1-3 + the 16 events/streaming queries repaired by the r4
-#   timestamp fix (io.py/streaming ops.py), so the repair gets
-#   driver-visible proof. After r4 the union covers every query that
-#   existed before round 4.
-#   The round-5 rotation queue is the 34 queries ADDED in round 4
-#   (never driver-checked by definition, all green in the local full
-#   gate): matryoshka_recall_audit, sql_udf_knn_top3,
-#   view_next_purchase_asof, retention_cohorts, session_path_bigrams,
-#   repeated_span_doc_stats, boilerplate_spans_per_source,
-#   countmin_token_freq_audit, per_group_linear_fit, mad_outlier_flags,
-#   maxsim_late_interaction_top5, span_corruption_pairs,
-#   hybrid_rrf_retrieval_top10, profile_guided_skew_join_spend,
-#   k_anonymity_audit, range_checksum_diff, yolo_source_class_stats,
-#   streaming_dedup_within_watermark, orc_roundtrip_checksum,
-#   csv_roundtrip_checksum, merge_schema_evolution_audit,
-#   equidepth_value_histogram, domain_oversample_apply,
-#   embedding_drift_audit, event_type_twap, recursive_ancestry_rollup,
-#   variant_props_stats, events_ohlc_bars, value_skew_kurtosis_exact,
-#   lsh_multiprobe_topk, filtered_knn_label, multiprobe_recall_audit,
-#   hamming_knn_top5, dedup_cleaned_corpus_checksum.
+#   r1 ∪ r2 ∪ r3 ∪ r4 windows = every query that existed before round 4
+#   (147 distinct driver-checked names).
+#   r5 (this file) = 8 always-on sentinels + the 34 queries ADDED in
+#   round 4 (never driver-checked before; all green in the r4 local full
+#   gate and the judge's re-run) + the 3 formerly-`no_oracle` queries
+#   that gained real oracles in r5 (approx_aggregates exact+bounded
+#   flags, packed_bins_greedy exact invariants,
+#   streaming_sliding_windows_watermark closed-form finalization) + the
+#   new r5 queries. After r5 the union covers the ENTIRE registry.
 #   Queries past position 49 remain verified by the local gate
 #   (tools/oracle_check.py, full surface, CI via
 #   tests/test_oracle_surface.py). Keep this list at exactly 50 names.
@@ -107,51 +94,51 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_cosine_top5_gemm",
     "exact_dedup_groups",
     "streaming_upsert_snapshot",
-    # --- the 26 queries never driver-checked in rounds 1-3 ---
-    "embedding_dim_stats",
-    "lsh_recall_audit",
-    "index_health_audit",
-    "sql_interface_pricing",
-    "jsonl_ingest_audit",
-    "udtf_token_windows",
-    "benchmark_decontamination",
-    "dedup_keep_best",
-    "domain_cap_sample",
-    "candidate_jaccard_histogram",
-    "prefix_filter_jaccard_pairs",
-    "cogroup_user_reconcile",
-    "heavy_hitter_tokens_twophase",
-    "events_rolling_features",
-    "feature_binning_equal_width",
-    "event_value_zscore_outliers",
-    "phrase3_retrieval_top20",
-    "domain_mixture_rates",
-    "training_order_shuffle",
-    "posting_upsert_merge",
-    "domain_mixture_apply",
-    "zorder_layout_stats",
-    "q4_late_orders",
-    "q14_promo_revenue",
-    "q22_idle_rich_customers",
-    "streaming_index_maintenance",
-    # --- r3-broken events/streaming queries, repaired by the r4
-    # timestamp fix — driver re-verification of the repair ---
-    "events_hourly_gapfill_locf",
-    "hourly_agg_partial_merge",
-    "view_purchase_funnel",
-    "streaming_view_purchase_pairs",
+    # --- the 34 queries added in round 4, never driver-checked ---
+    "matryoshka_recall_audit",
+    "sql_udf_knn_top3",
+    "view_next_purchase_asof",
+    "retention_cohorts",
+    "session_path_bigrams",
+    "repeated_span_doc_stats",
+    "boilerplate_spans_per_source",
+    "countmin_token_freq_audit",
+    "per_group_linear_fit",
+    "mad_outlier_flags",
+    "maxsim_late_interaction_top5",
+    "span_corruption_pairs",
+    "hybrid_rrf_retrieval_top10",
+    "profile_guided_skew_join_spend",
+    "k_anonymity_audit",
+    "range_checksum_diff",
+    "yolo_source_class_stats",
+    "streaming_dedup_within_watermark",
+    "orc_roundtrip_checksum",
+    "csv_roundtrip_checksum",
+    "merge_schema_evolution_audit",
+    "equidepth_value_histogram",
+    "domain_oversample_apply",
+    "embedding_drift_audit",
+    "event_type_twap",
+    "recursive_ancestry_rollup",
+    "variant_props_stats",
+    "events_ohlc_bars",
+    "value_skew_kurtosis_exact",
+    "lsh_multiprobe_topk",
+    "filtered_knn_label",
+    "multiprobe_recall_audit",
+    "hamming_knn_top5",
+    "dedup_cleaned_corpus_checksum",
+    # --- formerly no_oracle, oracle-ified in r5 (VERDICT r4 #2) ---
+    "approx_aggregates",
+    "packed_bins_greedy",
     "streaming_sliding_windows_watermark",
-    "compacted_events_checksum",
-    "key_skew_profile",
-    "hourly_event_windows",
-    "user_sessions",
-    "purchase_asof_order",
-    "events_json_agg",
-    "events_upsert_snapshot",
-    "event_pairs_within_minute",
-    "snapshot_diff_users",
-    "null_safe_join",
-    "stateful_user_counts",
+    # --- new in round 5 ---
+    "reference_labels_index_parity",
+    "knn_exact_gemm_int8",
+    "sq8_recall_refine_audit",
+    "dedup_cascade_scaling_probe",
+    "key_profile_at_rest",
 )
 
 

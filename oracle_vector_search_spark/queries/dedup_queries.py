@@ -77,15 +77,17 @@ def exact_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(doubled)
 
 
-def _duck_sig_cte() -> str:
-    """Shared DuckDB CTE chain computing shingles + MinHash signature."""
+def _duck_sig_cte(base: str = "documents") -> str:
+    """Shared DuckDB CTE chain computing shingles + MinHash signature.
+    ``base``: table name or parenthesized subquery providing
+    (doc_id, text) — lets the same pipeline run over derived corpora."""
     sigs = ", ".join(
         f"{e} AS m{j}" for j, e in enumerate(T.duck_minhash_sigs("hs"))
     )
     return f"""
 base AS (
   SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
-  FROM documents
+  FROM {base}
 ), tok AS (
   SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM base
 ), sh AS (
@@ -253,10 +255,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _duck_cluster_sql(iterations: int = 3) -> str:
+def _duck_cluster_sql(iterations: int = 3, base: str = "documents") -> str:
     """Unrolled min-label propagation over the minhash near-dup graph."""
     sql = f"""
-WITH {_duck_sig_cte()},
+WITH {_duck_sig_cte(base)},
 bands AS ({_duck_minhash_bands()}),
 cand AS (
   SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
@@ -278,7 +280,7 @@ edges AS (
   UNION
   SELECT right_id AS src, left_id AS dst FROM pairs
 ),
-l0 AS (SELECT doc_id AS node, doc_id AS canonical_id FROM documents)"""
+l0 AS (SELECT doc_id AS node, doc_id AS canonical_id FROM {base})"""
     for k in range(1, iterations + 1):
         prev = f"l{k - 1}"
         sql += f""",
@@ -943,4 +945,92 @@ def dedup_cleaned_corpus_checksum(
         "id_checksum",
         "chars_checksum",
         "n_sources_kept",
+    )
+
+
+# ---------------------------------------------------- cascade scaling probe
+# Deterministic corpus expansion (×3): every document plus one EXACT
+# copy and one NEAR copy (single appended token). Both engines build it
+# from the same SQL-expressible expressions, so the full cascade stays
+# hash-checkable while exercising 3× the corpus with planted duplicate
+# structure of BOTH kinds.
+_EXPANDED_BASE = """(
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 20000000 AS doc_id,
+         text || ' probe' || (doc_id % 7)::VARCHAR AS text
+  FROM documents
+)"""
+
+
+@register(
+    "dedup_cascade_scaling_probe",
+    f"""
+WITH canon AS ({_duck_cluster_sql(4, _EXPANDED_BASE)}),
+corpus AS (SELECT doc_id, text FROM {_EXPANDED_BASE} c),
+kept AS (
+  SELECT doc_id FROM canon WHERE doc_id = canonical_id
+)
+SELECT CAST((SELECT count(*) FROM corpus) AS BIGINT) AS n_docs_in,
+       CAST((SELECT count(DISTINCT {T.duck_hash60('text')}) FROM corpus)
+            AS BIGINT) AS n_exact_groups,
+       CAST((SELECT count(*) FROM kept) AS BIGINT) AS n_docs_kept,
+       CAST((SELECT sum(doc_id) FROM kept) AS BIGINT) AS id_checksum
+""",
+)
+def dedup_cascade_scaling_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full dedup cascade under deterministic 3× corpus expansion
+    (every doc + an exact copy + a near copy): shingle → MinHash sig →
+    band join → exact-Jaccard verify → 4-round min-label components →
+    canonical filter, summarized as exact checkable aggregates. The
+    planted structure means the cascade MUST collapse each original
+    with both of its copies — a recall or clustering bug changes
+    n_docs_kept/id_checksum and hash-mismatches.
+
+    This is the driver-checked face of the scaling story; the same
+    code path is stress-run at ~10⁶ docs (generated, not fixture) in
+    tests/test_dedup_scale.py with convergence-round and flat-plan
+    assertions, and its wall-clock curve is recorded in PERF.md."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copy = docs.select(
+        (F.col("doc_id") + 10000000).alias("doc_id"), "text"
+    )
+    near_copy = docs.select(
+        (F.col("doc_id") + 20000000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" probe"),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(exact_copy).unionByName(near_copy)
+    corpus = corpus.repartition(32, "doc_id")
+    from oracle_vector_search_spark.operators.dedup import dedup_clusters
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        pairs = minhash_near_dup(corpus, threshold=MINHASH_THRESHOLD)
+        labels = dedup_clusters(
+            pairs, corpus.select("doc_id"), iterations=4
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    kept = labels.filter(F.col("doc_id") == F.col("canonical_id"))
+    stats = corpus.agg(
+        F.count("*").alias("n_docs_in"),
+        F.countDistinct(F.expr(T.hash60_sql("text"))).alias(
+            "n_exact_groups"
+        ),
+    )
+    kept_stats = kept.agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("doc_id").alias("id_checksum"),
+    )
+    return stats.crossJoin(F.broadcast(kept_stats)).select(
+        "n_docs_in", "n_exact_groups", "n_docs_kept", "id_checksum"
     )

@@ -348,19 +348,76 @@ def bpe_ish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_aggregates", None)  # approximate by nature — rows-only
+@register(
+    "approx_aggregates",
+    """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       round(quantile_cont(CAST(floor(l_extendedprice * 100) AS BIGINT), 0.5)
+             / 100.0, 6) AS exact_median,
+       TRUE AS parts_within_15pct,
+       TRUE AS orders_within_15pct,
+       TRUE AS median_within_2pct
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The at-scale approximate aggregates (HyperLogLog distinct,
-    sketch-based quantiles). No SQL oracle — different engines use
-    different sketches — but a property test bounds the error vs the
-    exact answers."""
+    sketch-based quantiles) made ORACLE-CHECKABLE (VERDICT r4 #2):
+    different engines use different sketches, so the estimates
+    themselves can't hash-match — instead the query emits the EXACT
+    answers (which DuckDB reproduces) plus bounded-relative-error
+    flags computed Spark-side from the sketch estimates. The oracle
+    emits literal TRUE for each flag, so a sketch drifting outside its
+    error envelope (HLL rsd=0.05 → 15% generous bound; KLL-style
+    percentile_approx at accuracy=10000 → 2%) hash-mismatches the
+    round's correctness gate instead of passing silently.
+
+    At 100 TB the approx tier is what you'd actually run (one pass, no
+    per-group distinct shuffle); the exact tier here doubles as its
+    audit, the same shape as the recall audits on the ANN side."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.percentile(
+            F.floor(F.col("l_extendedprice") * 100).cast("long"), F.lit(0.5)
+        ).alias("median_cents"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
-            "approx_median"
-        ),
+        F.percentile_approx(
+            F.floor(F.col("l_extendedprice") * 100).cast("long"),
+            F.lit(0.5),
+            F.lit(10000),
+        ).alias("approx_median_cents"),
+    )
+
+    def _within(approx, exact, tol: float):
+        return (
+            F.abs(approx.cast("double") - exact.cast("double"))
+            <= F.lit(tol) * exact.cast("double")
+        )
+
+    return (
+        agg.select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            F.round(F.col("median_cents") / 100.0, 6).alias("exact_median"),
+            _within(
+                F.col("approx_parts"), F.col("exact_parts"), 0.15
+            ).alias("parts_within_15pct"),
+            _within(
+                F.col("approx_orders"), F.col("exact_orders"), 0.15
+            ).alias("orders_within_15pct"),
+            _within(
+                F.col("approx_median_cents"), F.col("median_cents"), 0.02
+            ).alias("median_within_2pct"),
+        )
+        .orderBy("l_returnflag")
     )
 
 

@@ -162,6 +162,75 @@ def salted_skew_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKEW_PROFILE_CACHE: dict[str, str] = {}
+
+
+def skew_profile_table(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The events⋈orders user_id skew profile AT REST: written once per
+    session (the nightly-ingest stand-in; refresh on upsert like the
+    LSH bucket tables in index_maint), then every profile-guided join
+    reads ≤20 rows of parquet instead of re-scanning both fact tables."""
+    from oracle_vector_search_spark.operators.skew import key_profile
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    path = _SKEW_PROFILE_CACHE.get(sf_dir)
+    if path is None:
+        ev = load_table(spark, sf_dir, "events").select("user_id")
+        orders = load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("user_id")
+        )
+        path = scratch_dir("ovs_skew_profile_")
+        key_profile(ev, orders, "user_id", top_n=20).write.mode(
+            "overwrite"
+        ).parquet(path)
+        _SKEW_PROFILE_CACHE[sf_dir] = path
+    return spark.read.parquet(path)
+
+
+@register(
+    "key_profile_at_rest",
+    """
+WITH lc AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_left
+  FROM events GROUP BY user_id
+), rc AS (
+  SELECT o_custkey AS user_id, CAST(count(*) AS BIGINT) AS n_right
+  FROM orders GROUP BY o_custkey
+), sides AS (
+  SELECT COALESCE(lc.user_id, rc.user_id) AS user_id,
+         COALESCE(n_left, 0) AS n_left,
+         COALESCE(n_right, 0) AS n_right
+  FROM lc FULL OUTER JOIN rc ON lc.user_id = rc.user_id
+), tot AS (
+  SELECT CAST(sum(n_left) AS BIGINT) AS t_left,
+         CAST(sum(CASE WHEN n_left > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k_left,
+         CAST(sum(n_right) AS BIGINT) AS t_right,
+         CAST(sum(CASE WHEN n_right > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS k_right
+  FROM sides
+)
+SELECT b.user_id, b.n_left, b.n_right,
+       t.t_left, t.k_left, t.t_right, t.k_right
+FROM sides b CROSS JOIN tot t
+ORDER BY greatest(b.n_left, b.n_right) DESC, b.user_id
+LIMIT 20
+""",
+)
+def key_profile_at_rest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITTEN two-sided skew-profile table itself (VERDICT r4 #4),
+    read back from parquet and oracle-checked row-for-row: top-20
+    events⋈orders user_id candidates by max per-side count, with both
+    sides' totals. This is the metadata-sized table every
+    profile-guided join reads instead of re-scanning the fact tables —
+    verifying it at rest verifies the fast path's input."""
+    return skew_profile_table(spark, sf_dir).orderBy(
+        F.desc(F.greatest("n_left", "n_right")), "user_id"
+    )
+
+
 @register(
     "profile_guided_skew_join_spend",
     """
@@ -178,15 +247,17 @@ def profile_guided_skew_join_spend(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """The skew profiler feeding an actual mitigation: events⋈orders on
-    the skewed user_id key via ``profile_guided_salted_join`` — per-key
-    counts detect the hot keys (the ``key_skew_profile`` telemetry),
-    ONLY those are salted (right side replicated ×8 for hot keys alone),
-    the cold rest takes the plain equi-join. Salt- and split-invariant,
-    so the plain-join oracle hash-matches exactly.
+    the skewed user_id key via ``profile_guided_salted_join`` — the
+    AT-REST ``key_profile`` table (written once per session, metadata
+    sized) detects the hot keys, ONLY those are salted (right side
+    replicated ×8 for hot keys alone), the cold rest takes the plain
+    equi-join. Salt- and split-invariant, so the plain-join oracle
+    hash-matches exactly.
 
     vs ``salted_skew_join_revenue`` (blanket salting): replication cost
     here is proportional to the hot keys' rows, not the whole right
-    side — the shape that survives a 100 TB right side."""
+    side — and the profiling scan is amortized into ingest, not paid
+    per query. The shape that survives a 100 TB right side."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type"
     )
@@ -196,6 +267,7 @@ def profile_guided_skew_join_spend(
     joined = profile_guided_salted_join(
         ev, orders, "user_id", top_n=20, skew_mult=2.0,
         salt_buckets=8, salt_on="event_id",
+        profile=skew_profile_table(spark, sf_dir),
     )
     return (
         joined.groupBy("event_type")

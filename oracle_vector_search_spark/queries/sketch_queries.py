@@ -370,12 +370,54 @@ def packed_context_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("packed_bins_greedy", None)  # sequential fold — rows-only
+@register(
+    "packed_bins_greedy",
+    """
+WITH tok AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents WHERE doc_id < 100
+), st AS (
+  SELECT doc_id, toks,
+         range(1, greatest(len(toks) - 10, 1) + 1, 30) AS starts
+  FROM tok
+), ex AS (
+  SELECT doc_id,
+         generate_subscripts(starts, 1) - 1 AS chunk_idx,
+         len(toks[unnest(starts):unnest(starts) + 39]) AS n_tokens
+  FROM st
+), shard_tok AS (
+  SELECT doc_id % 32 AS shard, sum(n_tokens) AS shard_tokens
+  FROM ex GROUP BY doc_id % 32
+)
+SELECT CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_chunks,
+       CAST((SELECT count(DISTINCT doc_id * 100000 + chunk_idx) FROM ex)
+            AS BIGINT) AS n_chunks_distinct,
+       CAST((SELECT sum(n_tokens) FROM ex) AS BIGINT) AS total_tokens,
+       CAST((SELECT sum(CAST(ceil(shard_tokens / 256.0) AS BIGINT))
+             FROM shard_tok) AS BIGINT) AS bins_lower_bound,
+       TRUE AS assigned_exactly_once,
+       TRUE AS no_bin_over_budget,
+       TRUE AS bins_ge_lower_bound
+""",
+)
 def packed_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT greedy first-fit packing (applyInPandas per shard): unlike
-    the offset-based variant, no bin exceeds the token budget. The
-    per-bin walk is a sequential fold, so no SQL oracle — the budget
-    invariant is property-tested instead (tests/test_scale_ops.py)."""
+    the offset-based variant, no bin exceeds the token budget (except a
+    single oversized chunk, which gets its own bin).
+
+    The per-bin walk is a sequential fold, so the bin ASSIGNMENT has no
+    SQL twin — but its correctness INVARIANTS are exact aggregates
+    (VERDICT r4 #2), and that is what this query emits, all
+    oracle-checked: every chunk assigned exactly once (chunk counts are
+    SQL-derivable from the chunker), no bin over the 256-token budget
+    unless single-chunk, and the bin count at least the per-shard
+    pigeonhole lower bound Σ_shard ceil(tokens/256) (bins never span
+    shards). The flags are computed Spark-side FROM the packed output
+    and emitted as booleans the oracle pins to TRUE — a packing bug
+    hash-mismatches the gate. Full per-bin detail stays property-tested
+    in tests/test_scale_ops.py."""
     from oracle_vector_search_spark.operators.chunking import (
         chunk_documents,
         pack_chunks_greedy,
@@ -386,10 +428,50 @@ def packed_bins_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     chunks = chunk_documents(docs, chunk_size=40, overlap=10)
     packed = pack_chunks_greedy(chunks, window_tokens=256)
-    return packed.groupBy("bin_id").agg(
+    bins = packed.groupBy("bin_id").agg(
+        F.count("*").alias("bn"), F.sum("n_tokens").alias("btok")
+    )
+    bin_stats = bins.agg(
+        F.count("*").alias("n_bins"),
+        F.max(
+            ((F.col("btok") > 256) & (F.col("bn") > 1)).cast("int")
+        ).alias("over_budget"),
+    )
+    chunk_stats = packed.agg(
         F.count("*").alias("n_chunks"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.max("bin_fill").alias("final_fill"),
+        F.countDistinct(
+            F.col("doc_id") * 100000 + F.col("chunk_idx")
+        ).alias("n_chunks_distinct"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    lower = (
+        packed.withColumn(
+            "shard", F.pmod(F.col("doc_id").cast("long"), F.lit(32))
+        )
+        .groupBy("shard")
+        .agg(F.sum("n_tokens").alias("shard_tokens"))
+        .agg(
+            F.sum(
+                F.ceil(F.col("shard_tokens") / F.lit(256.0))
+            ).alias("bins_lower_bound")
+        )
+    )
+    return (
+        chunk_stats.crossJoin(F.broadcast(bin_stats))
+        .crossJoin(F.broadcast(lower))
+        .select(
+            "n_chunks",
+            "n_chunks_distinct",
+            "total_tokens",
+            "bins_lower_bound",
+            (F.col("n_chunks") == F.col("n_chunks_distinct")).alias(
+                "assigned_exactly_once"
+            ),
+            (F.col("over_budget") == 0).alias("no_bin_over_budget"),
+            (F.col("n_bins") >= F.col("bins_lower_bound")).alias(
+                "bins_ge_lower_bound"
+            ),
+        )
     )
 
 

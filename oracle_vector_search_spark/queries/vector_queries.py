@@ -393,3 +393,247 @@ def embedding_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_topn_ranked(
         drift, 10, F.desc("abs_shift"), F.asc("dim")
     ).select("dim", "base_mean", "cur_mean", "abs_shift", "rank")
+
+
+# ------------------------------------ int8-quantized exact search (r5 #5)
+REFINE = 50  # stage-1 candidates per query before float rescore
+
+# At-rest int8 codes table: (applicationId, sf_dir) -> parquet path.
+# Written once per corpus (1 byte/dim payload), scanned by every
+# int8-GEMM query — the 100 TB storage shape.
+_INT8_CODES_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _int8_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oracle_vector_search_spark.operators.knn import quantize_unit_int8
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _INT8_CODES_CACHE.get(key)
+    if path is None:
+        path = scratch_dir("ovs_int8_codes_")
+        emb = load_table(spark, sf_dir, "embeddings").repartition(32)
+        quantize_unit_int8(emb).write.mode("overwrite").parquet(path)
+        _INT8_CODES_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+_INT8_CODES_CTE = f"""
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+), nz AS (
+  SELECT vec_id, e, sqrt(list_dot_product(e, e)) AS nrm FROM v
+  WHERE list_dot_product(e, e) > 0
+), c AS (
+  SELECT vec_id, e,
+         [CAST(floor(x / nrm * 127 + 0.5) AS INTEGER) FOR x IN e] AS cv
+  FROM nz
+), q AS (
+  SELECT vec_id AS query_id, e AS qe,
+         [CAST(floor(x / nrm * 127 + 0.5) AS INTEGER) FOR x IN e] AS cq
+  FROM nz WHERE vec_id < {N_QUERIES}
+), st1 AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         CAST(list_dot_product(c.cv::DOUBLE[], q.cq::DOUBLE[]) AS BIGINT)
+           AS iscore
+  FROM c CROSS JOIN q
+)"""
+
+_INT8_KNN_ORACLE = f"""
+WITH {_INT8_CODES_CTE},
+cand AS (
+  SELECT query_id, neighbor_id
+  FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY iscore DESC, neighbor_id) AS rr
+    FROM st1
+  ) WHERE rr <= {REFINE}
+),
+rescored AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         round(list_dot_product(q.qe, d.e)
+               / (sqrt(list_dot_product(q.qe, q.qe))
+                  * sqrt(list_dot_product(d.e, d.e))), 6) AS score
+  FROM cand cd
+  JOIN q ON q.query_id = cd.query_id
+  JOIN v d ON d.vec_id = cd.neighbor_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT query_id, neighbor_id, score,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id)
+              AS INTEGER) AS rank
+  FROM rescored
+) WHERE rank <= {K}
+"""
+
+
+@register("knn_exact_gemm_int8", _INT8_KNN_ORACLE)
+def q_knn_gemm_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 served from the AT-REST int8 codes table
+    (1 byte/dim — the memory-bandwidth lever at 100 TB): integer GEMM
+    over packed codes selects top-50 candidates per query, a float
+    rescore of only those candidates restores exact scores. The oracle
+    replays BOTH stages (integer candidate ranking is bit-portable by
+    construction), so this is hash-checked as an algorithm, not just
+    as an answer."""
+    from oracle_vector_search_spark.operators.knn import knn_exact_gemm_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return knn_exact_gemm_int8(
+        emb, queries, k=K, refine=REFINE,
+        codes=_int8_codes_table(spark, sf_dir),
+    )
+
+
+@register(
+    "sq8_recall_refine_audit",
+    f"""
+WITH {_INT8_CODES_CTE},
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, d.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qe, d.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(d.e, d.e))), 6) DESC,
+                   d.vec_id) AS rr
+    FROM v d CROSS JOIN q
+  ) WHERE rr <= {K}
+),
+stage1 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY iscore DESC, neighbor_id) AS rr
+    FROM st1
+  ) WHERE rr <= {K}
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY iscore DESC, neighbor_id) AS rr
+    FROM st1
+  ) WHERE rr <= {REFINE}
+),
+refined AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT cd.query_id, cd.neighbor_id,
+           row_number() OVER (
+             PARTITION BY cd.query_id
+             ORDER BY round(list_dot_product(q.qe, d.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(d.e, d.e))), 6) DESC,
+                   cd.neighbor_id) AS rr
+    FROM cand cd
+    JOIN q ON q.query_id = cd.query_id
+    JOIN v d ON d.vec_id = cd.neighbor_id
+  ) WHERE rr <= {K}
+)
+SELECT e.query_id,
+       CAST((SELECT count(*) FROM stage1 s
+             WHERE s.query_id = e.query_id
+               AND s.neighbor_id IN (SELECT neighbor_id FROM exact x
+                                     WHERE x.query_id = e.query_id))
+            AS BIGINT) AS stage1_hits_at_5,
+       CAST((SELECT count(*) FROM refined r
+             WHERE r.query_id = e.query_id
+               AND r.neighbor_id IN (SELECT neighbor_id FROM exact x
+                                     WHERE x.query_id = e.query_id))
+            AS BIGINT) AS refined_hits_at_5
+FROM (SELECT DISTINCT query_id FROM exact) e
+ORDER BY e.query_id
+""",
+)
+def sq8_recall_refine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit for the int8 tier (the audit you'd run before
+    switching the scan to quantized storage): per query, how many of
+    the exact float top-5 survive (a) ranking by raw int8 integer
+    scores alone and (b) the full retrieve-50-then-rescore pipeline.
+    (b) at 5/5 everywhere is the evidence that the int8 fast path is
+    EXACT in practice; (a) quantifies how much the refine stage is
+    doing. Stage-1 integer scoring here runs as Catalyst array
+    arithmetic (exact integers), so the audit itself is engine-exact
+    and fully oracle-checked."""
+    from oracle_vector_search_spark.operators.knn import (
+        knn_exact,
+        knn_exact_gemm_int8,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    exact = knn_exact(emb, queries, k=K).select("query_id", "neighbor_id")
+
+    # stage-1-only top-5: integer code dot products in pure Catalyst
+    sq = lambda col: F.aggregate(
+        F.zip_with(col, col, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    codes_expr = (
+        "transform(e, x -> cast(floor(x / sqrt(__sq) * 127 + 0.5D)"
+        " as bigint))"
+    )
+    base = emb.select(
+        "vec_id", as_double_array("embedding").alias("e")
+    ).withColumn("__sq", sq(F.col("e"))).filter(F.col("__sq") > 0)
+    coded = base.select("vec_id", F.expr(codes_expr).alias("cv"))
+    qcoded = base.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.expr(codes_expr).alias("cq")
+    )
+    iscore = F.aggregate(
+        F.zip_with("cv", "cq", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    st1 = (
+        coded.join(F.broadcast(qcoded))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            iscore.alias("iscore"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("iscore"), F.asc("neighbor_id")
+    )
+    stage1 = (
+        st1.withColumn("rr", F.row_number().over(w))
+        .filter(F.col("rr") <= K)
+        .select("query_id", "neighbor_id")
+    )
+    refined = knn_exact_gemm_int8(
+        emb, queries, k=K, refine=REFINE,
+        codes=_int8_codes_table(spark, sf_dir),
+    ).select("query_id", "neighbor_id")
+
+    def hits(candidate: DataFrame, name: str) -> DataFrame:
+        return (
+            exact.join(candidate, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count("*").alias(name))
+        )
+
+    s1 = hits(stage1, "stage1_hits_at_5")
+    rf = hits(refined, "refined_hits_at_5")
+    qids = exact.select("query_id").distinct()
+    return (
+        qids.join(s1, "query_id", "left")
+        .join(rf, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("stage1_hits_at_5", F.lit(0)).alias(
+                "stage1_hits_at_5"
+            ),
+            F.coalesce("refined_hits_at_5", F.lit(0)).alias(
+                "refined_hits_at_5"
+            ),
+        )
+        .orderBy("query_id")
+    )

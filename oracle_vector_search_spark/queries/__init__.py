@@ -65,6 +65,7 @@ def load_all_modules() -> None:
         "pipeline_queries",
         "streaming_queries",
         "format_queries",
+        "curation_queries",
     ):
         __import__(f"oracle_vector_search_spark.queries.{mod}")
 

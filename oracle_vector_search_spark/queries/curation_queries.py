@@ -1,0 +1,514 @@
+"""Corpus-curation operators — the published web-scale recipes.
+
+Four classic curation stages a 100 TB training-data pipeline runs after
+the heuristic filters (text_queries) and around the dedup cascade
+(dedup_queries), each re-expressed as exact, oracle-checkable Spark:
+
+* ``quality_classifier_keep`` — fastText-style hashed linear classifier
+  (Joulin et al. 2016; the CommonCrawl "quality classifier" stage of
+  GPT-3/LLaMA-style pipelines). Frozen hash-derived weights make the
+  score deterministic and SQL-expressible.
+* ``dsir_importance_select`` — Data Selection via Importance Resampling
+  (Xie et al. 2023): hashed n-gram bucket counts for a target domain vs
+  the raw corpus; per-document importance = product of bucket ratios.
+  Computed in exact integer micro-units (no log/exp) so the DuckDB twin
+  hash-matches bit-for-bit regardless of summation order.
+* ``semantic_dedup_keep`` — SemDeDup (Abbas et al. 2023): cluster the
+  embedding space with frozen seeds, then drop near-duplicate members
+  within each cluster. Pairing is cluster-partitioned — O(Σ cluster²),
+  never corpus² — the published trick that makes embedding-cosine
+  dedup feasible at scale.
+* ``lm_perplexity_buckets`` — CCNet-style head/middle/tail split
+  (Wenzek et al. 2020): per-language perplexity terciles from a frozen
+  (hash-stub) unigram LM. The LM is a stand-in — the bucketing
+  machinery (exact integer NLL, per-lang ntile) is the real operator.
+* ``shard_export_manifest`` — deterministic training-shard assignment
+  with per-shard integrity checksums, the manifest a downstream trainer
+  uses to verify an export. Hash-mod sharding is engine-portable and
+  rebalances nothing on re-run.
+
+Scale notes: every per-document score here is a scan-stage projection
+(no shuffle); the only shuffles are a 256-row bucket-stats aggregate
+(DSIR), cluster-keyed pair generation (SemDeDup), and a 64-row manifest
+aggregate. Global rank windows run on metadata-sized outputs only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from oracle_vector_search_spark.functions import text as T
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.queries import register
+
+# ---------------------------------------------------------------- classifier
+
+_QC_MOD = 2001  # weight = hash28 % 2001 - 1000  ∈ [-1000, 1000]
+
+
+def _spark_weight_sum(toks: str) -> str:
+    h = T.hash28_sql("concat('qc:', t)")
+    return (
+        f"aggregate({toks}, cast(0 as bigint), "
+        f"(a, t) -> a + ({h} % {_QC_MOD}) - 1000)"
+    )
+
+
+def _duck_weight_sum(toks: str) -> str:
+    h = T.duck_hash28("'qc:' || t")
+    return (
+        f"CAST(list_sum([({h} % {_QC_MOD}) - 1000 for t in {toks}]) "
+        f"AS BIGINT)"
+    )
+
+
+@register(
+    "quality_classifier_keep",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split({T.duck_norm('text')}, ' ') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         {_duck_weight_sum('toks')} AS weight_sum
+  FROM tok
+)
+SELECT doc_id, n_tokens, weight_sum,
+       round(weight_sum * 1.0 / (1000.0 * n_tokens), 6) AS mean_weight,
+       CAST(CASE WHEN weight_sum > 0 THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM scored
+""",
+)
+def quality_classifier_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality classifier with the hashing trick: each
+    token hashes to a frozen integer weight in [-1000, 1000]; the doc
+    logit is the mean weight and keep = logit > 0.
+
+    The integer weight-sum is order-independent (BIGINT adds), so the
+    Spark shuffle-free scan projection and the DuckDB twin agree
+    exactly. At 100 TB this is a pure map stage — the classifier runs
+    in the scan, no shuffle, no Python.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("norm", T.norm_text("text")).withColumn(
+        "toks", F.split("norm", " ")
+    )
+    w = F.expr(_spark_weight_sum("toks")).alias("weight_sum")
+    return (
+        d.select("doc_id", F.size("toks").alias("n_tokens"), w)
+        .withColumn(
+            "mean_weight",
+            F.round(
+                F.col("weight_sum") * 1.0 / (1000.0 * F.col("n_tokens")), 6
+            ),
+        )
+        .withColumn(
+            "keep",
+            F.when(F.col("weight_sum") > 0, 1).otherwise(0).cast("int"),
+        )
+    )
+
+
+# --------------------------------------------------------------------- DSIR
+
+_DSIR_BUCKETS = 256
+_DSIR_FRAC_PCT = 20  # select top 20% by importance
+
+
+def _spark_feats(toks: str) -> str:
+    """Word unigrams + bigrams, with multiplicity (hashed n-gram
+    features per the DSIR paper, n ≤ 2)."""
+    return (
+        f"concat({toks}, CASE WHEN size({toks}) < 2 "
+        f"THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), '_', "
+        f"element_at({toks}, i + 1))) END)"
+    )
+
+
+def _duck_feats(toks: str) -> str:
+    return (
+        f"list_concat({toks}, CASE WHEN len({toks}) < 2 "
+        f"THEN []::VARCHAR[] "
+        f"ELSE [{toks}[i] || '_' || {toks}[i+1] "
+        f"for i in range(1, len({toks}))] END)"
+    )
+
+
+@register(
+    "dsir_importance_select",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split({T.duck_norm('text')}, ' ') AS toks
+  FROM documents
+), feat AS (
+  SELECT doc_id, lang,
+         unnest({_duck_feats('toks')}) AS f
+  FROM tok
+), bucketed AS (
+  SELECT doc_id, lang,
+         {T.duck_hash28("'dsir:' || f")} % {_DSIR_BUCKETS} AS b
+  FROM feat
+), stats AS (
+  SELECT b,
+         CAST(count(*) AS BIGINT) AS r_b,
+         CAST(count(*) FILTER (lang = 'en') AS BIGINT) AS t_b
+  FROM bucketed GROUP BY b
+), totals AS (
+  SELECT CAST(sum(r_b) AS BIGINT) AS r_tot,
+         CAST(sum(t_b) AS BIGINT) AS t_tot
+  FROM stats
+), contrib AS (
+  SELECT x.doc_id,
+         ((s.t_b + 1) * (tt.r_tot + {_DSIR_BUCKETS}) * 1000000)
+           // ((s.r_b + 1) * (tt.t_tot + {_DSIR_BUCKETS})) AS c
+  FROM bucketed x JOIN stats s USING (b) CROSS JOIN totals tt
+), per_doc AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS score_micro_sum,
+         CAST(count(*) AS BIGINT) AS n_feats
+  FROM contrib GROUP BY doc_id
+), ranked AS (
+  SELECT doc_id, n_feats,
+         score_micro_sum // n_feats AS avg_micro,
+         row_number() OVER (
+           ORDER BY score_micro_sum // n_feats DESC, doc_id) AS rnk,
+         count(*) OVER () AS n_docs
+  FROM per_doc
+)
+SELECT doc_id, n_feats, avg_micro,
+       CAST(CASE WHEN rnk <= CAST(ceil(n_docs * {_DSIR_FRAC_PCT} / 100.0)
+                                  AS BIGINT)
+                 THEN 1 ELSE 0 END AS INTEGER) AS selected
+FROM ranked
+""",
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Xie et al. 2023): importance-resample the raw corpus
+    toward a target domain (here lang='en') using hashed unigram+bigram
+    bucket counts.
+
+    Importance is computed in exact integer micro-units —
+    ``(t_b+1)(R+B)·10⁶ div (r_b+1)(T+B)`` per feature, integer-summed
+    per doc — no log/exp, so the result is independent of summation
+    order and engine libm. At 100 TB: feature hashing is a scan
+    projection; the bucket-stats table is 256 rows (broadcast back);
+    the only per-doc shuffle is the groupBy(doc_id) integer sum. The
+    final selection rank runs over doc-count-sized metadata, and at
+    extreme scale the cutoff would be a persisted quantile instead.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.split(T.norm_text("text"), " ").alias("toks"),
+    )
+    feats = tok.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(_spark_feats("toks"))).alias("f"),
+    )
+    bucketed = feats.select(
+        "doc_id",
+        "lang",
+        (F.expr(T.hash28_sql("concat('dsir:', f)")) % _DSIR_BUCKETS).alias(
+            "b"
+        ),
+    )
+    stats = bucketed.groupBy("b").agg(
+        F.count("*").alias("r_b"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("bigint")
+        .alias("t_b"),
+    )
+    totals = stats.agg(
+        F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot")
+    )
+    enriched = F.broadcast(stats).crossJoin(F.broadcast(totals))
+    contrib = bucketed.join(enriched, "b").select(
+        "doc_id",
+        (
+            (F.col("t_b") + 1)
+            * (F.col("r_tot") + _DSIR_BUCKETS)
+            * F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("num"),
+        ((F.col("r_b") + 1) * (F.col("t_tot") + _DSIR_BUCKETS))
+        .cast("bigint")
+        .alias("den"),
+    )
+    per_doc = (
+        contrib.select("doc_id", F.expr("num div den").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("score_micro_sum"),
+            F.count("*").alias("n_feats"),
+        )
+    )
+    ranked = per_doc.select(
+        "doc_id",
+        "n_feats",
+        F.expr("score_micro_sum div n_feats").alias("avg_micro"),
+    )
+    w = Window.orderBy(F.desc("avg_micro"), F.asc("doc_id"))
+    ranked = ranked.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy())
+    )
+    cutoff = F.ceil(F.col("n_docs") * _DSIR_FRAC_PCT / 100.0).cast("bigint")
+    return ranked.select(
+        "doc_id",
+        "n_feats",
+        "avg_micro",
+        F.when(F.col("rnk") <= cutoff, 1).otherwise(0).cast("int").alias(
+            "selected"
+        ),
+    )
+
+
+# ----------------------------------------------------------------- SemDeDup
+
+_SEM_TAU = 0.5  # in-cluster cosine at/above this → near-duplicate
+_SEM_SEED_STRIDE = 31  # same frozen-seed rule as the IVF index
+
+
+@register(
+    "semantic_dedup_keep",
+    f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), seeds AS (
+  SELECT vec_id AS seed_id, v AS sv FROM vecs
+  WHERE vec_id % {_SEM_SEED_STRIDE} = 0
+), assigned AS (
+  SELECT vec_id, seed_id AS cluster_id
+  FROM (SELECT x.vec_id, s.seed_id,
+               row_number() OVER (PARTITION BY x.vec_id ORDER BY
+                 round(list_dot_product(x.v, s.sv)
+                       / (sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+                 s.seed_id) AS rn
+        FROM vecs x CROSS JOIN seeds s)
+  WHERE rn = 1
+), dup AS (
+  SELECT b.vec_id,
+         max(round(list_dot_product(x.v, y.v)
+                   / (sqrt(list_dot_product(x.v, x.v))
+                      * sqrt(list_dot_product(y.v, y.v))), 6))
+           AS max_prior_score
+  FROM assigned a JOIN assigned b
+    ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+  JOIN vecs x ON x.vec_id = a.vec_id
+  JOIN vecs y ON y.vec_id = b.vec_id
+  GROUP BY b.vec_id
+)
+SELECT m.vec_id, m.cluster_id,
+       round(coalesce(d.max_prior_score, -1.0), 6) AS max_prior_score,
+       CAST(CASE WHEN coalesce(d.max_prior_score, -1.0) >= {_SEM_TAU}
+                 THEN 0 ELSE 1 END AS INTEGER) AS kept
+FROM assigned m LEFT JOIN dup d USING (vec_id)
+""",
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embedding-cosine near-dup removal
+    made scale-feasible by cluster partitioning. Vectors are assigned
+    to frozen seed centroids (the IVF assignment — same stride, same
+    tie rule), then a vector is dropped iff some LOWER-id vector in the
+    SAME cluster has cosine ≥ τ with it (keep-first rule).
+
+    Pairs are generated per cluster — Σ|cluster|² work, corpus² never
+    materializes — and at 100 TB the assignment is the already-written
+    IVF at-rest table, so dedup reads cluster-partitioned parquet and
+    each cluster's pair-join is partition-local.
+    """
+    from oracle_vector_search_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+    from oracle_vector_search_spark.operators.ann import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    assigned = ivf_assign(
+        emb, vec_col="v", seed_stride=_SEM_SEED_STRIDE
+    )
+    members = assigned.join(emb, "vec_id").select(
+        "vec_id", "cluster_id", "v"
+    )
+    a = members.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("prior_id"),
+        F.col("v").alias("pv"),
+    )
+    b = members.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("vec_id"),
+        F.col("v").alias("bv"),
+    )
+    dup = (
+        a.join(b, ["cluster_id"])
+        .filter(F.col("prior_id") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("pv", "bv"), 6).alias("s"),
+        )
+        .groupBy("vec_id")
+        .agg(F.max("s").alias("max_prior_score"))
+    )
+    return (
+        assigned.join(dup, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.round(
+                F.coalesce(F.col("max_prior_score"), F.lit(-1.0)), 6
+            ).alias("max_prior_score"),
+            F.when(
+                F.coalesce(F.col("max_prior_score"), F.lit(-1.0))
+                >= _SEM_TAU,
+                0,
+            )
+            .otherwise(1)
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+
+
+# ------------------------------------------------------- perplexity buckets
+
+_LM_MOD = 5000  # stub unigram NLL in micro-units: hash28 % 5000
+
+
+@register(
+    "lm_perplexity_buckets",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang, string_split({T.duck_norm('text')}, ' ') AS toks
+  FROM documents
+), nll AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS INTEGER) AS n_tokens,
+         CAST(list_sum([{T.duck_hash28("'lm:' || t")} % {_LM_MOD}
+                        for t in toks]) AS BIGINT) AS nll_sum
+  FROM tok
+), scored AS (
+  SELECT doc_id, lang, n_tokens,
+         (nll_sum * 1000) // n_tokens AS ppl_micro
+  FROM nll
+)
+SELECT doc_id, lang, n_tokens, ppl_micro,
+       CASE ntile(3) OVER (PARTITION BY lang
+                           ORDER BY ppl_micro ASC, doc_id)
+         WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM scored
+""",
+)
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020):
+    per-language perplexity terciles under a frozen language model. The
+    LM here is a deterministic hash stub (a real pipeline plugs a
+    KenLM/torch scorer into the same integer-NLL column); everything
+    downstream — exact integer NLL normalization, per-language ntile —
+    is the real operator.
+
+    Scale: NLL is a scan projection; the tercile window shuffles on
+    lang only (bounded key count). A 100 TB run replaces ntile with
+    persisted per-lang quantile cutpoints, same result shape.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.split(T.norm_text("text"), " ").alias("toks"),
+    )
+    h = T.hash28_sql("concat('lm:', t)")
+    nll = tok.select(
+        "doc_id",
+        "lang",
+        F.size("toks").alias("n_tokens"),
+        F.expr(
+            f"aggregate(toks, cast(0 as bigint), "
+            f"(a, t) -> a + {h} % {_LM_MOD})"
+        ).alias("nll_sum"),
+    )
+    scored = nll.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr("(nll_sum * 1000) div n_tokens").alias("ppl_micro"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("ppl_micro"), F.asc("doc_id")
+    )
+    return scored.withColumn(
+        "bucket",
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail"),
+    )
+
+
+# ------------------------------------------------------------ shard export
+
+_N_SHARDS = 64
+
+
+@register(
+    "shard_export_manifest",
+    f"""
+WITH sharded AS (
+  SELECT {T.duck_hash28("'shard:' || doc_id::VARCHAR")} % {_N_SHARDS}
+           AS shard_id,
+         doc_id,
+         CAST(length(text) AS BIGINT) AS n_bytes,
+         {T.duck_hash60("doc_id::VARCHAR || ':' || md5(text)")} AS h
+  FROM documents
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id,
+       bit_xor(h) AS content_checksum
+FROM sharded GROUP BY shard_id
+""",
+)
+def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard manifest: hash-mod shard
+    assignment plus the per-shard integrity facts a trainer checks
+    before consuming an export — doc count, byte volume, id range, and
+    an order-independent XOR content checksum.
+
+    Hash-mod sharding is reproducible across engines and re-runs (no
+    rand(), no partition-order dependence); XOR makes the checksum
+    insensitive to row order, so a re-export that shuffles rows but
+    preserves content verifies equal. At 100 TB the same expression is
+    the ``partitionBy`` column of the parquet writer and this query is
+    its audit.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sharded = d.select(
+        (
+            F.expr(T.hash28_sql("concat('shard:', cast(doc_id as string))"))
+            % _N_SHARDS
+        ).alias("shard_id"),
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_bytes"),
+        F.expr(
+            T.hash60_sql(
+                "concat(cast(doc_id as string), ':', md5(cast(text as binary)))"
+            )
+        ).alias("h"),
+    )
+    return sharded.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.expr("bit_xor(h)").alias("content_checksum"),
+    )

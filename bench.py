@@ -85,6 +85,7 @@ AT_REST_WRITERS = {
     "bm25_retrieval_top10",
     "profile_guided_skew_join_spend",
     "knn_exact_gemm_int8",
+    "hamming_knn_top5",
 }
 
 

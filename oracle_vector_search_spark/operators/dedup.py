@@ -199,12 +199,23 @@ def simhash_near_dup(
     max_hamming: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance ≤ max_hamming via lossless
-    band buckets (requires max_hamming < SIMHASH_BANDS)."""
+    band buckets (requires max_hamming < SIMHASH_BANDS).
+
+    ``fps`` (columns ``id_col``, ``simhash``) supplies precomputed
+    fingerprints — the at-rest shape: at 100 TB the fingerprint table
+    is written once on ingest (4 bytes/doc) and every dedup pass reads
+    it instead of re-running the majority-vote expression.
+    """
     if max_hamming >= T.SIMHASH_BANDS:
         raise ValueError("banding is lossless only for hamming < bands")
-    fp = simhash_fingerprints(df, id_col, text_col).persist()
+    fp = (
+        fps
+        if fps is not None
+        else simhash_fingerprints(df, id_col, text_col)
+    ).persist()
     mask = (1 << T.SIMHASH_BAND_BITS) - 1
     bands = None
     for b in range(T.SIMHASH_BANDS):

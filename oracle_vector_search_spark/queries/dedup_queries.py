@@ -52,6 +52,27 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+# Session-scoped at-rest SimHash fingerprint table, same shape as the
+# MinHash signature cache: the 28-bit majority-vote expression is the
+# expensive part (interpreted higher-order aggregate, O(bits × tokens)
+# per doc), so it is evaluated ONCE per corpus and every consumer —
+# banded near-dup, Hamming kNN — reads 4-byte fingerprints back.
+_FP_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _simhash_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _FP_CACHE.get(key)
+    if path is None:
+        path = scratch_dir("ovs_simhash_fps_")
+        docs = load_table(spark, sf_dir, "documents").repartition(32)
+        simhash_fingerprints(docs).write.mode("overwrite").parquet(path)
+        _FP_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
 @register(
     "exact_dedup_groups",
     f"""
@@ -215,7 +236,11 @@ def simhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3) via lossless 4-band buckets
     (pigeonhole: ≤3 differing bits leave ≥1 of 4 bands identical)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = simhash_near_dup(docs, max_hamming=SIMHASH_MAX_HAMMING)
+    pairs = simhash_near_dup(
+        docs,
+        max_hamming=SIMHASH_MAX_HAMMING,
+        fps=_simhash_fp_table(spark, sf_dir),
+    )
     return pairs.select(
         "left_id", "right_id", F.col("hamming").cast("int").alias("hamming")
     )
@@ -863,9 +888,10 @@ def hamming_knn_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a dedup-oriented retrieval cascade whose survivors go to exact
     Jaccard/cosine. Query fingerprints broadcast; the fingerprint
     column is 4 bytes/doc at rest (vs 256 for the float vector), so at
-    100 TB the whole coarse index fits where the vectors don't."""
-    docs = load_table(spark, sf_dir, "documents")
-    fp = simhash_fingerprints(docs)
+    100 TB the whole coarse index fits where the vectors don't. Reads
+    the session's at-rest fingerprint table — the scan is xor/popcount
+    over 4-byte codes, never the majority-vote projection."""
+    fp = _simhash_fp_table(spark, sf_dir)
     q = fp.filter(F.col("doc_id") < 10).select(
         F.col("doc_id").alias("query_id"), F.col("simhash").alias("qfp")
     )

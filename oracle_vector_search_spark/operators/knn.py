@@ -313,8 +313,17 @@ def knn_exact_gemm_int8(
             ids_v = pdf["vec_id"].to_numpy()
             C = np.frombuffer(
                 b"".join(pdf["code"]), dtype=np.int8
-            ).reshape(len(pdf), -1).astype(np.float64)
-            S = C @ Qc_l.T  # exact integers in float64
+            ).reshape(len(pdf), -1)
+            # every |iscore| ≤ d·127² — when that fits below 2²⁴ the
+            # float32 GEMM accumulates the SAME exact integers as
+            # float64 (all ints < 2²⁴ are representable), at ~2× the
+            # throughput and half the memory traffic
+            acc = (
+                np.float32
+                if C.shape[1] * INT8_SCALE * INT8_SCALE < (1 << 24)
+                else np.float64
+            )
+            S = C.astype(acc) @ Qc_l.T.astype(acc)  # exact integers
             n = S.shape[0]
             top = min(local_refine, n)
             idx = np.argpartition(-S, top - 1, axis=0)[:top]

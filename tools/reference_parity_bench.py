@@ -102,7 +102,8 @@ def main() -> None:
         schema="vec_id long, embedding array<float>",
     )
     t0 = time.time()
-    n = knn_exact_gemm(big_df, qb_df, k=K).count()
+    float_top = knn_exact_gemm(big_df, qb_df, k=K)
+    n = float_top.count()
     big_s = time.time() - t0
     assert n == q_big * K
     results["scale_100k_256d_q1000"] = {
@@ -110,6 +111,33 @@ def main() -> None:
         "gemm_qps": round(q_big / big_s, 1),
         "gflops": round(q_big * n_big * d_big * 2 / big_s / 1e9, 1),
     }
+
+    # int8 storage tier on the same probe (VERDICT r4 #5): codes are
+    # the at-rest table (1 byte/dim — built once, like the parquet the
+    # deployment scans), serving = integer GEMM candidates + float
+    # refine. recall@5 is measured against the float-GEMM exact result.
+    from oracle_vector_search_spark.operators.knn import (
+        knn_exact_gemm_int8,
+        quantize_unit_int8,
+    )
+
+    codes = quantize_unit_int8(big_df).repartition(32).persist()
+    codes.count()  # materialize: the at-rest scan, not the quantize
+    t0 = time.time()
+    int8_top = knn_exact_gemm_int8(big_df, qb_df, k=K, codes=codes)
+    n = int8_top.count()
+    int8_s = time.time() - t0
+    assert n == q_big * K
+    matched = (
+        float_top.select("query_id", "neighbor_id")
+        .intersect(int8_top.select("query_id", "neighbor_id"))
+        .count()
+    )
+    results["scale_100k_256d_q1000"]["int8_sec"] = round(int8_s, 3)
+    results["scale_100k_256d_q1000"]["int8_qps"] = round(q_big / int8_s, 1)
+    results["scale_100k_256d_q1000"]["int8_recall_at_5"] = round(
+        matched / (q_big * K), 4
+    )
 
     print(
         json.dumps(

@@ -453,6 +453,111 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- end-to-end curated corpus
+
+
+def _duck_kept_subquery() -> str:
+    """Parenthesized DuckDB subquery: documents surviving the quality
+    classifier (the corpus the dedup cascade then runs over)."""
+    toks = f"string_split({T.duck_norm('text')}, ' ')"
+    return (
+        f"(SELECT doc_id, text FROM ("
+        f"SELECT doc_id, text, {_duck_weight_sum(toks)} AS ws "
+        f"FROM documents) WHERE ws > 0)"
+    )
+
+
+def _curated_oracle() -> str:
+    from oracle_vector_search_spark.queries.dedup_queries import (
+        _duck_cluster_sql,
+    )
+
+    cluster = _duck_cluster_sql(3, base=_duck_kept_subquery())
+    return f"""
+WITH canon AS ({cluster}),
+final AS (
+  SELECT d.doc_id, d.text
+  FROM documents d
+  JOIN canon c ON c.doc_id = d.doc_id AND c.canonical_id = d.doc_id
+)
+SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs_in,
+       CAST((SELECT count(*) FROM canon) AS BIGINT) AS n_classifier_kept,
+       CAST(count(*) AS BIGINT) AS n_final,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(length(text)) AS BIGINT) AS bytes_total,
+       bit_xor({T.duck_hash60("doc_id::VARCHAR || ':' || md5(text)")})
+         AS content_checksum
+FROM final
+"""
+
+
+@register("curated_corpus_checksum", _curated_oracle())
+def curated_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation statement, composed as ONE lazy plan: quality
+    classifier gate → MinHash-LSH near-dup cascade over the SURVIVORS
+    only → canonical-representative filter → checksummed cleaned
+    corpus. This is the artifact a training run consumes; the checksum
+    proves the composed pipeline (not just each stage) is engine-exact.
+
+    At-scale shape: the classifier is a scan-stage predicate; MinHash
+    signatures come from the at-rest signature table SEMI-JOINED down
+    to survivors (signatures are computed once at ingest — a filter
+    never re-hashes); the component rounds and canonical filter shuffle
+    ids only. Output is one audit row.
+    """
+    from oracle_vector_search_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_near_dup,
+    )
+    from oracle_vector_search_spark.queries.dedup_queries import (
+        MINHASH_THRESHOLD,
+        _minhash_sig_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(T.norm_text("text"), " ")
+    kept = (
+        docs.withColumn("toks", toks)
+        .withColumn("ws", F.expr(_spark_weight_sum("toks")))
+        .filter(F.col("ws") > 0)
+        .select("doc_id", "text")
+    )
+    sigs = _minhash_sig_table(spark, sf_dir).join(
+        kept.select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = minhash_near_dup(kept, threshold=MINHASH_THRESHOLD, sigs=sigs)
+    labels = dedup_clusters(pairs, kept.select("doc_id"), iterations=3)
+    final = docs.join(
+        labels.filter(F.col("doc_id") == F.col("canonical_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+    )
+    n_in = docs.agg(F.count("*").alias("n_docs_in"))
+    n_kept = labels.agg(F.count("*").alias("n_classifier_kept"))
+    h = T.hash60_sql(
+        "concat(cast(doc_id as string), ':', md5(cast(text as binary)))"
+    )
+    return (
+        final.agg(
+            F.count("*").alias("n_final"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum(F.length("text")).cast("bigint").alias("bytes_total"),
+            F.expr(f"bit_xor({h})").alias("content_checksum"),
+        )
+        .crossJoin(F.broadcast(n_in))
+        .crossJoin(F.broadcast(n_kept))
+        .select(
+            "n_docs_in",
+            "n_classifier_kept",
+            "n_final",
+            "id_checksum",
+            "bytes_total",
+            "content_checksum",
+        )
+    )
+
+
 # ------------------------------------------------------------ shard export
 
 _N_SHARDS = 64

@@ -30,8 +30,8 @@ from oracle_vector_search_spark.operators.ingest import (
     write_index_table,
 )
 from oracle_vector_search_spark.operators.knn import (
-    knn_exact,
     knn_join_metadata,
+    knn_search,
 )
 from oracle_vector_search_spark.sources.images import (
     crop_boxes,
@@ -170,11 +170,17 @@ def search(
     k: int = 5,
     preprocess: str = "gamma_blur",
     dims: int = 8,
+    tier: str = "auto",
 ) -> DataFrame:
     """The online query path (reference app.py:100-156): decode →
     preprocess (SAME operator as build) → detect → best box per image
     (max_by conf) → crop → embed → exact cosine top-k → metadata join →
-    rank. ``query_images``: (stem, path, content)."""
+    rank. ``query_images``: (stem, path, content).
+
+    ``tier`` picks the physical top-k strategy ("auto" | "expr" |
+    "gemm" | "gemm_int8" — see ``operators.knn.choose_knn_tier``); every
+    tier returns identical results, so this is a deployment knob, not a
+    semantic one."""
     decoded = decode_images(query_images).filter(
         F.col("pixels").isNotNull()
     )
@@ -203,10 +209,11 @@ def search(
     q = q.withColumn(
         "qid", F.xxhash64("query_stem")
     )
-    topk = knn_exact(
+    topk = knn_search(
         index,
         q,
         k=k,
+        tier=tier,
         id_col="id",
         vec_col="embedding",
         query_id_col="qid",

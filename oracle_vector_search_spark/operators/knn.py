@@ -412,3 +412,81 @@ def knn_join_metadata(
     return topk.join(
         metadata.withColumnRenamed(on, neighbor_col), on=neighbor_col
     )
+
+
+# --------------------------------------------------------- tier dispatch
+
+# knn_exact_gemm collects the query set to the driver; beyond this the
+# broadcast/collect pattern stops being the right physical plan
+GEMM_MAX_QUERIES = 65_536
+# below this many queries the GEMM tier's collect+broadcast setup costs
+# more than it saves — the expression tier is pure Catalyst
+EXPR_MAX_QUERIES = 8
+
+
+def choose_knn_tier(
+    n_queries: int,
+    has_int8_codes: bool = False,
+    tier: str = "auto",
+) -> str:
+    """Physical-strategy choice for exact top-k — the engine-side
+    analogue of Catalyst picking broadcast vs sort-merge for a join.
+
+    Rules (exact tiers only — approximate tiers like LSH/IVF change
+    SEMANTICS, so they are never auto-selected; callers opt in via
+    ``operators.ann``):
+
+    * tiny query sets (≤ ``EXPR_MAX_QUERIES``): expression tier — no
+      driver collect, lowest latency, whole plan Catalyst;
+    * batch query sets up to ``GEMM_MAX_QUERIES``: GEMM tier — BLAS
+      throughput, shuffle independent of index size; served from int8
+      codes when a codes table is supplied (the at-rest fast path);
+    * beyond ``GEMM_MAX_QUERIES``: expression tier again — it never
+      collects, so it is the only exact plan that still scales; at that
+      query volume the right deployment answer is usually the ANN path,
+      which stays an explicit choice.
+    """
+    if tier != "auto":
+        return tier
+    if n_queries <= EXPR_MAX_QUERIES:
+        return "expr"
+    if n_queries <= GEMM_MAX_QUERIES:
+        return "gemm_int8" if has_int8_codes else "gemm"
+    return "expr"
+
+
+def knn_search(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    k: int = 5,
+    tier: str = "auto",
+    codes: DataFrame | None = None,
+    n_queries: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """Exact cosine top-k with automatic physical-tier selection.
+
+    ``tier``: "auto" | "expr" | "gemm" | "gemm_int8". ``codes``: an
+    int8 codes table (``quantize_unit_int8``) — supplying one routes
+    the auto choice to the integer-GEMM + float-refine path.
+    ``n_queries`` skips the dispatch count when the caller already
+    knows it (e.g. from table stats at rest).
+
+    Every tier returns the same (query_id, neighbor_id, score, rank)
+    contract with identical ordering/rounding — the tier is a physical
+    choice, never a semantic one.
+    """
+    if n_queries is None and tier == "auto":
+        n_queries = query_df.count()
+    chosen = choose_knn_tier(
+        n_queries or 0, has_int8_codes=codes is not None, tier=tier
+    )
+    if chosen == "expr":
+        return knn_exact(index_df, query_df, k=k, **kwargs)
+    if chosen == "gemm":
+        return knn_exact_gemm(index_df, query_df, k=k, **kwargs)
+    if chosen == "gemm_int8":
+        return knn_exact_gemm_int8(
+            index_df, query_df, k=k, codes=codes, **kwargs
+        )
+    raise ValueError(f"unknown kNN tier: {chosen!r}")

@@ -106,3 +106,65 @@ def test_gemm_zero_norm_scores_null_like_expression_tier(spark):
                for r in knn_exact_gemm(emb, q, k=3).collect())
     assert a == b
     assert dict(a)[0] is None  # zero-norm vector scores NULL, ranks last
+
+
+# --------------------------------------------------------- tier dispatch
+
+def test_choose_knn_tier_rules():
+    from oracle_vector_search_spark.operators.knn import (
+        EXPR_MAX_QUERIES,
+        GEMM_MAX_QUERIES,
+        choose_knn_tier,
+    )
+
+    assert choose_knn_tier(1) == "expr"
+    assert choose_knn_tier(EXPR_MAX_QUERIES) == "expr"
+    assert choose_knn_tier(EXPR_MAX_QUERIES + 1) == "gemm"
+    assert choose_knn_tier(100, has_int8_codes=True) == "gemm_int8"
+    # approximate tiers are never auto-selected: beyond the GEMM cap the
+    # dispatcher falls back to the (collect-free) expression tier
+    assert choose_knn_tier(GEMM_MAX_QUERIES + 1) == "expr"
+    assert choose_knn_tier(GEMM_MAX_QUERIES + 1, has_int8_codes=True) == "expr"
+    # explicit tier always wins
+    assert choose_knn_tier(1, tier="gemm") == "gemm"
+
+
+def test_knn_search_tiers_agree(spark, sf_dir):
+    """Every dispatched tier must return identical (query, neighbor,
+    score, rank) rows — the tier is physical, never semantic."""
+    from oracle_vector_search_spark.operators.knn import (
+        knn_search,
+        quantize_unit_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 3)
+
+    def canon(df):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["score"])
+            for r in df.collect()
+        )
+
+    expr = canon(knn_search(emb, q, k=5, tier="expr"))
+    gemm = canon(knn_search(emb, q, k=5, tier="gemm"))
+    codes = quantize_unit_int8(emb)
+    i8 = canon(knn_search(emb, q, k=5, tier="gemm_int8", codes=codes))
+    auto = canon(knn_search(emb, q, k=5))  # Q=3 → expr
+    assert expr == gemm == i8 == auto
+
+
+def test_knn_search_auto_expr_has_no_python_stage(spark, sf_dir):
+    """Q ≤ EXPR_MAX_QUERIES auto-routes to the expression tier: the
+    chosen plan must be pure Catalyst (no mapInPandas stage)."""
+    from oracle_vector_search_spark.operators.knn import knn_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 2)
+    plan = (
+        knn_search(emb, q, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Python" not in plan, plan

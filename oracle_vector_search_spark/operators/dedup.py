@@ -181,6 +181,67 @@ def minhash_near_dup(
     )
 
 
+def minhash_near_dup_against(
+    batch_sigs: DataFrame,
+    standing_sigs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Directional near-dup: batch documents vs a STANDING corpus —
+    the incremental-admission primitive. Returns
+    (batch_id, standing_id, jaccard) with jaccard ≥ threshold.
+
+    Both inputs are ``minhash_signatures`` outputs; at scale the
+    standing side is the at-rest signature table (never re-hashed) and
+    the batch side is hashed fresh — work proportional to the batch.
+    The join carries (band, band_key) buckets only: a batch doc meets
+    exactly the standing docs sharing a band bucket, never the corpus.
+    """
+
+    def keyed(sigs: DataFrame, out: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out),
+            F.posexplode(
+                F.array(*[_band_key(b) for b in range(T.MINHASH_BANDS)])
+            ).alias("band", "band_key"),
+        )
+
+    cand = (
+        keyed(batch_sigs, "batch_id")
+        .join(keyed(standing_sigs, "standing_id"), ["band", "band_key"])
+        .select("batch_id", "standing_id")
+        .distinct()
+    )
+    pairs = (
+        cand.join(
+            batch_sigs.select(
+                F.col(id_col).alias("batch_id"),
+                F.col("shingles").alias("sh_b"),
+            ),
+            "batch_id",
+        )
+        .join(
+            standing_sigs.select(
+                F.col(id_col).alias("standing_id"),
+                F.col("shingles").alias("sh_s"),
+            ),
+            "standing_id",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_b", "sh_s"))
+                * 1.0
+                / F.size(F.array_union("sh_b", "sh_s")),
+                6,
+            ),
+        )
+    )
+    return pairs.filter(F.col("jaccard") >= threshold).select(
+        "batch_id", "standing_id", "jaccard"
+    )
+
+
 def simhash_fingerprints(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

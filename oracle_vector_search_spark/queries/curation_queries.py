@@ -558,6 +558,105 @@ def curated_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- incremental admission
+
+
+def _admission_oracle() -> str:
+    from oracle_vector_search_spark.queries.dedup_queries import (
+        MINHASH_THRESHOLD,
+        _duck_minhash_bands,
+        _duck_sig_cte,
+    )
+
+    return f"""
+WITH {_duck_sig_cte('documents')},
+bands AS ({_duck_minhash_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS standing_id
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key
+  WHERE a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0
+), dup AS (
+  SELECT c.batch_id, CAST(min(c.standing_id) AS BIGINT) AS dup_of
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.batch_id
+  JOIN sig s2 ON s2.doc_id = c.standing_id
+  WHERE round(len(list_intersect(s1.shingles, s2.shingles)) * 1.0
+              / len(list_distinct(list_concat(s1.shingles, s2.shingles))),
+              6) >= {MINHASH_THRESHOLD}
+  GROUP BY c.batch_id
+), gate AS (
+  SELECT doc_id, {_duck_weight_sum('toks')} AS ws
+  FROM tok WHERE doc_id % 7 = 0
+)
+SELECT g.doc_id,
+       CAST(CASE WHEN g.ws > 0 THEN 1 ELSE 0 END AS INTEGER)
+         AS classifier_keep,
+       coalesce(d.dup_of, -1) AS dup_of,
+       CAST(CASE WHEN g.ws > 0 AND d.dup_of IS NULL THEN 1 ELSE 0 END
+            AS INTEGER) AS admitted
+FROM gate g LEFT JOIN dup d ON d.batch_id = g.doc_id
+"""
+
+
+@register("incremental_corpus_admission", _admission_oracle())
+def incremental_corpus_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-crawl admission: an incoming batch (doc_id % 7 = 0)
+    is quality-gated and near-dup-checked against the STANDING corpus
+    only, producing per-document admit/reject decisions with the
+    blocking duplicate identified.
+
+    The scale shape (``operators.dedup.minhash_near_dup_against``):
+    the standing side reads its at-rest signature table (never
+    re-hashed), batch work is proportional to the batch, and the
+    directional band join meets only standing docs sharing a bucket —
+    batch × corpus never materializes. This is the admission control a
+    100 TB pipeline runs on every crawl increment.
+    """
+    from oracle_vector_search_spark.operators.dedup import (
+        minhash_near_dup_against,
+    )
+    from oracle_vector_search_spark.queries.dedup_queries import (
+        MINHASH_THRESHOLD,
+        _minhash_sig_table,
+    )
+
+    sig = _minhash_sig_table(spark, sf_dir)
+    batch_sigs = sig.filter(F.col("doc_id") % 7 == 0)
+    standing_sigs = sig.filter(F.col("doc_id") % 7 != 0)
+    pairs = minhash_near_dup_against(
+        batch_sigs, standing_sigs, threshold=MINHASH_THRESHOLD
+    )
+    dup = pairs.groupBy("batch_id").agg(
+        F.min("standing_id").cast("bigint").alias("dup_of")
+    )
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    gate = (
+        docs.withColumn("toks", F.split(T.norm_text("text"), " "))
+        .withColumn("ws", F.expr(_spark_weight_sum("toks")))
+        .select("doc_id", "ws")
+    )
+    return gate.join(
+        dup, gate.doc_id == dup.batch_id, "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("ws") > 0, 1).otherwise(0).cast("int").alias(
+            "classifier_keep"
+        ),
+        F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+        F.when(
+            (F.col("ws") > 0) & F.col("dup_of").isNull(), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("admitted"),
+    )
+
+
 # ------------------------------------------------------------ shard export
 
 _N_SHARDS = 64

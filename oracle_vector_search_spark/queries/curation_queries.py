@@ -378,6 +378,68 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ weighted order sampling
+
+_SPS_K = 10  # sample size per stratum
+
+
+@register(
+    "sequential_poisson_sample",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         CAST({T.duck_hash28("'sps:' || doc_id::VARCHAR")} AS DOUBLE)
+           / n_chars AS rank_key
+  FROM documents WHERE n_chars > 0
+), ranked AS (
+  SELECT doc_id, lang, n_chars, round(rank_key, 6) AS rank_key,
+         CAST(row_number() OVER (PARTITION BY lang
+                                 ORDER BY rank_key ASC, doc_id)
+              AS INTEGER) AS rnk
+  FROM keyed
+)
+SELECT doc_id, lang, n_chars, rank_key, rnk
+FROM ranked WHERE rnk <= {_SPS_K}
+""",
+)
+def sequential_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement by sequential Poisson /
+    order sampling (Ohlsson 1998; the priority-sampling family of
+    Duffield et al.): each document gets rank u/w — u a fixed-hash
+    uniform, w its weight (n_chars) — and the k SMALLEST ranks per
+    stratum form a probability-proportional-to-size sample.
+
+    Engine-portability: u and w are exact integers and IEEE division
+    is correctly rounded, so rank keys are bit-identical across
+    engines — no rand(), no pow/log (whose libm results differ). At
+    scale this is one scan projection + a per-stratum top-k
+    (WindowGroupLimit prunes below the shuffle); re-runs and engine
+    migrations reproduce the same sample.
+    """
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = F.expr(T.hash28_sql("concat('sps:', cast(doc_id as string))"))
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (u.cast("double") / F.col("n_chars")).alias("rank_key"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("rank_key"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _SPS_K)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round("rank_key", 6).alias("rank_key"),
+            "rnk",
+        )
+    )
+
+
 # ------------------------------------------------------- perplexity buckets
 
 _LM_MOD = 5000  # stub unigram NLL in micro-units: hash28 % 5000

@@ -486,3 +486,123 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q3_shipping_priority",
+    """
+SELECT l.l_orderkey,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted — the fixture has no
+    o_shippriority column: top-10 unshipped-revenue orders for one
+    market segment. Plan shape at scale: the segment filter prunes
+    customer to ~1/5 (broadcast side), both date filters push into the
+    parquet scans, the fact⋈fact join shuffles on orderkey once, and
+    the global top-10 is TakeOrderedAndProject (no full sort).
+    Revenue accumulates as exact integer cents."""
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    j = li.join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    ).join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    agg = j.groupBy("l_orderkey", "o_orderdate").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        )
+        .cast("long")
+        .alias("revenue_cents")
+    )
+    return (
+        agg.select("l_orderkey", "revenue_cents", "o_orderdate")
+        .orderBy(
+            F.desc("revenue_cents"), F.asc("o_orderdate"),
+            F.asc("l_orderkey"),
+        )
+        .limit(10)
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(floor(l_quantity * 100) AS BIGINT)) > 30000
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       CAST(floor(o.o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       CAST(sum(CAST(floor(l.l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS qty_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN big b ON b.l_orderkey = o.o_orderkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+         o.o_totalprice
+ORDER BY totalprice_cents DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+)
+def q18_large_volume_customers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds the threshold, with their customers, top-100 by price.
+    The HAVING subquery is a pre-aggregation on the fact table that
+    SHRINKS it to qualifying orderkeys before any join (the classic
+    agg-then-join rewrite); quantities accumulate as exact integer
+    hundredths so the threshold and output are engine-exact."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", _cents("l_quantity").alias("qc")
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("qc").alias("qty_cents"))
+        .filter(F.col("qty_cents") > 30000)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        _cents("o_totalprice").alias("totalprice_cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    j = (
+        big.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        j.select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate",
+            "totalprice_cents",
+            F.col("qty_cents").cast("long").alias("qty_cents"),
+        )
+        .orderBy(
+            F.desc("totalprice_cents"), F.asc("o_orderdate"),
+            F.asc("o_orderkey"),
+        )
+        .limit(100)
+    )

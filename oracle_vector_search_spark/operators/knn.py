@@ -362,9 +362,13 @@ def knn_exact_gemm_int8(
     score = cosine_similarity("q_vec", "v_vec")
     if round_decimals is not None:
         score = F.round(score, round_decimals)
+    # candidates are ≤ Q×refine rows — broadcast them so the refine is
+    # a map-side hash join over the float index scan (no index shuffle)
     rescored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(v, "neighbor_id")
+        v.join(
+            F.broadcast(cand.join(F.broadcast(q), "query_id")),
+            "neighbor_id",
+        )
         .select("query_id", "neighbor_id", score.alias("score"))
     )
     w2 = Window.partitionBy("query_id").orderBy(

@@ -129,6 +129,21 @@ def stopword_hits_expr(toks: str, words: list[str]) -> str:
     )
 
 
+# fastText-style hashing-trick classifier: token weight =
+# hash28('qc:'||t) % QC_WEIGHT_MOD - 1000 ∈ [-1000, 1000]; the doc
+# logit is the integer weight sum (order-independent, engine-exact)
+QC_WEIGHT_MOD = 2001
+
+
+def qc_weight_sum_expr(toks: str) -> str:
+    """Spark SQL fragment: integer classifier weight sum over tokens."""
+    h = hash28_sql("concat('qc:', t)")
+    return (
+        f"aggregate({toks}, cast(0 as bigint), "
+        f"(a, t) -> a + ({h} % {QC_WEIGHT_MOD}) - 1000)"
+    )
+
+
 # -------------------------------------------------------------- DuckDB side
 def duck_hash28(expr: str) -> str:
     return f"CAST(('0x' || substr(md5({expr}), 1, 7)) AS BIGINT)"
@@ -185,3 +200,11 @@ def duck_rolling_fingerprint(norm: str) -> str:
 def duck_stopword_hits(toks: str, words: list[str]) -> str:
     arr = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter({toks}, t -> list_contains([{arr}], t)))"
+
+
+def duck_qc_weight_sum(toks: str) -> str:
+    h = duck_hash28("'qc:' || t")
+    return (
+        f"CAST(list_sum([({h} % {QC_WEIGHT_MOD}) - 1000 for t in {toks}]) "
+        f"AS BIGINT)"
+    )

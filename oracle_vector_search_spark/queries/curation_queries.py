@@ -43,23 +43,10 @@ from oracle_vector_search_spark.queries import register
 
 # ---------------------------------------------------------------- classifier
 
-_QC_MOD = 2001  # weight = hash28 % 2001 - 1000  ∈ [-1000, 1000]
-
-
-def _spark_weight_sum(toks: str) -> str:
-    h = T.hash28_sql("concat('qc:', t)")
-    return (
-        f"aggregate({toks}, cast(0 as bigint), "
-        f"(a, t) -> a + ({h} % {_QC_MOD}) - 1000)"
-    )
-
-
-def _duck_weight_sum(toks: str) -> str:
-    h = T.duck_hash28("'qc:' || t")
-    return (
-        f"CAST(list_sum([({h} % {_QC_MOD}) - 1000 for t in {toks}]) "
-        f"AS BIGINT)"
-    )
+# weight = hash28 % QC_WEIGHT_MOD - 1000 ∈ [-1000, 1000]; shared with
+# the streaming admission twin via functions.text
+_spark_weight_sum = T.qc_weight_sum_expr
+_duck_weight_sum = T.duck_qc_weight_sum
 
 
 @register(

@@ -283,3 +283,25 @@ def streaming_dedup_within_watermark(
     batch aggregation over the original (unduplicated) table — the
     exactly-once ingest-dedup primitive with provably bounded state."""
     return ops.dedup_within_watermark_stream(spark, sf_dir)
+
+
+def _streaming_admission_oracle() -> str:
+    from oracle_vector_search_spark.queries.curation_queries import (
+        _admission_oracle,
+    )
+
+    return _admission_oracle()
+
+
+@register("streaming_corpus_admission", _streaming_admission_oracle())
+def streaming_corpus_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Curation-on-arrival: per-micro-batch admission decisions
+    (quality-classifier gate + directional MinHash near-dup check
+    against the standing corpus's at-rest signatures). Decisions
+    depend only on each document and the fixed standing snapshot, so
+    they are batching-independent — the drained decisions table equals
+    the batch ``incremental_corpus_admission`` result under any file
+    split, and the SAME DuckDB oracle checks both."""
+    return ops.corpus_admission_stream(spark, sf_dir)

@@ -605,3 +605,101 @@ def dedup_within_watermark_stream(
         return run_to_memory(agg, "complete")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def corpus_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-on-arrival: a document stream is admission-controlled
+    per micro-batch — quality-classifier gate plus directional MinHash
+    near-dup check against the STANDING corpus's at-rest signature
+    table (operators.dedup.minhash_near_dup_against) — and the
+    decisions append to an at-rest decisions table.
+
+    Decisions depend only on the document itself and the FIXED standing
+    snapshot, so they are batching-independent: the drained decisions
+    table must equal the batch ``incremental_corpus_admission`` result
+    under ANY file split (the same DuckDB oracle checks both).
+    Intra-increment duplicates are deliberately out of scope here —
+    they are the post-admission merge's job (see
+    ``dedup_within_watermark_stream`` / ``index_maintenance_stream``).
+
+    Source: the batch slice (doc_id % 7 = 0) re-split into 4 files,
+    maxFilesPerTrigger=1 → ≥4 genuine admission epochs.
+    """
+    from oracle_vector_search_spark.functions import text as TX
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.operators.dedup import (
+        minhash_near_dup_against,
+        minhash_signatures,
+    )
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    threshold = 0.4  # MINHASH_THRESHOLD — the corpus dedup policy
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    standing = docs.filter(F.col("doc_id") % 7 != 0)
+    batch_slice = docs.filter(F.col("doc_id") % 7 == 0)
+
+    sig_path = scratch_dir("ovs_admission_sigs_")
+    minhash_signatures(standing.repartition(32)).write.mode(
+        "overwrite"
+    ).parquet(sig_path)
+
+    src_dir = scratch_dir("ovs_admission_src_")
+    batch_slice.repartition(4).write.mode("overwrite").parquet(src_dir)
+    dec_dir = scratch_dir("ovs_admission_dec_")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    n_epochs = {"n": 0}
+
+    def decide_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        standing_sigs = sess.read.parquet(sig_path)
+        batch_sigs = minhash_signatures(batch_df)
+        pairs = minhash_near_dup_against(
+            batch_sigs, standing_sigs, threshold=threshold
+        )
+        dup = pairs.groupBy("batch_id").agg(
+            F.min("standing_id").cast("bigint").alias("dup_of")
+        )
+        gate = (
+            batch_df.withColumn("toks", F.split(TX.norm_text("text"), " "))
+            .withColumn("ws", F.expr(TX.qc_weight_sum_expr("toks")))
+            .select("doc_id", "ws")
+        )
+        out = gate.join(
+            dup, gate.doc_id == dup.batch_id, "left"
+        ).select(
+            "doc_id",
+            F.when(F.col("ws") > 0, 1).otherwise(0).cast("int").alias(
+                "classifier_keep"
+            ),
+            F.coalesce(F.col("dup_of"), F.lit(-1)).alias("dup_of"),
+            F.when((F.col("ws") > 0) & F.col("dup_of").isNull(), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("admitted"),
+        )
+        out.write.mode("append").parquet(dec_dir)
+        n_epochs["n"] += 1
+
+    # decision batches move ≤ dozens of rows; shrink shuffles for the drain
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = stream.writeStream.foreachBatch(decide_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+    assert n_epochs["n"] >= 2, (
+        f"admission stream drained in {n_epochs['n']} epochs; expected "
+        "multi-batch arrival"
+    )
+    return spark.read.parquet(dec_dir)

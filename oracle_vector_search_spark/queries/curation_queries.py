@@ -235,23 +235,66 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_feats"),
         )
     )
-    ranked = per_doc.select(
+    scored = per_doc.select(
         "doc_id",
         "n_feats",
         F.expr("score_micro_sum div n_feats").alias("avg_micro"),
     )
-    w = Window.orderBy(F.desc("avg_micro"), F.asc("doc_id"))
-    ranked = ranked.withColumn("rnk", F.row_number().over(w)).withColumn(
-        "n_docs", F.count("*").over(Window.partitionBy())
+    # Two-phase exact top-fraction selection — NO global single-task
+    # row_number over the corpus (the pattern that dies at 10⁹ docs):
+    # phase 1 ranks DISTINCT integer scores (metadata-sized — bounded
+    # by score cardinality, not doc count) to find the boundary score
+    # and its quota; phase 2 ranks by doc_id only WITHIN each score
+    # group (parallel across groups). Semantics are identical to
+    # rank(avg_micro desc, doc_id) ≤ ceil(frac·n) — the oracle's form.
+    counts = scored.groupBy("avg_micro").agg(F.count("*").alias("c"))
+    wv = (
+        Window.orderBy(F.desc("avg_micro"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cutoff = F.ceil(F.col("n_docs") * _DSIR_FRAC_PCT / 100.0).cast("bigint")
-    return ranked.select(
-        "doc_id",
-        "n_feats",
-        "avg_micro",
-        F.when(F.col("rnk") <= cutoff, 1).otherwise(0).cast("int").alias(
-            "selected"
-        ),
+    counts = counts.withColumn("cum", F.sum("c").over(wv)).withColumn(
+        "cum_before", F.col("cum") - F.col("c")
+    )
+    total = scored.agg(F.count("*").alias("n_docs"))
+    cut = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn(
+            "cutoff_n",
+            F.ceil(F.col("n_docs") * _DSIR_FRAC_PCT / 100.0).cast(
+                "bigint"
+            ),
+        )
+        .filter(F.col("cum_before") < F.col("cutoff_n"))
+        .agg(
+            F.min("avg_micro").alias("boundary_score"),
+            # cum_before grows as scores descend, so the boundary
+            # (lowest kept) group's remaining quota is the MINIMUM of
+            # cutoff_n - cum_before over kept rows
+            F.min(F.col("cutoff_n") - F.col("cum_before")).alias(
+                "boundary_quota"
+            ),
+        )
+    )
+    wg = Window.partitionBy("avg_micro").orderBy(F.asc("doc_id"))
+    return (
+        scored.withColumn("gr", F.row_number().over(wg))
+        .crossJoin(F.broadcast(cut))
+        .select(
+            "doc_id",
+            "n_feats",
+            "avg_micro",
+            F.when(
+                (F.col("avg_micro") > F.col("boundary_score"))
+                | (
+                    (F.col("avg_micro") == F.col("boundary_score"))
+                    & (F.col("gr") <= F.col("boundary_quota"))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("selected"),
+        )
     )
 
 

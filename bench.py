@@ -71,6 +71,10 @@ HEADLINE = [
     "hybrid_rrf_retrieval_top10",
     "maxsim_late_interaction_top5",
     "knn_exact_gemm_int8",
+    # r5 curation family: scan-stage classifier + batch-vs-standing
+    # admission (reads the at-rest signature table)
+    "quality_classifier_keep",
+    "incremental_corpus_admission",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session
@@ -86,6 +90,7 @@ AT_REST_WRITERS = {
     "profile_guided_skew_join_spend",
     "knn_exact_gemm_int8",
     "hamming_knn_top5",
+    "incremental_corpus_admission",
 }
 
 

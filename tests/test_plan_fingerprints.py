@@ -55,7 +55,12 @@ EXPECTED: dict[str, dict[str, int]] = {
     "hamming_knn_top5":                {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     "hybrid_rrf_retrieval_top10":      {"shuffle_exchanges": 2, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     "maxsim_late_interaction_top5":    {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
-    "knn_exact_gemm_int8":             {"shuffle_exchanges": 1, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 1},
+    # int8 refine broadcasts the CANDIDATE set (not the index, which
+    # the fixture-size auto-broadcast used to pick — wrong at 100 TB);
+    # the second Exchange is the metadata-sized Q×k merge window
+    "knn_exact_gemm_int8":             {"shuffle_exchanges": 2, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 1},
+    "quality_classifier_keep":         {"shuffle_exchanges": 0, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "incremental_corpus_admission":    {"shuffle_exchanges": 3, "broadcast_hash_joins": 3, "sort_merge_joins": 1, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

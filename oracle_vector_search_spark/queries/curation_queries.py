@@ -749,6 +749,96 @@ def incremental_corpus_admission(
     )
 
 
+# ------------------------------------------------- multimodal frame audit
+
+_FRAME_STRIDE = 32  # bytes between frame starts
+_FRAME_SIZE = 16  # bytes per sampled frame
+
+
+@register(
+    "media_frame_manifest",
+    f"""
+WITH blobs AS (
+  SELECT doc_id, text
+  FROM documents
+  WHERE regexp_matches(text, '^[ -~]*$') AND length(text) >= {_FRAME_SIZE}
+), frames AS (
+  SELECT doc_id,
+         unnest([{{'fi': i,
+                   'h': md5(substr(text, i * {_FRAME_STRIDE} + 1,
+                                   {_FRAME_SIZE}))}}
+                 FOR i IN range(0, (length(text) - {_FRAME_SIZE})
+                                   // {_FRAME_STRIDE} + 1)]) AS u
+  FROM blobs
+)
+SELECT doc_id,
+       CAST(u.fi AS INTEGER) AS frame_idx,
+       CAST(u.fi * {_FRAME_STRIDE} AS BIGINT) AS byte_offset,
+       u.h AS frame_md5
+FROM frames
+""",
+)
+def media_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column plumbing, oracle-checked: documents
+    become opaque BINARY blobs, an Arrow ``mapInPandas`` stage samples
+    fixed-stride "frames" (the video frame-sample batch shape of
+    ``sources.media.video_frame_sample`` — 1 row in, N frame rows out)
+    and emits a per-frame manifest (index, byte offset, md5).
+
+    The corpus is ASCII-guarded so byte offsets equal character
+    offsets, which is what lets DuckDB replay the byte slicing with
+    ``substr`` — making the UDF's batch handling (schema, Arrow binary
+    transfer, 1→N expansion) value-checkable, not just smoke-tested.
+    Real codec decode stays in sources.media behind optional deps; the
+    Spark-side shape is identical.
+    """
+    from collections.abc import Iterator
+
+    import hashlib
+
+    import pandas as pd
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(
+            F.col("text").rlike("^[ -~]*$")
+            & (F.length("text") >= _FRAME_SIZE)
+        )
+        .select("doc_id", F.col("text").cast("binary").alias("content"))
+    )
+
+    out_schema = (
+        "doc_id long, frame_idx int, byte_offset long, frame_md5 string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                b = bytes(blob)
+                n_frames = (len(b) - _FRAME_SIZE) // _FRAME_STRIDE + 1
+                for i in range(n_frames):
+                    off = i * _FRAME_STRIDE
+                    rows.append(
+                        {
+                            "doc_id": did,
+                            "frame_idx": i,
+                            "byte_offset": off,
+                            "frame_md5": hashlib.md5(
+                                b[off : off + _FRAME_SIZE]
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "frame_idx", "byte_offset", "frame_md5",
+                ],
+            )
+
+    return docs.mapInPandas(batches, schema=out_schema)
+
+
 # ------------------------------------------------------------ shard export
 
 _N_SHARDS = 64

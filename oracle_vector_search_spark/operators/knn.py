@@ -80,6 +80,40 @@ def knn_exact(
     )
 
 
+def _batch_topk_rows(S_part, ids_v, top):
+    """(row, col) indices of every entry tying-or-beating its column's
+    ``top``-th value under the merge key.
+
+    The global merge window re-ranks all batch candidates, so a batch
+    only needs to emit a SUPERSET of its true top-``top`` by
+    (score desc, id asc) — emitting the full tie set replaces the
+    per-query python sort loop with two vectorized passes (the loop
+    was the dominant cost at Q=10⁴: Q×batches lexsorts). Tie-heavy
+    columns (common with quantized integer scores) fall back to exact
+    per-column selection so a degenerate batch (e.g. all-equal scores)
+    cannot flood the shuffle.
+    """
+    import numpy as np
+
+    idx = np.argpartition(-S_part, top - 1, axis=0)[:top]
+    kth = np.take_along_axis(S_part, idx, 0).min(axis=0)  # (q,)
+    mask = S_part >= kth[None, :]
+    counts = mask.sum(axis=0)
+    heavy = np.flatnonzero(counts > top + 16)
+    extra_v, extra_q = [], []
+    for j in heavy:
+        cand = np.flatnonzero(mask[:, j])
+        order = cand[np.lexsort((ids_v[cand], -S_part[cand, j]))][:top]
+        extra_v.append(order)
+        extra_q.append(np.full(len(order), j))
+        mask[:, j] = False
+    rows_v, rows_q = np.nonzero(mask)
+    if extra_v:
+        rows_v = np.concatenate([rows_v, *extra_v])
+        rows_q = np.concatenate([rows_q, *extra_q])
+    return rows_v, rows_q
+
+
 def knn_exact_gemm(
     index_df: DataFrame,
     query_df: DataFrame,
@@ -152,22 +186,10 @@ def knn_exact_gemm(
             S_part = np.where(np.isnan(S_key), -np.inf, S_key)
             n = S.shape[0]
             top = min(local_k, n)
-            # vectorized top-k by ROUNDED score for all queries at once,
-            # then the exact (rounded score, neighbor_id) merge ordering
-            # applied only to the ~k boundary candidates per query — a
-            # candidate tying the k-th rounded value can never be lost
-            # to a batch boundary, and the per-query python work is O(k)
-            idx = np.argpartition(-S_part, top - 1, axis=0)[:top]
-            kth = np.take_along_axis(S_part, idx, 0).min(axis=0)  # (q,)
-            sel_q, sel_v = [], []
-            for j in range(len(q_ids_l)):
-                cand = np.flatnonzero(S_part[:, j] >= kth[j])
-                order = cand[np.lexsort((ids_v[cand], -S_part[cand, j]))]
-                order = order[:top]
-                sel_q.append(np.full(len(order), j))
-                sel_v.append(order)
-            rows_q = np.concatenate(sel_q)
-            rows_v = np.concatenate(sel_v)
+            # emit every row tying-or-beating the per-query top-th
+            # ROUNDED score — a superset the merge window re-ranks;
+            # no per-query python sort (see _batch_topk_rows)
+            rows_v, rows_q = _batch_topk_rows(S_part, ids_v, top)
             yield pd.DataFrame(
                 {
                     "query_id": q_ids_l[rows_q],
@@ -326,16 +348,10 @@ def knn_exact_gemm_int8(
             S = C.astype(acc) @ Qc_l.T.astype(acc)  # exact integers
             n = S.shape[0]
             top = min(local_refine, n)
-            idx = np.argpartition(-S, top - 1, axis=0)[:top]
-            kth = np.take_along_axis(S, idx, 0).min(axis=0)
-            sel_q, sel_v = [], []
-            for j in range(len(q_ids_l)):
-                cand = np.flatnonzero(S[:, j] >= kth[j])
-                order = cand[np.lexsort((ids_v[cand], -S[cand, j]))][:top]
-                sel_q.append(np.full(len(order), j))
-                sel_v.append(order)
-            rows_q = np.concatenate(sel_q)
-            rows_v = np.concatenate(sel_v)
+            # superset emission (ties included), no per-query sort —
+            # the refine-candidate window re-ranks; integer scores tie
+            # often, so the helper's heavy-column fallback matters here
+            rows_v, rows_q = _batch_topk_rows(S, ids_v, top)
             yield pd.DataFrame(
                 {
                     "query_id": q_ids_l[rows_q],

@@ -1060,3 +1060,73 @@ def dedup_cascade_scaling_probe(
     return stats.crossJoin(F.broadcast(kept_stats)).select(
         "n_docs_in", "n_exact_groups", "n_docs_kept", "id_checksum"
     )
+
+
+@register(
+    "dedup_graph_triangles",
+    f"""
+WITH {_duck_sig_cte()},
+bands AS ({_duck_minhash_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT c.left_id, c.right_id
+  FROM cand c
+  JOIN sig s1 ON s1.doc_id = c.left_id
+  JOIN sig s2 ON s2.doc_id = c.right_id
+  WHERE round(len(list_intersect(s1.shingles, s2.shingles)) * 1.0
+              / len(list_distinct(list_concat(s1.shingles, s2.shingles))),
+              6) >= {MINHASH_THRESHOLD}
+), tri AS (
+  SELECT e1.left_id AS a, e1.right_id AS b, e2.right_id AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.left_id = e1.right_id
+  JOIN pairs e3 ON e3.left_id = e1.left_id AND e3.right_id = e2.right_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+       CAST(coalesce(sum(a + b + c), 0) AS BIGINT) AS id_checksum,
+       CAST(count(DISTINCT a) AS BIGINT) AS n_root_docs
+FROM tri
+""",
+)
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the near-dup graph — the classic multi-way
+    self-join (edges ordered a<b<c so each triangle counts once).
+    Triangles measure how CLIQUE-LIKE dup clusters are: near-dup
+    groups that are true re-posts form triangles; chains of borderline
+    pairs don't — a cheap structural audit before choosing a canonical
+    representative policy.
+
+    Scale shape: edges come from the at-rest signature table's bucket
+    join (never all-pairs); the two triangle joins shuffle on single
+    edge endpoints, and the open-wedge intermediate (e1⋈e2) is bounded
+    by Σ_b deg²(b) — the standard distributed-triangle cost, tamed
+    here because LSH caps component sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(
+        docs,
+        threshold=MINHASH_THRESHOLD,
+        sigs=_minhash_sig_table(spark, sf_dir),
+    ).select("left_id", "right_id")
+    e1 = pairs.select(
+        F.col("left_id").alias("a"), F.col("right_id").alias("b")
+    )
+    e2 = pairs.select(
+        F.col("left_id").alias("b"), F.col("right_id").alias("c")
+    )
+    e3 = pairs.select(
+        F.col("left_id").alias("a"), F.col("right_id").alias("c")
+    )
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.coalesce(
+            F.sum(F.col("a") + F.col("b") + F.col("c")), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("id_checksum"),
+        F.countDistinct("a").alias("n_root_docs"),
+    )

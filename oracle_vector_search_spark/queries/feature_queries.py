@@ -444,3 +444,87 @@ def value_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness"),
         F.round(kurt, 6).alias("excess_kurtosis"),
     ).orderBy("event_type")
+
+
+@register(
+    "ab_test_event_value_z",
+    """
+WITH assigned AS (
+  SELECT event_type,
+         CAST(user_id % 2 AS INTEGER) AS variant,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT event_type, variant,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS ss
+  FROM assigned GROUP BY event_type, variant
+), wide AS (
+  SELECT a.event_type,
+         a.n AS n0, a.s AS s0, a.ss AS ss0,
+         b.n AS n1, b.s AS s1, b.ss AS ss1
+  FROM m a JOIN m b ON a.event_type = b.event_type
+  WHERE a.variant = 0 AND b.variant = 1
+)
+SELECT event_type, n0, n1,
+       round(s0 * 1.0 / n0, 6) AS mean0_cents,
+       round(s1 * 1.0 / n1, 6) AS mean1_cents,
+       round((s1 * 1.0 / n1 - s0 * 1.0 / n0)
+             / sqrt((ss0 * 1.0 / n0 - (s0 * 1.0 / n0) * (s0 * 1.0 / n0))
+                      / n0
+                    + (ss1 * 1.0 / n1 - (s1 * 1.0 / n1) * (s1 * 1.0 / n1))
+                      / n1),
+             6) AS welch_z
+FROM wide
+ORDER BY event_type
+""",
+)
+def ab_test_event_value_z(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: deterministic variant assignment
+    (user_id % 2 — the hash-bucket assignment of a real experiment
+    framework), per-metric Welch z-score between variants from EXACT
+    integer moments (Σcents, Σcents² in BIGINT — order-independent),
+    with one final double formula written identically in both engines
+    (IEEE division/sqrt are correctly rounded, so the rounded z
+    matches bit-for-bit).
+
+    Scale shape: one partial-aggregating shuffle on (event_type,
+    variant) — moments are tiny monoids, the same pattern as
+    hourly_agg_partial_merge; the variant pivot and formula run on a
+    metadata-sized table.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    m = e.groupBy("event_type", "variant").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).alias("ss"),
+    )
+    a = m.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n0"), F.col("s").alias("s0"),
+        F.col("ss").alias("ss0"),
+    )
+    b = m.filter(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n1"), F.col("s").alias("s1"),
+        F.col("ss").alias("ss1"),
+    )
+    w = a.join(b, "event_type")
+    mean0 = F.col("s0") * 1.0 / F.col("n0")
+    mean1 = F.col("s1") * 1.0 / F.col("n1")
+    var0 = F.col("ss0") * 1.0 / F.col("n0") - mean0 * mean0
+    var1 = F.col("ss1") * 1.0 / F.col("n1") - mean1 * mean1
+    z = (mean1 - mean0) / F.sqrt(var0 / F.col("n0") + var1 / F.col("n1"))
+    return w.select(
+        "event_type",
+        "n0",
+        "n1",
+        F.round(mean0, 6).alias("mean0_cents"),
+        F.round(mean1, 6).alias("mean1_cents"),
+        F.round(z, 6).alias("welch_z"),
+    ).orderBy("event_type")

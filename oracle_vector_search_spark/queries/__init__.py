@@ -85,6 +85,16 @@ def load_all_modules() -> None:
 #   Queries past position 49 remain verified by the local gate
 #   (tools/oracle_check.py, full surface, CI via
 #   tests/test_oracle_surface.py). Keep this list at exactly 50 names.
+#   r6 rotation TODO: swap the 34 r4-adds (by then driver-verified in
+#   CORRECTNESS_r05) for the queries ADDED during round 5 that no
+#   driver window has seen: quality_classifier_keep,
+#   dsir_importance_select, semantic_dedup_keep, lm_perplexity_buckets,
+#   shard_export_manifest, curated_corpus_checksum,
+#   incremental_corpus_admission, sequential_poisson_sample,
+#   media_frame_manifest, streaming_corpus_admission,
+#   q3_shipping_priority, q18_large_volume_customers,
+#   dedup_graph_triangles, ab_test_event_value_z (all green in the r5
+#   local gate at sf0.01 AND sf0.1).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

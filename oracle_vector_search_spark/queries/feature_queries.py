@@ -528,3 +528,130 @@ def ab_test_event_value_z(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean1, 6).alias("mean1_cents"),
         F.round(z, 6).alias("welch_z"),
     ).orderBy("event_type")
+
+
+@register(
+    "events_user_ewma",
+    """
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), seq AS (
+  SELECT user_id,
+         list(CAST(cents AS DOUBLE) ORDER BY ts, event_id) AS xs
+  FROM e GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(xs) AS INTEGER) AS n_events,
+       round(list_reduce(list_prepend(0.0::DOUBLE, xs),
+                         (acc, x) -> acc / 2 + x / 2), 6) AS ewma_cents
+FROM seq
+""",
+)
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average (α = 1/2) — the
+    order-DEPENDENT sequential fold class of time-series features.
+    Determinism does not come from order-independence here (it can't):
+    both engines fold the SAME explicit order (ts, event_id), and
+    IEEE arithmetic applied in identical order is bit-identical, so
+    the rounded result still hash-matches. α = 1/2 keeps every step a
+    halving (exponent shift) plus one correctly-rounded add.
+
+    Scale shape: one groupBy(user) shuffle carrying (ts-key, cents)
+    pairs; per-user history is session-bounded in this fixture. An
+    unbounded-history deployment computes the same fold incrementally
+    (EWMA merges: acc' = acc/2ᵏ + new-window fold) or via the
+    streaming stateful path (streaming/ops.py) — the semantics pinned
+    here are what those must reproduce.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "cents"))
+        ).alias("es")
+    )
+    return seq.select(
+        "user_id",
+        F.size("es").alias("n_events"),
+        F.round(
+            F.expr(
+                "aggregate(es, cast(0.0 as double), "
+                "(acc, e) -> acc / 2 + cast(e.cents as double) / 2)"
+            ),
+            6,
+        ).alias("ewma_cents"),
+    )
+
+
+_CUSUM_DRIFT = 25000  # cents — allowed per-event drift above target
+_CUSUM_ALARM = 100000  # cents — cumulative excursion that trips the alarm
+
+
+@register(
+    "events_user_cusum",
+    f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), seq AS (
+  SELECT user_id,
+         list(cents ORDER BY ts, event_id) AS xs
+  FROM e GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(xs) AS INTEGER) AS n_events,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+                        (acc, x) -> greatest(CAST(0 AS BIGINT),
+                                             acc + x - {_CUSUM_DRIFT}))
+            AS BIGINT) AS cusum_cents,
+       CAST(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), xs),
+                        (acc, x) -> greatest(CAST(0 AS BIGINT),
+                                             acc + x - {_CUSUM_DRIFT}))
+                      > {_CUSUM_ALARM}
+                 THEN 1 ELSE 0 END AS INTEGER) AS alarm
+FROM seq
+""",
+)
+def events_user_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user one-sided CUSUM (Page 1954) — sequential changepoint
+    statistic: acc' = max(0, acc + x − drift), alarm when the
+    cumulative excursion exceeds the threshold. Pure BIGINT fold over
+    the explicit (ts, event_id) order — exact in both engines, no
+    float anywhere.
+
+    Same scale shape and incremental story as ``events_user_ewma``;
+    CUSUM additionally merges trivially across ordered chunks (the
+    fold is associative over segment summaries (total, max-prefix)).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    seq = e.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "cents"))
+        ).alias("es")
+    )
+    fold = (
+        "aggregate(es, cast(0 as bigint), "
+        f"(acc, e) -> greatest(cast(0 as bigint), "
+        f"acc + e.cents - {_CUSUM_DRIFT}))"
+    )
+    return seq.select(
+        "user_id",
+        F.size("es").alias("n_events"),
+        F.expr(fold).cast("bigint").alias("cusum_cents"),
+        F.when(F.expr(fold) > _CUSUM_ALARM, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("alarm"),
+    )

@@ -1106,11 +1106,17 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     by Σ_b deg²(b) — the standard distributed-triangle cost, tamed
     here because LSH caps component sizes."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_near_dup(
-        docs,
-        threshold=MINHASH_THRESHOLD,
-        sigs=_minhash_sig_table(spark, sf_dir),
-    ).select("left_id", "right_id")
+    # the edge list feeds all three join legs — materialize it once
+    # (localCheckpoint) instead of re-running band-join + verify 3×
+    pairs = (
+        minhash_near_dup(
+            docs,
+            threshold=MINHASH_THRESHOLD,
+            sigs=_minhash_sig_table(spark, sf_dir),
+        )
+        .select("left_id", "right_id")
+        .localCheckpoint()
+    )
     e1 = pairs.select(
         F.col("left_id").alias("a"), F.col("right_id").alias("b")
     )

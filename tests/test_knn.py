@@ -168,3 +168,39 @@ def test_knn_search_auto_expr_has_no_python_stage(spark, sf_dir):
         .toString()
     )
     assert "Python" not in plan, plan
+
+
+def test_batch_topk_rows_superset_property():
+    """_batch_topk_rows must emit a SUPERSET of the true per-query
+    top-k by (score desc, id asc) — over random matrices including
+    heavy integer ties (the quantized-score case) and all-equal
+    degenerate columns — while never exceeding the flood guard."""
+    import numpy as np
+
+    from oracle_vector_search_spark.operators.knn import _batch_topk_rows
+
+    rng = np.random.RandomState(7)
+    for trial in range(50):
+        n = rng.randint(1, 60)
+        q = rng.randint(1, 12)
+        top = rng.randint(1, 8)
+        top = min(top, n)
+        if trial % 3 == 0:
+            S = rng.randint(0, 4, size=(n, q)).astype(float)  # heavy ties
+        elif trial % 3 == 1:
+            S = rng.randn(n, q)
+        else:
+            S = np.zeros((n, q))  # fully degenerate
+        ids = rng.permutation(n * 3)[:n].astype(np.int64)
+        rows_v, rows_q = _batch_topk_rows(S.copy(), ids, top)
+        emitted = set(zip(rows_v.tolist(), rows_q.tolist()))
+        for j in range(q):
+            order = sorted(range(n), key=lambda i: (-S[i, j], ids[i]))
+            for i in order[:top]:
+                assert (i, j) in emitted, (
+                    f"trial {trial}: true top-{top} row {i} of query {j} "
+                    f"missing (score {S[i, j]}, id {ids[i]})"
+                )
+            # flood guard: per-query emission is bounded
+            n_j = sum(1 for (_i, _j) in emitted if _j == j)
+            assert n_j <= max(top + 16, top), (trial, j, n_j)

@@ -645,3 +645,179 @@ def countmin_token_freq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_n",
         (F.col("est_n") - F.col("exact_n")).alias("overcount"),
     ).orderBy(F.desc("exact_n"), "tok")
+
+
+# -- synopsis-based approximate range aggregates (PolyFit-inspired) --
+#
+# "PolyFit: Polynomial-based Indexing Approach for Fast Approximate
+# Range Aggregate Queries" (EDBT 2021, PAPERS.md) answers range
+# COUNT/SUM from a fitted CDF model instead of scanning. The engine's
+# exact-arithmetic rendition: a B-bucket equal-width count synopsis
+# (the at-rest "model" — B rows, scan-free to query) answers range
+# counts by whole buckets + integer-interpolated boundary buckets, and
+# the audit reports the exact error next to every estimate.
+
+_SYN_BUCKETS = 64
+_SYN_RANGES = [(1, 3), (2, 7), (4, 5), (0, 9), (6, 10)]  # tenths of span
+
+
+@register(
+    "synopsis_range_count_audit",
+    f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders
+), bounds AS (
+  SELECT min(cents) AS mn, max(cents) AS mx FROM c
+), syn AS (
+  SELECT least(CAST(((cents - mn) * {_SYN_BUCKETS})
+                    // (mx - mn + 1) AS BIGINT),
+               {_SYN_BUCKETS - 1}) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM c, bounds GROUP BY 1
+), ranges AS (
+  SELECT u.rid, mn + (mx - mn) * u.lo10 // 10 AS lo,
+         mn + (mx - mn) * u.hi10 // 10 AS hi
+  FROM bounds,
+       (SELECT unnest([{", ".join(
+           f"{{'rid': {i}, 'lo10': {lo}, 'hi10': {hi}}}"
+           for i, (lo, hi) in enumerate(_SYN_RANGES))}]) AS u)
+), est AS (
+  SELECT r.rid, r.lo, r.hi,
+         CAST(sum(
+           CASE WHEN b_lo >= r.lo AND b_hi <= r.hi THEN s.cnt
+                ELSE s.cnt * greatest(least(b_hi, r.hi)
+                                      - greatest(b_lo, r.lo) + 1, 0)
+                     // (b_hi - b_lo + 1) END) AS BIGINT) AS approx_count
+  FROM ranges r, bounds,
+       (SELECT bucket, cnt,
+               mn + bucket * (mx - mn + 1) // {_SYN_BUCKETS} AS b_lo,
+               mn + (bucket + 1) * (mx - mn + 1) // {_SYN_BUCKETS} - 1
+                 AS b_hi
+        FROM syn, bounds) s
+  WHERE s.b_hi >= r.lo AND s.b_lo <= r.hi
+  GROUP BY r.rid, r.lo, r.hi
+), exact AS (
+  SELECT r.rid, CAST(count(*) AS BIGINT) AS exact_count
+  FROM ranges r JOIN c ON c.cents BETWEEN r.lo AND r.hi
+  GROUP BY r.rid
+)
+SELECT e.rid, e.lo, e.hi, e.approx_count, x.exact_count,
+       CAST(abs(e.approx_count - x.exact_count) AS BIGINT) AS abs_err
+FROM est e JOIN exact x USING (rid)
+ORDER BY rid
+""",
+)
+def synopsis_range_count_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate range counts from a B-row at-rest synopsis
+    (PolyFit's premise in exact-integer form): whole buckets
+    contribute their counts, boundary buckets an
+    integer-interpolated share — no fact-table scan at query time;
+    the audit joins the exact counts back and reports per-range
+    absolute error.
+
+    Scale shape: the synopsis is ONE aggregation at build time
+    (B=64 rows at rest); every range query after that touches B rows.
+    All arithmetic is BIGINT (uniform-within-bucket interpolation via
+    integer cross-multiply), so estimate and error are engine-exact.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    bounds = o.agg(
+        F.min("cents").alias("mn"), F.max("cents").alias("mx")
+    )
+    cb = o.crossJoin(F.broadcast(bounds))
+    syn = (
+        cb.select(
+            F.least(
+                F.expr(
+                    f"(cents - mn) * {_SYN_BUCKETS} div (mx - mn + 1)"
+                ),
+                F.lit(_SYN_BUCKETS - 1),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranges_rows = ", ".join(
+        f"struct({i} as rid, {lo} as lo10, {hi} as hi10)"
+        for i, (lo, hi) in enumerate(_SYN_RANGES)
+    )
+    ranges = (
+        spark.range(1)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.explode(F.expr(f"array({ranges_rows})")).alias("u"),
+            "mn",
+            "mx",
+        )
+        .select(
+            F.col("u.rid").alias("rid"),
+            F.expr("mn + (mx - mn) * u.lo10 div 10").alias("lo"),
+            F.expr("mn + (mx - mn) * u.hi10 div 10").alias("hi"),
+        )
+    )
+    sb = (
+        syn.crossJoin(F.broadcast(bounds))
+        .select(
+            "bucket",
+            "cnt",
+            F.expr(
+                f"mn + bucket * (mx - mn + 1) div {_SYN_BUCKETS}"
+            ).alias("b_lo"),
+            F.expr(
+                f"mn + (bucket + 1) * (mx - mn + 1) div {_SYN_BUCKETS} - 1"
+            ).alias("b_hi"),
+        )
+    )
+    est = (
+        sb.join(
+            F.broadcast(ranges),
+            (F.col("b_hi") >= F.col("lo")) & (F.col("b_lo") <= F.col("hi")),
+        )
+        .select(
+            "rid",
+            "lo",
+            "hi",
+            F.when(
+                (F.col("b_lo") >= F.col("lo"))
+                & (F.col("b_hi") <= F.col("hi")),
+                F.col("cnt"),
+            )
+            .otherwise(
+                F.expr(
+                    "cnt * greatest(least(b_hi, hi) - greatest(b_lo, lo)"
+                    " + 1, 0) div (b_hi - b_lo + 1)"
+                )
+            )
+            .alias("contrib"),
+        )
+        .groupBy("rid", "lo", "hi")
+        .agg(F.sum("contrib").cast("long").alias("approx_count"))
+    )
+    exact = (
+        o.join(
+            F.broadcast(ranges),
+            (F.col("cents") >= F.col("lo"))
+            & (F.col("cents") <= F.col("hi")),
+        )
+        .groupBy("rid")
+        .agg(F.count("*").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "rid")
+        .select(
+            "rid",
+            "lo",
+            "hi",
+            "approx_count",
+            "exact_count",
+            F.abs(F.col("approx_count") - F.col("exact_count"))
+            .cast("bigint")
+            .alias("abs_err"),
+        )
+        .orderBy("rid")
+    )

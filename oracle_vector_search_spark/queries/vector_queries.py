@@ -637,3 +637,261 @@ def sq8_recall_refine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------- retrieval evaluation
+
+_MAP_K = 20  # evaluation depth for average precision
+
+
+@register(
+    "retrieval_map_audit",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < {{n_queries}}
+), d AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), rel AS (
+  SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_relevant
+  FROM q JOIN d ON d.neighbor_label = q.query_label
+              AND d.neighbor_id <> q.query_id
+  GROUP BY q.query_id
+), scored AS (
+  SELECT q.query_id, q.query_label, d.neighbor_id, d.neighbor_label,
+         round(list_dot_product(q.v, d.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(d.v, d.v))), 6) AS score
+  FROM d CROSS JOIN q
+  WHERE d.neighbor_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT)
+    AS rnk
+  FROM scored
+), hits AS (
+  SELECT query_id,
+         rnk,
+         CAST(CASE WHEN neighbor_label = query_label
+                   THEN 1 ELSE 0 END AS BIGINT) AS hit,
+         CAST(sum(CASE WHEN neighbor_label = query_label THEN 1 ELSE 0 END)
+              OVER (PARTITION BY query_id ORDER BY rnk) AS BIGINT)
+           AS cum_hits
+  FROM ranked WHERE rnk <= {_MAP_K}
+), ap_terms AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN hit = 1
+                       THEN (cum_hits * 1000000000) // rnk
+                       ELSE 0 END) AS BIGINT) AS ap_nano_sum,
+         CAST(sum(hit) AS BIGINT) AS hits_at_k
+  FROM hits GROUP BY query_id
+)
+SELECT a.query_id, a.hits_at_k, r.n_relevant,
+       round(a.ap_nano_sum * 1.0
+             / (1000000000.0 * least(r.n_relevant, {_MAP_K})), 6)
+         AS avg_precision
+FROM ap_terms a JOIN rel r USING (query_id)
+ORDER BY query_id
+""".replace("{n_queries}", str(N_QUERIES)),
+)
+def retrieval_map_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IR evaluation for the retrieval stack: average precision at
+    depth 20 per query, with label agreement as relevance (the
+    reference's class labels as ground truth). AP's precision@hit
+    terms are integerized to nano-units — floor((cum_hits·10⁹)/rank)
+    — so the per-query sum is order-independent and engine-exact; the
+    single final division is rounded to 6.
+
+    Scale: the ranking reuses the exact-kNN plan (broadcast queries,
+    map-side scan, per-query WindowGroupLimit); evaluation adds one
+    metadata-sized cumulative window over Q×20 rows."""
+    from pyspark.sql import Window
+
+    from oracle_vector_search_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        as_double_array("embedding").alias("qv"),
+    )
+    d = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        as_double_array("embedding").alias("dv"),
+    )
+    rel = (
+        d.join(
+            F.broadcast(q),
+            (F.col("neighbor_label") == F.col("query_label"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_relevant"))
+    )
+    scored = (
+        d.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine_similarity("qv", "dv"), 6).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    ranked = (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _MAP_K)
+        .withColumn(
+            "hit",
+            F.when(
+                F.col("neighbor_label") == F.col("query_label"), 1
+            )
+            .otherwise(0)
+            .cast("long"),
+        )
+    )
+    wc = (
+        Window.partitionBy("query_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = ranked.withColumn("cum_hits", F.sum("hit").over(wc))
+    ap = hits.groupBy("query_id").agg(
+        F.sum(
+            F.when(
+                F.col("hit") == 1,
+                F.expr("(cum_hits * 1000000000) div rnk"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("ap_nano_sum"),
+        F.sum("hit").cast("long").alias("hits_at_k"),
+    )
+    return (
+        ap.join(rel, "query_id")
+        .select(
+            "query_id",
+            "hits_at_k",
+            "n_relevant",
+            F.round(
+                F.col("ap_nano_sum")
+                * 1.0
+                / (
+                    1000000000.0
+                    * F.least(F.col("n_relevant"), F.lit(_MAP_K))
+                ),
+                6,
+            ).alias("avg_precision"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@register(
+    "knn_classifier_confusion",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS true_label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < {N_QUERIES * 5}
+), d AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), scored AS (
+  SELECT q.query_id, q.true_label, d.neighbor_id, d.neighbor_label,
+         round(list_dot_product(q.v, d.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(d.v, d.v))), 6) AS score
+  FROM d CROSS JOIN q
+  WHERE d.neighbor_id <> q.query_id
+), topk AS (
+  SELECT query_id, true_label, neighbor_label
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        FROM scored)
+  WHERE rn <= {K}
+), votes AS (
+  SELECT query_id, true_label, neighbor_label AS predicted,
+         count(*) AS n_votes
+  FROM topk GROUP BY query_id, true_label, neighbor_label
+), decided AS (
+  SELECT query_id, true_label, predicted
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY n_votes DESC, predicted) AS rn
+        FROM votes)
+  WHERE rn = 1
+)
+SELECT true_label, predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM decided
+GROUP BY true_label, predicted
+ORDER BY true_label, predicted
+""",
+)
+def knn_classifier_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """kNN majority-vote classification with its confusion matrix —
+    the reference's class-decode path (T12/J3) evaluated end-to-end:
+    predict each query's label by top-5 neighbor majority (ties →
+    smallest label id), then count (true, predicted) cells. The eval
+    every retrieval-as-classifier deployment reports.
+
+    Scale: same broadcast-query exact-kNN plan; voting and the matrix
+    are two metadata-sized aggregations."""
+    from pyspark.sql import Window
+
+    from oracle_vector_search_spark.operators.knn import knn_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES * 5)
+    # fetch k+1 then drop the self-match (the oracle's
+    # neighbor_id <> query_id), renumbering to keep exactly k votes
+    wq = Window.partitionBy("query_id").orderBy("rank")
+    topk = (
+        knn_exact(emb, q, k=K + 1)
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rn2", F.row_number().over(wq))
+        .filter(F.col("rn2") <= K)
+    )
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .join(F.broadcast(truth), "query_id")
+        .groupBy("query_id", "true_label", "neighbor_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("neighbor_label")
+    )
+    decided = (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted"),
+        )
+    )
+    return (
+        decided.groupBy("true_label", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_label", "predicted")
+    )

@@ -93,8 +93,10 @@ def load_all_modules() -> None:
 #   incremental_corpus_admission, sequential_poisson_sample,
 #   media_frame_manifest, streaming_corpus_admission,
 #   q3_shipping_priority, q18_large_volume_customers,
-#   dedup_graph_triangles, ab_test_event_value_z (all green in the r5
-#   local gate at sf0.01 AND sf0.1).
+#   dedup_graph_triangles, ab_test_event_value_z, events_user_ewma,
+#   events_user_cusum, synopsis_range_count_audit, retrieval_map_audit,
+#   knn_classifier_confusion (all green in the r5 local gate at
+#   sf0.01 AND sf0.1).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

@@ -1136,3 +1136,110 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("id_checksum"),
         F.countDistinct("a").alias("n_root_docs"),
     )
+
+
+@register(
+    "minhash_estimate_error_audit",
+    f"""
+WITH {_duck_sig_cte()},
+bands AS ({_duck_minhash_bands()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+)
+SELECT c.left_id, c.right_id,
+       round(({" + ".join(
+           f"CASE WHEN s1.m{j} = s2.m{j} THEN 1 ELSE 0 END"
+           for j in range(T.MINHASH_PERMS))}) * 1.0
+             / {T.MINHASH_PERMS}, 6) AS est_jaccard,
+       round(len(list_intersect(s1.shingles, s2.shingles)) * 1.0
+             / len(list_distinct(list_concat(s1.shingles, s2.shingles))),
+             6) AS exact_jaccard,
+       round(abs(({" + ".join(
+           f"CASE WHEN s1.m{j} = s2.m{j} THEN 1 ELSE 0 END"
+           for j in range(T.MINHASH_PERMS))}) * 1.0 / {T.MINHASH_PERMS}
+             - len(list_intersect(s1.shingles, s2.shingles)) * 1.0
+               / len(list_distinct(list_concat(s1.shingles,
+                                               s2.shingles)))), 6)
+         AS abs_err
+FROM cand c
+JOIN sig s1 ON s1.doc_id = c.left_id
+JOIN sig s2 ON s2.doc_id = c.right_id
+""",
+)
+def minhash_estimate_error_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-accuracy audit for MinHash itself: the signature-based
+    Jaccard ESTIMATE (matching-permutation fraction, a multiple of
+    1/J) next to the exact shingle Jaccard and the absolute error,
+    for every LSH candidate pair — the measurement that justifies the
+    (J, bands, rows) configuration. Completes the audit family
+    (LSH/multiprobe recall, count-min error, PQ fidelity): every
+    sketch in the engine reports its own accuracy.
+
+    Scale: candidates only (band join — never all-pairs); both
+    estimate and truth are exact integer arithmetic over the at-rest
+    signature table, so the audit itself is engine-exact."""
+    sigs = _minhash_sig_table(spark, sf_dir)
+    keyed = sigs.select(
+        F.col("doc_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "-",
+                        *[
+                            F.col(
+                                f"m{b * T.MINHASH_ROWS + r}"
+                            ).cast("string")
+                            for r in range(T.MINHASH_ROWS)
+                        ],
+                    )
+                    for b in range(T.MINHASH_BANDS)
+                ]
+            )
+        ).alias("band", "band_key"),
+    )
+    cand = (
+        keyed.select("band", "band_key", F.col("doc_id").alias("left_id"))
+        .join(
+            keyed.select(
+                "band", "band_key", F.col("doc_id").alias("right_id")
+            ),
+            ["band", "band_key"],
+        )
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    l = sigs.select(
+        F.col("doc_id").alias("left_id"),
+        F.col("shingles").alias("sh_l"),
+        *[F.col(f"m{j}").alias(f"lm{j}") for j in range(T.MINHASH_PERMS)],
+    )
+    r = sigs.select(
+        F.col("doc_id").alias("right_id"),
+        F.col("shingles").alias("sh_r"),
+        *[F.col(f"m{j}").alias(f"rm{j}") for j in range(T.MINHASH_PERMS)],
+    )
+    j = cand.join(l, "left_id").join(r, "right_id")
+    matches = sum(
+        F.when(F.col(f"lm{i}") == F.col(f"rm{i}"), 1).otherwise(0)
+        for i in range(T.MINHASH_PERMS)
+    )
+    est = matches * 1.0 / T.MINHASH_PERMS
+    exact = (
+        F.size(F.array_intersect("sh_l", "sh_r"))
+        * 1.0
+        / F.size(F.array_union("sh_l", "sh_r"))
+    )
+    return j.select(
+        "left_id",
+        "right_id",
+        F.round(est, 6).alias("est_jaccard"),
+        F.round(exact, 6).alias("exact_jaccard"),
+        F.round(F.abs(est - exact), 6).alias("abs_err"),
+    )

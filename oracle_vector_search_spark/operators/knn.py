@@ -80,6 +80,40 @@ def knn_exact(
     )
 
 
+def radius_search(
+    index_df: DataFrame,
+    query_df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    query_vec_col: str | None = None,
+    round_decimals: int | None = SCORE_DECIMALS,
+) -> DataFrame:
+    """Range (radius) search: every index vector with
+    cosine(query, vector) ≥ ``threshold`` per query — FAISS's
+    ``range_search`` counterpart to the reference's fixed top-k call.
+
+    Same physical shape as `knn_exact` minus the window: broadcast the
+    query set, stream the index map-only, filter on the ROUNDED score
+    so the threshold comparison is engine-portable. Output size is
+    data-dependent (unlike top-k) — at 100 TB pair the call with a
+    selective threshold or route through the LSH bucketed variant
+    (`operators.ann.lsh_similarity_join`) to prune candidates first.
+    """
+    q = _prep(query_df, query_id_col or id_col, query_vec_col or vec_col,
+              "query_id", "q_vec")
+    v = _prep(index_df, id_col, vec_col, "neighbor_id", "v_vec")
+    score = cosine_similarity("q_vec", "v_vec")
+    if round_decimals is not None:
+        score = F.round(score, round_decimals)
+    return (
+        v.join(F.broadcast(q))  # cross join; index side streams
+        .select("query_id", "neighbor_id", score.alias("score"))
+        .filter(F.col("score") >= threshold)
+    )
+
+
 def _batch_topk_rows(S_part, ids_v, top):
     """(row, col) indices of every entry tying-or-beating its column's
     ``top``-th value under the merge key.

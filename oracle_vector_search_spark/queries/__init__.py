@@ -62,6 +62,9 @@ def load_all_modules() -> None:
         "audit_queries",
         "pq_queries",
         "tpch_queries",
+        "tpch2_queries",
+        "analytics_queries",
+        "graph_queries",
         "pipeline_queries",
         "streaming_queries",
         "format_queries",
@@ -96,7 +99,13 @@ def load_all_modules() -> None:
 #   dedup_graph_triangles, ab_test_event_value_z, events_user_ewma,
 #   events_user_cusum, synopsis_range_count_audit, retrieval_map_audit,
 #   knn_classifier_confusion (all green in the r5 local gate at
-#   sf0.01 AND sf0.1).
+#   sf0.01 AND sf0.1), plus the late-r5 additions: q8_market_share,
+#   q9_product_profit, q11_important_stock, q16_parts_supplier,
+#   q20_excess_suppliers, q21_waiting_suppliers,
+#   revenue_rollup_nation_year, customer_spend_window_suite,
+#   quantity_quantiles_by_flag, set_ops_customer_cohorts,
+#   knn_radius_search, pagerank_event_transitions (all green in this
+#   session's full 218-query local gate at sf0.01).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

@@ -895,3 +895,38 @@ def knn_classifier_confusion(
         .agg(F.count("*").alias("n"))
         .orderBy("true_label", "predicted")
     )
+
+
+@register(
+    "knn_radius_search",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS v
+  FROM embeddings
+)
+SELECT q.query_id, d.neighbor_id,
+       round(
+         list_dot_product(q.v, d.v)
+         / (sqrt(list_dot_product(q.v, q.v))
+            * sqrt(list_dot_product(d.v, d.v))), 6) AS score
+FROM d CROSS JOIN q
+WHERE round(
+        list_dot_product(q.v, d.v)
+        / (sqrt(list_dot_product(q.v, q.v))
+           * sqrt(list_dot_product(d.v, d.v))), 6) >= 0.3
+""",
+)
+def q_knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search (FAISS ``range_search`` counterpart): all neighbors
+    within cosine ≥ 0.3 of each query — top-k's sibling where the
+    result set is similarity-bounded instead of count-bounded. Same
+    broadcast/map-only plan as `knn_exact`, no window; the threshold
+    compares the ROUNDED score so the cut is engine-portable."""
+    from oracle_vector_search_spark.operators.knn import radius_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES)
+    return radius_search(emb, queries, threshold=0.3)

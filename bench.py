@@ -75,6 +75,14 @@ HEADLINE = [
     # admission (reads the at-rest signature table)
     "quality_classifier_keep",
     "incremental_corpus_admission",
+    # late-r5 additions: heaviest new relational analogue (Q21 rewrite),
+    # ROLLUP super-aggregates, the ranked-window suite, and iterative
+    # PageRank (edge extraction dominates; iterations run on the tiny
+    # localCheckpoint-pinned graph)
+    "q21_waiting_suppliers",
+    "revenue_rollup_nation_year",
+    "customer_spend_window_suite",
+    "pagerank_event_transitions",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session

@@ -65,6 +65,7 @@ def load_all_modules() -> None:
         "tpch2_queries",
         "analytics_queries",
         "graph_queries",
+        "linalg_queries",
         "pipeline_queries",
         "streaming_queries",
         "format_queries",

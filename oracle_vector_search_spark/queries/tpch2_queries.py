@@ -14,7 +14,7 @@ fact-fact shuffle per query.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.queries import register
@@ -374,43 +374,47 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``l_shipdate > o_orderdate + 90 days`` (fixture has no
     commit/receipt dates); the EXISTS / NOT-EXISTS pair is rewritten
     as per-order distinct-supplier aggregates — the scale-correct form:
-    one shuffle on orderkey replaces two correlated self-joins of the
-    fact table, and the semantics are identical (another supplier
-    exists on the order ⇔ n_supp ≥ 2; no OTHER late supplier exists ⇔
-    n_late_supp = 1 given this supplier is late).
+    the semantics are identical (another supplier exists on the order ⇔
+    n_supp ≥ 2; no OTHER late supplier exists ⇔ n_late_supp = 1 given
+    this supplier is late), and the whole thing runs in THREE shuffles:
+    one distinct-pair aggregation on (orderkey, suppkey), per-order
+    counts as windows RIDING that same orderkey partitioning (no
+    re-shuffle of the fact table, no correlated self-joins), and the
+    tiny final supplier-name rollup.
     """
     orders = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     )
     li = load_table(spark, sf_dir, "lineitem")
-    f = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
-        "l_orderkey",
-        "l_suppkey",
-        (
-            F.col("l_shipdate")
-            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    pairs = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+                ).cast("int")
+            ).alias("late")
         )
-        .cast("int")
-        .alias("is_late"),
     )
-    per_order = f.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(
-            F.when(F.col("is_late") == 1, F.col("l_suppkey"))
-        ).alias("n_late_supp"),
-    )
-    late = (
-        f.filter(F.col("is_late") == 1)
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    w = Window.partitionBy("l_orderkey")
+    ann = pairs.select(
+        "l_suppkey",
+        "late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("late").over(w).alias("n_late_supp"),
     )
     supp = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name"
     )
     return (
-        late.join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), late.l_suppkey == supp.s_suppkey)
+        ann.filter(
+            (F.col("late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+        .join(F.broadcast(supp), ann.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -99,6 +99,7 @@ AT_REST_WRITERS = {
     "knn_exact_gemm_int8",
     "hamming_knn_top5",
     "incremental_corpus_admission",
+    "pagerank_event_transitions",
 }
 
 
@@ -120,6 +121,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
     medians: dict[str, float] = {}
+    mins: dict[str, float] = {}
     cold: dict[str, float] = {}
     one_time: dict[str, float] = {}
     for name in HEADLINE:
@@ -131,6 +133,10 @@ def main() -> None:
             runs.append(time.time() - t0)
         warm = round(statistics.median(runs[1:]), 3)
         medians[name] = warm
+        # best warm run: noise-immune capability number. The headline
+        # stays the median (methodology continuity across rounds); a
+        # large median-vs-min gap flags host contention, not code.
+        mins[name] = round(min(runs[1:]), 3)
         cold[name] = round(runs[0], 3)
         if name in AT_REST_WRITERS:
             one_time[name] = round(max(runs[0] - warm, 0.0), 3)
@@ -143,6 +149,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": medians,
+                "queries_min_warm": mins,
+                "min_warm_total": round(sum(mins.values()), 3),
                 "one_time_writes": one_time,
                 "cold_first_run": cold,
                 "runs_per_query": RUNS,

@@ -105,8 +105,11 @@ def load_all_modules() -> None:
 #   q20_excess_suppliers, q21_waiting_suppliers,
 #   revenue_rollup_nation_year, customer_spend_window_suite,
 #   quantity_quantiles_by_flag, set_ops_customer_cohorts,
-#   knn_radius_search, pagerank_event_transitions (all green in this
-#   session's full 218-query local gate at sf0.01).
+#   knn_radius_search, pagerank_event_transitions,
+#   embedding_gram_upper, embedding_covariance_upper,
+#   pca_top_eigenvector, tfidf_cosine_top5,
+#   copurchase_part_pairs_top20 (all green in this session's local
+#   gates at sf0.01).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

@@ -268,3 +268,60 @@ def set_ops_customer_cohorts(
         )
     )
     return repeat.unionAll(churned).unionAll(bag_diff)
+
+
+@register(
+    "copurchase_part_pairs_top20",
+    """
+WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM pp a
+  JOIN pp b ON a.l_orderkey = b.l_orderkey
+           AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+)
+SELECT part_a, part_b, n_orders, CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT part_a, part_b, n_orders,
+         row_number() OVER (
+           ORDER BY n_orders DESC, part_a, part_b) AS rn
+  FROM pairs
+) r
+WHERE rn <= 20
+ORDER BY rank
+""",
+)
+def copurchase_part_pairs_top20(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Market-basket pair mining: the 20 most co-purchased part pairs
+    (support counting — the candidate-generation step of frequent-
+    itemset mining). Distinct (order, part) FIRST, then the within-
+    order self-join: the quadratic blowup is bounded by basket size
+    (≤ lines-per-order), never corpus size, and the pair aggregation
+    is the only large shuffle. Top-20 compiles to
+    TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = li.select("l_orderkey", "l_partkey").distinct()
+    a = pp.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = pp.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    from oracle_vector_search_spark.operators.topk import (
+        global_topn_ranked,
+    )
+
+    return global_topn_ranked(
+        pairs, 20, F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
+    ).orderBy("rank")

@@ -2117,3 +2117,139 @@ def domain_oversample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "tfidf_cosine_top5",
+    """
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+         CAST(floor(1000.0 * (SELECT n_docs FROM n) / df) AS BIGINT)
+           AS idf_millis
+  FROM dfreq
+),
+w AS (
+  SELECT t.doc_id, t.term, CAST(t.tf * i.idf_millis AS BIGINT) AS w
+  FROM tf t JOIN idf i USING (term)
+),
+norms AS (
+  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm_sq
+  FROM w GROUP BY doc_id
+),
+qv AS (
+  SELECT term, idf_millis FROM idf
+  WHERE term IN ('vector', 'join', 'scan')
+),
+qn AS (
+  SELECT CAST(sum(idf_millis * idf_millis) AS BIGINT) AS qnorm_sq
+  FROM qv
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(d.dot AS DOUBLE)
+           / (sqrt(CAST(nm.norm_sq AS DOUBLE))
+              * sqrt(CAST((SELECT qnorm_sq FROM qn) AS DOUBLE)))
+           AS raw_score
+  FROM (
+    SELECT w.doc_id, CAST(sum(w.w * q.idf_millis) AS BIGINT) AS dot
+    FROM w JOIN qv q USING (term) GROUP BY w.doc_id
+  ) d
+  JOIN norms nm USING (doc_id)
+)
+SELECT doc_id, round(raw_score, 6) AS score,
+       CAST(rn AS INTEGER) AS rank
+FROM (
+  SELECT doc_id, raw_score,
+         row_number() OVER (ORDER BY raw_score DESC, doc_id) AS rn
+  FROM scored
+) r
+WHERE rn <= 5
+ORDER BY rank
+""",
+)
+def tfidf_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine retrieval for the fixed 3-term query — the
+    sparse-vector sibling of BM25: documents as tf·idf vectors, cosine
+    against the query vector (query tf ≡ 1), top-5.
+
+    Determinism: idf quantizes to integer MILLIS (floor(1000·N/df) —
+    the quantization is part of the scoring definition), so weights,
+    dot products, and squared norms are all exact BIGINT sums — the
+    only float math is one final sqrt/divide from identical integers,
+    which IEEE-reproduces bit-for-bit on both engines.
+
+    Scale shape: rides the same at-rest posting table as BM25; df/idf
+    is a vocabulary-sized aggregate (a nightly-build table in a real
+    deployment), doc norms are one posting-table aggregation, and the
+    query-side dot touches only the 3 query terms' postings. Top-5 is
+    TakeOrderedAndProject."""
+    postings, stats = _posting_tables(spark, sf_dir)
+    tf = postings.select("doc_id", "term", "tf")
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = dfreq.crossJoin(
+        F.broadcast(stats.select("n_docs"))
+    ).select(
+        "term",
+        F.floor(
+            F.lit(1000.0) * F.col("n_docs").cast("double") / F.col("df")
+        )
+        .cast("long")
+        .alias("idf_millis"),
+    )
+    w = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.col("idf_millis")).alias("w"),
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("norm_sq")
+    )
+    qv = idf.filter(F.col("term").isin(*BM25_TERMS)).select(
+        "term", F.col("idf_millis").alias("q_w")
+    )
+    qn = qv.agg(
+        F.sum(F.col("q_w") * F.col("q_w")).alias("qnorm_sq")
+    )
+    dots = (
+        w.join(F.broadcast(qv), "term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("w") * F.col("q_w")).alias("dot"))
+    )
+    scored = (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            (
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("norm_sq").cast("double"))
+                    * F.sqrt(F.col("qnorm_sq").cast("double"))
+                )
+            ).alias("raw_score"),
+        )
+    )
+    return (
+        global_topn_ranked(
+            scored, 5, F.desc("raw_score"), F.asc("doc_id")
+        )
+        .select(
+            "doc_id",
+            F.round("raw_score", 6).alias("score"),
+            "rank",
+        )
+        .orderBy("rank")
+    )

@@ -139,6 +139,57 @@ def main() -> None:
         matched / (q_big * K), 4
     )
 
+    # 400x probe (1M x 256-d, ~1 GB of float32) — run with
+    # PARITY_BENCH_BIG=1; kept off the default path so the routine
+    # parity check stays ~a minute. Index built via Arrow in 8 chunks
+    # to bound driver-side conversion memory.
+    if os.environ.get("PARITY_BENCH_BIG") == "1":
+        n_huge, d_huge, q_huge = 1_000_000, 256, 1_000
+        chunk = n_huge // 8
+        parts = []
+        for c in range(8):
+            hm = rng.randn(chunk, d_huge).astype(np.float32)
+            parts.append(
+                spark.createDataFrame(
+                    pd.DataFrame(
+                        {
+                            "vec_id": np.arange(
+                                c * chunk, (c + 1) * chunk, dtype=np.int64
+                            ),
+                            "embedding": list(hm),
+                        }
+                    ),
+                    schema="vec_id long, embedding array<float>",
+                )
+            )
+        huge_df = parts[0]
+        for p in parts[1:]:
+            huge_df = huge_df.unionByName(p)
+        huge_df = huge_df.repartition(64).persist()
+        huge_df.count()
+        qh = rng.randn(q_huge, d_huge).astype(np.float32)
+        qh_df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": np.arange(q_huge, dtype=np.int64)
+                    + 20_000_000,
+                    "embedding": list(qh),
+                }
+            ),
+            schema="vec_id long, embedding array<float>",
+        )
+        t0 = time.time()
+        n = knn_exact_gemm(huge_df, qh_df, k=K).count()
+        huge_s = time.time() - t0
+        assert n == q_huge * K
+        results["scale_1m_256d_q1000"] = {
+            "gemm_sec": round(huge_s, 3),
+            "gemm_qps": round(q_huge / huge_s, 1),
+            "gflops": round(
+                q_huge * n_huge * d_huge * 2 / huge_s / 1e9, 1
+            ),
+        }
+
     print(
         json.dumps(
             {

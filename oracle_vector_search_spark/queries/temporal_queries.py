@@ -635,3 +635,155 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bar_id")
     )
+
+
+@register(
+    "events_hourly_gapfill_ffill",
+    """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) // 3600000000000 AS hr,
+         epoch_ns(ts) AS ts_ns,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id < 8
+), hourly AS (
+  SELECT user_id, hr, cents FROM (
+    SELECT user_id, hr, cents,
+           row_number() OVER (PARTITION BY user_id, hr
+                              ORDER BY ts_ns DESC, event_id DESC) AS rn
+    FROM e) z WHERE rn = 1
+), spans AS (
+  SELECT user_id, min(hr) AS h0, max(hr) AS h1 FROM e GROUP BY user_id
+), timeline AS (
+  SELECT user_id,
+         CAST(unnest(generate_series(h0, h1)) AS BIGINT) AS hr
+  FROM spans
+), joined AS (
+  SELECT t.user_id, t.hr, h.cents,
+         CASE WHEN h.cents IS NULL THEN 0 ELSE 1 END AS is_observed
+  FROM timeline t LEFT JOIN hourly h USING (user_id, hr)
+)
+SELECT user_id, hr,
+       CAST(coalesce(last_value(cents IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY hr
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+         AS BIGINT) AS cents_ffill,
+       CAST(is_observed AS INTEGER) AS is_observed
+FROM joined
+""",
+)
+def events_hourly_gapfill_ffill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-series resampling: per-user hourly grid (gap-fill via
+    ``sequence``/explode between each user's first and last hour) with
+    forward-filled last observation (``last(..., ignorenulls)`` over an
+    UNBOUNDED PRECEDING row frame) — the downsample-then-carry-forward
+    shape every metrics store needs.
+
+    Scale shape: the dedup-to-hourly window, the span aggregate, the
+    grid join, and the forward-fill window ALL partition on user_id —
+    one shuffle key end-to-end; the timeline generates map-side from
+    each user's (h0, h1) span row, so the grid never materializes on
+    the driver. Hours before a user's first observation fill with the
+    -1 sentinel on both engines."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    e = ev.select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 3600000000000").alias("hr"),
+        "ts_ns",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    wdedup = Window.partitionBy("user_id", "hr").orderBy(
+        F.desc("ts_ns"), F.desc("event_id")
+    )
+    hourly = (
+        e.withColumn("rn", F.row_number().over(wdedup))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hr", "cents")
+    )
+    spans = e.groupBy("user_id").agg(
+        F.min("hr").alias("h0"), F.max("hr").alias("h1")
+    )
+    timeline = spans.select(
+        "user_id",
+        F.explode(F.sequence("h0", "h1")).alias("hr"),
+    )
+    joined = timeline.join(hourly, ["user_id", "hr"], "left").select(
+        "user_id",
+        "hr",
+        "cents",
+        F.when(F.col("cents").isNull(), 0).otherwise(1).alias("obs"),
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hr",
+        F.coalesce(
+            F.last("cents", ignorenulls=True).over(wf), F.lit(-1)
+        )
+        .cast("long")
+        .alias("cents_ffill"),
+        F.col("obs").cast("int").alias("is_observed"),
+    )
+
+
+@register(
+    "events_rolling_median_value",
+    """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) AS ts_ns,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id < 8
+)
+SELECT user_id, event_id,
+       round(quantile_cont(cents, 0.5) OVER (
+         PARTITION BY user_id ORDER BY ts_ns, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_median_cents,
+       CAST(count(*) OVER (
+         PARTITION BY user_id ORDER BY ts_ns, event_id
+         ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS window_n
+FROM e
+""",
+)
+def events_rolling_median_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rolling exact median (10-event trailing window) per user — the
+    order-statistic sibling of the EWMA/CUSUM sequential folds:
+    robust-to-outliers smoothing that a mean-based window can't give.
+
+    Spark's exact ``percentile`` runs as a WINDOW aggregate over the
+    bounded row frame (sorts ≤ 10 values per row — cost is frame-
+    bounded, not partition-bounded); same linear interpolation as
+    DuckDB's ``quantile_cont``, over identical integer cents, so the
+    result is engine-exact. One shuffle on user_id; the total window
+    order (ts, event_id) pins frame membership under ties."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr("percentile(cents, 0.5D)").over(w), 6).alias(
+            "rolling_median_cents"
+        ),
+        F.count(F.lit(1)).over(w).alias("window_n"),
+    )

@@ -235,3 +235,69 @@ def search(
         "class_name",
         "score",
     )
+
+
+def search_radius(
+    spark: SparkSession,
+    index: DataFrame,
+    query_images: DataFrame,
+    threshold: float = 0.9,
+    preprocess: str = "gamma_blur",
+    dims: int = 8,
+) -> DataFrame:
+    """Similarity-bounded search (FAISS ``range_search`` counterpart to
+    the reference's fixed top-5 call): every index match with cosine ≥
+    ``threshold`` per query image — same decode → preprocess → detect →
+    crop → embed pipeline as :func:`search`, no rank cutoff. Use when
+    the question is "everything at least this similar" (duplicate
+    sweeps, recall-first retrieval) rather than "the best k"."""
+    from oracle_vector_search_spark.operators.knn import radius_search
+
+    decoded = decode_images(query_images).filter(
+        F.col("pixels").isNotNull()
+    )
+    pre = preprocess_images(decoded, mode=preprocess)
+    dets = detect_boxes(pre)
+    best = dets.groupBy("stem").agg(
+        F.max_by(
+            F.struct("x1", "y1", "x2", "y2"), F.struct("conf", "x1")
+        ).alias("b")
+    )
+    boxes = best.select(
+        "stem",
+        F.lit(0).cast("long").alias("box_idx"),
+        F.lit(-1).alias("class_id"),
+        F.col("b.x1").alias("x1"),
+        F.col("b.y1").alias("y1"),
+        F.col("b.x2").alias("x2"),
+        F.col("b.y2").alias("y2"),
+    )
+    crops = crop_boxes(boxes.join(pre, "stem"))
+    q = embed_crops(crops.filter(F.col("crop").isNotNull()), dims=dims)
+    q = q.select(
+        F.col("stem").alias("query_stem"), "embedding"
+    ).withColumn("qid", F.xxhash64("query_stem"))
+    hits = radius_search(
+        index,
+        q,
+        threshold=threshold,
+        id_col="id",
+        vec_col="embedding",
+        query_id_col="qid",
+        query_vec_col="embedding",
+    )
+    meta = index.select(
+        "id", "class_id", "class_name", "stem", "split"
+    ).withColumnRenamed("stem", "match_stem")
+    out = knn_join_metadata(
+        hits, meta, on="id", neighbor_col="neighbor_id"
+    )
+    names = q.select("qid", "query_stem")
+    return out.join(names, out.query_id == names.qid).select(
+        "query_stem",
+        F.col("neighbor_id").alias("match_id"),
+        "match_stem",
+        "class_id",
+        "class_name",
+        "score",
+    )

@@ -128,3 +128,34 @@ def test_upsert_index_stable_ids(spark, corpus_dir, labels):
     # stale extra box of a re-labeled stem does not survive
     img1_rows = [r for r in rows if r["stem"] == "img1"]
     assert len(img1_rows) == 1
+
+
+def test_search_radius_contract(spark, corpus_dir, labels):
+    """Radius search through the full image pipeline: every hit clears
+    the threshold, and lowering the threshold can only ADD matches."""
+    from oracle_vector_search_spark.api import search_radius
+
+    with tempfile.TemporaryDirectory() as out:
+        build_index(spark, corpus_dir, labels, out_path=f"{out}/index")
+        idx = load_index(spark, f"{out}/index")
+        queries = spark.createDataFrame(
+            [
+                (
+                    f"q_img{i}",
+                    f"q/img{i}.fake",
+                    open(os.path.join(corpus_dir, f"img{i}.fake"), "rb").read(),
+                )
+                for i in (1, 4)
+            ],
+            "stem string, path string, content binary",
+        )
+        tight = search_radius(spark, idx, queries, threshold=0.9)
+        loose = search_radius(spark, idx, queries, threshold=0.2)
+        t_rows = tight.collect()
+        for r in t_rows:
+            assert r["score"] >= 0.9
+        t_pairs = {(r["query_stem"], r["match_id"]) for r in t_rows}
+        l_pairs = {
+            (r["query_stem"], r["match_id"]) for r in loose.collect()
+        }
+        assert t_pairs <= l_pairs

@@ -188,3 +188,266 @@ def pq_refined_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         refined.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= 5)
     )
+
+
+# ---------------------------------------------------------------- IVF-PQ
+
+_NPROBE = 2
+_DIM = 64
+_STRIDE = 31  # operators.ann.SEED_STRIDE — frozen coarse codebook
+
+
+def _duck_ivfpq_cte() -> str:
+    """Shared CTE chain: coarse-assign → residual → PQ(residual) →
+    approx reconstruction (seed + residual recon)."""
+    code_exprs = ", ".join(
+        f"{Q.duck_code_sql('r', s)} AS code{s}"
+        for s in range(Q.PQ_SUBSPACES)
+    )
+    recon = Q.duck_recon_sql(_CODE_COLS)
+    cos = _DUCK_COS
+    return f"""
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, e AS sv FROM v
+          WHERE vec_id % {_STRIDE} = 0),
+asg AS (
+  SELECT vec_id, seed_id AS cluster_id, sv FROM (
+    SELECT v.vec_id, s.seed_id, s.sv,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY {cos.format(a='v.e', b='s.sv')} DESC, s.seed_id
+           ) AS rn
+    FROM v CROSS JOIN seeds s) z
+  WHERE rn = 1
+),
+res AS (
+  SELECT a.vec_id, a.cluster_id, a.sv,
+         list_transform(generate_series(1, {_DIM}),
+                        i -> v.e[i] - a.sv[i]) AS r
+  FROM asg a JOIN v USING (vec_id)
+),
+coded AS (SELECT vec_id, cluster_id, sv, r, {code_exprs} FROM res),
+reconr AS (SELECT vec_id, cluster_id, sv, r, {recon} AS rr FROM coded),
+approx AS (
+  SELECT vec_id, cluster_id,
+         list_transform(generate_series(1, {_DIM}),
+                        i -> sv[i] + rr[i]) AS av
+  FROM reconr
+)"""
+
+
+def _spark_ivfpq_approx(spark: SparkSession, sf_dir: str):
+    """(vec_id, cluster_id, av) — the Spark twin of the oracle CTEs."""
+    from oracle_vector_search_spark.functions.vector import as_double_array
+    from oracle_vector_search_spark.operators.ann import (
+        SEED_STRIDE,
+        ivf_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    seeds = v.filter(F.col("vec_id") % SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("sv")
+    )
+    asg = ivf_assign(emb)
+    res = (
+        v.join(asg, "vec_id")
+        .join(F.broadcast(seeds), "cluster_id")
+        .select(
+            "vec_id",
+            "cluster_id",
+            "sv",
+            F.zip_with("v", "sv", lambda x, y: x - y).alias("r"),
+        )
+    )
+    coded = Q.pq_encode(res, vec_col="r").select(
+        "vec_id", F.col("e").alias("r_used"), "recon"
+    )
+    return coded.join(
+        res.select("vec_id", "cluster_id", "sv"), "vec_id"
+    ).select(
+        "vec_id",
+        "cluster_id",
+        F.zip_with("sv", "recon", lambda x, y: x + y).alias("av"),
+    )
+
+
+@register(
+    "ivfpq_ann_topk",
+    f"""
+WITH {_duck_ivfpq_cte()},
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, seed_id AS cluster_id FROM (
+    SELECT q.query_id, s.seed_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_DUCK_COS.format(a='q.qv', b='s.sv')} DESC,
+                      s.seed_id
+           ) AS rn
+    FROM q CROSS JOIN seeds s) z
+  WHERE rn <= {_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_DUCK_COS.format(a='q.qv', b='a.av')} AS score
+  FROM probes p
+  JOIN approx a ON a.cluster_id = p.cluster_id
+  JOIN q ON q.query_id = p.query_id
+)
+SELECT query_id, neighbor_id, score, CAST(rn AS INTEGER) AS rank
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+      FROM scored)
+WHERE rn <= 5
+""",
+)
+def ivfpq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual search — the FAISS-workhorse composition of the
+    two existing tiers: coarse-quantize to the frozen O(√N) seed set
+    (operators.ann.ivf_assign), PQ-encode the RESIDUAL vector against
+    the hash-derived codebooks (operators.quantize), and serve queries
+    by probing the top-{_NPROBE} coarse clusters and ADC-scoring
+    ``seed + recon(residual)``.
+
+    Residual coding is what makes PQ codes usable under IVF: within a
+    cluster the residuals are centered near zero, so the same codebook
+    budget spends its precision on the local neighborhood (audited by
+    ``ivfpq_residual_fidelity``). At rest the table is
+    (cluster_id, codes): cluster-partition-pruned at query time, with
+    8 code bytes per vector — the 100 TB serving layout. Entirely
+    oracle-checked because every stage (assignment argmax, codebooks,
+    fold order, rounding) is engine-portable by construction."""
+    from oracle_vector_search_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+    from oracle_vector_search_spark.operators.ann import SEED_STRIDE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = _spark_ivfpq_approx(spark, sf_dir)
+    v = emb.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    seeds = v.filter(F.col("vec_id") % SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("cluster_id"), F.col("v").alias("sv")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("qv"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_score"), F.asc("cluster_id")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "cluster_id",
+            F.round(cosine_similarity("qv", "sv"), 6).alias(
+                "probe_score"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= _NPROBE)
+        .select("query_id", "cluster_id")
+    )
+    scored = (
+        probes.join(approx, "cluster_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity("qv", "av"), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "ivfpq_residual_fidelity",
+    f"""
+WITH {_duck_ivfpq_cte()},
+plain AS (
+  SELECT vec_id,
+         {', '.join(f"{Q.duck_code_sql('e', s)} AS pcode{s}"
+                    for s in range(Q.PQ_SUBSPACES))}
+  FROM v
+),
+plain_recon AS (
+  SELECT vec_id,
+         {Q.duck_recon_sql([f"pcode{s}" for s in range(Q.PQ_SUBSPACES)])}
+           AS pr
+  FROM plain
+),
+fid AS (
+  SELECT a.cluster_id,
+         CAST(round({_DUCK_COS.format(a='v.e', b='a.av')} * 1000000.0)
+              AS BIGINT) AS ivfpq_micros,
+         CAST(round({_DUCK_COS.format(a='v.e', b='p.pr')} * 1000000.0)
+              AS BIGINT) AS pq_micros
+  FROM approx a
+  JOIN v USING (vec_id)
+  JOIN plain_recon p USING (vec_id)
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(ivfpq_micros) AS BIGINT) AS sum_ivfpq_recon_micros,
+       CAST(sum(pq_micros) AS BIGINT) AS sum_pq_recon_micros
+FROM fid
+GROUP BY cluster_id
+""",
+)
+def ivfpq_residual_fidelity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Why residual coding: per coarse cluster, the summed
+    reconstruction cosine of IVF-PQ (seed + coded residual) vs plain
+    PQ on the raw vector, as exact integer micro-units (rounded
+    per-row BEFORE summing, so the aggregate is order-independent).
+    With the hash-derived (untrained) codebooks the residual tier wins
+    on average but modestly (measured ~0.248 vs ~0.237 mean recon
+    cosine at sf0.01) — trained per-cluster codebooks would widen the
+    gap; the point of the query is that the measurement itself is
+    engine-exact and re-runs on every corpus."""
+    from oracle_vector_search_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = _spark_ivfpq_approx(spark, sf_dir)
+    v = emb.select(
+        "vec_id", as_double_array("embedding").alias("v")
+    )
+    plain = Q.pq_encode(emb).select(
+        "vec_id", F.col("recon").alias("pr")
+    )
+    both = (
+        approx.join(v, "vec_id")
+        .join(plain, "vec_id")
+        .select(
+            "cluster_id",
+            # mirror the oracle exactly: round to 6 FIRST (the
+            # _DUCK_COS template includes it), then scale to micros
+            F.round(F.round(cosine_similarity("v", "av"), 6) * 1000000.0)
+            .cast("long")
+            .alias("ivfpq_micros"),
+            F.round(F.round(cosine_similarity("v", "pr"), 6) * 1000000.0)
+            .cast("long")
+            .alias("pq_micros"),
+        )
+    )
+    return both.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("ivfpq_micros").alias("sum_ivfpq_recon_micros"),
+        F.sum("pq_micros").alias("sum_pq_recon_micros"),
+    )

@@ -325,3 +325,85 @@ def copurchase_part_pairs_top20(
     return global_topn_ranked(
         pairs, 20, F.desc("n_orders"), F.asc("part_a"), F.asc("part_b")
     ).orderBy("rank")
+
+
+@register(
+    "pareto_skyline_orders",
+    """
+WITH pts AS (
+  SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents,
+         epoch_ns(o_orderdate) // 1000 AS date_us,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1, 2
+), flagged AS (
+  SELECT *, max(date_us) OVER (
+    ORDER BY price_cents DESC, date_us DESC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM pts
+)
+SELECT price_cents, date_us, n_orders
+FROM flagged
+WHERE prev_max IS NULL OR prev_max < date_us
+""",
+)
+def pareto_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-dominance) query over distinct
+    (price, orderdate) points: keep the points no other point beats on
+    BOTH price and recency (≥/≥ with at least one strict; duplicate
+    points collapse to one row with a count, which also makes the
+    equal-point no-domination case exact).
+
+    The sort-order trick: under (price DESC, date DESC) every potential
+    dominator precedes its victim, so a point survives iff the running
+    max of preceding dates is strictly below its own. Skyline is
+    DECOMPOSABLE — skyline(S) = skyline(∪ skyline(parts)) — so stage 1
+    runs that formula per price-bucket in parallel (local windows,
+    one shuffle), and stage 2 re-runs it over the few local survivors
+    (window over a constant anchor that Spark 4's
+    EliminateWindowPartitions can't fold — the bounded-input idiom
+    from operators.topk). At 100 TB stage 1 does all the heavy
+    lifting; stage 2's input is ~skyline-sized per bucket.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pts = (
+        orders.groupBy(
+            _cents("o_totalprice").alias("price_cents"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "date_us"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    # stage 1: local skyline per fixed-width price bucket
+    bucketed = pts.withColumn(
+        "bkt", F.col("price_cents") - F.pmod("price_cents", F.lit(5_000_00))
+    )
+    w1 = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("price_cents"), F.desc("date_us"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "prev_max", F.max("date_us").over(w1)
+    ).filter(
+        F.col("prev_max").isNull()
+        | (F.col("prev_max") < F.col("date_us"))
+    )
+    # stage 2: exact skyline over the (small) union of local survivors;
+    # constant-but-unfoldable anchor keeps the single partition silent
+    # and deliberate (see operators/topk.py)
+    anchor = F.pmod(F.hash("price_cents"), F.lit(1))
+    w2 = (
+        Window.partitionBy(anchor)
+        .orderBy(F.desc("price_cents"), F.desc("date_us"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        local.drop("bkt", "prev_max")
+        .withColumn("prev_max", F.max("date_us").over(w2))
+        .filter(
+            F.col("prev_max").isNull()
+            | (F.col("prev_max") < F.col("date_us"))
+        )
+        .select("price_cents", "date_us", "n_orders")
+    )

@@ -224,3 +224,35 @@ class TestTpch2:
             | (F.col("nation_vol_cents") > F.col("total_vol_cents"))
         )
         assert bad.count() == 0
+
+
+class TestSkyline:
+    def test_skyline_exact_vs_bruteforce(self, spark, sf_dir):
+        """Two-stage skyline == brute-force dominance filter: no output
+        point is dominated, and every excluded point IS dominated."""
+        df = _run("pareto_skyline_orders", spark, sf_dir)
+        sky = {(r["price_cents"], r["date_us"]) for r in df.collect()}
+        orders = load_table(spark, sf_dir, "orders")
+        pts = {
+            (r["p"], r["d"])
+            for r in orders.groupBy(
+                F.floor(F.col("o_totalprice") * 100)
+                .cast("long")
+                .alias("p"),
+                F.unix_micros(
+                    F.col("o_orderdate").cast("timestamp")
+                ).alias("d"),
+            )
+            .count()
+            .collect()
+        }
+
+        def dominated(b, pool):
+            return any(
+                a != b and a[0] >= b[0] and a[1] >= b[1] for a in pool
+            )
+
+        for b in sky:
+            assert not dominated(b, pts), f"dominated point in skyline: {b}"
+        for b in pts - sky:
+            assert dominated(b, pts), f"skyline missed point: {b}"

@@ -110,8 +110,9 @@ def load_all_modules() -> None:
 #   pca_top_eigenvector, tfidf_cosine_top5,
 #   copurchase_part_pairs_top20, events_hourly_gapfill_ffill,
 #   events_rolling_median_value, ivfpq_ann_topk,
-#   ivfpq_residual_fidelity, pareto_skyline_orders (all green in this
-#   session's local gates at sf0.01).
+#   ivfpq_residual_fidelity, pareto_skyline_orders,
+#   source_lang_chisq_divergence (all green in this session's local
+#   gates at sf0.01).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

@@ -450,3 +450,85 @@ def udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY t.doc_id, t.win_idx
         """
     )
+
+
+@register(
+    "source_lang_chisq_divergence",
+    """
+WITH counts AS (
+  SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl
+  FROM documents GROUP BY source, lang
+), per_source AS (
+  SELECT source, CAST(sum(n_sl) AS BIGINT) AS n_s FROM counts
+  GROUP BY source
+), per_lang AS (
+  SELECT lang, CAST(sum(n_sl) AS BIGINT) AS n_l FROM counts
+  GROUP BY lang
+), total AS (
+  SELECT CAST(sum(n_sl) AS BIGINT) AS n FROM counts
+), cells AS (
+  SELECT s.source, l.lang,
+         coalesce(c.n_sl, 0) AS n_sl, s.n_s, l.n_l, t.n
+  FROM per_source s
+  CROSS JOIN per_lang l
+  CROSS JOIN total t
+  LEFT JOIN counts c ON c.source = s.source AND c.lang = l.lang
+)
+SELECT source,
+       round(sum(
+         ((CAST(n_sl AS DOUBLE) / n_s) - (CAST(n_l AS DOUBLE) / n))
+         * ((CAST(n_sl AS DOUBLE) / n_s) - (CAST(n_l AS DOUBLE) / n))
+         / (CAST(n_l AS DOUBLE) / n)
+       ), 6) AS chisq_divergence,
+       CAST(max(n_s) AS BIGINT) AS n_docs
+FROM cells
+GROUP BY source
+""",
+)
+def source_lang_chisq_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution-drift audit without cross-libm logs: χ² divergence
+    of each source's language mix from the corpus-wide mix,
+    Σ_lang (p_s(l) − q(l))² / q(l) — every term is a ratio of exact
+    integer counts, so unlike a KL divergence there is no ``ln`` whose
+    last-ulp differs between libm builds (the repo-wide policy; see
+    bm25's rational idf). Zero-count (source, lang) cells materialize
+    via the dense source×lang grid so the divergence includes missing
+    languages.
+
+    Scale shape: one (source, lang) count aggregation; the dense grid
+    is |sources|×|langs| (metadata-sized) built from two broadcast
+    marginals. The per-source χ² against a reference mix is the
+    monitoring quantity a corpus-curation pipeline alerts on when a
+    crawl snapshot's language balance drifts."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_sl")
+    )
+    per_source = counts.groupBy("source").agg(
+        F.sum("n_sl").alias("n_s")
+    )
+    per_lang = counts.groupBy("lang").agg(F.sum("n_sl").alias("n_l"))
+    total = counts.agg(F.sum("n_sl").alias("n"))
+    cells = (
+        per_source.crossJoin(F.broadcast(per_lang))
+        .crossJoin(F.broadcast(total))
+        .join(counts, ["source", "lang"], "left")
+        .select(
+            "source",
+            "lang",
+            F.coalesce("n_sl", F.lit(0)).alias("n_sl"),
+            "n_s",
+            "n_l",
+            "n",
+        )
+    )
+    p = F.col("n_sl").cast("double") / F.col("n_s")
+    q = F.col("n_l").cast("double") / F.col("n")
+    return cells.groupBy("source").agg(
+        F.round(F.sum((p - q) * (p - q) / q), 6).alias(
+            "chisq_divergence"
+        ),
+        F.max("n_s").alias("n_docs"),
+    )

@@ -111,8 +111,9 @@ def load_all_modules() -> None:
 #   copurchase_part_pairs_top20, events_hourly_gapfill_ffill,
 #   events_rolling_median_value, ivfpq_ann_topk,
 #   ivfpq_residual_fidelity, pareto_skyline_orders,
-#   source_lang_chisq_divergence (all green in this session's local
-#   gates at sf0.01).
+#   source_lang_chisq_divergence, cdc_merge_with_deletes,
+#   null_safe_join_audit (all green in this session's local gates at
+#   sf0.01).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

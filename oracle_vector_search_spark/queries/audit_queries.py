@@ -17,7 +17,7 @@ them). The audit table is the distributed engine's answer.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.queries import register
@@ -551,4 +551,131 @@ def range_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("in_sync"))
         .select("bucket", "n_a", "n_b", "in_sync")
         .orderBy("bucket")
+    )
+
+
+@register(
+    "cdc_merge_with_deletes",
+    """
+WITH feed AS (
+  SELECT user_id,
+         epoch_ns(ts) AS ts_ns,
+         event_id,
+         CASE WHEN event_type = 'click' THEN 'D' ELSE 'U' END AS op,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), latest AS (
+  SELECT user_id, op, cents, ts_ns FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) AS rn
+    FROM feed) z
+  WHERE rn = 1
+)
+SELECT user_id, cents AS last_cents, CAST(ts_ns AS BIGINT) AS ts_ns
+FROM latest WHERE op = 'U'
+""",
+)
+def cdc_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-aware CDC merge: fold a change feed (upserts + 'click'
+    tombstones) into final state — a key survives only if its LATEST
+    op is an upsert. The rank-1-per-key shape of
+    ``streaming_upsert_snapshot`` extended with tombstone semantics:
+    the delete doesn't just win the rank, it REMOVES the key from the
+    snapshot, which is the part naive last-write-wins merges get wrong.
+
+    One shuffle on the key; at scale this is exactly the foreachBatch
+    merge epoch of streaming/ops.py with op-aware filtering, and the
+    batch oracle here is its correctness definition."""
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        F.when(F.col("event_type") == "click", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_ns"), F.desc("event_id")
+    )
+    return (
+        feed.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "user_id",
+            F.col("cents").alias("last_cents"),
+            F.col("ts_ns").cast("long").alias("ts_ns"),
+        )
+    )
+
+
+@register(
+    "null_safe_join_audit",
+    """
+WITH feed AS (
+  SELECT user_id,
+         epoch_ns(ts) AS ts_ns,
+         event_id,
+         CASE WHEN CAST(floor(value * 100) AS BIGINT) % 7 = 0
+              THEN NULL
+              ELSE CAST(floor(value * 100) AS BIGINT) % 7 END AS k7
+  FROM events
+), firsts AS (
+  SELECT user_id, k7 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts_ns, event_id) AS rn
+    FROM feed) z WHERE rn = 1
+), lasts AS (
+  SELECT user_id, k7 FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id ORDER BY ts_ns DESC, event_id DESC) AS rn
+    FROM feed) z WHERE rn = 1
+)
+SELECT CAST(coalesce(f.k7, -1) AS BIGINT) AS k7,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM firsts f
+JOIN lasts l ON f.k7 IS NOT DISTINCT FROM l.k7
+GROUP BY 1
+""",
+)
+def null_safe_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (``<=>`` / IS NOT DISTINCT FROM): the
+    derived key is NULL for ~1/7 of users, and the join must MATCH
+    null-to-null (unlike plain ``=`` which silently drops those rows —
+    the classic missed-rows bug in merge keys with optional columns).
+    Pairs first-event keys with last-event keys across users and
+    counts per key; the NULL bucket reports as -1.
+
+    Spark plans ``eqNullSafe`` as a regular hash join on a
+    null-coalesced internal key — same single shuffle as an equi-join,
+    NOT a cartesian + filter."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100).cast("long")
+    feed = ev.select(
+        "user_id",
+        "ts_ns",
+        "event_id",
+        F.when(cents % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(cents % 7)
+        .alias("k7"),
+    )
+    wf = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    wl = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_ns"), F.desc("event_id")
+    )
+    firsts = (
+        feed.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") == 1)
+        .select(F.col("k7").alias("f_k7"))
+    )
+    lasts = (
+        feed.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select(F.col("k7").alias("l_k7"))
+    )
+    return (
+        firsts.join(lasts, F.col("f_k7").eqNullSafe(F.col("l_k7")))
+        .groupBy(F.coalesce("f_k7", F.lit(-1)).alias("k7"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
     )

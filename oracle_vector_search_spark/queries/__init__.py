@@ -112,8 +112,8 @@ def load_all_modules() -> None:
 #   events_rolling_median_value, ivfpq_ann_topk,
 #   ivfpq_residual_fidelity, pareto_skyline_orders,
 #   source_lang_chisq_divergence, cdc_merge_with_deletes,
-#   null_safe_join_audit (all green in this session's local gates at
-#   sf0.01).
+#   null_safe_join_audit, xml_roundtrip_checksum (all green in this
+#   session's local gates at sf0.01).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

@@ -150,3 +150,15 @@ def merge_schema_evolution_audit(
         )
         .orderBy("event_type")
     )
+
+
+@register("xml_roundtrip_checksum", _CHECKSUM_ORACLE)
+def xml_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → XML → events via Spark 4's built-in XML source, with
+    explicit schema and µs timestamp format; entity-escaping of the
+    JSON props payload is the adversarial part. Checksum equality
+    against pristine parquet proves the markup round-trip lossless
+    (sources/formats.py)."""
+    from oracle_vector_search_spark.sources.formats import events_via_xml
+
+    return _checksum(events_via_xml(spark, sf_dir))

@@ -81,3 +81,37 @@ def events_via_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("timestampFormat", _CSV_TS_FMT)
         .csv(path)
     )
+
+
+_XML_CACHE: dict[tuple[str, str], str] = {}
+
+
+def events_via_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table round-tripped through XML (Spark 4's built-in
+    XML source). Same lossiness discipline as CSV: explicit schema and
+    µs timestamp format on BOTH sides; XML entity-escaping of the JSON
+    ``props`` payload (quotes, braces, ampersand-free but
+    angle-bracket-adjacent text) is the adversarial part the checksum
+    guards."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _XML_CACHE.get(key)
+    if path is None:
+        path = os.path.join(scratch_dir("ovs_xml_"), "events")
+        (
+            load_table(spark, sf_dir, "events")
+            .repartition(4)
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "events")
+            .option("rowTag", "event")
+            .option("timestampFormat", _CSV_TS_FMT)
+            .save(path)
+        )
+        _XML_CACHE[key] = path
+    return (
+        spark.read.schema(EVENTS_CSV_SCHEMA)
+        .format("xml")
+        .option("rowTag", "event")
+        .option("timestampFormat", _CSV_TS_FMT)
+        .load(path)
+    )

@@ -191,16 +191,21 @@ WITH vals AS (
   WHERE n.n_nationkey < 5
   GROUP BY l.l_partkey
 ), total AS (
-  SELECT sum(value_cents) AS grand_cents FROM vals
+  SELECT sum(value_cents) AS grand_cents,
+         CAST(count(*) AS BIGINT) AS n_parts
+  FROM vals
 )
 SELECT v.l_partkey, v.value_cents
 FROM vals v, total t
-WHERE CAST(v.value_cents AS DOUBLE) > 0.0012 * t.grand_cents
+WHERE CAST(v.value_cents AS DOUBLE)
+      > 2.4 * (CAST(t.grand_cents AS DOUBLE) / t.n_parts)
 """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 (important stock): parts whose traded value through
-    suppliers of five nations exceeds a fraction of the grand total.
+    suppliers of five nations exceeds 2.4× the mean per-part value (relative threshold, so the
+    selectivity survives scale-factor changes — a fixed grand-total
+    fraction empties out as the part count grows).
     No partsupp in the fixture → value is lineitem extendedprice cents
     (adapted); the operator shape — grouped agg compared against a
     scalar global aggregate (correlated HAVING subquery) — is Q11's.
@@ -224,12 +229,19 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(_cents("l_extendedprice")).alias("value_cents"))
     )
-    total = vals.agg(F.sum("value_cents").alias("grand_cents"))
+    total = vals.agg(
+        F.sum("value_cents").alias("grand_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
     return (
         vals.crossJoin(F.broadcast(total))
         .filter(
             F.col("value_cents").cast("double")
-            > 0.0012 * F.col("grand_cents")
+            > 2.4
+            * (
+                F.col("grand_cents").cast("double")
+                / F.col("n_parts")
+            )
         )
         .select("l_partkey", "value_cents")
     )

@@ -117,3 +117,50 @@ def test_bench_headline_subset_of_registry():
     missing = [n for n in bench.HEADLINE if n not in q]
     assert not missing, missing
     assert set(bench.AT_REST_WRITERS) <= set(bench.HEADLINE)
+
+
+def test_tpch_analogue_sweep_complete():
+    """All 22 TPC-H query shapes have a registered, oracle-backed
+    analogue (adapted to the fixture schema where the spec needs
+    partsupp/commitdate — see tpch2_queries docstring)."""
+    from oracle_vector_search_spark.queries import (
+        REGISTRY,
+        load_all_modules,
+    )
+
+    load_all_modules()
+    analogues = {
+        1: "q1_pricing_summary",
+        2: "min_cost_supplier_per_part",
+        3: "q3_shipping_priority",
+        4: "q4_late_orders",
+        5: "revenue_by_nation",
+        6: "q6_forecast_revenue",
+        7: "nation_pair_volume",
+        8: "q8_market_share",
+        9: "q9_product_profit",
+        10: "top_returning_customers",
+        11: "q11_important_stock",
+        12: "priority_by_linestatus",
+        13: "customer_order_distribution",
+        14: "q14_promo_revenue",
+        15: "top_revenue_suppliers",
+        16: "q16_parts_supplier",
+        17: "small_order_revenue",
+        18: "q18_large_volume_customers",
+        19: "brand_discount_revenue",
+        20: "q20_excess_suppliers",
+        21: "q21_waiting_suppliers",
+        22: "q22_idle_rich_customers",
+    }
+    missing = {
+        q: name for q, name in analogues.items() if name not in REGISTRY
+    }
+    assert not missing, f"TPC-H analogues missing: {missing}"
+    # every analogue carries a DuckDB oracle (no rows-only entries)
+    no_oracle = {
+        q: name
+        for q, name in analogues.items()
+        if REGISTRY[name][1] is None
+    }
+    assert not no_oracle, f"TPC-H analogues without oracle: {no_oracle}"

@@ -83,6 +83,10 @@ HEADLINE = [
     "revenue_rollup_nation_year",
     "customer_spend_window_suite",
     "pagerank_event_transitions",
+    # late-r5: sparse-vector retrieval over at-rest idf/norm tables and
+    # the IVF-PQ residual index (cluster-partition-pruned codes table)
+    "tfidf_cosine_top5",
+    "ivfpq_ann_topk",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session
@@ -100,6 +104,8 @@ AT_REST_WRITERS = {
     "hamming_knn_top5",
     "incremental_corpus_admission",
     "pagerank_event_transitions",
+    "tfidf_cosine_top5",
+    "ivfpq_ann_topk",
 }
 
 

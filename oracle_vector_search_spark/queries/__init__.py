@@ -112,8 +112,9 @@ def load_all_modules() -> None:
 #   events_rolling_median_value, ivfpq_ann_topk,
 #   ivfpq_residual_fidelity, pareto_skyline_orders,
 #   source_lang_chisq_divergence, cdc_merge_with_deletes,
-#   null_safe_join_audit, xml_roundtrip_checksum (all green in this
-#   session's local gates at sf0.01).
+#   null_safe_join_audit, xml_roundtrip_checksum,
+#   funnel_view_click_purchase (all green in this session's local
+#   gates at sf0.01 AND sf0.1).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

@@ -787,3 +787,95 @@ def events_rolling_median_value(
         ),
         F.count(F.lit(1)).over(w).alias("window_n"),
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+WITH e AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+  FROM events
+), per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts_us END) AS v1
+  FROM e GROUP BY user_id
+), step2 AS (
+  SELECT p.user_id, p.v1,
+         min(CASE WHEN e.event_type = 'click' AND e.ts_us > p.v1
+                  THEN e.ts_us END) AS c1
+  FROM per_user p LEFT JOIN e USING (user_id)
+  GROUP BY p.user_id, p.v1
+), step3 AS (
+  SELECT s.user_id, s.v1, s.c1,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts_us > s.c1
+                  THEN e.ts_us END) AS p1
+  FROM step2 s LEFT JOIN e USING (user_id)
+  GROUP BY s.user_id, s.v1, s.c1
+)
+SELECT 'step1_view' AS step,
+       CAST(count(v1) AS BIGINT) AS n_users
+FROM step3
+UNION ALL
+SELECT 'step2_click_after_view',
+       CAST(count(c1) AS BIGINT) FROM step3
+UNION ALL
+SELECT 'step3_purchase_after_click',
+       CAST(count(p1) AS BIGINT) FROM step3
+""",
+)
+def funnel_view_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Strict-sequence funnel: users who viewed, then clicked AFTER
+    the first view, then purchased AFTER that click — each step's
+    timestamp must follow the previous step's (the ordering constraint
+    that separates funnel analysis from mere event-type membership).
+
+    The Spark plan computes all three step timestamps in ONE pass:
+    conditional-min aggregates over a window-free groupBy after
+    self-annotating each event with the user's first-view time via a
+    user-partitioned window — one shuffle on user_id total, versus the
+    oracle's (clearer, slower) three-round LEFT-JOIN formulation. Both
+    count the same exact integer microseconds."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    wu = Window.partitionBy("user_id")
+    v1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(wu)
+    ann = e.withColumn("v1", v1)
+    c1 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts_us") > F.col("v1")),
+            F.col("ts_us"),
+        )
+    ).over(wu)
+    ann = ann.withColumn("c1", c1)
+    per_user = ann.groupBy("user_id").agg(
+        F.first("v1").alias("v1"),
+        F.first("c1").alias("c1"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts_us") > F.col("c1")),
+                F.col("ts_us"),
+            )
+        ).alias("p1"),
+    )
+    s1 = per_user.agg(
+        F.lit("step1_view").alias("step"),
+        F.count("v1").alias("n_users"),
+    )
+    s2 = per_user.agg(
+        F.lit("step2_click_after_view").alias("step"),
+        F.count("c1").alias("n_users"),
+    )
+    s3 = per_user.agg(
+        F.lit("step3_purchase_after_click").alias("step"),
+        F.count("p1").alias("n_users"),
+    )
+    return s1.unionAll(s2).unionAll(s3)

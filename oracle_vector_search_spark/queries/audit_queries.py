@@ -679,3 +679,67 @@ def null_safe_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.coalesce("f_k7", F.lit(-1)).alias("k7"))
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "incremental_revenue_snapshot",
+    """
+SELECT n.n_name AS nation,
+       CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+""",
+)
+def incremental_revenue_snapshot(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental AGGREGATE maintenance (the materialized-view merge,
+    sibling of operators.index_maint's incremental index upserts): the
+    standing per-nation revenue snapshot (orders before 1999) merges
+    with the new batch's partial aggregate via a full-outer
+    coalesce-sum — sum/count are commutative monoids, so
+    merge(standing, agg(batch)) ≡ full recompute, which is exactly
+    what the oracle checks. At 100 TB the standing snapshot is an
+    at-rest table and each refresh touches ONLY the new partition's
+    rows — never the history."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    cut = F.lit("1999-01-01").cast("timestamp")
+
+    def agg_part(df: DataFrame) -> DataFrame:
+        return (
+            df.join(F.broadcast(cust), df.o_custkey == cust.c_custkey)
+            .join(
+                F.broadcast(nation),
+                F.col("c_nationkey") == nation.n_nationkey,
+            )
+            .groupBy(F.col("n_name").alias("nation"))
+            .agg(
+                F.sum(
+                    F.floor(F.col("o_totalprice") * 100).cast("long")
+                ).alias("revenue_cents"),
+                F.count(F.lit(1)).alias("n_orders"),
+            )
+        )
+
+    standing = agg_part(orders.filter(F.col("o_orderdate") < cut))
+    batch = agg_part(orders.filter(F.col("o_orderdate") >= cut))
+    merged = standing.alias("s").join(
+        batch.alias("b"), F.col("s.nation") == F.col("b.nation"), "full_outer"
+    )
+    return merged.select(
+        F.coalesce(F.col("s.nation"), F.col("b.nation")).alias("nation"),
+        (
+            F.coalesce(F.col("s.revenue_cents"), F.lit(0))
+            + F.coalesce(F.col("b.revenue_cents"), F.lit(0))
+        ).alias("revenue_cents"),
+        (
+            F.coalesce(F.col("s.n_orders"), F.lit(0))
+            + F.coalesce(F.col("b.n_orders"), F.lit(0))
+        ).alias("n_orders"),
+    )

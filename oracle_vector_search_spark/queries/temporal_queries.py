@@ -879,3 +879,52 @@ def funnel_view_click_purchase(
         F.count("p1").alias("n_users"),
     )
     return s1.unionAll(s2).unionAll(s3)
+
+
+@register(
+    "events_trailing_hour_range_sum",
+    """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) // 1000 AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events WHERE user_id < 8
+)
+SELECT user_id, event_id,
+       CAST(sum(cents) OVER w AS BIGINT) AS trailing_hour_cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_in_window
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def events_trailing_hour_range_sum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Trailing-hour rolling sum with a RANGE frame — the frame is
+    bounded by the ORDER-BY VALUE (all events within the last
+    3,600,000,000 µs), not by a row count, so simultaneous events are
+    always in or out together and sparse/bursty periods get the
+    correct window regardless of event density. The semantic sibling
+    of the ROWS-frame queries (``events_rolling_median_value``), and
+    the batch twin of a sliding stream window evaluated at every
+    event. One shuffle on user_id; exact integer cents."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") < 8
+    ).select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum("cents").over(w).alias("trailing_hour_cents"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )

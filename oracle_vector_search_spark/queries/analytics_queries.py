@@ -407,3 +407,121 @@ def pareto_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("price_cents", "date_us", "n_orders")
     )
+
+
+@register(
+    "winsorized_value_sums",
+    """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+), bounds AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT) AS lo,
+         CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT) AS hi
+  FROM e GROUP BY event_type
+)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(least(greatest(e.cents, b.lo), b.hi)) AS BIGINT)
+         AS winsorized_cents_sum,
+       CAST(sum(CASE WHEN e.cents < b.lo OR e.cents > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped,
+       b.lo, b.hi
+FROM e JOIN bounds b USING (event_type)
+GROUP BY e.event_type, b.lo, b.hi
+""",
+)
+def winsorized_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (outlier-clamped) aggregation: per event type, clamp
+    values into [⌊p05⌋, ⌊p95⌋] and sum — the robust-statistics
+    preprocessing step before any mean-based metric. Bounds floor to
+    integers as part of the definition, so after the one float
+    interpolation (identical in both engines) every clamp comparison
+    and the final sum are exact integer math.
+
+    Two aggregations over one scan: the bounds table is
+    group-cardinality-sized and broadcasts back onto the stream —
+    no second full shuffle of the fact data at scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = e.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(cents, 0.05D)"))
+        .cast("long")
+        .alias("lo"),
+        F.floor(F.expr("percentile(cents, 0.95D)"))
+        .cast("long")
+        .alias("hi"),
+    )
+    clamped = F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi"))
+    out_of_range = (F.col("cents") < F.col("lo")) | (
+        F.col("cents") > F.col("hi")
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(clamped).alias("winsorized_cents_sum"),
+            F.sum(out_of_range.cast("long")).alias("n_clamped"),
+        )
+        .select(
+            "event_type", "n_events", "winsorized_cents_sum",
+            "n_clamped", "lo", "hi",
+        )
+    )
+
+
+@register(
+    "revenue_yoy_growth",
+    """
+WITH yearly AS (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT o_year, revenue_cents,
+       CAST(coalesce(lag(revenue_cents) OVER (ORDER BY o_year), -1)
+            AS BIGINT) AS prev_year_cents,
+       round(CASE WHEN lag(revenue_cents) OVER (ORDER BY o_year)
+                       IS NULL THEN -999
+                  ELSE (CAST(revenue_cents AS DOUBLE)
+                        - lag(revenue_cents) OVER (ORDER BY o_year))
+                       / lag(revenue_cents) OVER (ORDER BY o_year)
+             END, 6) AS yoy_growth
+FROM yearly
+""",
+)
+def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: yearly revenue (exact cents) + lag +
+    one IEEE division per row from identical integers. The window
+    input is years — a handful of rows after full aggregation — so
+    the single partition is anchored with the constant-but-unfoldable
+    trick (operators/topk.py) rather than left as a warning-prone
+    global window. First year reports sentinel growth -999."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").alias("o_year")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+            "revenue_cents"
+        )
+    )
+    anchor = F.pmod(F.hash("o_year"), F.lit(1))
+    w = Window.partitionBy(anchor).orderBy("o_year")
+    prev = F.lag("revenue_cents").over(w)
+    return yearly.select(
+        "o_year",
+        "revenue_cents",
+        F.coalesce(prev, F.lit(-1)).cast("long").alias("prev_year_cents"),
+        F.round(
+            F.when(prev.isNull(), F.lit(-999.0)).otherwise(
+                (F.col("revenue_cents").cast("double") - prev) / prev
+            ),
+            6,
+        ).alias("yoy_growth"),
+    )

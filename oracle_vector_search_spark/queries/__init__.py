@@ -115,8 +115,9 @@ def load_all_modules() -> None:
 #   null_safe_join_audit, xml_roundtrip_checksum,
 #   funnel_view_click_purchase, events_trailing_hour_range_sum,
 #   incremental_revenue_snapshot, winsorized_value_sums,
-#   revenue_yoy_growth (all green in this session's local gates at
-#   sf0.01; the first batch also at sf0.1).
+#   revenue_yoy_growth, top_orders_with_ties, event_type_value_mode
+#   (all green in this session's local gates at sf0.01; the first
+#   batch also at sf0.1).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

@@ -525,3 +525,90 @@ def revenue_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth"),
     )
+
+
+@register(
+    "top_orders_with_ties",
+    """
+WITH r AS (
+  SELECT o_custkey,
+         o_orderkey,
+         CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+         CAST(rank() OVER (
+           PARTITION BY o_custkey
+           ORDER BY CAST(floor(o_totalprice * 100) AS BIGINT) DESC
+         ) AS INTEGER) AS price_rank
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, totalprice_cents, price_rank
+FROM r WHERE price_rank <= 2 AND o_custkey < 100
+""",
+)
+def top_orders_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N WITH ties (``rank()``, not ``row_number()``): every order
+    tying a customer's top-2 price levels survives, so the per-key
+    output size is data-dependent — the WITH TIES semantics SQL:2008
+    FETCH FIRST ... WITH TIES exposes, and the third ranking function
+    family member after the suite's row_number (top-k) and dense_rank
+    coverage. Spark still plans the rank filter as WindowGroupLimit
+    (rank-based group limits push down like row_number ones)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") < 100
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc(F.floor(F.col("o_totalprice") * 100).cast("long"))
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("totalprice_cents"),
+            F.rank().over(w).alias("price_rank"),
+        )
+        .filter(F.col("price_rank") <= 2)
+    )
+
+
+@register(
+    "event_type_value_mode",
+    """
+WITH c AS (
+  SELECT event_type,
+         CAST(floor(value * 100) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, cents
+)
+SELECT event_type, cents AS mode_cents, n AS n_occurrences
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY event_type ORDER BY n DESC, cents ASC) AS rn
+  FROM c
+) r WHERE rn = 1
+""",
+)
+def event_type_value_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode: the most frequent value per group with an
+    explicit lowest-value tie-break — built-in ``mode()`` returns an
+    ARBITRARY element on ties in both engines, which can never pass a
+    cross-engine hash gate, so the engine-portable mode is
+    count-groupBy + ranked argmax. Two shuffles (value counts, then
+    the per-group argmax on the much smaller count table)."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n"), F.asc("cents")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("cents").alias("mode_cents"),
+            F.col("n").alias("n_occurrences"),
+        )
+    )

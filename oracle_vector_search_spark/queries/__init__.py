@@ -70,6 +70,7 @@ def load_all_modules() -> None:
         "streaming_queries",
         "format_queries",
         "curation_queries",
+        "lm_queries",
     ):
         __import__(f"oracle_vector_search_spark.queries.{mod}")
 
@@ -115,7 +116,8 @@ def load_all_modules() -> None:
 #   null_safe_join_audit, xml_roundtrip_checksum,
 #   funnel_view_click_purchase, events_trailing_hour_range_sum,
 #   incremental_revenue_snapshot, winsorized_value_sums,
-#   revenue_yoy_growth, top_orders_with_ties, event_type_value_mode
+#   revenue_yoy_growth, top_orders_with_ties, event_type_value_mode,
+#   bpe_merge_pairs_top20, bigram_lm_fluency, seasonal_hour_anomalies
 #   (all green in this session's local gates at sf0.01; the first
 #   batch also at sf0.1).
 _PRIORITY: tuple[str, ...] = (

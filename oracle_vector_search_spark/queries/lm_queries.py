@@ -1,0 +1,255 @@
+"""Language-model-adjacent corpus statistics: BPE merge mining, a
+corpus-trained bigram LM, and seasonal baselines over the event stream.
+
+These extend the training-data-pipeline surface (tokenizer training and
+fluency filtering are standard pre-training steps; seasonal baselines
+are the standard anomaly gate on telemetry-style inputs):
+
+* ``bpe_merge_pairs_top20`` — the statistic a BPE tokenizer trainer
+  (Sennrich et al. 2016) computes every merge iteration: corpus-wide
+  adjacent character-pair frequencies, weighted by word frequency. The
+  distributed trick is the classic one — aggregate to DISTINCT words
+  first (vocabulary-sized, not corpus-sized), then explode each word's
+  char pairs once and weight by the word count.
+* ``bigram_lm_fluency`` — train bigram/prefix counts from the corpus
+  itself, then score every document by an integer MLE fluency sum
+  (micro-probabilities via integer division, so both engines agree
+  bit-for-bit — the same no-float-accumulation discipline as the rest
+  of the text family). Rare-bigram counts double as a "weird text"
+  gate (KenLM-style fluency filtering without a float log anywhere).
+* ``seasonal_hour_anomalies`` — per (event_type, day-of-week, hour)
+  seasonal baseline over ``events.value``; a row is anomalous when it
+  exceeds 3x its seasonal-slot mean, decided by integer
+  cross-multiplication (``c * n > 3 * sum_c``), never a float compare.
+
+Scale notes: BPE pair counting shuffles vocabulary-sized data twice
+(word counts, then pair counts) — at 100 TB the vocabulary is millions
+of rows, not trillions, so both shuffles are tiny relative to the scan.
+The bigram LM shuffles (bigram-keyed) corpus-sized token pairs for
+training and joins the counts back by bigram key; head bigrams are
+skewed, which AQE skew-join splitting absorbs (the profile-guided
+salted-join operator in operators/skew.py is the manual fallback).
+Seasonal baselines group on a bounded key space (type x 7 x 24) and
+broadcast back — one partial-agg shuffle, no window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from oracle_vector_search_spark.functions import text as T
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.queries import register
+
+# integer micro-probability scale for the bigram LM
+_LM_SCALE = 1000000
+
+# anomaly threshold: value > _SEAS_MULT x seasonal-slot mean
+_SEAS_MULT = 3
+# minimum rows in a (type, dow, hour) slot for a meaningful baseline
+_SEAS_MIN_N = 5
+
+
+# ------------------------------------------------- BPE merge-pair mining
+@register(
+    "bpe_merge_pairs_top20",
+    f"""
+WITH tok AS (
+  SELECT string_split({T.duck_norm('text')}, ' ') AS t FROM documents
+), words AS (
+  SELECT unnest(t) AS w FROM tok
+), vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc
+  FROM words WHERE length(w) >= 2 GROUP BY w
+), pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair,
+         wc
+  FROM vocab
+)
+SELECT pair,
+       CAST(count(*) AS BIGINT) AS n_vocab_words,
+       CAST(sum(wc) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT 20
+""",
+)
+def bpe_merge_pairs_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE trainer iteration's core statistic: the 20 most frequent
+    adjacent character pairs across the corpus, weighted by word
+    frequency. Counting runs over the DISTINCT vocabulary (explode
+    corpus -> word counts first), so the expensive per-character
+    explode touches vocabulary-sized data — the standard scalable BPE
+    layout. Deterministic: ties broken by pair text."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(T.norm_text("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count("*").alias("wc"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.count("*").alias("n_vocab_words"),
+            F.sum("wc").alias("pair_count"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------- corpus bigram LM score
+@register(
+    "bigram_lm_fluency",
+    f"""
+WITH tok AS (
+  SELECT doc_id, string_split({T.duck_norm('text')}, ' ') AS t
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest([t[i] || ' ' || t[i+1] for i in range(1, len(t))]) AS b
+  FROM tok
+), bge AS (
+  SELECT doc_id, split_part(b, ' ', 1) AS w1, b FROM bg
+), c2 AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c2 FROM bge GROUP BY b
+), c1 AS (
+  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bge GROUP BY w1
+), j AS (
+  SELECT g.doc_id, c2.c2, c1.c1
+  FROM bge g JOIN c2 USING (b) JOIN c1 USING (w1)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum((c2 * {_LM_SCALE}) // c1) AS BIGINT) AS fluency_micro,
+       CAST(sum(CASE WHEN c2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS rare_bigrams
+FROM j
+GROUP BY doc_id
+""",
+)
+def bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM document fluency, engine-exact.
+
+    Train: bigram counts ``c2(w1 w2)`` and prefix counts ``c1(w1)``
+    (c1 is the count of w1 as a NON-final token, so per-prefix MLE
+    probabilities sum to exactly 1). Score: each document's bigrams
+    rejoin the counts and accumulate the integer micro-probability
+    ``(c2 * 1e6) div c1`` — no float ever sums, so Spark and DuckDB
+    agree exactly. ``rare_bigrams`` (corpus hapax transitions) is the
+    fluency-filter signal: disfluent/garbled text is dense in them.
+
+    Scale: training is two partial-agg shuffles keyed on bigram/prefix;
+    scoring joins by bigram key (skew on head bigrams absorbed by AQE
+    skew-join). Documents with < 2 tokens have no bigrams and emit no
+    row, matching the oracle's inner-join semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.split(T.norm_text("text"), " ").alias("t")
+    )
+    bge = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(t) - 1), "
+                "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+                "END"
+            )
+        ).alias("b"),
+    ).withColumn("w1", F.substring_index("b", " ", 1))
+    c2 = bge.groupBy("b").agg(F.count("*").alias("c2"))
+    c1 = bge.groupBy("w1").agg(F.count("*").alias("c1"))
+    j = bge.join(c2, "b").join(c1, "w1")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(
+            F.expr(f"(c2 * cast({_LM_SCALE} as bigint)) div c1")
+        ).alias("fluency_micro"),
+        F.sum(F.when(F.col("c2") == 1, 1).otherwise(0)).alias(
+            "rare_bigrams"
+        ),
+    )
+
+
+# ------------------------------------------------- seasonal anomaly gate
+@register(
+    "seasonal_hour_anomalies",
+    f"""
+WITH p AS (
+  SELECT event_id, event_type,
+         CAST((epoch_ns(ts) // 1000 // 86400000000 + 4) % 7 AS BIGINT)
+           AS dow,
+         CAST((epoch_ns(ts) // 1000 // 3600000000) % 24 AS BIGINT) AS hod,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+), s AS (
+  SELECT event_type, dow, hod,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sum_c
+  FROM p GROUP BY event_type, dow, hod
+)
+SELECT p.event_id, p.event_type, p.dow, p.hod,
+       p.c AS value_cents, s.n AS slot_n,
+       round((CAST(p.c AS DOUBLE) * s.n) / s.sum_c, 6) AS mean_ratio
+FROM p JOIN s USING (event_type, dow, hod)
+WHERE s.n >= {_SEAS_MIN_N} AND s.sum_c > 0
+  AND CAST(p.c AS HUGEINT) * s.n > {_SEAS_MULT} * CAST(s.sum_c AS HUGEINT)
+""",
+)
+def seasonal_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: a (event_type, day-of-week,
+    hour-of-day) slot profile over ``events.value``, flagging rows more
+    than {_SEAS_MULT}x their slot mean. The flag predicate is the
+    integer cross-multiplication ``c * n > {_SEAS_MULT} * sum_c``
+    (decimal(38)/HUGEINT — overflow-proof at any SF); only the reported
+    ``mean_ratio`` is float, computed identically in both engines and
+    rounded to 6. Day-of-week derives from epoch days
+    (``(days + 4) % 7``, 0 = Sunday) so no engine-specific calendar
+    function is involved.
+
+    Scale: the baseline groups on a bounded key space (|types| x 7 x
+    24) — one partial-agg shuffle, broadcast back to the scan; no
+    window, no global sort."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("(ts_ns div 1000 div 86400000000 + 4) % 7").alias("dow"),
+        F.expr("(ts_ns div 1000 div 3600000000) % 24").alias("hod"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    s = ev.groupBy("event_type", "dow", "hod").agg(
+        F.count("*").alias("n"), F.sum("c").alias("sum_c")
+    )
+    dec = "decimal(38,0)"
+    return (
+        ev.join(F.broadcast(s), ["event_type", "dow", "hod"])
+        .filter(
+            (F.col("n") >= _SEAS_MIN_N)
+            & (F.col("sum_c") > 0)
+            & (
+                F.col("c").cast(dec) * F.col("n")
+                > F.lit(_SEAS_MULT) * F.col("sum_c").cast(dec)
+            )
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "dow",
+            "hod",
+            F.col("c").alias("value_cents"),
+            F.col("n").alias("slot_n"),
+            F.round(
+                F.col("c").cast("double") * F.col("n") / F.col("sum_c"), 6
+            ).alias("mean_ratio"),
+        )
+    )

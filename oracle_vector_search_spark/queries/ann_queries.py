@@ -1295,3 +1295,166 @@ def multiprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+@register(
+    "ivf_closure_recall_audit",
+    """
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (
+  SELECT vec_id AS seed_id, v AS sv FROM vecs WHERE vec_id % 31 = 0
+),
+ranked_assign AS (
+  SELECT x.vec_id, s.seed_id AS cluster_id,
+         row_number() OVER (
+           PARTITION BY x.vec_id
+           ORDER BY round(list_dot_product(x.v, s.sv)
+                 / (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+                 s.seed_id) AS rn
+  FROM vecs x CROSS JOIN seeds s
+),
+single_assign AS (
+  SELECT vec_id, cluster_id FROM ranked_assign WHERE rn = 1
+),
+closure_assign AS (
+  SELECT vec_id, cluster_id FROM ranked_assign WHERE rn <= 2
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+qprobe AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT q.query_id, s.seed_id AS cluster_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, s.sv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+                   s.seed_id) AS rn
+    FROM q CROSS JOIN seeds s)
+  WHERE rn = 1
+),
+single_cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM qprobe p JOIN single_assign a USING (cluster_id)
+),
+closure_cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM qprobe p JOIN closure_assign a USING (cluster_id)
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, d.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, d.v)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(d.v, d.v))), 6) DESC,
+                   d.vec_id) AS rn
+    FROM vecs d CROSS JOIN q)
+  WHERE rn <= 5
+)
+SELECT e.query_id,
+       CAST(count(s.neighbor_id) AS BIGINT) AS single_hits,
+       CAST(count(c.neighbor_id) AS BIGINT) AS closure_hits,
+       round(count(s.neighbor_id) / 5.0, 6) AS single_recall_at5,
+       round(count(c.neighbor_id) / 5.0, 6) AS closure_recall_at5
+FROM exact_top e
+LEFT JOIN single_cand s
+  ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+LEFT JOIN closure_cand c
+  ON c.query_id = e.query_id AND c.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+)
+def ivf_closure_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantifies the SPANN closure-assignment trade (operators.ann.
+    ivf_closure_assign): per query, how many of the exact top-5 the
+    n_probe=1 candidate set contains under single assignment vs top-2
+    closure assignment. closure_recall >= single_recall by construction
+    (the closure posting lists are supersets); the gap is what boundary
+    replication buys while queries still scan ONE cluster partition.
+    Deterministic tiers all the way down, so the recall numbers
+    hash-match the oracle (discipline of ``multiprobe_recall_audit``)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    single = _ivf_assign_table(spark, sf_dir)
+    closure = ann.ivf_closure_assign(emb, n_assign=2)
+    vs = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    seeds = vs.filter(F.col("vec_id") % ann.SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    q = vs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("seed_score"), F.asc("seed_id")
+    )
+    qprobe = (
+        q.join(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "seed_id",
+            F.round(cosine_similarity("qv", "sv"), 6).alias("seed_score"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("seed_id").alias("cluster_id"))
+    )
+    single_cand = (
+        qprobe.join(single.withColumnRenamed("vec_id", "neighbor_id"),
+                    "cluster_id")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    closure_cand = (
+        qprobe.join(closure.withColumnRenamed("vec_id", "neighbor_id"),
+                    "cluster_id")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    exact_top = (
+        vs.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity("qv", "v"), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    s = single_cand.select(
+        F.col("query_id").alias("s_q"), F.col("neighbor_id").alias("s_n")
+    )
+    c = closure_cand.select(
+        F.col("query_id").alias("c_q"), F.col("neighbor_id").alias("c_n")
+    )
+    return (
+        exact_top.join(
+            s,
+            (F.col("query_id") == F.col("s_q"))
+            & (F.col("neighbor_id") == F.col("s_n")),
+            "left",
+        )
+        .drop("s_q")
+        .join(
+            c,
+            (F.col("query_id") == F.col("c_q"))
+            & (F.col("neighbor_id") == F.col("c_n")),
+            "left",
+        )
+        .drop("c_q")
+        .groupBy("query_id")
+        .agg(
+            F.count("s_n").alias("single_hits"),
+            F.count("c_n").alias("closure_hits"),
+            F.round(F.count("s_n") / 5.0, 6).alias("single_recall_at5"),
+            F.round(F.count("c_n") / 5.0, 6).alias("closure_recall_at5"),
+        )
+        .orderBy("query_id")
+    )

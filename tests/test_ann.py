@@ -167,3 +167,37 @@ def test_multiprobe_expands_to_hamming_one(spark):
     expect0 = {(0, 5 ^ (1 << r)) for r in range(ROWS_PER_BAND)} | {(0, 5)}
     expect1 = {(1, 0 ^ (1 << r)) for r in range(ROWS_PER_BAND)} | {(1, 0)}
     assert rows == expect0 | expect1
+
+
+def test_ivf_closure_assign_properties(spark, sf_dir):
+    """Closure assignment is a superset of single assignment, each
+    vector appears at most n_assign times, and every vector's single
+    cluster is among its closure clusters."""
+    from oracle_vector_search_spark.operators.ann import (
+        ivf_assign,
+        ivf_closure_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    single = {
+        (r["vec_id"], r["cluster_id"])
+        for r in ivf_assign(emb).collect()
+    }
+    closure_rows = ivf_closure_assign(emb, n_assign=2).collect()
+    closure = {(r["vec_id"], r["cluster_id"]) for r in closure_rows}
+    assert single <= closure
+    n_vecs = emb.count()
+    assert len(closure_rows) <= 2 * n_vecs
+    # replication actually happens (boundary vectors exist)
+    assert len(closure_rows) > n_vecs
+
+
+def test_closure_recall_dominates_single(spark, sf_dir):
+    from oracle_vector_search_spark.queries.ann_queries import (
+        ivf_closure_recall_audit,
+    )
+
+    rows = ivf_closure_recall_audit(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["closure_hits"] >= r["single_hits"]

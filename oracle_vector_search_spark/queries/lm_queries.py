@@ -253,3 +253,104 @@ def seasonal_hour_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_ratio"),
         )
     )
+
+
+# --------------------------------------------- BPE iteration 2 (apply+recount)
+@register(
+    "bpe_apply_merge_recount",
+    f"""
+WITH tok AS (
+  SELECT string_split({T.duck_norm('text')}, ' ') AS t FROM documents
+), words AS (
+  SELECT unnest(t) AS w FROM tok
+), vocab AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc
+  FROM words WHERE length(w) >= 2 GROUP BY w
+), pairs1 AS (
+  SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair, wc
+  FROM vocab
+), merge1 AS (
+  SELECT pair AS p1 FROM pairs1
+  GROUP BY pair ORDER BY CAST(sum(wc) AS BIGINT) DESC, pair LIMIT 1
+), merged AS (
+  SELECT replace(v.w, m.p1, chr(1)) AS w2, v.wc, m.p1
+  FROM vocab v CROSS JOIN merge1 m
+), pairs2 AS (
+  SELECT unnest([substr(w2, i, 2) for i in range(1, length(w2))]) AS rawpair,
+         wc, p1
+  FROM merged WHERE length(w2) >= 2
+)
+SELECT replace(rawpair, chr(1), '(' || p1 || ')') AS pair,
+       CAST(count(*) AS BIGINT) AS n_vocab_words,
+       CAST(sum(wc) AS BIGINT) AS pair_count
+FROM pairs2
+GROUP BY 1
+ORDER BY pair_count DESC, pair
+LIMIT 10
+""",
+)
+def bpe_apply_merge_recount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE trainer's ITERATION LOOP, unrolled once: find the top
+    merge pair over the vocabulary (iteration 1), apply it to every
+    word (left-to-right non-overlapping ``replace`` — exactly the
+    greedy symbol merge while both pair symbols are still single
+    characters), and recount adjacent pairs (iteration 2). The merged
+    symbol travels as a sentinel char(1) (absent from normalized text)
+    and is expanded to ``(pair)`` for display, so the output is the
+    iteration-2 merge table a real trainer would consume. The whole
+    two-step chain is ONE lazy plan — the scalar winning pair is a
+    1-row broadcast, not a driver round-trip.
+
+    Scale: same vocabulary-sized shuffles as ``bpe_merge_pairs_top20``
+    x 2 iterations; a full trainer loops this plan V times with the
+    vocabulary persisted between steps (the kmeans_chain_two_steps
+    pattern)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(T.norm_text("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    vocab = words.groupBy("w").agg(F.count("*").alias("wc"))
+    pairs1 = vocab.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    merge1 = (
+        pairs1.groupBy("pair")
+        .agg(F.sum("wc").alias("pc"))
+        .orderBy(F.desc("pc"), F.asc("pair"))
+        .limit(1)
+        .select(F.col("pair").alias("p1"))
+    )
+    merged = vocab.crossJoin(F.broadcast(merge1)).select(
+        F.expr("replace(w, p1, chr(1))").alias("w2"), "wc", "p1"
+    )
+    pairs2 = merged.filter(F.length("w2") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w2) - 1), "
+                "i -> substring(w2, i, 2))"
+            )
+        ).alias("rawpair"),
+        "wc",
+        "p1",
+    )
+    return (
+        pairs2.select(
+            F.expr("replace(rawpair, chr(1), concat('(', p1, ')'))").alias(
+                "pair"
+            ),
+            "wc",
+        )
+        .groupBy("pair")
+        .agg(
+            F.count("*").alias("n_vocab_words"),
+            F.sum("wc").alias("pair_count"),
+        )
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(10)
+    )

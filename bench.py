@@ -87,6 +87,13 @@ HEADLINE = [
     # the IVF-PQ residual index (cluster-partition-pruned codes table)
     "tfidf_cosine_top5",
     "ivfpq_ann_topk",
+    # late-r5: tokenizer-training statistic (vocabulary-sized BPE pair
+    # mining), corpus-trained bigram-LM fluency scoring, seasonal
+    # dow-x-hour anomaly gate, and the SPANN closure-assignment audit
+    "bpe_merge_pairs_top20",
+    "bigram_lm_fluency",
+    "seasonal_hour_anomalies",
+    "ivf_closure_recall_audit",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session

@@ -1403,14 +1403,14 @@ def ivf_closure_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("seed_id").alias("cluster_id"))
     )
     single_cand = (
-        qprobe.join(single.withColumnRenamed("vec_id", "neighbor_id"),
-                    "cluster_id")
+        single.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qprobe), "cluster_id")
         .select("query_id", "neighbor_id")
         .distinct()
     )
     closure_cand = (
-        qprobe.join(closure.withColumnRenamed("vec_id", "neighbor_id"),
-                    "cluster_id")
+        closure.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qprobe), "cluster_id")
         .select("query_id", "neighbor_id")
         .distinct()
     )
@@ -1436,14 +1436,14 @@ def ivf_closure_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         exact_top.join(
-            s,
+            F.broadcast(s),
             (F.col("query_id") == F.col("s_q"))
             & (F.col("neighbor_id") == F.col("s_n")),
             "left",
         )
         .drop("s_q")
         .join(
-            c,
+            F.broadcast(c),
             (F.col("query_id") == F.col("c_q"))
             & (F.col("neighbor_id") == F.col("c_n")),
             "left",

@@ -81,6 +81,16 @@ EXPECTED: dict[str, dict[str, int]] = {
     # ivfpq: probes (broadcast seeds + Q×seeds window) + the
     # cluster-partition-pruned scan of the at-rest codes table
     "ivfpq_ann_topk":                  {"shuffle_exchanges": 2, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # bpe: two vocabulary-sized shuffles (word counts, pair counts)
+    "bpe_merge_pairs_top20":           {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # bigram LM: bigram-keyed train shuffles + count joins (head-bigram
+    # skew handled by AQE) + per-doc agg
+    "bigram_lm_fluency":               {"shuffle_exchanges": 3, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # seasonal baseline: one bounded-key partial agg, broadcast back
+    "seasonal_hour_anomalies":         {"shuffle_exchanges": 1, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # closure audit: 2 assignment windows + exact-top window + distinct
+    # + final agg; probes/candidates broadcast — no SMJ anywhere
+    "ivf_closure_recall_audit":        {"shuffle_exchanges": 6, "broadcast_hash_joins": 4, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

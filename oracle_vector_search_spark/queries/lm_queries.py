@@ -354,3 +354,128 @@ def bpe_apply_merge_recount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(10)
     )
+
+
+# --------------------------------------- C4 three-sentence-span dedup
+@register(
+    "c4_sentence_span_dedup",
+    f"""
+WITH sent AS (
+  SELECT doc_id,
+         string_split(
+           regexp_replace({T.duck_norm('text')},
+                          '([.!?]+) ', '\\1' || chr(1), 'g'),
+           chr(1)) AS s
+  FROM documents
+), spans AS (
+  SELECT doc_id, len(s) AS n_sentences,
+         [{{'pos': i,
+            'h': {T.duck_hash60("s[i] || ' ' || s[i+1] || ' ' || s[i+2]")}}}
+          for i in range(1, len(s) - 1)] AS sp
+  FROM sent
+), occ AS (
+  SELECT doc_id, u.pos AS pos, u.h AS h
+  FROM (SELECT doc_id, unnest(sp) AS u FROM spans)
+), g AS (
+  SELECT h, CAST(count(*) AS BIGINT) AS cnt,
+         CAST(min(doc_id * 1000000 + pos) AS BIGINT) AS ckey
+  FROM occ GROUP BY h
+), per_doc AS (
+  SELECT o.doc_id,
+         CAST(count(*) AS BIGINT) AS n_spans,
+         CAST(sum(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS dup_spans,
+         CAST(sum(CASE WHEN g.cnt > 1
+                        AND o.doc_id * 1000000 + o.pos <> g.ckey
+                  THEN 1 ELSE 0 END) AS BIGINT) AS removed_spans
+  FROM occ o JOIN g USING (h)
+  GROUP BY o.doc_id
+)
+SELECT s.doc_id,
+       CAST(s.n_sentences AS BIGINT) AS n_sentences,
+       coalesce(p.n_spans, 0) AS n_spans,
+       coalesce(p.dup_spans, 0) AS dup_spans,
+       coalesce(p.removed_spans, 0) AS removed_spans
+FROM (SELECT doc_id, n_sentences FROM spans) s
+LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def c4_sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's sub-document dedup rule (Raffel et al. 2020, C4): any
+    three-sentence span occurring more than once in the corpus is
+    removed everywhere EXCEPT one canonical occurrence. Sentences come
+    from a portable regex segmentation (sentence-final punctuation
+    followed by a space becomes a char(1) split marker — no lookbehind,
+    which RE2-based oracle engines lack); spans are consecutive
+    sentence triples hashed to 60 bits; the canonical keeper is the
+    global minimum (doc_id, position), packed into one BIGINT so
+    ``min()`` resolves it in a single aggregation. Output: per
+    document, how many spans it has, how many are corpus-duplicated,
+    and how many the C4 rule strips from THIS document (the
+    non-canonical occurrences).
+
+    Scale: spans are born in the scan projection; the only shuffles
+    carry (hash, doc, pos) triples — never text. The packed canonical
+    key documents its bound (< 1e6 spans per doc); at 100 TB the
+    keeper-selection groupBy is the same single shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    sent = docs.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(
+                T.norm_text("text"), r"([.!?]+) ", "$1\x01"
+            ),
+            "\x01",
+        ).alias("s"),
+    )
+    h = T.hash60_sql(
+        "concat(element_at(s, i), ' ', element_at(s, i + 1), "
+        "' ', element_at(s, i + 2))"
+    )
+    spans = sent.select(
+        "doc_id",
+        F.size("s").alias("n_sentences"),
+        F.expr(
+            f"CASE WHEN size(s) < 3 THEN array() "
+            f"ELSE transform(sequence(1, size(s) - 2), "
+            f"i -> struct(i AS pos, {h} AS h)) END"
+        ).alias("sp"),
+    )
+    occ = spans.select("doc_id", F.explode("sp").alias("u")).select(
+        "doc_id", F.col("u.pos").alias("pos"), F.col("u.h").alias("h")
+    )
+    g = occ.groupBy("h").agg(
+        F.count("*").alias("cnt"),
+        F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("ckey"),
+    )
+    per_doc = (
+        occ.join(g, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias(
+                "dup_spans"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("cnt") > 1)
+                    & (
+                        F.col("doc_id") * 1000000 + F.col("pos")
+                        != F.col("ckey")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("removed_spans"),
+        )
+    )
+    return (
+        spans.select("doc_id", F.col("n_sentences").cast("long"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_sentences",
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
+            F.coalesce("removed_spans", F.lit(0)).alias("removed_spans"),
+        )
+    )

@@ -930,3 +930,153 @@ def q_knn_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
     return radius_search(emb, queries, threshold=0.3)
+
+
+_NDCG_K = 20  # evaluation depth for discounted cumulative gain
+
+
+@register(
+    "retrieval_ndcg_audit",
+    f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), d AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+), rel AS (
+  SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_relevant
+  FROM q JOIN d ON d.neighbor_label = q.query_label
+              AND d.neighbor_id <> q.query_id
+  GROUP BY q.query_id
+), scored AS (
+  SELECT q.query_id, q.query_label, d.neighbor_id, d.neighbor_label,
+         round(list_dot_product(q.v, d.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(d.v, d.v))), 6) AS score
+  FROM d CROSS JOIN q
+  WHERE d.neighbor_id <> q.query_id
+), ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT)
+    AS rnk
+  FROM scored
+), dcg AS (
+  SELECT query_id,
+         CAST(sum(CASE WHEN neighbor_label = query_label
+                       THEN CAST(floor(1000000000.0 / log2(rnk + 1))
+                                 AS BIGINT)
+                       ELSE 0 END) AS BIGINT) AS dcg_nano,
+         CAST(sum(CASE WHEN neighbor_label = query_label
+                       THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k
+  FROM ranked WHERE rnk <= {_NDCG_K}
+  GROUP BY query_id
+)
+SELECT d.query_id, d.hits_at_k, r.n_relevant,
+       round(d.dcg_nano * 1.0 /
+             CAST(list_sum(
+               [CAST(floor(1000000000.0 / log2(i + 1)) AS BIGINT)
+                for i in range(1, least(r.n_relevant, {_NDCG_K}) + 1)])
+             AS BIGINT), 6) AS ndcg_at_k
+FROM dcg d JOIN rel r USING (query_id)
+WHERE r.n_relevant > 0
+ORDER BY d.query_id
+""",
+)
+def retrieval_ndcg_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@20 per query, label agreement as binary relevance — the
+    rank-position-sensitive companion to ``retrieval_map_audit``. Each
+    rank's discount term is integerized to nano-units BEFORE summing
+    (``floor(1e9 / log2(rank+1))`` — identical IEEE double in both
+    engines, floor-stable because log2(rank+1) is either an exact
+    integer or irrational), so DCG and ideal-DCG accumulate as exact
+    integers in any order; the single final division rounds to 6.
+    Ideal DCG is a closed-form sum over the first min(n_relevant, k)
+    ranks — no second ranking pass.
+
+    Scale: same broadcast-queries exact-kNN plan as the mAP audit plus
+    one metadata-sized aggregation over Q x 20 rows."""
+    from pyspark.sql import Window
+
+    from oracle_vector_search_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        as_double_array("embedding").alias("qv"),
+    )
+    d = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        as_double_array("embedding").alias("dv"),
+    )
+    rel = (
+        d.join(
+            F.broadcast(q),
+            (F.col("neighbor_label") == F.col("query_label"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_relevant"))
+    )
+    scored = (
+        d.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine_similarity("qv", "dv"), 6).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    dcg = (
+        scored.withColumn("rnk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rnk") <= _NDCG_K)
+        .groupBy("query_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("neighbor_label") == F.col("query_label"),
+                    F.expr(
+                        "cast(floor(1000000000.0D / log2(rnk + 1)) "
+                        "as bigint)"
+                    ),
+                ).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("dcg_nano"),
+            F.sum(
+                F.when(
+                    F.col("neighbor_label") == F.col("query_label"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits_at_k"),
+        )
+    )
+    idcg = F.expr(
+        f"aggregate(sequence(1, least(n_relevant, {_NDCG_K})), "
+        f"cast(0 as bigint), "
+        f"(a, i) -> a + cast(floor(1000000000.0D / log2(i + 1)) "
+        f"as bigint))"
+    )
+    return (
+        dcg.join(rel, "query_id")
+        .filter(F.col("n_relevant") > 0)
+        .select(
+            "query_id",
+            "hits_at_k",
+            "n_relevant",
+            F.round(F.col("dcg_nano") * 1.0 / idcg, 6).alias("ndcg_at_k"),
+        )
+        .orderBy("query_id")
+    )

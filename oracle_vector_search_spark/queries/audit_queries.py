@@ -743,3 +743,108 @@ def incremental_revenue_snapshot(
             + F.coalesce(F.col("b.n_orders"), F.lit(0))
         ).alias("n_orders"),
     )
+
+
+# ------------------------------------------------ ANALYZE-style stats
+def _duck_col_stats(col: str, num_expr: str | None) -> str:
+    """One UNION-ALL leg of the DuckDB stats profile for ``col``."""
+    if num_expr is not None:
+        mn = f"CAST(min({num_expr}) AS BIGINT)"
+        mx = f"CAST(max({num_expr}) AS BIGINT)"
+        ms = "CAST(NULL AS VARCHAR)"
+        xs = "CAST(NULL AS VARCHAR)"
+    else:
+        mn = "CAST(NULL AS BIGINT)"
+        mx = "CAST(NULL AS BIGINT)"
+        ms = f"min({col})"
+        xs = f"max({col})"
+    return f"""
+  SELECT '{col}' AS col_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,
+         CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,
+         {mn} AS min_num, {mx} AS max_num,
+         {ms} AS min_str, {xs} AS max_str
+  FROM lineitem"""
+
+
+_STATS_COLS: list[tuple[str, str | None]] = [
+    ("l_orderkey", "l_orderkey"),
+    ("l_partkey", "l_partkey"),
+    ("l_suppkey", "l_suppkey"),
+    ("l_quantity", "floor(l_quantity * 100)"),
+    ("l_extendedprice", "floor(l_extendedprice * 100)"),
+    ("l_returnflag", None),
+    ("l_linestatus", None),
+]
+
+
+@register(
+    "table_stats_profile",
+    "\nUNION ALL\n".join(
+        _duck_col_stats(c, e) for c, e in _STATS_COLS
+    )
+    + "\nORDER BY col_name",
+)
+def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics profile of ``lineitem`` —
+    the table the optimizer (or a data engineer) asks for first: row
+    count, exact NDV, null count, and min/max per column (numerics as
+    exact integer cents in ``min_num``/``max_num``, strings
+    lexicographic in ``min_str``/``max_str``; one uniform row shape).
+
+    The Spark plan is ONE pass over the table: all seven
+    count(DISTINCT) aggregates share a single Expand-based aggregation
+    (Catalyst's multi-distinct rewrite), not seven scans. At 100 TB
+    the same statement swaps exact NDV for ``approx_count_distinct``
+    (HLL, one pass, no expand) — the exact tier here doubles as that
+    sketch's error oracle, the ``approx_aggregates`` pattern."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for col, num in _STATS_COLS:
+        safe = col
+        aggs.extend(
+            [
+                F.count("*").alias(f"{safe}__n"),
+                F.countDistinct(F.col(col)).alias(f"{safe}__ndv"),
+                (F.count("*") - F.count(F.col(col))).alias(
+                    f"{safe}__nulls"
+                ),
+            ]
+        )
+        if num is not None:
+            num_c = F.expr(num).cast("long")
+            aggs.extend(
+                [
+                    F.min(num_c).alias(f"{safe}__mn"),
+                    F.max(num_c).alias(f"{safe}__mx"),
+                    F.min(F.lit(None).cast("string")).alias(
+                        f"{safe}__ms"
+                    ),
+                    F.max(F.lit(None).cast("string")).alias(
+                        f"{safe}__xs"
+                    ),
+                ]
+            )
+        else:
+            aggs.extend(
+                [
+                    F.min(F.lit(None).cast("long")).alias(f"{safe}__mn"),
+                    F.max(F.lit(None).cast("long")).alias(f"{safe}__mx"),
+                    F.min(F.col(col)).alias(f"{safe}__ms"),
+                    F.max(F.col(col)).alias(f"{safe}__xs"),
+                ]
+            )
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__ndv, {c}__nulls, {c}__mn, {c}__mx, "
+        f"{c}__ms, {c}__xs"
+        for c, _ in _STATS_COLS
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_STATS_COLS)}, {stack_args}) AS "
+            f"(col_name, n_rows, n_distinct, n_nulls, min_num, max_num, "
+            f"min_str, max_str)"
+        )
+    ).orderBy("col_name")

@@ -113,6 +113,7 @@ AT_REST_WRITERS = {
     "pagerank_event_transitions",
     "tfidf_cosine_top5",
     "ivfpq_ann_topk",
+    "ivf_closure_recall_audit",
 }
 
 

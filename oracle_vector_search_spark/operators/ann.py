@@ -332,6 +332,7 @@ def ivf_closure_assign(
     seed_stride: int = SEED_STRIDE,
     n_assign: int = 2,
     seeds: DataFrame | None = None,
+    with_rank: bool = False,
 ) -> DataFrame:
     """SPANN-style closure assignment (Chen et al. 2021, SPANN): every
     vector lands in its ``n_assign`` nearest clusters instead of one.
@@ -357,11 +358,16 @@ def ivf_closure_assign(
     w = Window.partitionBy(id_col).orderBy(
         F.desc("seed_score"), F.asc("seed_id")
     )
-    return (
+    out = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_assign)
-        .select(F.col(id_col), F.col("seed_id").alias("cluster_id"))
     )
+    cols = [F.col(id_col), F.col("seed_id").alias("cluster_id")]
+    if with_rank:
+        # rn lets a caller slice the single-assignment tier (rn = 1)
+        # out of the same window pass instead of re-ranking the corpus
+        cols.append(F.col("rn"))
+    return out.select(*cols)
 
 
 def ivf_ann_topk(

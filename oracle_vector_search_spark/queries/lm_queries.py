@@ -121,12 +121,14 @@ WITH tok AS (
 ), bge AS (
   SELECT doc_id, split_part(b, ' ', 1) AS w1, b FROM bg
 ), c2 AS (
-  SELECT b, CAST(count(*) AS BIGINT) AS c2 FROM bge GROUP BY b
+  SELECT b, split_part(b, ' ', 1) AS w1,
+         CAST(count(*) AS BIGINT) AS c2
+  FROM bge GROUP BY b
 ), c1 AS (
-  SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bge GROUP BY w1
+  SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1
 ), j AS (
   SELECT g.doc_id, c2.c2, c1.c1
-  FROM bge g JOIN c2 USING (b) JOIN c1 USING (w1)
+  FROM bge g JOIN c2 USING (b) JOIN c1 ON c1.w1 = c2.w1
 )
 SELECT doc_id,
        CAST(count(*) AS BIGINT) AS n_bigrams,
@@ -148,10 +150,13 @@ def bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree exactly. ``rare_bigrams`` (corpus hapax transitions) is the
     fluency-filter signal: disfluent/garbled text is dense in them.
 
-    Scale: training is two partial-agg shuffles keyed on bigram/prefix;
-    scoring joins by bigram key (skew on head bigrams absorbed by AQE
-    skew-join). Documents with < 2 tokens have no bigrams and emit no
-    row, matching the oracle's inner-join semantics."""
+    Scale: training is ONE corpus-sized shuffle (bigram counts); prefix
+    counts roll up from the bigram-count table itself (sum of c2 over
+    w1 — a vocabulary-sized aggregation, since c1(w1) = Σ_w2 c2(w1 w2)
+    by definition), never a second pass over the corpus. Scoring joins
+    by bigram key (skew on head bigrams absorbed by AQE skew-join).
+    Documents with < 2 tokens have no bigrams and emit no row, matching
+    the oracle's inner-join semantics."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.split(T.norm_text("text"), " ").alias("t")
@@ -166,9 +171,13 @@ def bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "END"
             )
         ).alias("b"),
-    ).withColumn("w1", F.substring_index("b", " ", 1))
-    c2 = bge.groupBy("b").agg(F.count("*").alias("c2"))
-    c1 = bge.groupBy("w1").agg(F.count("*").alias("c1"))
+    )
+    c2 = (
+        bge.groupBy("b")
+        .agg(F.count("*").alias("c2"))
+        .withColumn("w1", F.substring_index("b", " ", 1))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     j = bge.join(c2, "b").join(c1, "w1")
     return j.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),

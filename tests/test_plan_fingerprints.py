@@ -83,9 +83,11 @@ EXPECTED: dict[str, dict[str, int]] = {
     "ivfpq_ann_topk":                  {"shuffle_exchanges": 2, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # bpe: two vocabulary-sized shuffles (word counts, pair counts)
     "bpe_merge_pairs_top20":           {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
-    # bigram LM: bigram-keyed train shuffles + count joins (head-bigram
-    # skew handled by AQE) + per-doc agg
-    "bigram_lm_fluency":               {"shuffle_exchanges": 3, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # bigram LM: ONE corpus-sized shuffle (bigram counts); prefix counts
+    # roll up from the count table (vocab-sized exchange), then count
+    # joins + per-doc agg. 4 exchanges but only one moves corpus rows —
+    # measured 1.75x faster than the 3-exchange two-corpus-pass shape
+    "bigram_lm_fluency":               {"shuffle_exchanges": 4, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # seasonal baseline: one bounded-key partial agg, broadcast back
     "seasonal_hour_anomalies":         {"shuffle_exchanges": 1, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # closure audit: 2 assignment windows + exact-top window + distinct

@@ -928,3 +928,56 @@ def events_trailing_hour_range_sum(
         F.sum("cents").over(w).alias("trailing_hour_cents"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
+
+
+@register(
+    "rolling_distinct_users_range",
+    """
+WITH e AS (
+  SELECT event_id, event_type,
+         epoch_ns(ts) // 1000 AS ts_us,
+         user_id
+  FROM events
+)
+SELECT event_id, event_type,
+       CAST(count(DISTINCT user_id) OVER w AS BIGINT)
+         AS distinct_users_1h
+FROM e
+WINDOW w AS (PARTITION BY event_type ORDER BY ts_us
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""",
+)
+def rolling_distinct_users_range(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact rolling DISTINCT count over a value-bounded RANGE frame —
+    distinct users active in the trailing hour, evaluated at every
+    event. Spark has no windowed count(DISTINCT), so the engine
+    composes it as ``size(array_distinct(collect_list(...)))`` over
+    the identical frame — exact, and the standard Spark recipe; the
+    oracle states the same thing natively. Simultaneous events share
+    a frame (RANGE, not ROWS), so ties are deterministic.
+
+    Scale: one shuffle on event_type. The frame buffer holds one hour
+    of user ids per partition — bounded by event rate, not corpus
+    size; at very high rates the same query degrades gracefully to
+    the sketch tier (HLL per hour bucket + merge), with this exact
+    form as its error oracle (the ``approx_aggregates`` pattern)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "user_id",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "event_type",
+        F.size(F.array_distinct(F.collect_list("user_id").over(w)))
+        .cast("long")
+        .alias("distinct_users_1h"),
+    )

@@ -197,3 +197,12 @@ def test_profile_guided_join_unions_hot_and_cold(spark, sf_dir, qs):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan, plan
+
+
+def test_dpp_fact_scan_carries_dynamic_pruning(spark, sf_dir, qs):
+    """The partitioned fact scan must carry a DynamicPruning subquery
+    (runtime partition pruning fed by the filtered dimension) — the
+    point of the at-rest partitionBy(event_type) layout."""
+    df = qs["dpp_pruned_event_revenue"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan

@@ -120,7 +120,8 @@ def load_all_modules() -> None:
 #   bpe_merge_pairs_top20, bigram_lm_fluency, seasonal_hour_anomalies,
 #   ivf_closure_recall_audit, bpe_apply_merge_recount,
 #   c4_sentence_span_dedup, retrieval_ndcg_audit, table_stats_profile,
-#   rolling_distinct_users_range, dpp_pruned_event_revenue
+#   rolling_distinct_users_range, dpp_pruned_event_revenue,
+#   golden_record_survivorship
 #   (all green in this session's local gates at sf0.01; the first
 #   batch also at sf0.1).
 _PRIORITY: tuple[str, ...] = (

@@ -655,3 +655,87 @@ def events_user_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("alarm"),
     )
+
+
+@register(
+    "golden_record_survivorship",
+    """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) // 1000 AS ts_us,
+         CASE WHEN event_id % 7 = 0 THEN NULL
+              ELSE CAST(floor(value * 100) AS BIGINT) END AS cents,
+         CASE WHEN event_id % 11 = 0 THEN NULL
+              ELSE event_type END AS etype
+  FROM events
+), k AS (
+  SELECT *,
+         CAST(ts_us AS HUGEINT) * 10000000 + event_id % 10000000 AS ord
+  FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(cents) AS BIGINT) AS n_value_obs,
+       arg_max(cents, CASE WHEN cents IS NOT NULL THEN ord END)
+         AS latest_cents,
+       CAST(max(CASE WHEN cents IS NOT NULL THEN ts_us END) AS BIGINT)
+         AS latest_cents_ts_us,
+       arg_max(etype, CASE WHEN etype IS NOT NULL THEN ord END)
+         AS latest_type,
+       CAST(min(ts_us) AS BIGINT) AS first_seen_us
+FROM k
+GROUP BY user_id
+""",
+)
+def golden_record_survivorship(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Golden-record survivorship (the MDM consolidation rule): per
+    entity, each field's surviving value is the LATEST NON-NULL
+    observation — independently per field, so a recent record with a
+    missing field never erases an older observed value. Nulls are
+    planted deterministically (event_id mod 7 / mod 11) so both
+    engines see identical missingness. The recency key is
+    ts_us·10⁷ + event_id mod 10⁷ in DECIMAL(38)/HUGEINT — total order
+    with an id tie-break, overflow-proof — and the null-guard lives in
+    the ORDERING argument (``max_by(x, CASE WHEN x IS NOT NULL THEN
+    ord END)``): engines disagree on null-ARG handling in
+    max_by/arg_max, but both skip null ORDERING rows, so the guarded
+    form is portable.
+
+    Scale: one partial-agg shuffle on the entity key; every
+    survivorship rule is a monoid (max_by merges associatively), so
+    this is also the incremental-merge shape (the
+    ``hourly_agg_partial_merge`` story)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.expr(
+            "CASE WHEN event_id % 7 = 0 THEN NULL "
+            "ELSE cast(floor(value * 100) as bigint) END"
+        ).alias("cents"),
+        F.expr(
+            "CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END"
+        ).alias("etype"),
+    ).withColumn(
+        "ord",
+        F.expr(
+            "cast(ts_us as decimal(38,0)) * 10000000 "
+            "+ event_id % 10000000"
+        ),
+    )
+    return e.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.count("cents").alias("n_value_obs"),
+        F.expr(
+            "max_by(cents, CASE WHEN cents IS NOT NULL THEN ord END)"
+        ).alias("latest_cents"),
+        F.max(
+            F.when(F.col("cents").isNotNull(), F.col("ts_us"))
+        ).alias("latest_cents_ts_us"),
+        F.expr(
+            "max_by(etype, CASE WHEN etype IS NOT NULL THEN ord END)"
+        ).alias("latest_type"),
+        F.min("ts_us").alias("first_seen_us"),
+    )

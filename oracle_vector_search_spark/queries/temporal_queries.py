@@ -981,3 +981,78 @@ def rolling_distinct_users_range(
         .cast("long")
         .alias("distinct_users_1h"),
     )
+
+
+@register(
+    "scd2_user_type_intervals",
+    """
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) // 1000 AS ts_us,
+         event_type AS etype
+  FROM events
+), marked AS (
+  SELECT *,
+         lag(etype) OVER w AS prev_etype
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), changes AS (
+  SELECT user_id, ts_us, etype
+  FROM marked
+  WHERE prev_etype IS NULL OR etype <> prev_etype
+), versioned AS (
+  SELECT user_id, etype,
+         CAST(ts_us AS BIGINT) AS valid_from_us,
+         CAST(row_number() OVER w2 AS INTEGER) AS version,
+         lead(ts_us) OVER w2 AS next_from
+  FROM changes
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us)
+)
+SELECT user_id, version, etype,
+       valid_from_us,
+       CAST(coalesce(next_from, -1) AS BIGINT) AS valid_to_us
+FROM versioned
+""",
+)
+def scd2_user_type_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SCD type-2 dimension construction from a change feed: collapse
+    each user's event stream into versioned validity intervals of its
+    ``event_type`` attribute — a new interval opens only when the value
+    CHANGES (lag-based change detection, so consecutive repeats
+    compact into one row), closes when the next change arrives
+    (lead), and the current version carries the -1 open-interval
+    sentinel. Ordering is total ((ts_us, event_id) tie-break), so
+    simultaneous events version identically in both engines. This is
+    the table the as-of/point-in-time joins (``purchase_asof_order``)
+    consume.
+
+    Scale: both windows ride ONE user_id shuffle (change detection on
+    the raw feed, versioning on the already-collapsed change rows —
+    the second window's input is changes-sized, not feed-sized)."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.col("event_type").alias("etype"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    changes = (
+        e.withColumn("prev_etype", F.lag("etype").over(w))
+        .filter(
+            F.col("prev_etype").isNull()
+            | (F.col("etype") != F.col("prev_etype"))
+        )
+        .select("user_id", "ts_us", "etype")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us")
+    return changes.select(
+        "user_id",
+        F.row_number().over(w2).cast("int").alias("version"),
+        "etype",
+        F.col("ts_us").alias("valid_from_us"),
+        F.coalesce(F.lead("ts_us").over(w2), F.lit(-1))
+        .cast("long")
+        .alias("valid_to_us"),
+    )

@@ -997,7 +997,7 @@ WITH e AS (
   FROM e
   WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ), changes AS (
-  SELECT user_id, ts_us, etype
+  SELECT user_id, ts_us, event_id, etype
   FROM marked
   WHERE prev_etype IS NULL OR etype <> prev_etype
 ), versioned AS (
@@ -1006,7 +1006,7 @@ WITH e AS (
          CAST(row_number() OVER w2 AS INTEGER) AS version,
          lead(ts_us) OVER w2 AS next_from
   FROM changes
-  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us)
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 )
 SELECT user_id, version, etype,
        valid_from_us,
@@ -1044,9 +1044,11 @@ def scd2_user_type_intervals(
             F.col("prev_etype").isNull()
             | (F.col("etype") != F.col("prev_etype"))
         )
-        .select("user_id", "ts_us", "etype")
+        .select("user_id", "ts_us", "event_id", "etype")
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts_us")
+    # same (ts_us, event_id) total order as the change-detection window
+    # — simultaneous changes version deterministically at any scale
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
     return changes.select(
         "user_id",
         F.row_number().over(w2).cast("int").alias("version"),
@@ -1055,4 +1057,107 @@ def scd2_user_type_intervals(
         F.coalesce(F.lead("ts_us").over(w2), F.lit(-1))
         .cast("long")
         .alias("valid_to_us"),
+    )
+
+
+@register(
+    "scd2_point_in_time_join",
+    """
+WITH o AS (
+  SELECT o_custkey AS user_id, o_orderkey,
+         epoch_ns(o_orderdate) // 1000 AS ts_us,
+         o_orderpriority AS prio
+  FROM orders
+), marked AS (
+  SELECT *, lag(prio) OVER w AS prev_prio
+  FROM o
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, o_orderkey)
+), changes AS (
+  SELECT user_id, ts_us, o_orderkey, prio
+  FROM marked
+  WHERE prev_prio IS NULL OR prio <> prev_prio
+), versioned AS (
+  SELECT user_id, prio,
+         CAST(ts_us AS BIGINT) AS valid_from_us,
+         CAST(row_number() OVER w2 AS INTEGER) AS version,
+         lead(ts_us) OVER w2 AS next_from
+  FROM changes
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, o_orderkey)
+), e AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ets_us
+  FROM events
+)
+SELECT e.event_id, e.user_id, CAST(e.ets_us AS BIGINT) AS ets_us,
+       v.prio AS prio_at_event, v.version, v.valid_from_us
+FROM e JOIN versioned v
+  ON v.user_id = e.user_id
+ AND v.valid_from_us <= e.ets_us
+ AND (v.next_from IS NULL OR e.ets_us < v.next_from)
+""",
+)
+def scd2_point_in_time_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time (bitemporal) join against an SCD2 dimension:
+    customer order-priority versions are built SCD2-style from the
+    orders change feed (lag change-detection + lead interval close —
+    the ``scd2_user_type_intervals`` recipe on a second attribute),
+    and every event picks the version VALID AT ITS TIMESTAMP — the
+    feature-store rule that prevents training-serving skew (an
+    interval opened after the event can never be chosen). Spark
+    expresses containment as the backward as-of join on valid_from_us
+    (intervals partition time, so the latest open ≤ t IS the
+    containing interval); the oracle states the interval predicate
+    directly. Events before a customer's first order have no version
+    and drop (inner semantics, both sides).
+
+    Scale: interval build and as-of probe each ride ONE shuffle on the
+    entity key — never an inequality cross join."""
+    from oracle_vector_search_spark.operators.temporal import asof_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        "o_orderkey",
+        F.expr("unix_micros(cast(o_orderdate as timestamp))").alias(
+            "ts_us"
+        ),
+        F.col("o_orderpriority").alias("prio"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "o_orderkey")
+    changes = (
+        o.withColumn("prev_prio", F.lag("prio").over(w))
+        .filter(
+            F.col("prev_prio").isNull()
+            | (F.col("prio") != F.col("prev_prio"))
+        )
+        .select("user_id", "ts_us", "o_orderkey", "prio")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts_us", "o_orderkey")
+    intervals = changes.select(
+        "user_id",
+        F.col("ts_us").alias("valid_from_us"),
+        F.row_number().over(w2).cast("int").alias("version"),
+        F.col("prio").alias("prio_at_event"),
+    )
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr("ts_ns div 1000").alias("ets_us"),
+    )
+    joined = asof_join(
+        e,
+        intervals,
+        key="user_id",
+        left_ts="ets_us",
+        right_ts="valid_from_us",
+        right_payload=["prio_at_event", "version", "valid_from_us"],
+        direction="backward",
+    )
+    return joined.filter(F.col("prio_at_event").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "ets_us",
+        "prio_at_event",
+        "version",
+        "valid_from_us",
     )

@@ -121,7 +121,8 @@ def load_all_modules() -> None:
 #   ivf_closure_recall_audit, bpe_apply_merge_recount,
 #   c4_sentence_span_dedup, retrieval_ndcg_audit, table_stats_profile,
 #   rolling_distinct_users_range, dpp_pruned_event_revenue,
-#   golden_record_survivorship, scd2_user_type_intervals
+#   golden_record_survivorship, scd2_user_type_intervals,
+#   scd2_point_in_time_join, largest_remainder_allocation
 #   (all green in this session's local gates at sf0.01; the first
 #   batch also at sf0.1).
 _PRIORITY: tuple[str, ...] = (

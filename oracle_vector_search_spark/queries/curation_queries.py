@@ -898,3 +898,90 @@ def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"),
         F.expr("bit_xor(h)").alias("content_checksum"),
     )
+
+
+_LR_BUDGET = 10000  # tokens to allocate across sources
+
+
+@register(
+    "largest_remainder_allocation",
+    f"""
+WITH counts AS (
+  SELECT source,
+         CAST(sum(len(string_split({T.duck_norm('text')}, ' ')))
+              AS BIGINT) AS toks
+  FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(toks) AS BIGINT) AS total FROM counts
+), quota AS (
+  SELECT c.source, c.toks,
+         CAST((c.toks * {_LR_BUDGET}) // t.total AS BIGINT) AS floor_alloc,
+         CAST((c.toks * {_LR_BUDGET}) % t.total AS BIGINT) AS remainder
+  FROM counts c CROSS JOIN tot t
+), short AS (
+  SELECT CAST({_LR_BUDGET} - sum(floor_alloc) AS BIGINT) AS leftover
+  FROM quota
+), ranked AS (
+  SELECT q.*, s.leftover,
+         CAST(row_number() OVER (
+           ORDER BY q.remainder DESC, q.source) AS INTEGER) AS rr
+  FROM quota q CROSS JOIN short s
+)
+SELECT source, toks, floor_alloc,
+       CAST(floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked
+ORDER BY source
+""",
+)
+def largest_remainder_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed token
+    budget across sources — the exact way to turn fractional mixture
+    weights into integer per-source quotas that sum EXACTLY to the
+    budget (floor everything, then hand the leftover units to the
+    largest fractional remainders, source tie-break). All integer
+    arithmetic: quota = (toks*B) div total, remainder = (toks*B) mod
+    total — no float ever decides an allocation, so the result is
+    identical on any engine and any partitioning.
+
+    Scale: one corpus-sized aggregation (per-source token counts);
+    everything after runs on the source-sized table with broadcast
+    scalars. The window orders |sources| rows — metadata-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "source",
+            F.size(F.split(T.norm_text("text"), " ")).alias("ntok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("ntok").alias("toks"))
+    )
+    tot = counts.agg(F.sum("toks").alias("total"))
+    quota = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        F.expr(f"(toks * {_LR_BUDGET}) div total").alias("floor_alloc"),
+        F.expr(f"(toks * {_LR_BUDGET}) % total").alias("remainder"),
+    )
+    short = quota.agg(
+        (F.lit(_LR_BUDGET) - F.sum("floor_alloc")).alias("leftover")
+    )
+    w = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    return (
+        quota.crossJoin(F.broadcast(short))
+        .withColumn("rr", F.row_number().over(w).cast("int"))
+        .select(
+            "source",
+            "toks",
+            "floor_alloc",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )

@@ -1161,3 +1161,63 @@ def scd2_point_in_time_join(
         "version",
         "valid_from_us",
     )
+
+
+_RESURRECT_GAP_US = 7 * 86400 * 1000000  # 7 days
+
+
+@register(
+    "user_resurrection_stats",
+    f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) // 1000 AS ts_us
+  FROM events
+), gaps AS (
+  SELECT user_id, ts_us,
+         ts_us - lag(ts_us) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+  FROM e
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT ts_us // 86400000000) AS BIGINT)
+         AS n_active_days,
+       CAST(coalesce(max(gap_us), 0) AS BIGINT) AS max_gap_us,
+       CAST(sum(CASE WHEN gap_us > {_RESURRECT_GAP_US}
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrections
+FROM gaps
+GROUP BY user_id
+""",
+)
+def user_resurrection_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Churn/resurrection profile per user: inter-event gaps via one
+    lag window ((ts, id) total order), a resurrection = activity after
+    more than 7 silent days, plus active-day counts — the engagement
+    lifecycle statistic behind retention dashboards. All integer µs;
+    single-event users report zero gaps (the lag NULL row contributes
+    to neither max nor the resurrection count on either engine,
+    coalesced to 0 explicitly for the max).
+
+    Scale: window + aggregation ride the same user_id shuffle."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = e.withColumn(
+        "gap_us", F.col("ts_us") - F.lag("ts_us").over(w)
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct(F.expr("ts_us div 86400000000")).alias(
+            "n_active_days"
+        ),
+        F.coalesce(F.max("gap_us"), F.lit(0)).alias("max_gap_us"),
+        F.sum(
+            F.when(F.col("gap_us") > _RESURRECT_GAP_US, 1).otherwise(0)
+        ).alias("n_resurrections"),
+    )

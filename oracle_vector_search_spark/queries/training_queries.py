@@ -2296,3 +2296,80 @@ def tfidf_cosine_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+@register(
+    "doc_top_keywords",
+    """
+WITH base AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM base),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM base),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, term
+),
+dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+idf AS (
+  SELECT term,
+         CAST(floor(1000.0 * (SELECT n_docs FROM n) / df) AS BIGINT)
+           AS idf_millis
+  FROM dfreq
+),
+w AS (
+  SELECT t.doc_id, t.term, t.tf, i.idf_millis,
+         CAST(t.tf * i.idf_millis AS BIGINT) AS weight
+  FROM tf t JOIN idf i USING (term)
+)
+SELECT doc_id, CAST(rn AS INTEGER) AS rank, term, tf, idf_millis, weight
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY weight DESC, term) AS rn
+  FROM w
+) r
+WHERE rn <= 3
+""",
+)
+def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by integer TF-IDF
+    weight (tf · idf_millis — the same millis-quantized idf the
+    retrieval queries score with, so keywords and ranking agree by
+    construction). Term tie-break keeps ties deterministic; weights
+    are exact BIGINTs so the ranking is engine- and
+    partitioning-independent.
+
+    Scale: tf comes from the at-rest posting table (no re-tokenize);
+    idf is the vocabulary-sized nightly table; the per-doc top-3 plans
+    as WindowGroupLimit below the doc_id shuffle — rank-k prunes
+    before the exchange."""
+    postings, stats = _posting_tables(spark, sf_dir)
+    n_docs = stats.select(F.col("n_docs").cast("long"))
+    tf = postings.select("doc_id", "term", F.col("tf").cast("long"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = df.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        F.expr("cast(floor(1000.0D * n_docs / df) as bigint)").alias(
+            "idf_millis"
+        ),
+    )
+    w = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "idf_millis",
+        (F.col("tf") * F.col("idf_millis")).alias("weight"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("weight"), F.asc("term")
+    )
+    return (
+        w.withColumn("rank", F.row_number().over(win).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "idf_millis", "weight")
+    )

@@ -123,7 +123,7 @@ def load_all_modules() -> None:
 #   rolling_distinct_users_range, dpp_pruned_event_revenue,
 #   golden_record_survivorship, scd2_user_type_intervals,
 #   scd2_point_in_time_join, largest_remainder_allocation,
-#   user_resurrection_stats, doc_top_keywords
+#   user_resurrection_stats, doc_top_keywords, corpus_summary_card
 #   (all green in this session's local gates at sf0.01; the first
 #   batch also at sf0.1).
 _PRIORITY: tuple[str, ...] = (

@@ -985,3 +985,72 @@ def largest_remainder_allocation(
         )
         .orderBy("source")
     )
+
+
+# Spark-SQL text normalization, inlined into the card's projections
+_CARD_NORM = "trim(regexp_replace(lower(text), '\\\\s+', ' '))"
+
+
+@register(
+    "corpus_summary_card",
+    f"""
+WITH base AS (
+  SELECT doc_id, lang, source,
+         string_split({T.duck_norm('text')}, ' ') AS toks,
+         {T.duck_hash60(T.duck_norm('text'))} AS content_h
+  FROM documents
+), per_doc AS (
+  SELECT doc_id, lang, source, content_h,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN {_duck_weight_sum('toks')} > 0 THEN 1 ELSE 0 END
+           AS quality_keep
+  FROM base
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(count(*) - count(DISTINCT content_h) AS BIGINT)
+         AS n_exact_dups,
+       CAST(sum(quality_keep) AS BIGINT) AS n_quality_keep
+FROM per_doc
+""",
+)
+def corpus_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row "dataset card" a training-data release ships with:
+    corpus size, language/source cardinalities, token totals and
+    bounds, exact-duplicate count (60-bit content fingerprints — the
+    ``exact_dedup_groups`` definition), and how many documents the
+    frozen quality classifier keeps (the ``quality_classifier_keep``
+    gate). Every number is a composition of the engine's existing
+    per-doc projections, folded in ONE aggregation — the summary is
+    definitionally consistent with the queries that drill into it.
+
+    Scale: per-doc stats are scan projections; the single global
+    aggregate is metadata-sized (multi-distinct handled by Catalyst's
+    Expand rewrite, the ``table_stats_profile`` note)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = f"split({_CARD_NORM}, ' ')"
+    per_doc = d.select(
+        "lang",
+        "source",
+        F.expr(T.hash60_sql(_CARD_NORM)).alias("content_h"),
+        F.size(F.expr(toks)).cast("long").alias("n_tokens"),
+        F.expr(
+            f"CASE WHEN {_spark_weight_sum(toks)} > 0 THEN 1 ELSE 0 END"
+        ).alias("quality_keep"),
+    )
+    return per_doc.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        (F.count("*") - F.countDistinct("content_h")).alias(
+            "n_exact_dups"
+        ),
+        F.sum("quality_keep").alias("n_quality_keep"),
+    )

@@ -124,8 +124,9 @@ def load_all_modules() -> None:
 #   golden_record_survivorship, scd2_user_type_intervals,
 #   scd2_point_in_time_join, largest_remainder_allocation,
 #   user_resurrection_stats, doc_top_keywords, corpus_summary_card
-#   (all green in this session's local gates at sf0.01; the first
-#   batch also at sf0.1).
+#   (ALL green at sf0.01 AND sf0.1 this round: full-registry gates at
+#   both SFs plus per-addition spot-checks; VERIFY.log PASS over the
+#   final 257-query surface).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

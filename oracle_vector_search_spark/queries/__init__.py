@@ -123,10 +123,12 @@ def load_all_modules() -> None:
 #   rolling_distinct_users_range, dpp_pruned_event_revenue,
 #   golden_record_survivorship, scd2_user_type_intervals,
 #   scd2_point_in_time_join, largest_remainder_allocation,
-#   user_resurrection_stats, doc_top_keywords, corpus_summary_card
+#   user_resurrection_stats, doc_top_keywords, corpus_summary_card,
+#   temperature_mixture_allocation, user_event_diversity_simpson
 #   (ALL green at sf0.01 AND sf0.1 this round: full-registry gates at
 #   both SFs plus per-addition spot-checks; VERIFY.log PASS over the
-#   final 257-query surface).
+#   257-query surface before the last two additions, which were then
+#   oracle-checked individually at both SFs).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

@@ -1054,3 +1054,101 @@ def corpus_summary_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("quality_keep").alias("n_quality_keep"),
     )
+
+
+@register(
+    "temperature_mixture_allocation",
+    f"""
+WITH counts AS (
+  SELECT source,
+         CAST(sum(len(string_split({T.duck_norm('text')}, ' ')))
+              AS BIGINT) AS toks
+  FROM documents GROUP BY source
+), wts AS (
+  SELECT source, toks,
+         CAST(floor(sqrt(CAST(toks AS DOUBLE)) * 1000000.0) AS BIGINT)
+           AS w
+  FROM counts
+), tot AS (SELECT CAST(sum(w) AS BIGINT) AS totw FROM wts),
+quota AS (
+  SELECT s.source, s.toks, s.w,
+         CAST((s.w * {_LR_BUDGET}) // t.totw AS BIGINT) AS floor_alloc,
+         CAST((s.w * {_LR_BUDGET}) % t.totw AS BIGINT) AS remainder
+  FROM wts s CROSS JOIN tot t
+), short AS (
+  SELECT CAST({_LR_BUDGET} - sum(floor_alloc) AS BIGINT) AS leftover
+  FROM quota
+), ranked AS (
+  SELECT q.*, s.leftover,
+         CAST(row_number() OVER (
+           ORDER BY q.remainder DESC, q.source) AS INTEGER) AS rr
+  FROM quota q CROSS JOIN short s
+)
+SELECT source, toks, w AS weight_micro, floor_alloc,
+       CAST(floor_alloc + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked
+ORDER BY source
+""",
+)
+def temperature_mixture_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-smoothed mixture allocation: per-source sampling
+    weights ∝ toks^(1/2) — the sublinear (T=2) smoothing multilingual
+    pipelines use so head sources stop drowning the tail — apportioned
+    to an exact integer budget by the largest-remainder rule
+    (``largest_remainder_allocation``). sqrt is the ONE float step and
+    IEEE-754 sqrt is correctly rounded, so floor(sqrt(x)·1e6) is
+    bit-identical on every engine; everything after is integer
+    arithmetic. Compared to the proportional allocation, small sources
+    gain quota and the head loses it — the point of the temperature.
+
+    Scale: identical shape to the proportional allocator — one
+    corpus-sized count aggregation, then source-sized integer math."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(
+            "source",
+            F.size(F.split(T.norm_text("text"), " ")).alias("ntok"),
+        )
+        .groupBy("source")
+        .agg(F.sum("ntok").alias("toks"))
+    )
+    wts = counts.select(
+        "source",
+        "toks",
+        F.expr(
+            "cast(floor(sqrt(cast(toks as double)) * 1000000.0D) "
+            "as bigint)"
+        ).alias("w"),
+    )
+    tot = wts.agg(F.sum("w").alias("totw"))
+    quota = wts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        "w",
+        F.expr(f"(w * {_LR_BUDGET}) div totw").alias("floor_alloc"),
+        F.expr(f"(w * {_LR_BUDGET}) % totw").alias("remainder"),
+    )
+    short = quota.agg(
+        (F.lit(_LR_BUDGET) - F.sum("floor_alloc")).alias("leftover")
+    )
+    w = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    return (
+        quota.crossJoin(F.broadcast(short))
+        .withColumn("rr", F.row_number().over(w).cast("int"))
+        .select(
+            "source",
+            "toks",
+            F.col("w").alias("weight_micro"),
+            "floor_alloc",
+            (
+                F.col("floor_alloc")
+                + F.when(F.col("rr") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("alloc"),
+        )
+        .orderBy("source")
+    )

@@ -739,3 +739,54 @@ def golden_record_survivorship(
         ).alias("latest_type"),
         F.min("ts_us").alias("first_seen_us"),
     )
+
+
+@register(
+    "user_event_diversity_simpson",
+    """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_i
+  FROM events GROUP BY user_id, event_type
+), agg AS (
+  SELECT user_id,
+         CAST(sum(n_i) AS BIGINT) AS n,
+         CAST(sum(n_i * n_i) AS BIGINT) AS sum_sq,
+         CAST(count(*) AS BIGINT) AS n_types
+  FROM c GROUP BY user_id
+)
+SELECT user_id, n AS n_events, n_types,
+       CAST(1000000 - (1000000 * sum_sq) // (n * n) AS BIGINT)
+         AS simpson_micro
+FROM agg
+""",
+)
+def user_event_diversity_simpson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Behavioral diversity per user as the Simpson index
+    1 − Σ(nᵢ/n)² — the log-free entropy substitute (repo policy: no
+    cross-libm ln), emitted in exact integer micro-units via
+    ``1e6 − (1e6·Σnᵢ²) div n²``: 0 = every event the same type, →1 =
+    evenly spread over many types. No float anywhere, so the index is
+    identical on every engine and partitioning.
+
+    Scale: two chained partial aggregations on the same user key — the
+    second input is (user × type)-sized, and both ride one shuffle
+    lineage."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("n_i")
+    )
+    agg = c.groupBy("user_id").agg(
+        F.sum("n_i").alias("n"),
+        F.sum(F.col("n_i") * F.col("n_i")).alias("sum_sq"),
+        F.count("*").alias("n_types"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_types",
+        F.expr(
+            "cast(1000000 - (1000000 * sum_sq) div (n * n) as bigint)"
+        ).alias("simpson_micro"),
+    )

@@ -128,3 +128,35 @@ def test_rolling_distinct_users_bounds(spark, sf_dir, qs):
     )
     rows = qs["rolling_distinct_users_range"](spark, sf_dir).collect()
     assert all(1 <= r["distinct_users_1h"] <= n_users for r in rows)
+
+
+def test_temperature_allocation_sums_and_flattens_the_head(
+    spark, sf_dir, qs
+):
+    prop = {
+        r["source"]: r["alloc"]
+        for r in qs["largest_remainder_allocation"](spark, sf_dir).collect()
+    }
+    rows = qs["temperature_mixture_allocation"](spark, sf_dir).collect()
+    temp = {r["source"]: r["alloc"] for r in rows}
+    assert sum(temp.values()) == 10000
+    for r in rows:
+        assert r["alloc"] in (r["floor_alloc"], r["floor_alloc"] + 1)
+    # sqrt smoothing moves quota from the largest source to the smallest
+    toks = {r["source"]: r["toks"] for r in rows}
+    biggest = max(toks, key=toks.get)
+    smallest = min(toks, key=toks.get)
+    assert temp[biggest] <= prop[biggest]
+    assert temp[smallest] >= prop[smallest]
+
+
+def test_simpson_index_bounds_and_degenerate_cases(spark, sf_dir, qs):
+    rows = qs["user_event_diversity_simpson"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["simpson_micro"] < 1_000_000
+        if r["n_types"] == 1:
+            assert r["simpson_micro"] == 0
+        # Simpson is capped by 1 - 1/n_types (even spread)
+        assert r["simpson_micro"] <= 1_000_000 - (
+            1_000_000 // r["n_types"]
+        ) + 1

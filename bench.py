@@ -156,6 +156,36 @@ def main() -> None:
             one_time[name] = round(max(runs[0] - warm, 0.0), 3)
 
     total = round(sum(medians.values()), 3)
+    # Output discipline (VERDICT r5 #2): the driver captures the TAIL of
+    # stdout and parses the final JSON line. At 38 queries the old
+    # everything-in-one-line emission outgrew that capture and r5 lost
+    # its external perf record (BENCH_r05 `parsed: null`). So: the bulky
+    # per-run detail (min-warm, cold, one-time writes) goes to a
+    # committed file and an EARLIER stdout line; the LAST line is the
+    # compact driver contract (metric/value/unit/queries/sf) only.
+    detail = {
+        "metric": "headline_suite_warm_median_total_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": medians,
+        "queries_min_warm": mins,
+        "min_warm_total": round(sum(mins.values()), 3),
+        "one_time_writes": one_time,
+        "cold_first_run": cold,
+        "runs_per_query": RUNS,
+        "sf": sf_val,
+    }
+    try:
+        local_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+        )
+        with open(local_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: the stdout detail line still has it
+    print(json.dumps(detail))
+    sys.stdout.flush()
     print(
         json.dumps(
             {
@@ -163,10 +193,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": medians,
-                "queries_min_warm": mins,
                 "min_warm_total": round(sum(mins.values()), 3),
-                "one_time_writes": one_time,
-                "cold_first_run": cold,
                 "runs_per_query": RUNS,
                 "sf": sf_val,
             }

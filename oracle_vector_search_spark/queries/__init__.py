@@ -78,57 +78,36 @@ def load_all_modules() -> None:
 # Registry ordering exposed to the driver. The driver's hard correctness
 # gate checks a 50-entry prefix of queries(), so the prefix ROTATES each
 # round to spread verification across the whole registry:
-#   r1 ∪ r2 ∪ r3 ∪ r4 windows = every query that existed before round 4
-#   (147 distinct driver-checked names).
-#   r5 (this file) = 8 always-on sentinels + the 34 queries ADDED in
-#   round 4 (never driver-checked before; all green in the r4 local full
-#   gate and the judge's re-run) + the 3 formerly-`no_oracle` queries
-#   that gained real oracles in r5 (approx_aggregates exact+bounded
-#   flags, packed_bins_greedy exact invariants,
-#   streaming_sliding_windows_watermark closed-form finalization) + the
-#   new r5 queries. After r5 the union covers the ENTIRE registry.
+#   r1 ∪ r2 ∪ r3 ∪ r4 ∪ r5 windows = every query that existed before
+#   round 5 (186 distinct driver-checked names; CORRECTNESS_r05 was
+#   50/50 green).
+#   r6 (this file) = 8 always-on sentinels + 42 of the 72 queries ADDED
+#   during round 5 that no driver window has seen (oldest additions
+#   first, per VERDICT r5 #1; every one verified value-exact against
+#   its DuckDB oracle by both the builder's full-registry gate and the
+#   judge's independent re-run). `scd2_point_in_time_join` is pulled
+#   forward from the r7 batch because its tiebreak behavior changed
+#   this round (ADVICE r5 high) and the fix should get the hard
+#   external check immediately.
 #   Queries past position 49 remain verified by the local gate
 #   (tools/oracle_check.py, full surface, CI via
 #   tests/test_oracle_surface.py). Keep this list at exactly 50 names.
-#   r6 rotation TODO: swap the 34 r4-adds (by then driver-verified in
-#   CORRECTNESS_r05) for the queries ADDED during round 5 that no
-#   driver window has seen: quality_classifier_keep,
-#   dsir_importance_select, semantic_dedup_keep, lm_perplexity_buckets,
-#   shard_export_manifest, curated_corpus_checksum,
-#   incremental_corpus_admission, sequential_poisson_sample,
-#   media_frame_manifest, streaming_corpus_admission,
-#   q3_shipping_priority, q18_large_volume_customers,
-#   dedup_graph_triangles, ab_test_event_value_z, events_user_ewma,
-#   events_user_cusum, synopsis_range_count_audit, retrieval_map_audit,
-#   knn_classifier_confusion (all green in the r5 local gate at
-#   sf0.01 AND sf0.1), plus the late-r5 additions: q8_market_share,
-#   q9_product_profit, q11_important_stock, q16_parts_supplier,
-#   q20_excess_suppliers, q21_waiting_suppliers,
-#   revenue_rollup_nation_year, customer_spend_window_suite,
-#   quantity_quantiles_by_flag, set_ops_customer_cohorts,
-#   knn_radius_search, pagerank_event_transitions,
-#   embedding_gram_upper, embedding_covariance_upper,
-#   pca_top_eigenvector, tfidf_cosine_top5,
-#   copurchase_part_pairs_top20, events_hourly_gapfill_ffill,
-#   events_rolling_median_value, ivfpq_ann_topk,
-#   ivfpq_residual_fidelity, pareto_skyline_orders,
-#   source_lang_chisq_divergence, cdc_merge_with_deletes,
-#   null_safe_join_audit, xml_roundtrip_checksum,
-#   funnel_view_click_purchase, events_trailing_hour_range_sum,
-#   incremental_revenue_snapshot, winsorized_value_sums,
-#   revenue_yoy_growth, top_orders_with_ties, event_type_value_mode,
-#   bpe_merge_pairs_top20, bigram_lm_fluency, seasonal_hour_anomalies,
-#   ivf_closure_recall_audit, bpe_apply_merge_recount,
-#   c4_sentence_span_dedup, retrieval_ndcg_audit, table_stats_profile,
+#   r7 rotation TODO: swap these 42 for the remaining 30 never-checked
+#   r5 additions — source_lang_chisq_divergence,
+#   cdc_merge_with_deletes, null_safe_join_audit,
+#   xml_roundtrip_checksum, funnel_view_click_purchase,
+#   events_trailing_hour_range_sum, incremental_revenue_snapshot,
+#   winsorized_value_sums, revenue_yoy_growth, top_orders_with_ties,
+#   event_type_value_mode, bpe_merge_pairs_top20, bigram_lm_fluency,
+#   seasonal_hour_anomalies, ivf_closure_recall_audit,
+#   bpe_apply_merge_recount, c4_sentence_span_dedup,
+#   retrieval_ndcg_audit, table_stats_profile,
 #   rolling_distinct_users_range, dpp_pruned_event_revenue,
 #   golden_record_survivorship, scd2_user_type_intervals,
-#   scd2_point_in_time_join, largest_remainder_allocation,
-#   user_resurrection_stats, doc_top_keywords, corpus_summary_card,
-#   temperature_mixture_allocation, user_event_diversity_simpson
-#   (ALL green at sf0.01 AND sf0.1 this round: full-registry gates at
-#   both SFs plus per-addition spot-checks; VERIFY.log PASS over the
-#   257-query surface before the last two additions, which were then
-#   oracle-checked individually at both SFs).
+#   largest_remainder_allocation, user_resurrection_stats,
+#   doc_top_keywords, corpus_summary_card,
+#   temperature_mixture_allocation, user_event_diversity_simpson —
+#   plus the queries added in round 6.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",
@@ -139,51 +118,53 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_cosine_top5_gemm",
     "exact_dedup_groups",
     "streaming_upsert_snapshot",
-    # --- the 34 queries added in round 4, never driver-checked ---
-    "matryoshka_recall_audit",
-    "sql_udf_knn_top3",
-    "view_next_purchase_asof",
-    "retention_cohorts",
-    "session_path_bigrams",
-    "repeated_span_doc_stats",
-    "boilerplate_spans_per_source",
-    "countmin_token_freq_audit",
-    "per_group_linear_fit",
-    "mad_outlier_flags",
-    "maxsim_late_interaction_top5",
-    "span_corruption_pairs",
-    "hybrid_rrf_retrieval_top10",
-    "profile_guided_skew_join_spend",
-    "k_anonymity_audit",
-    "range_checksum_diff",
-    "yolo_source_class_stats",
-    "streaming_dedup_within_watermark",
-    "orc_roundtrip_checksum",
-    "csv_roundtrip_checksum",
-    "merge_schema_evolution_audit",
-    "equidepth_value_histogram",
-    "domain_oversample_apply",
-    "embedding_drift_audit",
-    "event_type_twap",
-    "recursive_ancestry_rollup",
-    "variant_props_stats",
-    "events_ohlc_bars",
-    "value_skew_kurtosis_exact",
-    "lsh_multiprobe_topk",
-    "filtered_knn_label",
-    "multiprobe_recall_audit",
-    "hamming_knn_top5",
-    "dedup_cleaned_corpus_checksum",
-    # --- formerly no_oracle, oracle-ified in r5 (VERDICT r4 #2) ---
-    "approx_aggregates",
-    "packed_bins_greedy",
-    "streaming_sliding_windows_watermark",
-    # --- new in round 5 ---
-    "reference_labels_index_parity",
-    "knn_exact_gemm_int8",
-    "sq8_recall_refine_audit",
-    "dedup_cascade_scaling_probe",
-    "key_profile_at_rest",
+    # --- r5 additions, never driver-checked: curation/LM family ---
+    "quality_classifier_keep",
+    "dsir_importance_select",
+    "semantic_dedup_keep",
+    "lm_perplexity_buckets",
+    "shard_export_manifest",
+    "curated_corpus_checksum",
+    "incremental_corpus_admission",
+    "sequential_poisson_sample",
+    "media_frame_manifest",
+    "streaming_corpus_admission",
+    # --- r5 additions: TPC-H completions ---
+    "q3_shipping_priority",
+    "q18_large_volume_customers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    # --- r5 additions: analytics / graph / feature kernels ---
+    "dedup_graph_triangles",
+    "ab_test_event_value_z",
+    "events_user_ewma",
+    "events_user_cusum",
+    "synopsis_range_count_audit",
+    "retrieval_map_audit",
+    "knn_classifier_confusion",
+    "revenue_rollup_nation_year",
+    "customer_spend_window_suite",
+    "quantity_quantiles_by_flag",
+    "set_ops_customer_cohorts",
+    "knn_radius_search",
+    "pagerank_event_transitions",
+    # --- r5 additions: linear algebra / retrieval / ANN ---
+    "embedding_gram_upper",
+    "embedding_covariance_upper",
+    "pca_top_eigenvector",
+    "tfidf_cosine_top5",
+    "copurchase_part_pairs_top20",
+    "events_hourly_gapfill_ffill",
+    "events_rolling_median_value",
+    "ivfpq_ann_topk",
+    "ivfpq_residual_fidelity",
+    "pareto_skyline_orders",
+    # --- behavior changed this round (ADVICE r5 high): verify now ---
+    "scd2_point_in_time_join",
 )
 
 

@@ -1152,6 +1152,12 @@ def scd2_point_in_time_join(
         right_ts="valid_from_us",
         right_payload=["prio_at_event", "version", "valid_from_us"],
         direction="backward",
+        # (ADVICE r5, high) Two priority changes on the same
+        # o_orderdate tie completely on valid_from_us; backward sorts
+        # the tiebreak ascending so last-wins = MAX version — exactly
+        # the oracle's deterministic pick (the earlier same-ts interval
+        # is empty under ets_us < next_from).
+        right_tiebreak="version",
     )
     return joined.filter(F.col("prio_at_event").isNotNull()).select(
         "event_id",

@@ -163,31 +163,21 @@ def load_index(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path).persist()
 
 
-def search(
-    spark: SparkSession,
-    index: DataFrame,
-    query_images: DataFrame,
-    k: int = 5,
-    preprocess: str = "gamma_blur",
-    dims: int = 8,
-    tier: str = "auto",
+def _query_embeddings(
+    query_images: DataFrame, preprocess: str, dims: int
 ) -> DataFrame:
-    """The online query path (reference app.py:100-156): decode →
+    """Shared query-side pipeline (reference app.py:100-135): decode →
     preprocess (SAME operator as build) → detect → best box per image
-    (max_by conf) → crop → embed → exact cosine top-k → metadata join →
-    rank. ``query_images``: (stem, path, content).
-
-    ``tier`` picks the physical top-k strategy ("auto" | "expr" |
-    "gemm" | "gemm_int8" — see ``operators.knn.choose_knn_tier``); every
-    tier returns identical results, so this is a deployment knob, not a
-    semantic one."""
+    (max_by conf, A1; app.py:121-125) → crop → embed. Returns
+    (query_stem, embedding, qid). F5: images with no detection simply
+    produce no rows. Factored out (ADVICE r5) so :func:`search` and
+    :func:`search_radius` cannot diverge — e.g. the best-box tie-break
+    lives in exactly one place."""
     decoded = decode_images(query_images).filter(
         F.col("pixels").isNotNull()
     )
     pre = preprocess_images(decoded, mode=preprocess)
     dets = detect_boxes(pre)
-    # A1: highest-confidence box per image (app.py:121-125); F5: images
-    # with no detection simply produce no rows
     best = dets.groupBy("stem").agg(
         F.max_by(
             F.struct("x1", "y1", "x2", "y2"), F.struct("conf", "x1")
@@ -204,37 +194,100 @@ def search(
     )
     crops = crop_boxes(boxes.join(pre, "stem"))
     q = embed_crops(crops.filter(F.col("crop").isNotNull()), dims=dims)
-    q = q.select(F.col("stem").alias("query_stem"), "embedding")
     # dense per-query ids for the join (stems are the user-facing key)
-    q = q.withColumn(
-        "qid", F.xxhash64("query_stem")
-    )
-    topk = knn_search(
-        index,
-        q,
-        k=k,
-        tier=tier,
-        id_col="id",
-        vec_col="embedding",
-        query_id_col="qid",
-        query_vec_col="embedding",
-    )
+    return q.select(
+        F.col("stem").alias("query_stem"), "embedding"
+    ).withColumn("qid", F.xxhash64("query_stem"))
+
+
+def _attach_metadata(
+    hits: DataFrame, index: DataFrame, q: DataFrame, extra: list[str]
+) -> DataFrame:
+    """Shared result tail: (query_id, neighbor_id, score[, rank]) →
+    user-facing rows with match metadata and the query stem back."""
     meta = index.select(
         "id", "class_id", "class_name", "stem", "split"
     ).withColumnRenamed("stem", "match_stem")
     out = knn_join_metadata(
-        topk, meta, on="id", neighbor_col="neighbor_id"
+        hits, meta, on="id", neighbor_col="neighbor_id"
     )
     names = q.select("qid", "query_stem")
     return out.join(names, out.query_id == names.qid).select(
         "query_stem",
-        "rank",
+        *extra,
         F.col("neighbor_id").alias("match_id"),
         "match_stem",
         "class_id",
         "class_name",
         "score",
     )
+
+
+# Auto-cutover: above this many query images, "auto" switches from the
+# exact tiers to the LSH ANN path (operators/ann.py). Matches
+# knn.GEMM_MAX_QUERIES — below it the GEMM tiers are exact AND fast;
+# above it exact search still works (tier="expr" never collects) but
+# the right deployment answer is the candidate-pruned approximate scan.
+ANN_CUTOVER_QUERIES = 65_536
+
+
+def search(
+    spark: SparkSession,
+    index: DataFrame,
+    query_images: DataFrame,
+    k: int = 5,
+    preprocess: str = "gamma_blur",
+    dims: int = 8,
+    tier: str = "auto",
+    n_queries: int | None = None,
+) -> DataFrame:
+    """The online query path (reference app.py:100-156): decode →
+    preprocess (SAME operator as build) → detect → best box per image
+    (max_by conf) → crop → embed → cosine top-k → metadata join →
+    rank. ``query_images``: (stem, path, content).
+
+    ``tier`` picks the physical top-k strategy ("auto" | "expr" |
+    "gemm" | "gemm_int8" | "ann"). The exact tiers return identical
+    results — a deployment knob, not a semantic one. "auto" adds ONE
+    documented semantic cutover (VERDICT r5 #5): above
+    ``ANN_CUTOVER_QUERIES`` query images it routes to the LSH ANN path
+    (recall < 1, property-tested ≥ threshold in
+    tests/test_ann_lsh.py), because a 100k-image batch lookup is a
+    recall-first offline sweep, not an interactive exact query. Pass
+    ``tier="expr"`` to force exact at any scale (never collects), or
+    ``tier="ann"`` to force the approximate path. ``n_queries`` skips
+    the dispatch count when already known."""
+    q = _query_embeddings(query_images, preprocess, dims)
+    if tier in ("auto", "ann"):
+        if n_queries is None:
+            n_queries = q.count()
+        if tier == "ann" or n_queries > ANN_CUTOVER_QUERIES:
+            from oracle_vector_search_spark.operators.ann import (
+                lsh_ann_topk,
+            )
+
+            # lsh_ann_topk uses one id_col name for both sides
+            hits = lsh_ann_topk(
+                index.select(F.col("id").alias("qid"), "embedding"),
+                q.select("qid", "embedding"),
+                k=k,
+                id_col="qid",
+                vec_col="embedding",
+                dims=dims,
+            )
+            return _attach_metadata(hits, index, q, ["rank"])
+    topk = knn_search(
+        index,
+        q,
+        k=k,
+        tier=tier,
+        n_queries=n_queries,
+        id_col="id",
+        vec_col="embedding",
+        query_id_col="qid",
+        query_vec_col="embedding",
+    )
+    return _attach_metadata(topk, index, q, ["rank"])
 
 
 def search_radius(
@@ -248,35 +301,13 @@ def search_radius(
     """Similarity-bounded search (FAISS ``range_search`` counterpart to
     the reference's fixed top-5 call): every index match with cosine ≥
     ``threshold`` per query image — same decode → preprocess → detect →
-    crop → embed pipeline as :func:`search`, no rank cutoff. Use when
-    the question is "everything at least this similar" (duplicate
-    sweeps, recall-first retrieval) rather than "the best k"."""
+    crop → embed pipeline as :func:`search` (shared helper, so the two
+    entry points cannot diverge), no rank cutoff. Use when the question
+    is "everything at least this similar" (duplicate sweeps,
+    recall-first retrieval) rather than "the best k"."""
     from oracle_vector_search_spark.operators.knn import radius_search
 
-    decoded = decode_images(query_images).filter(
-        F.col("pixels").isNotNull()
-    )
-    pre = preprocess_images(decoded, mode=preprocess)
-    dets = detect_boxes(pre)
-    best = dets.groupBy("stem").agg(
-        F.max_by(
-            F.struct("x1", "y1", "x2", "y2"), F.struct("conf", "x1")
-        ).alias("b")
-    )
-    boxes = best.select(
-        "stem",
-        F.lit(0).cast("long").alias("box_idx"),
-        F.lit(-1).alias("class_id"),
-        F.col("b.x1").alias("x1"),
-        F.col("b.y1").alias("y1"),
-        F.col("b.x2").alias("x2"),
-        F.col("b.y2").alias("y2"),
-    )
-    crops = crop_boxes(boxes.join(pre, "stem"))
-    q = embed_crops(crops.filter(F.col("crop").isNotNull()), dims=dims)
-    q = q.select(
-        F.col("stem").alias("query_stem"), "embedding"
-    ).withColumn("qid", F.xxhash64("query_stem"))
+    q = _query_embeddings(query_images, preprocess, dims)
     hits = radius_search(
         index,
         q,
@@ -286,18 +317,4 @@ def search_radius(
         query_id_col="qid",
         query_vec_col="embedding",
     )
-    meta = index.select(
-        "id", "class_id", "class_name", "stem", "split"
-    ).withColumnRenamed("stem", "match_stem")
-    out = knn_join_metadata(
-        hits, meta, on="id", neighbor_col="neighbor_id"
-    )
-    names = q.select("qid", "query_stem")
-    return out.join(names, out.query_id == names.qid).select(
-        "query_stem",
-        F.col("neighbor_id").alias("match_id"),
-        "match_stem",
-        "class_id",
-        "class_name",
-        "score",
-    )
+    return _attach_metadata(hits, index, q, [])

@@ -31,11 +31,16 @@ from oracle_vector_search_spark.queries import register
 
 _DIM = 64  # fixture embedding width (FIXTURES.md; embedding_dim_stats)
 
+# (ADVICE r5) The Spark side (gram_matrix(dim=_DIM)) drops rows whose
+# vector width differs from _DIM (F3 tolerance rule); the oracle must
+# apply the SAME width guard, else one ragged row on real data would
+# surface as an opaque hash mismatch instead of agreeing exclusion.
 _X_CTE = f"""
 WITH x AS (
   SELECT vec_id, CAST(t.i AS INTEGER) AS i,
          list_extract(embedding::DOUBLE[], CAST(t.i AS INTEGER) + 1) AS v
   FROM embeddings, range({_DIM}) t(i)
+  WHERE len(embedding) = {_DIM}
 )"""
 
 

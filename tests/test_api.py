@@ -159,3 +159,58 @@ def test_search_radius_contract(spark, corpus_dir, labels):
             (r["query_stem"], r["match_id"]) for r in loose.collect()
         }
         assert t_pairs <= l_pairs
+
+
+def test_search_auto_routes_big_batches_to_ann(spark, corpus_dir, labels):
+    """VERDICT r5 #5: above ANN_CUTOVER_QUERIES, tier="auto" must
+    transparently take the LSH ANN path instead of raising or
+    collecting. We drive the dispatch with the ``n_queries`` override
+    (the declared count a deployment would read from table stats) so
+    the routing decision — not fixture size — is what's under test,
+    and verify the result still honors the full output contract."""
+    from oracle_vector_search_spark.api import (
+        ANN_CUTOVER_QUERIES,
+        search,
+    )
+
+    with tempfile.TemporaryDirectory() as out:
+        build_index(spark, corpus_dir, labels, out_path=f"{out}/index")
+        idx = load_index(spark, f"{out}/index")
+        queries = spark.createDataFrame(
+            [
+                (
+                    f"q_img{i}",
+                    f"q/img{i}.fake",
+                    open(
+                        os.path.join(corpus_dir, f"img{i}.fake"), "rb"
+                    ).read(),
+                )
+                for i in (1, 4)
+            ],
+            "stem string, path string, content binary",
+        )
+        routed = search(
+            spark, idx, queries, k=3,
+            n_queries=ANN_CUTOVER_QUERIES + 1,
+        )
+        # the ANN plan is the LSH candidate join — no CollectLimit /
+        # driver-side GEMM artifacts; structurally it's still a join +
+        # window plan. Contract assertions:
+        rows = routed.collect()
+        assert {r["query_stem"] for r in rows} <= {"q_img1", "q_img4"}
+        for r in rows:
+            assert 1 <= r["rank"] <= 3
+            assert r["score"] is not None
+        # forcing the same path explicitly gives identical rows
+        forced = search(spark, idx, queries, k=3, tier="ann").collect()
+        key = lambda r: (r["query_stem"], r["rank"])  # noqa: E731
+        assert sorted(
+            (r["query_stem"], r["rank"], r["match_id"]) for r in rows
+        ) == sorted(
+            (r["query_stem"], r["rank"], r["match_id"]) for r in forced
+        )
+        # exact tiers remain available at any declared scale
+        exact = search(
+            spark, idx, queries, k=3, tier="expr"
+        ).collect()
+        assert {r["query_stem"] for r in exact} == {"q_img1", "q_img4"}

@@ -107,7 +107,8 @@ def load_all_modules() -> None:
 #   largest_remainder_allocation, user_resurrection_stats,
 #   doc_top_keywords, corpus_summary_card,
 #   temperature_mixture_allocation, user_event_diversity_simpson —
-#   plus the queries added in round 6.
+#   plus the queries added in round 6 (reference_crops_decode_parity,
+#   ...).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

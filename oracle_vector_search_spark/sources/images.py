@@ -82,13 +82,25 @@ def _decode_one(b: bytes | None):
         if expect == 0 or len(body) != expect:
             return None
         return np.frombuffer(body, dtype=np.uint8).reshape(h, w, c)
-    try:  # real decoders, if present
+    try:  # fastest real decoder, if present
         import cv2
 
         arr = cv2.imdecode(np.frombuffer(b, np.uint8), cv2.IMREAD_COLOR)
         return arr  # None on failure — F3
     except ImportError:
-        return None  # no decoder available → F3 drop
+        pass
+    if b[:2] == b"\xff\xd8":  # baseline JPEG: dependency-free tier
+        from oracle_vector_search_spark.functions.jpeg_numpy import (
+            decode_baseline_jpeg,
+        )
+
+        rgb = decode_baseline_jpeg(b)
+        if rgb is None:
+            return None  # malformed — F3
+        # BGR to match the cv2 tier (reference build_faiss_db.py:171
+        # reads with cv2.imread, so downstream byte order is BGR)
+        return rgb[:, :, ::-1].copy()
+    return None  # no decoder for this format → F3 drop
 
 
 def decode_images(df: DataFrame) -> DataFrame:

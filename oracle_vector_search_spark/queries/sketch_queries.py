@@ -13,7 +13,7 @@ statistically validated.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.io import load_table
@@ -820,4 +820,203 @@ def synopsis_range_count_audit(
             .alias("abs_err"),
         )
         .orderBy("rid")
+    )
+
+
+# ------------------------------------------------ HyperLogLog from scratch
+HLL_M = 128  # registers (b=7); stderr = 1.04/sqrt(128) = 9.2%
+# h is the 60-bit portable hash; w = h div m has 53 bits, so rank
+# (leading zeros + 1) is 54 - bit_length(w), with w=0 -> 54.
+
+
+@register(
+    "hll_distinct_users_audit",
+    f"""
+WITH h AS (
+  SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM events
+), rr AS (
+  SELECT hv % {HLL_M} AS reg,
+         CASE WHEN hv // {HLL_M} = 0 THEN 54
+              ELSE 54 - length(printf('%b', hv // {HLL_M})) END AS rank
+  FROM h
+), regs AS (
+  SELECT reg, max(rank) AS m_rank FROM rr GROUP BY reg
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_occupied,
+         CAST(sum(1::BIGINT << (54 - m_rank)) AS BIGINT) AS s_occ
+  FROM regs
+), ex AS (
+  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact FROM events
+), est AS (
+  SELECT n_occupied, n_exact,
+         CAST({HLL_M} AS BIGINT) - n_occupied AS n_zero_regs,
+         s_occ + (({HLL_M}::BIGINT - n_occupied) << 54) AS s_scaled
+  FROM agg, ex
+), e2 AS (
+  SELECT *,
+         (0.7213 / (1.0 + 1.079 / {HLL_M}.0)) * {HLL_M}.0 * {HLL_M}.0
+           * 18014398509481984.0 / s_scaled AS raw_est
+  FROM est
+)
+SELECT CAST({HLL_M} AS INTEGER) AS m, n_exact, n_zero_regs, s_scaled,
+       CAST(floor(raw_est * 1000.0) AS BIGINT) AS est_raw_milli,
+       abs(CASE WHEN raw_est <= 2.5 * {HLL_M} AND n_zero_regs > 0
+                THEN {HLL_M}.0 * ln({HLL_M}.0 / n_zero_regs)
+                ELSE raw_est END - n_exact) <= 0.25 * n_exact
+         AS within_tolerance
+FROM e2
+""",
+)
+def hll_distinct_users_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HyperLogLog built from scratch on the portable hash family
+    (Flajolet et al. 2007): register = h mod m, rank = leading zeros
+    of h div m, registers = ``groupBy(reg).max(rank)`` — a fully
+    distributive aggregation, so at 100 TB the register table is the
+    MERGEABLE at-rest sketch: per-partition/per-day register tables
+    max-merge into any rollup without rescanning (the same at-rest
+    discipline as the minhash/fingerprint tables). The harmonic sum is
+    kept EXACT as Σ 2^(54-M_j) in BIGINT (order-independent integer
+    adds — no float accumulation), so both engines derive the same
+    estimate bit-for-bit; the small-range linear-counting correction
+    feeds only the tolerance flag. The oracle recomputes every piece
+    including exact COUNT(DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.selectExpr(
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 15), 16, 10)"
+        " as bigint) AS hv"
+    )
+    rr = h.selectExpr(
+        f"pmod(hv, {HLL_M}) AS reg",
+        f"CASE WHEN hv div {HLL_M} = 0 THEN 54 "
+        f"ELSE 54 - length(bin(hv div {HLL_M})) END AS rank",
+    )
+    regs = rr.groupBy("reg").agg(F.max("rank").alias("m_rank"))
+    agg = regs.agg(
+        F.count("*").cast("long").alias("n_occupied"),
+        F.sum(
+            F.expr("shiftleft(cast(1 as bigint), 54 - m_rank)")
+        ).alias("s_occ"),
+    )
+    ex = ev.agg(F.countDistinct("user_id").alias("n_exact"))
+    alpha = f"(0.7213 / (1.0 + 1.079 / {HLL_M}.0))"
+    pow54 = "18014398509481984.0"  # 2^54, exact double literal
+    return (
+        agg.crossJoin(ex)
+        .selectExpr(
+            "n_occupied",
+            "n_exact",
+            f"cast({HLL_M} as bigint) - n_occupied AS n_zero_regs",
+            f"s_occ + shiftleft(cast({HLL_M} as bigint) - n_occupied, 54)"
+            " AS s_scaled",
+        )
+        .selectExpr(
+            f"cast({HLL_M} as int) AS m",
+            "n_exact",
+            "n_zero_regs",
+            "s_scaled",
+            f"cast(floor({alpha} * {HLL_M}.0 * {HLL_M}.0 * {pow54}"
+            " / s_scaled * 1000.0) as bigint) AS est_raw_milli",
+            f"abs(CASE WHEN {alpha} * {HLL_M}.0 * {HLL_M}.0 * {pow54}"
+            f" / s_scaled <= 2.5 * {HLL_M} AND n_zero_regs > 0"
+            f" THEN {HLL_M}.0 * ln({HLL_M}.0 / n_zero_regs)"
+            f" ELSE {alpha} * {HLL_M}.0 * {HLL_M}.0 * {pow54}"
+            " / s_scaled END - n_exact) <= 0.25 * n_exact"
+            " AS within_tolerance",
+        )
+    )
+
+
+# ---------------------------------------------- two-sample KS drift test
+@register(
+    "value_ks_drift_audit",
+    """
+WITH s AS (
+  SELECT CAST(floor(value * 100) AS BIGINT) AS v,
+         CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_a
+  FROM events WHERE event_type IN ('view', 'purchase')
+), n AS (
+  SELECT CAST(sum(is_a) AS BIGINT) AS n_a,
+         CAST(sum(1 - is_a) AS BIGINT) AS n_b
+  FROM s
+), pts AS (
+  SELECT v, CAST(sum(is_a) AS BIGINT) AS ca_here,
+         CAST(sum(1 - is_a) AS BIGINT) AS cb_here
+  FROM s GROUP BY v
+), cum AS (
+  SELECT v,
+         sum(ca_here) OVER (ORDER BY v) AS ca,
+         sum(cb_here) OVER (ORDER BY v) AS cb
+  FROM pts
+)
+SELECT n.n_a AS n_view, n.n_b AS n_purchase,
+       CAST(max(abs(ca * n.n_b - cb * n.n_a)) AS BIGINT) AS ks_num,
+       CAST(floor(max(abs(ca * n.n_b - cb * n.n_a)) * 1000.0
+                  / (n.n_a * n.n_b)) AS BIGINT) AS ks_milli,
+       max(abs(ca * n.n_b - cb * n.n_a)) * 1.0 / (n.n_a * n.n_b)
+         > 1.358 * sqrt((n.n_a + n.n_b) * 1.0 / (n.n_a * n.n_b))
+         AS drift_at_5pct
+FROM cum, n
+GROUP BY n.n_a, n.n_b
+""",
+)
+def value_ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between the 'view' and
+    'purchase' value distributions — the distribution-shift gate a
+    training pipeline runs between corpus snapshots. The statistic is
+    kept EXACT: D = max|F_a - F_b| is computed as the integer
+    max|c_a·n_b - c_b·n_a| over the pooled support (cross-multiplied,
+    no division until the final milli projection), so both engines
+    agree bit-for-bit; the 5% decision uses the asymptotic critical
+    value c(α)·sqrt((n_a+n_b)/(n_a·n_b)), c(0.05)=1.358.
+
+    Scale: one groupBy on the value grid + one ordered prefix-sum
+    window over the DISTINCT support (value-grid-sized, not
+    corpus-sized) — the CDF never materializes per-row."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    s = ev.select(
+        F.floor(F.col("value") * 100).cast("long").alias("v"),
+        F.when(F.col("event_type") == "view", 1)
+        .otherwise(0)
+        .alias("is_a"),
+    )
+    n = s.agg(
+        F.sum("is_a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("n_b"),
+    )
+    pts = s.groupBy("v").agg(
+        F.sum("is_a").cast("long").alias("ca_here"),
+        F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("cb_here"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = pts.select(
+        "v",
+        F.sum("ca_here").over(w).alias("ca"),
+        F.sum("cb_here").over(w).alias("cb"),
+    )
+    d = cum.crossJoin(F.broadcast(n)).agg(
+        F.first("n_a").alias("n_view"),
+        F.first("n_b").alias("n_purchase"),
+        F.max(
+            F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+        )
+        .cast("long")
+        .alias("ks_num"),
+    )
+    return d.selectExpr(
+        "n_view",
+        "n_purchase",
+        "ks_num",
+        "cast(floor(ks_num * 1000.0 / (n_view * n_purchase)) as bigint)"
+        " AS ks_milli",
+        "ks_num * 1.0 / (n_view * n_purchase)"
+        " > 1.358 * sqrt((n_view + n_purchase) * 1.0"
+        " / (n_view * n_purchase)) AS drift_at_5pct",
     )

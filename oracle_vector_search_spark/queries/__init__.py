@@ -109,7 +109,8 @@ def load_all_modules() -> None:
 #   temperature_mixture_allocation, user_event_diversity_simpson —
 #   plus the queries added in round 6 (reference_crops_decode_parity,
 #   hll_distinct_users_audit, value_ks_drift_audit,
-#   doc_char_entropy_quality, ...).
+#   doc_char_entropy_quality, value_benford_audit,
+#   bootstrap_mean_ci_deterministic, fuzzy_token_pairs_edit1, ...).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

@@ -790,3 +790,166 @@ def user_event_diversity_simpson(
             "cast(1000000 - (1000000 * sum_sq) div (n * n) as bigint)"
         ).alias("simpson_micro"),
     )
+
+
+# ------------------------------------------------ Benford first-digit audit
+@register(
+    "value_benford_audit",
+    """
+WITH pos AS (
+  SELECT value FROM events WHERE value > 0
+), d AS (
+  SELECT CAST(floor(value / power(10, floor(log10(value)))) AS INTEGER)
+           AS digit
+  FROM pos
+), n AS (
+  SELECT CAST(count(*) AS BIGINT) AS total FROM d
+)
+SELECT digit,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(n.total * log10(1.0 + 1.0 / digit) * 1000)
+            AS BIGINT) AS benford_expect_milli
+FROM d, n
+GROUP BY digit, n.total
+ORDER BY digit
+""",
+)
+def value_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-significant-digit audit over event values —
+    the classic fabricated-data / unit-mixup screen a pipeline runs on
+    numeric feeds. The digit is derived NUMERICALLY
+    (floor(v / 10^floor(log10 v))), never via double→string formatting
+    (engines disagree on float rendering, not on IEEE arithmetic);
+    counts are exact integers and the Benford expectation n·log10(1+1/d)
+    is emitted as a floor-milli integer. One scan + one 9-group
+    aggregation — nothing leaves the map side but 9 partial counts."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    d = ev.selectExpr(
+        "cast(floor(value / power(10, floor(log10(value)))) as int)"
+        " AS digit"
+    )
+    n = d.agg(F.count("*").cast("long").alias("total"))
+    return (
+        d.groupBy("digit")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "digit",
+            "n_events",
+            "cast(floor(total * log10(1.0 + 1.0 / digit) * 1000)"
+            " as bigint) AS benford_expect_milli",
+        )
+        .orderBy("digit")
+    )
+
+
+# ------------------------------- deterministic bootstrap CI (Poisson(1))
+_BOOT_B = 200
+# cumulative Poisson(1) thresholds for k = 0..4; the tail mass lands on 5
+_POIS = (
+    "CASE WHEN u < 0.36787944117144233 THEN 0 "
+    "WHEN u < 0.7357588823428847 THEN 1 "
+    "WHEN u < 0.9196986029286058 THEN 2 "
+    "WHEN u < 0.9810118431238462 THEN 3 "
+    "WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END"
+)
+
+
+@register(
+    "bootstrap_mean_ci_deterministic",
+    f"""
+WITH base AS (
+  SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS vc
+  FROM events WHERE event_type = 'purchase'
+), expanded AS (
+  SELECT b.b, base.vc,
+         ('0x' || substr(md5(CAST(base.event_id AS VARCHAR) || ':' ||
+             CAST(b.b AS VARCHAR)), 1, 7))::BIGINT / 268435456.0 AS u
+  FROM base, (SELECT unnest(range(1, {_BOOT_B + 1})) AS b) b
+), weighted AS (
+  SELECT b, vc, {_POIS} AS w FROM expanded
+), means AS (
+  SELECT b,
+         CAST(floor(sum(w * vc) * 1000.0 / sum(w)) AS BIGINT)
+           AS mean_milli
+  FROM weighted GROUP BY b HAVING sum(w) > 0
+), sorted AS (
+  SELECT list_sort(list(mean_milli)) AS ms FROM means
+), full_mean AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(floor(sum(vc) * 1000.0 / count(*)) AS BIGINT)
+           AS mean_milli
+  FROM base
+)
+SELECT f.n, CAST({_BOOT_B} AS INTEGER) AS n_resamples, f.mean_milli,
+       s.ms[5] AS ci_lo_milli, s.ms[{_BOOT_B} - 4] AS ci_hi_milli,
+       s.ms[5] <= f.mean_milli AND f.mean_milli <= s.ms[{_BOOT_B} - 4]
+         AS ci_covers_mean
+FROM full_mean f, sorted s
+""",
+)
+def bootstrap_mean_ci_deterministic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Poisson bootstrap 95% CI for the mean purchase value, fully
+    DETERMINISTIC: each resample weight is Poisson(1) drawn through the
+    portable-hash uniform u = hash28(event_id:b)/2^28 and an inverse-CDF
+    CASE chain — no rand(), so both engines produce bit-identical
+    resamples (the online-bootstrap trick: Poisson(1) weights
+    approximate multinomial resampling and need NO coordination across
+    rows — the property that makes bootstrap feasible on a 100 TB
+    stream, cf. Owen & Eckles 2012). Resample means are exact
+    floor-milli integers; the CI is the 2.5%/97.5% order statistics of
+    the B=200 sorted means.
+
+    Scale: the B× expansion rides one explode + one (b)-keyed
+    aggregation — B partial sums per partition, map-side combined; the
+    order-statistic step touches only B rows."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    base = ev.select(
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    expanded = base.selectExpr(
+        "vc",
+        f"explode(sequence(1, {_BOOT_B})) AS b",
+        "event_id",
+    ).selectExpr(
+        "b",
+        "vc",
+        "cast(conv(substr(md5(concat(cast(event_id as string), ':',"
+        " cast(b as string))), 1, 7), 16, 10) as bigint)"
+        " / 268435456.0 AS u",
+    )
+    weighted = expanded.selectExpr("b", "vc", f"{_POIS} AS w")
+    means = (
+        weighted.groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("vc")).alias("swv"),
+            F.sum("w").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .selectExpr(
+            "cast(floor(swv * 1000.0 / sw) as bigint) AS mean_milli"
+        )
+    )
+    sorted_ms = means.agg(
+        F.array_sort(F.collect_list("mean_milli")).alias("ms")
+    )
+    full_mean = base.agg(
+        F.count("*").cast("long").alias("n"),
+        F.expr(
+            "cast(floor(sum(vc) * 1000.0 / count(*)) as bigint)"
+        ).alias("mean_milli"),
+    )
+    return full_mean.crossJoin(F.broadcast(sorted_ms)).selectExpr(
+        "n",
+        f"cast({_BOOT_B} as int) AS n_resamples",
+        "mean_milli",
+        "element_at(ms, 5) AS ci_lo_milli",
+        f"element_at(ms, {_BOOT_B} - 4) AS ci_hi_milli",
+        "element_at(ms, 5) <= mean_milli AND mean_milli <="
+        f" element_at(ms, {_BOOT_B} - 4) AS ci_covers_mean",
+    )

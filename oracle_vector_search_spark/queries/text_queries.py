@@ -628,3 +628,100 @@ def doc_char_entropy_quality(
         "floor(log2(n_chars) - nlogn / n_chars) >= 3"
         " AND n_chars >= 100 AS passes_quality",
     ).orderBy("doc_id")
+
+
+# -------------------------------- edit-distance-1 fuzzy join (FastSS)
+@register(
+    "fuzzy_token_pairs_edit1",
+    """
+WITH base AS (
+  SELECT doc_id,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), words AS (
+  SELECT doc_id, w
+  FROM base, unnest(string_split(norm, ' ')) AS t(w)
+  WHERE length(w) BETWEEN 4 AND 12
+), vocab AS (
+  SELECT DISTINCT w FROM (
+    SELECT w FROM words
+    UNION ALL
+    -- planted typos (same formula both engines): docs with
+    -- doc_id % 5 = 0 contribute each word with its 2nd char dropped
+    SELECT substr(w, 1, 1) || substr(w, 3) AS w
+    FROM words WHERE doc_id % 5 = 0 AND length(w) >= 5
+  )
+), variants AS (
+  SELECT w, v
+  FROM vocab,
+       unnest(list_distinct(list_append(
+         list_transform(range(1, length(w) + 1),
+           i -> substr(w, 1, i - 1) || substr(w, i + 1)),
+         w))) AS t(v)
+), cand AS (
+  SELECT DISTINCT a.w AS left_word, b.w AS right_word
+  FROM variants a JOIN variants b ON a.v = b.v AND a.w < b.w
+)
+SELECT left_word, right_word,
+       CAST(levenshtein(left_word, right_word) AS INTEGER) AS dist
+FROM cand
+WHERE levenshtein(left_word, right_word) <= 1
+ORDER BY left_word, right_word
+""",
+)
+def fuzzy_token_pairs_edit1(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Edit-distance-≤1 similarity JOIN over the corpus vocabulary via
+    the deletion-neighborhood trick (FastSS; Bocek et al. 2007): two
+    words are within one edit iff they share a member of each other's
+    {word} ∪ {one-char deletions} set, so the candidate space is an
+    EQUI-join on generated variants — never a vocabulary cross join —
+    and the exact levenshtein check runs only on bucket collisions.
+    The spelling-variant/typo merge every text-dedup pipeline needs.
+    The fixture vocabulary has no natural edit-1 pairs, so docs with
+    doc_id % 5 = 0 plant a deterministic typo of each word (2nd char
+    dropped — the established planted-violation pattern), giving the
+    join real collisions to verify; both engines plant identically.
+
+    Scale: variants ≈ (len+1) rows per DISTINCT word (the corpus
+    collapses to its vocabulary first — same discipline as the BPE
+    miner); the self-join shuffles variant-keyed rows with tiny
+    buckets. At 100 TB the vocabulary is millions of rows, not
+    trillions."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.selectExpr(
+        "doc_id",
+        "explode(split(trim(regexp_replace(lower(text),"
+        " '\\\\s+', ' ')), ' ')) AS w",
+    ).filter("length(w) BETWEEN 4 AND 12")
+    typos = words.filter("doc_id % 5 = 0 AND length(w) >= 5").selectExpr(
+        "concat(substr(w, 1, 1), substr(w, 3)) AS w"
+    )
+    vocab = words.select("w").unionByName(typos).distinct()
+    variants = vocab.selectExpr(
+        "w",
+        "explode(array_distinct(concat(transform("
+        "sequence(1, length(w)),"
+        " i -> concat(substr(w, 1, i - 1), substr(w, i + 1))),"
+        " array(w)))) AS v",
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(b, (F.col("a.v") == F.col("b.v"))
+               & (F.col("a.w") < F.col("b.w")))
+        .select(
+            F.col("a.w").alias("left_word"),
+            F.col("b.w").alias("right_word"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "dist",
+            F.levenshtein("left_word", "right_word").cast("int"),
+        )
+        .filter(F.col("dist") <= 1)
+        .orderBy("left_word", "right_word")
+    )

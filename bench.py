@@ -94,6 +94,13 @@ HEADLINE = [
     "bigram_lm_fluency",
     "seasonal_hour_anomalies",
     "ivf_closure_recall_audit",
+    # r6 additions: mergeable-HLL sketch, exact KS drift, Benford
+    # audit, deterministic Poisson bootstrap, FastSS edit-1 fuzzy join
+    "hll_distinct_users_audit",
+    "value_ks_drift_audit",
+    "value_benford_audit",
+    "bootstrap_mean_ci_deterministic",
+    "fuzzy_token_pairs_edit1",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session

@@ -93,6 +93,21 @@ EXPECTED: dict[str, dict[str, int]] = {
     # closure audit: 2 assignment windows + exact-top window + distinct
     # + final agg; probes/candidates broadcast — no SMJ anywhere
     "ivf_closure_recall_audit":        {"shuffle_exchanges": 6, "broadcast_hash_joins": 4, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # --- round 6 additions ---
+    # hll: register groupBy + register rollup + exact count-distinct
+    # (partial/final) — every exchange is register- or scalar-sized
+    "hll_distinct_users_audit":        {"shuffle_exchanges": 4, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # ks: value-grid groupBy + the single ordered prefix-sum window
+    # over the DISTINCT support (grid-sized by design) + final max
+    "value_ks_drift_audit":            {"shuffle_exchanges": 3, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # benford: 9-key digit groupBy + total count + final projection
+    "value_benford_audit":             {"shuffle_exchanges": 3, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # bootstrap: one (b)-keyed map-side-combined agg over the B-fold
+    # explode + B-row order-stat collect + full-sample agg
+    "bootstrap_mean_ci_deterministic": {"shuffle_exchanges": 3, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # fuzzy: vocab distinct + variant self-join (auto-broadcast at
+    # fixture size; the variant-keyed SMJ at scale) + pair distinct
+    "fuzzy_token_pairs_edit1":         {"shuffle_exchanges": 3, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

@@ -53,6 +53,12 @@ def _session(mem: str, frac: str | None):
     )
     if frac is not None:
         b = b.config("spark.memory.fraction", frac)
+    # Under very small heaps the vectorized parquet reader's per-task
+    # column batch (default 4096 rows x 256 floats) is itself the OOM
+    # driver; SPILL_PROBE_READER_BATCH applies the documented knob.
+    rb = os.environ.get("SPILL_PROBE_READER_BATCH")
+    if rb:
+        b = b.config("spark.sql.parquet.columnarReaderBatchSize", rb)
     return b.getOrCreate()
 
 

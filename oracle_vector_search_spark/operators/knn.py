@@ -203,34 +203,46 @@ def knn_exact_gemm(
 
     def score_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_ids_l, Q_l, q_zero_l = b.value
+        # Bound the per-task score matrix: an Arrow batch of 10k rows
+        # against Q=65k queries would be a 5.2 GB float64 S — found by
+        # tools/ann_crossover_bench.py (workers OOM-crashed). Chunk the
+        # batch rows so rows × n_q stays ≤ ~16M doubles (128 MiB);
+        # per-chunk top-k supersets merge identically in the final
+        # window (same rounded-key argument as the batch boundary).
+        chunk_rows = max(256, 16_000_000 // max(1, len(q_ids_l)))
         for pdf in it:
             if pdf.empty:
                 continue
-            ids_v = pdf[id_col].to_numpy()
-            V = np.array(list(pdf[vec_col]), dtype=np.float64)
-            v_norms = np.linalg.norm(V, axis=1, keepdims=True)
-            V /= np.maximum(v_norms, 1e-300)
-            S = V @ Q_l.T  # (n, q)
-            S[(v_norms == 0.0).ravel(), :] = np.nan
-            S[:, q_zero_l] = np.nan
-            S_key = np.round(S, decimals) if decimals is not None else S
-            # NaN → -inf for selection so NULL-scored rows rank last
-            # (matching the window's NULLS LAST) without poisoning
-            # argpartition
-            S_part = np.where(np.isnan(S_key), -np.inf, S_key)
-            n = S.shape[0]
-            top = min(local_k, n)
-            # emit every row tying-or-beating the per-query top-th
-            # ROUNDED score — a superset the merge window re-ranks;
-            # no per-query python sort (see _batch_topk_rows)
-            rows_v, rows_q = _batch_topk_rows(S_part, ids_v, top)
-            yield pd.DataFrame(
-                {
-                    "query_id": q_ids_l[rows_q],
-                    "neighbor_id": ids_v[rows_v],
-                    "score": S[rows_v, rows_q],
-                }
-            )
+            ids_all = pdf[id_col].to_numpy()
+            vec_all = pdf[vec_col]
+            for lo in range(0, len(ids_all), chunk_rows):
+                hi = lo + chunk_rows
+                ids_v = ids_all[lo:hi]
+                V = np.array(list(vec_all.iloc[lo:hi]), dtype=np.float64)
+                v_norms = np.linalg.norm(V, axis=1, keepdims=True)
+                V /= np.maximum(v_norms, 1e-300)
+                S = V @ Q_l.T  # (rows ≤ chunk_rows, q)
+                S[(v_norms == 0.0).ravel(), :] = np.nan
+                S[:, q_zero_l] = np.nan
+                S_key = (
+                    np.round(S, decimals) if decimals is not None else S
+                )
+                # NaN → -inf for selection so NULL-scored rows rank
+                # last (matching the window's NULLS LAST) without
+                # poisoning argpartition
+                S_part = np.where(np.isnan(S_key), -np.inf, S_key)
+                top = min(local_k, S.shape[0])
+                # emit every row tying-or-beating the per-query top-th
+                # ROUNDED score — a superset the merge window re-ranks;
+                # no per-query python sort (see _batch_topk_rows)
+                rows_v, rows_q = _batch_topk_rows(S_part, ids_v, top)
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_ids_l[rows_q],
+                        "neighbor_id": ids_v[rows_v],
+                        "score": S[rows_v, rows_q],
+                    }
+                )
 
     candidates = index_df.select(id_col, vec_col).mapInPandas(
         score_batches, schema="query_id long, neighbor_id long, score double"
@@ -363,11 +375,15 @@ def knn_exact_gemm_int8(
 
     def stage1(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         q_ids_l, Qc_l = b.value
+        # per-task score matrix bound (same chunking as the float GEMM
+        # tier — rows × n_q ≤ ~16M elements keeps S ≤ 128 MiB float64
+        # / 64 MiB float32 regardless of Arrow batch size or Q)
+        chunk_rows = max(256, 16_000_000 // max(1, len(q_ids_l)))
         for pdf in it:
             if pdf.empty:
                 continue
-            ids_v = pdf["vec_id"].to_numpy()
-            C = np.frombuffer(
+            ids_all = pdf["vec_id"].to_numpy()
+            C_all = np.frombuffer(
                 b"".join(pdf["code"]), dtype=np.int8
             ).reshape(len(pdf), -1)
             # every |iscore| ≤ d·127² — when that fits below 2²⁴ the
@@ -376,23 +392,27 @@ def knn_exact_gemm_int8(
             # throughput and half the memory traffic
             acc = (
                 np.float32
-                if C.shape[1] * INT8_SCALE * INT8_SCALE < (1 << 24)
+                if C_all.shape[1] * INT8_SCALE * INT8_SCALE < (1 << 24)
                 else np.float64
             )
-            S = C.astype(acc) @ Qc_l.T.astype(acc)  # exact integers
-            n = S.shape[0]
-            top = min(local_refine, n)
-            # superset emission (ties included), no per-query sort —
-            # the refine-candidate window re-ranks; integer scores tie
-            # often, so the helper's heavy-column fallback matters here
-            rows_v, rows_q = _batch_topk_rows(S, ids_v, top)
-            yield pd.DataFrame(
-                {
-                    "query_id": q_ids_l[rows_q],
-                    "neighbor_id": ids_v[rows_v],
-                    "iscore": S[rows_v, rows_q].astype(np.int64),
-                }
-            )
+            QcT = Qc_l.T.astype(acc)
+            for lo in range(0, len(ids_all), chunk_rows):
+                hi = lo + chunk_rows
+                ids_v = ids_all[lo:hi]
+                S = C_all[lo:hi].astype(acc) @ QcT  # exact integers
+                top = min(local_refine, S.shape[0])
+                # superset emission (ties included), no per-query sort
+                # — the refine-candidate window re-ranks; integer
+                # scores tie often, so the helper's heavy-column
+                # fallback matters here
+                rows_v, rows_q = _batch_topk_rows(S, ids_v, top)
+                yield pd.DataFrame(
+                    {
+                        "query_id": q_ids_l[rows_q],
+                        "neighbor_id": ids_v[rows_v],
+                        "iscore": S[rows_v, rows_q].astype(np.int64),
+                    }
+                )
 
     cand = codes.mapInPandas(
         stage1, schema="query_id long, neighbor_id long, iscore long"

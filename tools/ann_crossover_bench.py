@@ -81,7 +81,20 @@ def main() -> None:
     bucket_build_s = time.time() - t0
 
     results = {}
-    q_sizes = [1_000, 10_000, 65_000, 100_000]
+    # MEASURED CAVEAT (this tool, this host): with RANDOM gaussian
+    # vectors — the LSH worst case, no cluster structure, so band
+    # collisions are pure noise (~3k candidates/query at 28-bit/4-band
+    # signatures over N=100k) — the ANN candidate join materializes
+    # ~2x10^8 pairs at Q=65k and ran PAST a 35-minute local[32] budget
+    # while exact GEMM finished. Unstructured data is therefore served
+    # by the exact tiers (the chunked GEMM is Q-linear and never
+    # collects the index); the banded join wins when the corpus
+    # clusters (real embeddings — the regime the registered
+    # `lsh_ann_topk` + multiprobe recall audits cover on the fixture)
+    # or with more selective signatures. So: exact at all three sizes,
+    # ANN at the sizes the worst case completes.
+    q_sizes = [1_000, 10_000, 65_000]
+    ann_sizes = {1_000, 10_000}
     for q_n in q_sizes:
         qm = rng.randn(q_n, D).astype(np.float32)
         qdf = spark.createDataFrame(
@@ -99,30 +112,31 @@ def main() -> None:
         qdf = qdf.persist()
         qdf.count()
         entry = {}
-        if q_n <= 65_000 or os.environ.get("CROSSOVER_FULL") == "1":
-            t0 = time.time()
-            n = knn_exact_gemm(
-                index, qdf, k=K, max_queries=200_000
-            ).count()
-            gemm_s = time.time() - t0
-            assert n == q_n * K
-            entry["gemm_sec"] = round(gemm_s, 1)
-            entry["gemm_qps"] = round(q_n / gemm_s, 1)
         t0 = time.time()
-        n = lsh_ann_topk(
-            index,
-            qdf,
-            k=K,
-            id_col="vec_id",
-            vec_col="embedding",
-            dims=D,
-            index_buckets=ibuckets,
+        n = knn_exact_gemm(
+            index, qdf, k=K, max_queries=200_000
         ).count()
-        ann_s = time.time() - t0
-        entry["ann_sec"] = round(ann_s, 1)
-        entry["ann_qps"] = round(q_n / ann_s, 1)
-        entry["ann_rows"] = n  # < q_n*K where buckets miss (recall<1)
+        gemm_s = time.time() - t0
+        assert n == q_n * K
+        entry["gemm_sec"] = round(gemm_s, 1)
+        entry["gemm_qps"] = round(q_n / gemm_s, 1)
+        if q_n in ann_sizes or os.environ.get("CROSSOVER_FULL") == "1":
+            t0 = time.time()
+            n = lsh_ann_topk(
+                index,
+                qdf,
+                k=K,
+                id_col="vec_id",
+                vec_col="embedding",
+                dims=D,
+                index_buckets=ibuckets,
+            ).count()
+            ann_s = time.time() - t0
+            entry["ann_sec"] = round(ann_s, 1)
+            entry["ann_qps"] = round(q_n / ann_s, 1)
+            entry["ann_rows"] = n  # < q_n*K where buckets miss
         results[f"q{q_n}"] = entry
+        print(json.dumps({f"q{q_n}": entry}), flush=True)  # streaming
         qdf.unpersist()
 
     print(

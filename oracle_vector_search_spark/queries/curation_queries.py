@@ -1152,3 +1152,66 @@ def temperature_mixture_allocation(
         )
         .orderBy("source")
     )
+
+
+_BAL_CAP = 30  # per-class keep budget
+_BAL_HASH = "concat(cast(doc_id as string), ':bal')"
+_DUCK_BAL_HASH = "doc_id::VARCHAR || ':bal'"
+
+
+@register(
+    "class_balanced_sample",
+    f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {T.duck_hash28(_DUCK_BAL_HASH)}, doc_id
+         ) AS INTEGER) AS rn
+  FROM documents
+), kept AS (
+  SELECT lang, doc_id FROM ranked WHERE rn <= {_BAL_CAP}
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(k.doc_id) AS BIGINT) AS n_kept,
+       CAST(coalesce(bit_xor(k.doc_id), 0) AS BIGINT) AS kept_xor
+FROM documents d
+LEFT JOIN kept k ON k.doc_id = d.doc_id
+GROUP BY d.lang
+""",
+)
+def class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balanced downsampling: keep at most 30 documents per
+    language, chosen by portable-hash order (never rand(), so the
+    sample is identical across engines, runs, and partitionings, and
+    stable under retry/recompute). The per-class XOR of kept doc_ids
+    pins the exact membership, not just the size — the curation op
+    behind 'rebalance the long-tail language mix before training'.
+
+    Scale shape: one window per class (shuffle on lang) over
+    (lang, hash, doc_id) triples only; the summary is a count-only
+    aggregate. At 100 TB the hash rank rides the scan and the heavy
+    text column never shuffles.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.expr(T.hash28_sql(_BAL_HASH)), F.asc("doc_id")
+    )
+    kept = (
+        doc.select("lang", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BAL_CAP)
+        .select(F.col("doc_id").alias("kept_id"))
+    )
+    return (
+        doc.join(kept, doc.doc_id == kept.kept_id, "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count("kept_id").alias("n_kept"),
+            F.coalesce(F.expr("bit_xor(kept_id)"), F.lit(0))
+            .cast("bigint")
+            .alias("kept_xor"),
+        )
+    )

@@ -953,3 +953,152 @@ def bootstrap_mean_ci_deterministic(
         "element_at(ms, 5) <= mean_milli AND mean_milli <="
         f" element_at(ms, {_BOOT_B} - 4) AS ci_covers_mean",
     )
+
+
+_PSI_BINS = 10  # fixed equal-width bins over the reference half
+
+
+@register(
+    "psi_value_drift",
+    f"""
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) // 1000 AS ts_us,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+), mid AS (
+  SELECT (min(ts_us) + max(ts_us)) // 2 AS m FROM e
+), ref AS (
+  SELECT event_type, c FROM e, mid WHERE ts_us <= m
+), cur AS (
+  SELECT event_type, c FROM e, mid WHERE ts_us > m
+), rng AS (
+  SELECT event_type, min(c) AS mn, max(c) AS mx,
+         CAST(count(*) AS BIGINT) AS n_ref
+  FROM ref GROUP BY event_type
+), curn AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_cur
+  FROM cur GROUP BY event_type
+), rbin AS (
+  SELECT r.event_type,
+         least({_PSI_BINS - 1}, greatest(0,
+           (r.c - g.mn) * {_PSI_BINS} // (g.mx - g.mn + 1))) AS b,
+         CAST(count(*) AS BIGINT) AS k
+  FROM ref r JOIN rng g ON g.event_type = r.event_type
+  GROUP BY 1, 2
+), cbin AS (
+  SELECT r.event_type,
+         least({_PSI_BINS - 1}, greatest(0,
+           (r.c - g.mn) * {_PSI_BINS} // (g.mx - g.mn + 1))) AS b,
+         CAST(count(*) AS BIGINT) AS k
+  FROM cur r JOIN rng g ON g.event_type = r.event_type
+  GROUP BY 1, 2
+), bins AS (
+  SELECT g.event_type, u.b, g.n_ref, cn.n_cur
+  FROM rng g
+  JOIN curn cn ON cn.event_type = g.event_type
+  CROSS JOIN (SELECT unnest(range({_PSI_BINS})) AS b) u
+), terms AS (
+  SELECT bins.event_type, bins.n_ref, bins.n_cur,
+         (coalesce(rb.k, 0) + 1.0) / (bins.n_ref + {_PSI_BINS}.0) AS p,
+         (coalesce(cb.k, 0) + 1.0) / (bins.n_cur + {_PSI_BINS}.0) AS q
+  FROM bins
+  LEFT JOIN rbin rb
+    ON rb.event_type = bins.event_type AND rb.b = bins.b
+  LEFT JOIN cbin cb
+    ON cb.event_type = bins.event_type AND cb.b = bins.b
+)
+SELECT event_type, n_ref, n_cur,
+       round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM terms GROUP BY event_type, n_ref, n_cur
+""",
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second halves
+    of the event stream (split at the integer midpoint timestamp), per
+    event type — the standard production drift monitor for a model
+    input. Binning is integer-exact: value→cents, 10 equal-width bins
+    over the reference half's [min,max] via integer division, cur
+    values clamped into [0,9]; Laplace (+1) smoothing keeps every bin
+    nonzero so ln is total. Only the final Σ(p−q)·ln(p/q) is IEEE
+    double (same policy as the HLL estimator and PageRank: exact
+    integer counts in, one rounded double formula out).
+
+    Scale shape: two count-only shuffles (per-type range/counts, then
+    per-(type,bin) counts); the 10-bin PSI fold is per-type-sized.
+    At 100 TB the binning rides the scan and nothing text- or
+    row-sized ever reaches the driver.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    mid = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("m")
+    )
+    e = ev.crossJoin(F.broadcast(mid))
+    ref = e.filter(F.col("ts_us") <= F.col("m")).select("event_type", "c")
+    cur = e.filter(F.col("ts_us") > F.col("m")).select("event_type", "c")
+    rng = ref.groupBy("event_type").agg(
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+        F.count(F.lit(1)).alias("n_ref"),
+    )
+    curn = cur.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cur")
+    )
+
+    def binned(half: DataFrame) -> DataFrame:
+        return (
+            half.join(F.broadcast(rng), "event_type")
+            .select(
+                "event_type",
+                F.least(
+                    F.lit(_PSI_BINS - 1),
+                    F.greatest(
+                        F.lit(0),
+                        F.expr(
+                            f"(c - mn) * {_PSI_BINS} div (mx - mn + 1)"
+                        ),
+                    ),
+                ).alias("b"),
+            )
+            .groupBy("event_type", "b")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+
+    rbin = binned(ref).withColumnRenamed("k", "rk")
+    cbin = binned(cur).withColumnRenamed("k", "ck")
+    bins = (
+        rng.join(curn, "event_type")
+        .crossJoin(
+            spark.range(_PSI_BINS).select(F.col("id").alias("b"))
+        )
+        .select("event_type", "b", "n_ref", "n_cur")
+    )
+    terms = (
+        bins.join(rbin, ["event_type", "b"], "left")
+        .join(cbin, ["event_type", "b"], "left")
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            (
+                (F.coalesce("rk", F.lit(0)) + F.lit(1.0))
+                / (F.col("n_ref") + F.lit(float(_PSI_BINS)))
+            ).alias("p"),
+            (
+                (F.coalesce("ck", F.lit(0)) + F.lit(1.0))
+                / (F.col("n_cur") + F.lit(float(_PSI_BINS)))
+            ).alias("q"),
+        )
+    )
+    return terms.groupBy("event_type", "n_ref", "n_cur").agg(
+        F.round(
+            F.sum(
+                (F.col("p") - F.col("q"))
+                * F.log(F.col("p") / F.col("q"))
+            ),
+            6,
+        ).alias("psi")
+    )

@@ -166,3 +166,265 @@ def pagerank_event_transitions(
         F.col("node").alias("event_type"),
         F.round("pr", 6).alias("pagerank"),
     )
+
+
+# ------------------------------------------------------- label propagation
+
+_LP_K = 5  # kNN-graph degree
+_LP_ITERS = 2  # fixed propagation rounds (unrolled in the oracle)
+_LP_NODE_MOD = 2  # nodes: vec_id % 2 = 0 (bounds the quadratic graph build)
+_LP_SEED_MOD = 8  # seeds: vec_id % 8 = 0 (every 4th node keeps its label)
+
+_LP_COS = (
+    "round(list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+
+def _label_prop_oracle() -> str:
+    """Unroll ``_LP_ITERS`` propagation rounds as chained CTEs."""
+    parts = [
+        f"""
+WITH d AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % {_LP_NODE_MOD} = 0
+), scored AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_LP_COS} AS score
+  FROM d a JOIN d b ON a.vec_id <> b.vec_id
+), edges AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src ORDER BY score DESC, dst) AS rn
+    FROM scored) WHERE rn <= {_LP_K}
+), l0 AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % {_LP_SEED_MOD} = 0 THEN label END AS lbl
+  FROM d
+)"""
+    ]
+    for t in range(1, _LP_ITERS + 1):
+        parts.append(
+            f""", v{t} AS (
+  SELECT e.src, l.lbl, CAST(count(*) AS BIGINT) AS c
+  FROM edges e JOIN l{t - 1} l ON l.vec_id = e.dst
+  WHERE l.lbl IS NOT NULL GROUP BY e.src, l.lbl
+), m{t} AS (
+  SELECT src, lbl FROM (
+    SELECT src, lbl, row_number() OVER (
+      PARTITION BY src ORDER BY c DESC, lbl) AS rn
+    FROM v{t}) WHERE rn = 1
+), l{t} AS (
+  SELECT d.vec_id,
+         CASE WHEN d.vec_id % {_LP_SEED_MOD} = 0 THEN d.label
+              ELSE m{t}.lbl END AS lbl
+  FROM d LEFT JOIN m{t} ON m{t}.src = d.vec_id
+)"""
+        )
+    parts.append(
+        f"""
+SELECT d.vec_id,
+       d.vec_id % {_LP_SEED_MOD} = 0 AS is_seed,
+       l{_LP_ITERS}.lbl AS label_prop,
+       d.label AS label_true,
+       CAST(CASE WHEN l{_LP_ITERS}.lbl = d.label THEN 1 ELSE 0 END
+            AS INTEGER) AS correct
+FROM d JOIN l{_LP_ITERS} ON l{_LP_ITERS}.vec_id = d.vec_id
+"""
+    )
+    return "".join(parts)
+
+
+@register("knn_label_propagation", _label_prop_oracle())
+def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002) over a
+    kNN graph of the embedding table: every 4th node keeps its true
+    label (clamped seed); the rest take the mode of their 5 nearest
+    neighbors' current labels for 2 fixed rounds (ties → smaller
+    label; no labeled neighbor → NULL). The standard cheap way to
+    extend a small labeled set over a large corpus in a data-labeling
+    pipeline.
+
+    Scale shape: the kNN graph build is the expensive part and runs on
+    the GEMM tier (BLAS matmul per Arrow batch, candidates-only
+    shuffle) — ask for k+1, drop self, re-rank. That is value-exact
+    against the oracle's rank-after-exclusion: self scores a rounded
+    1.0, so the top-(k+1) *including* self always contains the top-k
+    *excluding* it, whether or not rounded-1.0 ties outrank self.
+    Each propagation round then shuffles only (node, label) pairs —
+    graph-sized, not corpus-sized — so rounds are nearly free once the
+    edge list is at rest.
+    """
+    from oracle_vector_search_spark.operators.knn import (
+        knn_exact,
+        knn_exact_gemm,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.filter(F.col("vec_id") % _LP_NODE_MOD == 0).select(
+        "vec_id", "label", "embedding"
+    )
+    # Both tiers are value-exact; the GEMM tier's five fixed stages only
+    # pay off once the quadratic pair count dominates (same crossover
+    # logic as choose_knn_tier).
+    tier = knn_exact if d.count() <= 600 else knn_exact_gemm
+    cand = tier(d, d, k=_LP_K + 1).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    edges = (
+        cand.withColumn("rn2", F.row_number().over(w_rank))
+        .filter(F.col("rn2") <= _LP_K)
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+        )
+    )
+    seeded = F.when(
+        F.col("vec_id") % _LP_SEED_MOD == 0, F.col("label")
+    )
+    lbl = d.select(F.col("vec_id").alias("node"), seeded.alias("lbl"))
+    for _ in range(_LP_ITERS):
+        votes = (
+            edges.join(lbl, edges.dst == lbl.node)
+            .filter(F.col("lbl").isNotNull())
+            .groupBy("src", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w_mode = Window.partitionBy("src").orderBy(
+            F.desc("c"), F.asc("lbl")
+        )
+        mode = (
+            votes.withColumn("rn", F.row_number().over(w_mode))
+            .filter(F.col("rn") == 1)
+            .select(
+                F.col("src").alias("mnode"), F.col("lbl").alias("mlbl")
+            )
+        )
+        lbl = d.join(
+            mode, d.vec_id == mode.mnode, "left"
+        ).select(
+            F.col("vec_id").alias("node"),
+            F.when(F.col("vec_id") % _LP_SEED_MOD == 0, F.col("label"))
+            .otherwise(F.col("mlbl"))
+            .alias("lbl"),
+        )
+    return d.join(lbl, d.vec_id == lbl.node).select(
+        "vec_id",
+        (F.col("vec_id") % _LP_SEED_MOD == 0).alias("is_seed"),
+        F.col("lbl").alias("label_prop"),
+        F.col("label").alias("label_true"),
+        F.when(F.col("lbl") == F.col("label"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("correct"),
+    )
+
+
+# ------------------------------------------------------------ BFS (hops)
+
+_BFS_ROUNDS = 3  # fixed Bellman-Ford relaxation rounds (unrolled oracle)
+
+
+def _bfs_oracle() -> str:
+    parts = [
+        """
+WITH lp AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), nodes AS (
+  SELECT DISTINCT pk AS node FROM lp
+), seed AS (
+  SELECT min(node) AS s FROM nodes
+), edges AS (
+  SELECT DISTINCT a.pk AS src, b.pk AS dst
+  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk <> b.pk
+), d0 AS (
+  SELECT n.node, CASE WHEN n.node = seed.s THEN 0 END AS d
+  FROM nodes n CROSS JOIN seed
+)"""
+    ]
+    for t in range(1, _BFS_ROUNDS + 1):
+        parts.append(
+            f""", c{t} AS (
+  SELECT e.dst AS node, CAST(min(p.d) + 1 AS INTEGER) AS cd
+  FROM edges e JOIN d{t - 1} p ON p.node = e.src
+  WHERE p.d IS NOT NULL GROUP BY e.dst
+), d{t} AS (
+  SELECT p.node, least(p.d, c{t}.cd) AS d
+  FROM d{t - 1} p LEFT JOIN c{t} ON c{t}.node = p.node
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(coalesce(d, -1) AS INTEGER) AS hops,
+       CAST(count(*) AS BIGINT) AS n_parts
+FROM d{_BFS_ROUNDS} GROUP BY 1
+"""
+    )
+    return "".join(parts)
+
+
+@register("copurchase_bfs_hops", _bfs_oracle())
+def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop histogram from the smallest part id over the co-purchase
+    graph (parts sharing an order), as 3 fixed Bellman-Ford relaxation
+    rounds — min-hop distance converges monotonically, so a fixed
+    unroll is value-exact against the oracle's chained CTEs. Unreached
+    within 3 hops → -1 bucket.
+
+    Scale shape: the edge list is per-order quadratic (lines/order is
+    small and bounded) and built once — at 100 TB it is an at-rest
+    nightly artifact like the transition graph. Each relaxation round
+    shuffles only (node, dist) pairs: graph-node-sized, not
+    lineitem-sized. `least` skips NULLs identically in both engines,
+    giving the no-path-yet semantics for free.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    nodes = li.select(F.col("pk").alias("node")).distinct()
+    seed = nodes.agg(F.min("node").alias("s"))
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    edges = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("src") != F.col("dst")),
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    dist = nodes.crossJoin(F.broadcast(seed)).select(
+        "node",
+        F.when(F.col("node") == F.col("s"), F.lit(0))
+        .cast("int")
+        .alias("d"),
+    )
+    for _ in range(_BFS_ROUNDS):
+        frontier = dist.filter(F.col("d").isNotNull()).select(
+            F.col("node").alias("fsrc"), F.col("d").alias("fd")
+        )
+        cand = (
+            edges.join(frontier, edges.src == frontier.fsrc)
+            .groupBy(F.col("dst").alias("cnode"))
+            .agg((F.min("fd") + F.lit(1)).cast("int").alias("cd"))
+        )
+        dist = dist.join(
+            cand, dist.node == cand.cnode, "left"
+        ).select(
+            F.col("node"), F.least(F.col("d"), F.col("cd")).alias("d")
+        )
+    return (
+        dist.select(
+            F.coalesce(F.col("d"), F.lit(-1)).cast("int").alias("hops")
+        )
+        .groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )

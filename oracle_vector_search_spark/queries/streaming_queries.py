@@ -305,3 +305,45 @@ def streaming_corpus_admission(
     the batch ``incremental_corpus_admission`` result under any file
     split, and the SAME DuckDB oracle checks both."""
     return ops.corpus_admission_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_topk_trending",
+    """
+WITH agg AS (
+  SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000
+           AS window_start_ns,
+         event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT window_start_ns, event_type, n,
+         CAST(row_number() OVER (
+           PARTITION BY window_start_ns ORDER BY n DESC, event_type
+         ) AS INTEGER) AS rank
+  FROM agg
+)
+SELECT window_start_ns, event_type, n, rank FROM ranked WHERE rank <= 3
+""",
+)
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-3 event types per tumbling hour: the windowed count
+    runs as a REAL complete-mode streaming aggregation (the same job as
+    `streaming_hourly_windows`); the rank-per-window runs on the
+    drained snapshot — Structured Streaming forbids non-time windows on
+    a stream, and ranking the materialized state table is exactly how a
+    trending view is served in production (state in the sink, rank at
+    read time). Deterministic: count ties break on event_type.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    snap = ops.hourly_windows_stream(spark, sf_dir)
+    w = Window.partitionBy("window_start_ns").orderBy(
+        F.desc("n"), F.asc("event_type")
+    )
+    return (
+        snap.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("window_start_ns", "event_type", "n", "rank")
+    )

@@ -1227,3 +1227,53 @@ def user_resurrection_stats(
             F.when(F.col("gap_us") > _RESURRECT_GAP_US, 1).otherwise(0)
         ).alias("n_resurrections"),
     )
+
+
+@register(
+    "temporal_holdout_split",
+    """
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+), r AS (
+  SELECT user_id, event_id, ts_us,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+         ) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM e
+)
+SELECT user_id,
+       CAST(n - 1 AS BIGINT) AS n_train,
+       event_id AS test_event_id,
+       CAST(ts_us AS BIGINT) AS test_ts_us
+FROM r WHERE rn = 1
+""",
+)
+def temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-last-out temporal split (the recsys evaluation standard):
+    each user's chronologically last event is the test example, the
+    rest are training. Time order ties break on event_id, so the split
+    is deterministic and leak-free — the test event is strictly the
+    newest, never sampled.
+
+    Scale shape: one window over a single shuffle on user_id; carries
+    (user_id, event_id, ts_us) only.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            (F.col("n") - 1).cast("bigint").alias("n_train"),
+            F.col("event_id").alias("test_event_id"),
+            F.col("ts_us").alias("test_ts_us"),
+        )
+    )

@@ -725,3 +725,71 @@ def fuzzy_token_pairs_edit1(
         .filter(F.col("dist") <= 1)
         .orderBy("left_word", "right_word")
     )
+
+
+@register(
+    "doc_ngram_novelty",
+    f"""
+WITH base AS (
+  SELECT doc_id, {T.duck_norm()} AS norm FROM documents
+), tok AS (
+  SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM base
+), sh AS (
+  SELECT doc_id, unnest({T.duck_shingles('toks', 'norm')}) AS s FROM tok
+), g AS (
+  SELECT doc_id, {T.duck_hash28('s')} AS h FROM sh
+), df AS (
+  SELECT h, count(DISTINCT doc_id) AS d FROM g GROUP BY h
+), per AS (
+  SELECT g.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(count(*) FILTER (df.d = 1) AS BIGINT) AS n_novel
+  FROM g JOIN df ON df.h = g.h
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, n_novel,
+       round(n_novel * 1.0 / n_grams, 6) AS novelty
+FROM per
+""",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level document novelty (RefinedWeb-style uniqueness
+    scoring): the share of a document's distinct word 3-shingles that
+    appear in NO other document. Low novelty → boilerplate / near-dup
+    material; the score feeds the same keep/drop gates as the quality
+    classifier. Shingles and hashing reuse the MinHash scan kernels,
+    so the score is engine-exact.
+
+    Scale shape: grams are born distinct in the scan; the two shuffles
+    carry (hash, doc_id) pairs and (hash, df) counts — gram-sized,
+    never text-sized. The df table is the same artifact an at-rest
+    inverted index maintains incrementally.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    base = doc.select("doc_id", T.norm_text().alias("norm"))
+    tok = base.withColumn("toks", T.tokens("norm"))
+    g = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(T.word_shingles_expr("toks", "norm"))
+        ).alias("s"),
+    ).select("doc_id", F.expr(T.hash28_sql("s")).alias("h"))
+    df_counts = g.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("d")
+    )
+    per = (
+        g.join(df_counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("d") == 1, F.lit(1))).alias("n_novel"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel") * F.lit(1.0) / F.col("n_grams"), 6
+        ).alias("novelty"),
+    )

@@ -2373,3 +2373,94 @@ def doc_top_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "rank", "term", "tf", "idf_millis", "weight")
     )
+
+
+_FIM_MIN_CHARS = 8  # skip degenerate docs (pivot arithmetic needs n >= 1)
+
+
+@register(
+    "fim_split_transform",
+    f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n
+  FROM documents WHERE length(text) >= {_FIM_MIN_CHARS}
+), piv AS (
+  SELECT doc_id, text, n,
+         1 + ({T.duck_hash28("doc_id::VARCHAR || ':fim:1'")} % n) AS p1,
+         1 + ({T.duck_hash28("doc_id::VARCHAR || ':fim:2'")} % n) AS p2
+  FROM d
+), cut AS (
+  SELECT doc_id, text, n,
+         least(p1, p2) AS lo, greatest(p1, p2) AS hi
+  FROM piv
+), parts AS (
+  SELECT doc_id, n,
+         substr(text, 1, lo - 1) AS prefix,
+         substr(text, lo, hi - lo) AS middle,
+         substr(text, hi) AS suffix
+  FROM cut
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars_total,
+       CAST(length(prefix) AS BIGINT) AS len_prefix,
+       CAST(length(middle) AS BIGINT) AS len_middle,
+       CAST(length(suffix) AS BIGINT) AS len_suffix,
+       md5(prefix || '<FIM>' || suffix || '<FIM>' || middle) AS psm_md5
+FROM parts
+""",
+)
+def fim_split_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle pretraining transform (Bavarian et al. 2022):
+    split every document at two hash-derived pivots and re-serialize in
+    PSM order (prefix, suffix, middle). Pivots come from the portable
+    md5 hash of doc_id, so the split is reproducible across engines,
+    runs, and partitionings — never rand(). The md5 of the reordered
+    text plus the three segment lengths pin the exact byte-level
+    transform the trainer would consume.
+
+    Scale shape: a pure per-row projection — rides the scan, no
+    shuffle, trivially parallel at 100 TB.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    d = doc.filter(F.length("text") >= _FIM_MIN_CHARS).select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("n")
+    )
+    h1 = F.expr(T.hash28_sql("concat(cast(doc_id as string), ':fim:1')"))
+    h2 = F.expr(T.hash28_sql("concat(cast(doc_id as string), ':fim:2')"))
+    piv = d.select(
+        "doc_id",
+        "text",
+        "n",
+        (F.lit(1) + h1 % F.col("n")).cast("int").alias("p1"),
+        (F.lit(1) + h2 % F.col("n")).cast("int").alias("p2"),
+    )
+    cut = piv.select(
+        "doc_id",
+        "text",
+        "n",
+        F.least("p1", "p2").alias("lo"),
+        F.greatest("p1", "p2").alias("hi"),
+    )
+    parts = cut.select(
+        "doc_id",
+        "n",
+        F.expr("substr(text, 1, lo - 1)").alias("prefix"),
+        F.expr("substr(text, lo, hi - lo)").alias("middle"),
+        F.expr("substr(text, hi)").alias("suffix"),
+    )
+    return parts.select(
+        "doc_id",
+        F.col("n").alias("n_chars_total"),
+        F.length("prefix").cast("bigint").alias("len_prefix"),
+        F.length("middle").cast("bigint").alias("len_middle"),
+        F.length("suffix").cast("bigint").alias("len_suffix"),
+        F.md5(
+            F.concat(
+                F.col("prefix"),
+                F.lit("<FIM>"),
+                F.col("suffix"),
+                F.lit("<FIM>"),
+                F.col("middle"),
+            ).cast("binary")
+        ).alias("psm_md5"),
+    )

@@ -256,3 +256,69 @@ class TestSkyline:
             assert not dominated(b, pts), f"dominated point in skyline: {b}"
         for b in pts - sky:
             assert dominated(b, pts), f"skyline missed point: {b}"
+
+
+class TestLabelPropagation:
+    def test_seeds_clamped_and_correct(self, spark, sf_dir):
+        """Seed nodes keep their true label (clamped) and are marked
+        correct; propagated labels come only from the 10 true classes."""
+        rows = _run("knn_label_propagation", spark, sf_dir).collect()
+        assert rows, "empty propagation result"
+        labels = {r["label_true"] for r in rows}
+        for r in rows:
+            if r["is_seed"]:
+                assert r["label_prop"] == r["label_true"]
+                assert r["correct"] == 1
+            elif r["label_prop"] is not None:
+                assert r["label_prop"] in labels
+
+    def test_coverage_grows_with_iterations(self, spark, sf_dir):
+        """≥ the seed fraction of nodes must end labeled — propagation
+        can only add labels, never remove a seed's."""
+        rows = _run("knn_label_propagation", spark, sf_dir).collect()
+        n = len(rows)
+        n_seed = sum(1 for r in rows if r["is_seed"])
+        n_labeled = sum(1 for r in rows if r["label_prop"] is not None)
+        assert n_seed >= n // 8
+        assert n_labeled >= n_seed
+
+
+class TestBfsHops:
+    def test_histogram_shape(self, spark, sf_dir):
+        """Exactly one seed at hops=0; every bucket is one of
+        {-1, 0..3}; counts sum to the node count."""
+        rows = _run("copurchase_bfs_hops", spark, sf_dir).collect()
+        by_hops = {r["hops"]: r["n_parts"] for r in rows}
+        assert by_hops.get(0) == 1
+        assert set(by_hops) <= {-1, 0, 1, 2, 3}
+        li = load_table(spark, sf_dir, "lineitem")
+        n_nodes = li.select("l_partkey").distinct().count()
+        assert sum(by_hops.values()) == n_nodes
+
+
+class TestFimSplit:
+    def test_lengths_partition_document(self, spark, sf_dir):
+        """prefix + middle + suffix lengths == document length for every
+        doc; no document below the minimum-length guard appears."""
+        rows = _run("fim_split_transform", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert (
+                r["len_prefix"] + r["len_middle"] + r["len_suffix"]
+                == r["n_chars_total"]
+            )
+            assert r["n_chars_total"] >= 8
+            assert len(r["psm_md5"]) == 32
+
+    def test_deterministic_across_runs(self, spark, sf_dir):
+        """The hash-derived pivots are rand()-free: two runs yield
+        identical checksums."""
+        a = {
+            r["doc_id"]: r["psm_md5"]
+            for r in _run("fim_split_transform", spark, sf_dir).collect()
+        }
+        b = {
+            r["doc_id"]: r["psm_md5"]
+            for r in _run("fim_split_transform", spark, sf_dir).collect()
+        }
+        assert a == b

@@ -8,7 +8,7 @@ oracles are generated from the SAME constants in ``functions.text``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.io import load_table
@@ -792,4 +792,95 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_novel") * F.lit(1.0) / F.col("n_grams"), 6
         ).alias("novelty"),
+    )
+
+
+_VOCAB_CUTS = (10, 100, 1000)  # vocabulary-size cutoffs for the curve
+
+
+@register(
+    "vocab_coverage_curve",
+    f"""
+WITH tok AS (
+  SELECT unnest(string_split({T.duck_norm()}, ' ')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+), ranked AS (
+  SELECT n,
+         CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS r
+  FROM freq
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS total,
+         CAST(count(*) AS BIGINT) AS vocab
+  FROM freq
+), cuts AS (
+  SELECT unnest([{", ".join(str(c) for c in _VOCAB_CUTS)}]) AS cutoff
+)
+SELECT c.cutoff,
+       t.vocab AS vocab_size,
+       CAST(coalesce(sum(rk.n), 0) AS BIGINT) AS covered_occurrences,
+       t.total AS total_occurrences,
+       round(coalesce(sum(rk.n), 0) * 1.0 / t.total, 6) AS coverage
+FROM cuts c
+CROSS JOIN tot t
+LEFT JOIN ranked rk ON rk.r <= c.cutoff
+GROUP BY c.cutoff, t.vocab, t.total
+""",
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve — the tokenizer-design metric: what
+    fraction of all token OCCURRENCES is covered by the top-{10,100,
+    1000} most frequent types (frequency ties break on the token
+    string, so ranks are deterministic). A steep curve says a small
+    vocab + byte fallback suffices; a flat one demands a bigger vocab.
+
+    Scale shape: the corpus collapses to the (token, count) vocabulary
+    in one shuffle (the same table the BPE trainer and the bigram LM
+    start from); the curve itself is vocabulary-sized work — one
+    global rank window over types, never occurrences.
+    """
+    doc = load_table(spark, sf_dir, "documents").withColumn(
+        "norm", T.norm_text("text")
+    )
+    freq = (
+        doc.select(F.explode(T.tokens("norm")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = freq.select(
+        "n",
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("token")))
+        .cast("bigint")
+        .alias("r"),
+    )
+    tot = freq.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    cuts = spark.range(0).sparkSession.createDataFrame(
+        [(c,) for c in _VOCAB_CUTS], "cutoff bigint"
+    )
+    return (
+        cuts.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(ranked), F.col("r") <= F.col("cutoff"), "left")
+        .groupBy("cutoff", F.col("vocab").alias("vocab_size"), "total")
+        .agg(
+            F.coalesce(F.sum("n"), F.lit(0))
+            .cast("bigint")
+            .alias("covered_occurrences"),
+            F.round(
+                F.coalesce(F.sum("n"), F.lit(0)) * F.lit(1.0)
+                / F.col("total"),
+                6,
+            ).alias("coverage"),
+        )
+        .select(
+            "cutoff",
+            "vocab_size",
+            "covered_occurrences",
+            F.col("total").alias("total_occurrences"),
+            "coverage",
+        )
     )

@@ -94,3 +94,62 @@ class TestStreamingTrending:
             assert len(rs) <= 3
             ns = [r["n"] for r in rs]
             assert ns == sorted(ns, reverse=True)
+
+
+class TestVocabCoverage:
+    def test_monotone_and_bounded(self, spark, sf_dir):
+        """Coverage is monotone in the cutoff, within [0,1], and the
+        covered counts never exceed the total occurrences."""
+        rows = _run("vocab_coverage_curve", spark, sf_dir).collect()
+        assert len(rows) == 3
+        rows.sort(key=lambda r: r["cutoff"])
+        prev = 0.0
+        for r in rows:
+            assert 0.0 <= r["coverage"] <= 1.0
+            assert r["coverage"] >= prev
+            assert r["covered_occurrences"] <= r["total_occurrences"]
+            prev = r["coverage"]
+
+
+class TestTemporalHoldout:
+    def test_one_test_event_per_user_and_newest(self, spark, sf_dir):
+        """Every user appears once; the held-out event is that user's
+        maximum (ts, event_id)."""
+        rows = _run("temporal_holdout_split", spark, sf_dir).collect()
+        ev = load_table(spark, sf_dir, "events")
+        truth = {
+            r["user_id"]: (r["mx_ts"], r["mx_id"], r["n"])
+            for r in ev.groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct(
+                        F.expr("ts_ns div 1000").alias("ts_us"),
+                        F.col("event_id"),
+                    )
+                ).alias("mx"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "user_id",
+                F.col("mx.ts_us").alias("mx_ts"),
+                F.col("mx.event_id").alias("mx_id"),
+                "n",
+            )
+            .collect()
+        }
+        assert len(rows) == len(truth)
+        for r in rows:
+            mx_ts, mx_id, n = truth[r["user_id"]]
+            assert r["test_ts_us"] == mx_ts
+            assert r["test_event_id"] == mx_id
+            assert r["n_train"] == n - 1
+
+
+class TestPsiDrift:
+    def test_psi_nonnegative_and_self_zero(self, spark, sf_dir):
+        """PSI >= 0 always (Gibbs), and the halves are non-empty."""
+        rows = _run("psi_value_drift", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["psi"] >= 0.0
+            assert r["n_ref"] > 0 and r["n_cur"] > 0

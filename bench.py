@@ -101,6 +101,12 @@ HEADLINE = [
     "value_benford_audit",
     "bootstrap_mean_ci_deterministic",
     "fuzzy_token_pairs_edit1",
+    # late-r6: PSI drift monitor (integer bins, one double formula),
+    # corpus n-gram novelty (gram-keyed shuffles over the inverted-index
+    # stat), and the scan-stage FIM pretraining transform
+    "psi_value_drift",
+    "doc_ngram_novelty",
+    "fim_split_transform",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session

@@ -282,41 +282,25 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("neighbor_id").alias("dst"),
         )
     )
-    seeded = F.when(
-        F.col("vec_id") % _LP_SEED_MOD == 0, F.col("label")
+    from oracle_vector_search_spark.operators.propagation import (
+        propagate_labels,
     )
-    lbl = d.select(F.col("vec_id").alias("node"), seeded.alias("lbl"))
-    for _ in range(_LP_ITERS):
-        votes = (
-            edges.join(lbl, edges.dst == lbl.node)
-            .filter(F.col("lbl").isNotNull())
-            .groupBy("src", "lbl")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
-        w_mode = Window.partitionBy("src").orderBy(
-            F.desc("c"), F.asc("lbl")
-        )
-        mode = (
-            votes.withColumn("rn", F.row_number().over(w_mode))
-            .filter(F.col("rn") == 1)
-            .select(
-                F.col("src").alias("mnode"), F.col("lbl").alias("mlbl")
-            )
-        )
-        lbl = d.join(
-            mode, d.vec_id == mode.mnode, "left"
-        ).select(
-            F.col("vec_id").alias("node"),
-            F.when(F.col("vec_id") % _LP_SEED_MOD == 0, F.col("label"))
-            .otherwise(F.col("mlbl"))
-            .alias("lbl"),
-        )
-    return d.join(lbl, d.vec_id == lbl.node).select(
-        "vec_id",
+
+    nodes = d.select(
+        F.col("vec_id").alias("node"),
+        "label",
         (F.col("vec_id") % _LP_SEED_MOD == 0).alias("is_seed"),
+    )
+    prop = propagate_labels(nodes, edges, _LP_ITERS)
+    truth = d.select(
+        F.col("vec_id").alias("tnode"), F.col("label").alias("label_true")
+    )
+    return prop.join(truth, prop.node == truth.tnode).select(
+        F.col("node").alias("vec_id"),
+        "is_seed",
         F.col("lbl").alias("label_prop"),
-        F.col("label").alias("label_true"),
-        F.when(F.col("lbl") == F.col("label"), F.lit(1))
+        "label_true",
+        F.when(F.col("lbl") == F.col("label_true"), F.lit(1))
         .otherwise(F.lit(0))
         .cast("int")
         .alias("correct"),

@@ -108,6 +108,17 @@ EXPECTED: dict[str, dict[str, int]] = {
     # fuzzy: vocab distinct + variant self-join (auto-broadcast at
     # fixture size; the variant-keyed SMJ at scale) + pair distinct
     "fuzzy_token_pairs_edit1":         {"shuffle_exchanges": 3, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # --- late round 6 ---
+    # psi: the per-(type,half,cents) count table is localCheckpoint-
+    # pinned (events read exactly twice, in the checkpoint job — hence
+    # 0 parquet scans here); the 12 exchanges move grouped-count /
+    # bin-sized rows only
+    "psi_value_drift":                 {"shuffle_exchanges": 6, "broadcast_hash_joins": 5, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # novelty: gram explode → (hash,doc) df shuffle → per-doc rollup;
+    # the df join auto-broadcasts at fixture size
+    "doc_ngram_novelty":               {"shuffle_exchanges": 3, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # fim: pure scan-stage projection — no exchange at all
+    "fim_split_transform":             {"shuffle_exchanges": 0, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

@@ -412,3 +412,78 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hops")
         .agg(F.count(F.lit(1)).alias("n_parts"))
     )
+
+
+# -------------------------------------------- connected components (WCC)
+
+_CC_MOD = 10  # node sample: vec_id % 10 = 0 (same as similarity_self_join)
+_CC_THRESHOLD = 0.3  # cosine edge threshold
+
+_CC_COS = (
+    "round(list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+
+@register(
+    "embedding_components_single_linkage",
+    f"""
+WITH RECURSIVE
+d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % {_CC_MOD} = 0
+), pairs AS (
+  SELECT a.vec_id AS l, b.vec_id AS r
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+  WHERE {_CC_COS} >= {_CC_THRESHOLD}
+), edges AS (
+  SELECT l AS src, r AS dst FROM pairs
+  UNION ALL
+  SELECT r AS src, l AS dst FROM pairs
+), reach(node, lbl) AS (
+  SELECT vec_id, vec_id FROM d
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+), comp AS (
+  SELECT node, min(lbl) AS cid FROM reach GROUP BY node
+)
+SELECT node AS vec_id, CAST(cid AS BIGINT) AS canonical_id,
+       CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS cluster_size
+FROM comp
+""",
+)
+def embedding_components_single_linkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Single-linkage clustering = weakly-connected components of the
+    cosine-threshold similarity graph (the clustering semantics behind
+    near-dup grouping, here on embeddings). Spark runs min-label
+    propagation to a true FIXPOINT (`dedup_clusters_fixpoint`:
+    localCheckpoint per round, converges for any component diameter);
+    the oracle is a recursive CTE computing the same minimum reachable
+    label — exact at ANY diameter on both sides, unlike a fixed unroll.
+
+    Scale shape: the edge list at scale comes from the LSH-pruned
+    similarity join (operators.ann); each fixpoint round shuffles
+    (node, label) pairs only, and the changed-label convergence check
+    is metadata-sized.
+    """
+    from oracle_vector_search_spark.operators.dedup import (
+        dedup_clusters_fixpoint,
+    )
+    from oracle_vector_search_spark.operators.knn import similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _CC_MOD == 0
+    )
+    pairs = similarity_join(emb, emb, threshold=_CC_THRESHOLD).select(
+        F.col("left_id"), F.col("right_id")
+    )
+    comp = dedup_clusters_fixpoint(pairs, emb, id_col="vec_id")
+    w = Window.partitionBy("canonical_id")
+    return comp.select(
+        "vec_id",
+        "canonical_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )

@@ -153,3 +153,30 @@ class TestPsiDrift:
         for r in rows:
             assert r["psi"] >= 0.0
             assert r["n_ref"] > 0 and r["n_cur"] > 0
+
+
+class TestSingleLinkageComponents:
+    def test_partition_and_edge_consistency(self, spark, sf_dir):
+        """Canonical id is the component MINIMUM (never > member);
+        cluster sizes sum to the node count; every similarity edge
+        joins two nodes of the SAME component."""
+        from oracle_vector_search_spark.operators.knn import (
+            similarity_join,
+        )
+
+        rows = _run(
+            "embedding_components_single_linkage", spark, sf_dir
+        ).collect()
+        comp = {r["vec_id"]: r["canonical_id"] for r in rows}
+        sizes = {}
+        for r in rows:
+            assert r["canonical_id"] <= r["vec_id"]
+            sizes[r["canonical_id"]] = sizes.get(r["canonical_id"], 0) + 1
+        for r in rows:
+            assert r["cluster_size"] == sizes[r["canonical_id"]]
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 10 == 0
+        )
+        assert len(rows) == emb.count()
+        for e in similarity_join(emb, emb, threshold=0.3).collect():
+            assert comp[e["left_id"]] == comp[e["right_id"]]

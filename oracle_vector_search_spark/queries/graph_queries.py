@@ -487,3 +487,128 @@ def embedding_components_single_linkage(
         "canonical_id",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
     )
+
+
+# ------------------------------------------------------------- DBSCAN
+
+_DB_MINPTS = 3  # core: >= 3 neighbors within the ε-ball (self excluded)
+
+
+@register(
+    "dbscan_embedding_clusters",
+    f"""
+WITH RECURSIVE
+d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % {_CC_MOD} = 0
+), pairs AS (
+  SELECT a.vec_id AS l, b.vec_id AS r
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+  WHERE {_CC_COS} >= {_CC_THRESHOLD}
+), edges AS (
+  SELECT l AS src, r AS dst FROM pairs
+  UNION ALL
+  SELECT r AS src, l AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, count(*) AS k FROM edges GROUP BY src
+), core AS (
+  SELECT node FROM deg WHERE k >= {_DB_MINPTS}
+), ce AS (
+  SELECT e.src, e.dst FROM edges e
+  JOIN core a ON a.node = e.src
+  JOIN core b ON b.node = e.dst
+), reach(node, lbl) AS (
+  SELECT node, node FROM core
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN ce e ON e.src = r.node
+), comp AS (
+  SELECT node, min(lbl) AS cid FROM reach GROUP BY node
+), border AS (
+  SELECT e.src AS node, min(c.cid) AS cid
+  FROM edges e JOIN comp c ON c.node = e.dst
+  WHERE e.src NOT IN (SELECT node FROM core)
+  GROUP BY e.src
+)
+SELECT d.vec_id,
+       CASE WHEN c.cid IS NOT NULL THEN 'core'
+            WHEN b.cid IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       CAST(coalesce(c.cid, b.cid, -1) AS BIGINT) AS cluster_id
+FROM d
+LEFT JOIN comp c ON c.node = d.vec_id
+LEFT JOIN border b ON b.node = d.vec_id
+""",
+)
+def dbscan_embedding_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DBSCAN over the embedding sample with a cosine ε-ball (≥ 0.3)
+    and minPts = 3: core points cluster by connected components of the
+    core-core graph (min-label fixpoint); border points adopt the
+    SMALLEST neighboring core cluster (classic DBSCAN leaves this
+    arbitrary — pinning min makes it engine-exact); everything else is
+    noise (cluster −1). The density-clustering sibling of the
+    single-linkage query: same edges, different membership rule.
+
+    Scale shape: ε-neighborhoods at scale come from the LSH-pruned
+    similarity join; degree counting, core filtering, and border
+    assignment are one shuffle each over (node, …) pairs; the fixpoint
+    inherits `dedup_clusters_fixpoint`'s flat-plan localCheckpoint
+    rounds.
+    """
+    from oracle_vector_search_spark.operators.dedup import (
+        dedup_clusters_fixpoint,
+    )
+    from oracle_vector_search_spark.operators.knn import similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _CC_MOD == 0
+    )
+    pairs = similarity_join(emb, emb, threshold=_CC_THRESHOLD).select(
+        "left_id", "right_id"
+    )
+    edges = pairs.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("right_id").alias("src"), F.col("left_id").alias("dst")
+        )
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    core = deg.filter(F.col("k") >= _DB_MINPTS).select("node")
+    core_ids = core.select(F.col("node").alias("vec_id"))
+    ce = (
+        edges.join(core.select(F.col("node").alias("src")), "src")
+        .join(core.select(F.col("node").alias("dst")), "dst")
+        .select(
+            F.col("src").alias("left_id"), F.col("dst").alias("right_id")
+        )
+    )
+    comp = dedup_clusters_fixpoint(ce, core_ids, id_col="vec_id").select(
+        F.col("vec_id").alias("cnode"), F.col("canonical_id").alias("ccid")
+    )
+    border = (
+        edges.join(comp, edges.dst == comp.cnode)
+        .join(
+            core.select(F.col("node").alias("src")), "src", "left_anti"
+        )
+        .groupBy(F.col("src").alias("bnode"))
+        .agg(F.min("ccid").alias("bcid"))
+    )
+    return (
+        emb.select("vec_id")
+        .join(comp, F.col("vec_id") == F.col("cnode"), "left")
+        .join(border, F.col("vec_id") == F.col("bnode"), "left")
+        .select(
+            "vec_id",
+            F.when(F.col("ccid").isNotNull(), F.lit("core"))
+            .when(F.col("bcid").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("ccid", "bcid", F.lit(-1))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )

@@ -180,3 +180,34 @@ class TestSingleLinkageComponents:
         assert len(rows) == emb.count()
         for e in similarity_join(emb, emb, threshold=0.3).collect():
             assert comp[e["left_id"]] == comp[e["right_id"]]
+
+
+class TestDbscan:
+    def test_roles_and_density_semantics(self, spark, sf_dir):
+        """Core points have >= minPts neighbors; noise has cluster -1;
+        border/core cluster ids are real core canonical ids; every core
+        point's cluster id is <= its own id's component minimum rule."""
+        from oracle_vector_search_spark.operators.knn import (
+            similarity_join,
+        )
+
+        rows = _run("dbscan_embedding_clusters", spark, sf_dir).collect()
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 10 == 0
+        )
+        deg = {}
+        for e in similarity_join(emb, emb, threshold=0.3).collect():
+            deg[e["left_id"]] = deg.get(e["left_id"], 0) + 1
+            deg[e["right_id"]] = deg.get(e["right_id"], 0) + 1
+        core_clusters = set()
+        for r in rows:
+            if r["role"] == "core":
+                assert deg.get(r["vec_id"], 0) >= 3
+                assert r["cluster_id"] >= 0
+                core_clusters.add(r["cluster_id"])
+            elif r["role"] == "noise":
+                assert r["cluster_id"] == -1
+        for r in rows:
+            if r["role"] == "border":
+                assert deg.get(r["vec_id"], 0) < 3
+                assert r["cluster_id"] in core_clusters

@@ -1117,3 +1117,119 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi")
     )
+
+
+# SPRT (Wald sequential probability ratio test) constants: H0 p=0.45 vs
+# H1 p=0.55, alpha = beta = 0.05. The log-likelihood increments and the
+# decision boundaries are embedded as EXACT double literals (repr
+# round-trips bit-identically into both engines), so no libm ln() is
+# evaluated at query time and the cumulative walk is engine-exact.
+import math as _math
+
+_SPRT_POS = repr(_math.log(0.55 / 0.45))  # conversion increment
+_SPRT_NEG = repr(_math.log(0.45 / 0.55))  # non-conversion increment
+_SPRT_BOUND = repr(_math.log((1 - 0.05) / 0.05))  # ±ln(19)
+_SPRT_CONV_CENTS = 5000  # conversion: floor(value*100) >= 5000
+
+
+@register(
+    "sprt_ab_sequential_test",
+    f"""
+WITH b AS (
+  SELECT epoch_ns(ts) // 1000 AS ts_us, event_id,
+         CASE WHEN CAST(floor(value * 100) AS BIGINT)
+                   >= {_SPRT_CONV_CENTS}
+              THEN 1 ELSE 0 END AS conv
+  FROM events WHERE user_id % 2 = 1
+), w AS (
+  SELECT conv,
+         sum(CASE WHEN conv = 1 THEN {_SPRT_POS}
+                  ELSE {_SPRT_NEG} END)
+           OVER (ORDER BY ts_us, event_id
+                 ROWS UNBOUNDED PRECEDING) AS llr,
+         CAST(row_number() OVER (ORDER BY ts_us, event_id) AS BIGINT)
+           AS rn
+  FROM b
+), x AS (
+  SELECT min(rn) AS rn, min_by(llr, rn) AS llr
+  FROM w WHERE llr >= {_SPRT_BOUND} OR llr <= -{_SPRT_BOUND}
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total,
+         max_by(llr, rn) AS last_llr
+  FROM w
+)
+SELECT CASE WHEN x.llr >= {_SPRT_BOUND} THEN 'accept_h1'
+            WHEN x.llr <= -{_SPRT_BOUND} THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       CAST(coalesce(x.rn, t.n_total) AS BIGINT) AS n_obs_at_decision,
+       round(coalesce(x.llr, t.last_llr), 6) AS llr_at_decision,
+       t.n_total
+FROM t CROSS JOIN x
+""",
+)
+def sprt_ab_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's SPRT over the B-arm conversion stream (user parity is the
+    deterministic arm split): walk the cumulative log-likelihood ratio
+    in event-time order and stop at the first ±ln(19) crossing
+    (α=β=0.05, H0 p=0.45 vs H1 p=0.55). The sequential-experimentation
+    op: the A/B z-test query answers "significant at n?", this one
+    answers "how early could we have stopped?".
+
+    Exactness: increments and boundaries are exact double literals
+    (repr round-trip), the cumulative sum is an ordered-window fold —
+    identical addition order in both engines — so the crossing row is
+    engine-exact, not just within rounding. Scale shape: the ordered
+    walk is inherently sequential; at 100 TB you run it per
+    metric-shard on the recent window a monitor actually watches, or
+    as the streaming twin's stateful fold — the full-history global
+    sort here is the oracle-exact batch form.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 2 == 1
+    )
+    b = ev.select(
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        "event_id",
+        F.when(
+            F.floor(F.col("value") * 100).cast("long")
+            >= _SPRT_CONV_CENTS,
+            1,
+        )
+        .otherwise(0)
+        .alias("conv"),
+    )
+    w_ord = Window.orderBy("ts_us", "event_id")
+    walk = b.select(
+        F.sum(
+            F.when(
+                F.col("conv") == 1, F.lit(float(_SPRT_POS))
+            ).otherwise(F.lit(float(_SPRT_NEG)))
+        )
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("llr"),
+        F.row_number().over(w_ord).cast("bigint").alias("rn"),
+    )
+    bound = float(_SPRT_BOUND)
+    x = walk.filter(
+        (F.col("llr") >= bound) | (F.col("llr") <= -bound)
+    ).agg(
+        F.min("rn").alias("xrn"),
+        F.min_by("llr", "rn").alias("xllr"),
+    )
+    t = walk.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.max_by("llr", "rn").alias("last_llr"),
+    )
+    return t.crossJoin(F.broadcast(x)).select(
+        F.when(F.col("xllr") >= bound, F.lit("accept_h1"))
+        .when(F.col("xllr") <= -bound, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+        F.coalesce("xrn", "n_total").cast("bigint").alias(
+            "n_obs_at_decision"
+        ),
+        F.round(F.coalesce("xllr", "last_llr"), 6).alias(
+            "llr_at_decision"
+        ),
+        "n_total",
+    )

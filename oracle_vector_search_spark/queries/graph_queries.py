@@ -612,3 +612,118 @@ def dbscan_embedding_clusters(
             .alias("cluster_id"),
         )
     )
+
+
+# --------------------------------------------------------------- HITS
+
+_HITS_ITER = 2  # fixed mutual-reinforcement rounds (unrolled oracle)
+
+
+def _hits_oracle() -> str:
+    """Unroll ``_HITS_ITER`` HITS rounds as chained CTEs. Sum-1
+    normalization after each half-step (division by a sum of doubles —
+    the PageRank double policy, final round to 6)."""
+    parts = [
+        """
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_ns(ts) // 1000 AS ts_us
+  FROM events
+), steps AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id) AS dst
+  FROM e
+), edges AS (
+  SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+  FROM steps WHERE dst IS NOT NULL GROUP BY src, dst
+), nodes AS (
+  SELECT DISTINCT event_type AS node FROM events
+), h0 AS (
+  SELECT node, CAST(1 AS DOUBLE) AS h FROM nodes
+)"""
+    ]
+    for t in range(1, _HITS_ITER + 1):
+        parts.append(
+            f""", araw{t} AS (
+  SELECT n.node,
+         coalesce((SELECT sum(p.h * e.w) FROM h{t - 1} p
+                   JOIN edges e ON e.src = p.node
+                   WHERE e.dst = n.node), 0.0) AS a
+  FROM nodes n
+), a{t} AS (
+  SELECT node, a / (SELECT sum(a) FROM araw{t}) AS a FROM araw{t}
+), hraw{t} AS (
+  SELECT n.node,
+         coalesce((SELECT sum(q.a * e.w) FROM a{t} q
+                   JOIN edges e ON e.dst = q.node
+                   WHERE e.src = n.node), 0.0) AS h
+  FROM nodes n
+), h{t} AS (
+  SELECT node, h / (SELECT sum(h) FROM hraw{t}) AS h FROM hraw{t}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT h.node AS event_type,
+       round(h.h, 6) AS hub,
+       round(a.a, 6) AS authority
+FROM h{_HITS_ITER} h JOIN a{_HITS_ITER} a ON a.node = h.node
+"""
+    )
+    return "".join(parts)
+
+
+@register("hits_event_transitions", _hits_oracle())
+def hits_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) hubs & authorities on the weighted event-type
+    transition graph: 2 fixed mutual-reinforcement rounds with sum-1
+    normalization (L1 keeps the oracle exact — an L2 norm would add a
+    sqrt over a double sum for no semantic gain). Complements PageRank:
+    a type can be a strong FEEDER (hub) without being a destination.
+
+    Scale shape: identical to PageRank — the graph is the at-rest
+    artifact (`_graph_tables`, built once per session); each half-step
+    is one edge join + one node-sized aggregate.
+    """
+    edges, nodes = _graph_tables(spark, sf_dir)
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(_HITS_ITER):
+        araw = (
+            nodes.join(
+                h.select(F.col("node").alias("hsrc"), "h")
+                .join(edges, F.col("hsrc") == edges.src)
+                .groupBy(F.col("dst").alias("anode"))
+                .agg(F.sum(F.col("h") * F.col("w")).alias("a")),
+                nodes.node == F.col("anode"),
+                "left",
+            )
+            .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
+        )
+        asum = araw.agg(F.sum("a").alias("s"))
+        a = araw.crossJoin(F.broadcast(asum)).select(
+            "node", (F.col("a") / F.col("s")).alias("a")
+        )
+        hraw = (
+            nodes.join(
+                a.select(F.col("node").alias("adst"), "a")
+                .join(edges, F.col("adst") == edges.dst)
+                .groupBy(F.col("src").alias("hnode"))
+                .agg(F.sum(F.col("a") * F.col("w")).alias("h")),
+                nodes.node == F.col("hnode"),
+                "left",
+            )
+            .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
+        )
+        hsum = hraw.agg(F.sum("h").alias("s"))
+        h = hraw.crossJoin(F.broadcast(hsum)).select(
+            "node", (F.col("h") / F.col("s")).alias("h")
+        )
+    return h.join(
+        a.select(F.col("node").alias("an"), "a"), h.node == F.col("an")
+    ).select(
+        F.col("node").alias("event_type"),
+        F.round("h", 6).alias("hub"),
+        F.round("a", 6).alias("authority"),
+    )

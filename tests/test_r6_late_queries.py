@@ -211,3 +211,38 @@ class TestDbscan:
             if r["role"] == "border":
                 assert deg.get(r["vec_id"], 0) < 3
                 assert r["cluster_id"] in core_clusters
+
+
+class TestHits:
+    def test_l1_normalized_and_nonnegative(self, spark, sf_dir):
+        """Hub and authority vectors are L1-normalized (sum 1 within
+        rounding) and non-negative."""
+        rows = _run("hits_event_transitions", spark, sf_dir).collect()
+        assert rows
+        hs = sum(r["hub"] for r in rows)
+        as_ = sum(r["authority"] for r in rows)
+        assert abs(hs - 1.0) < 1e-4
+        assert abs(as_ - 1.0) < 1e-4
+        for r in rows:
+            assert r["hub"] >= 0.0 and r["authority"] >= 0.0
+
+
+class TestSprt:
+    def test_decision_consistent_with_walk(self, spark, sf_dir):
+        """One row; a decision implies the reported LLR actually sits
+        on or past that boundary, 'continue' implies it never left the
+        band; n_obs bounded by the stream length."""
+        import math
+
+        rows = _run("sprt_ab_sequential_test", spark, sf_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        bound = math.log(19.0)
+        assert 1 <= r["n_obs_at_decision"] <= r["n_total"]
+        if r["decision"] == "accept_h1":
+            assert r["llr_at_decision"] >= bound - 1e-6
+        elif r["decision"] == "accept_h0":
+            assert r["llr_at_decision"] <= -bound + 1e-6
+        else:
+            assert abs(r["llr_at_decision"]) < bound
+            assert r["n_obs_at_decision"] == r["n_total"]

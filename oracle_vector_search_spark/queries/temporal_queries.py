@@ -1277,3 +1277,104 @@ def temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("ts_us").alias("test_ts_us"),
         )
     )
+
+
+_HOUR_US = 3_600_000_000  # 1 hour in µs
+_SESS_GAP_US = 1_800_000_000  # 30-min session gap
+_HOT_TOP = 20  # busiest hours kept
+
+
+@register(
+    "session_hot_hour_overlap",
+    f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+), s0 AS (
+  SELECT user_id, ts_us, event_id,
+         CASE WHEN ts_us - lag(ts_us) OVER (
+                PARTITION BY user_id ORDER BY ts_us, event_id)
+              > {_SESS_GAP_US} THEN 1 ELSE 0 END AS brk
+  FROM e
+), s1 AS (
+  SELECT user_id, ts_us,
+         sum(brk) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id
+           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s0
+), sess AS (
+  SELECT user_id, CAST(sid AS BIGINT) AS session_id,
+         CAST(min(ts_us) AS BIGINT) AS session_start_us,
+         CAST(max(ts_us) AS BIGINT) AS session_end_us
+  FROM s1 GROUP BY user_id, sid
+), hours AS (
+  SELECT (ts_us // {_HOUR_US}) * {_HOUR_US} AS h_us,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY 1
+), hot AS (
+  SELECT h_us, n FROM hours ORDER BY n DESC, h_us LIMIT {_HOT_TOP}
+)
+SELECT s.user_id, s.session_id, s.session_start_us, s.session_end_us,
+       CAST(h.h_us AS BIGINT) AS hot_hour_us,
+       h.n AS hour_events
+FROM sess s JOIN hot h
+  ON s.session_start_us < h.h_us + {_HOUR_US}
+ AND s.session_end_us >= h.h_us
+""",
+)
+def session_hot_hour_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: user sessions (30-min gap sessionization)
+    × the 20 globally busiest hours. The oracle states the textbook
+    inequality join; Spark rewrites it as bucket EXPANSION + equi-join
+    — each session explodes into the hour buckets it covers (bounded by
+    session duration) and equi-joins the broadcast hot list. Provably
+    identical output, and at 100 TB it is a map-side hash join instead
+    of the inequality join's cartesian-per-key plan.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    s1 = ev.withColumn(
+        "brk",
+        F.when(
+            F.col("ts_us") - F.lag("ts_us").over(w) > _SESS_GAP_US, 1
+        ).otherwise(0),
+    ).withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    sess = s1.groupBy(
+        "user_id", F.col("sid").cast("bigint").alias("session_id")
+    ).agg(
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
+    hours = ev.groupBy(
+        ((F.col("ts_us") / _HOUR_US).cast("long") * _HOUR_US).alias(
+            "h_us"
+        )
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_hot = Window.orderBy(F.desc("n"), F.asc("h_us"))
+    hot = (
+        hours.withColumn("rn", F.row_number().over(w_hot))
+        .filter(F.col("rn") <= _HOT_TOP)
+        .select("h_us", "n")
+    )
+    covered = sess.withColumn(
+        "h_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"(session_start_us div {_HOUR_US}) * {_HOUR_US}"),
+                F.expr(f"(session_end_us div {_HOUR_US}) * {_HOUR_US}"),
+                F.lit(_HOUR_US),
+            )
+        ),
+    )
+    return covered.join(F.broadcast(hot), "h_us").select(
+        "user_id",
+        "session_id",
+        "session_start_us",
+        "session_end_us",
+        F.col("h_us").alias("hot_hour_us"),
+        F.col("n").alias("hour_events"),
+    )

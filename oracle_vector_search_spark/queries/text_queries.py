@@ -884,3 +884,90 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+# Flesch reading-ease constants, exact double literals (the formula's
+# published coefficients are decimal-exact in binary up to repr
+# round-trip; all three are embedded identically in both engines).
+_FLESCH_BASE = "206.835"
+_FLESCH_WPS = "1.015"
+_FLESCH_SPW = "84.6"
+
+
+@register(
+    "doc_readability_scores",
+    f"""
+WITH base AS (
+  SELECT doc_id, {T.duck_norm()} AS norm FROM documents
+), m AS (
+  SELECT doc_id,
+         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_words,
+         CAST(greatest(1,
+           len(regexp_split_to_array(norm, '[.!?]+')) - 1) AS BIGINT)
+           AS n_sentences,
+         -- vowel groups: collapse each [aeiouy]+ run to one 'V', then
+         -- diff against the run-removed length (same identity as the
+         -- Spark side)
+         CAST(length(regexp_replace(norm, '[aeiouy]+', 'V', 'g'))
+              - length(regexp_replace(norm, '[aeiouy]+', '', 'g'))
+              AS BIGINT) AS vowel_groups
+  FROM base
+), s AS (
+  SELECT doc_id, n_words, n_sentences,
+         greatest(n_words, vowel_groups) AS n_syllables
+  FROM m WHERE n_words > 0
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       round(CAST({_FLESCH_BASE} AS DOUBLE)
+             - CAST({_FLESCH_WPS} AS DOUBLE)
+               * (n_words * 1.0 / n_sentences)
+             - CAST({_FLESCH_SPW} AS DOUBLE)
+               * (n_syllables * 1.0 / n_words), 6) AS flesch
+FROM s
+""",
+)
+def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a deterministic syllable
+    heuristic: syllables = vowel-group runs ([aeiouy]+), floored at one
+    per word (max(words, vowel_groups)); sentences = [.!?]+ segment
+    splits floored at 1. Pure regexp/length arithmetic — identical in
+    both engines — so the score is exact to the 6-decimal policy. The
+    classic readability gate a curation pipeline runs next to the
+    stopword/length heuristics.
+
+    Scale shape: per-row scan-stage projection, no shuffle.
+    """
+    doc = load_table(spark, sf_dir, "documents").withColumn(
+        "norm", T.norm_text("text")
+    )
+    n_words = F.size(F.split("norm", " ")).cast("bigint")
+    # vowel groups: collapse each [aeiouy]+ run to one 'V', then diff
+    # against the run-removed length — the count of runs, exactly
+    vowel_groups = F.length(
+        F.regexp_replace("norm", "[aeiouy]+", "V")
+    ) - F.length(F.regexp_replace("norm", "[aeiouy]+", ""))
+    n_syll = F.greatest(n_words, vowel_groups.cast("bigint"))
+    n_sent = F.greatest(
+        F.lit(1),
+        (F.size(F.split("norm", "[.!?]+")) - 1).cast("bigint"),
+    ).cast("bigint")
+    m = doc.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    ).filter(F.col("n_words") > 0)
+    return m.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words") * F.lit(1.0) / F.col("n_sentences"))
+            - F.lit(84.6)
+            * (F.col("n_syllables") * F.lit(1.0) / F.col("n_words")),
+            6,
+        ).alias("flesch"),
+    )

@@ -246,3 +246,50 @@ class TestSprt:
         else:
             assert abs(r["llr_at_decision"]) < bound
             assert r["n_obs_at_decision"] == r["n_total"]
+
+
+class TestReadability:
+    def test_bounds_and_heuristics(self, spark, sf_dir):
+        """Syllables >= words (floor one per word); sentences >= 1;
+        every document with words is scored."""
+        rows = _run("doc_readability_scores", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["n_syllables"] >= r["n_words"]
+            assert r["n_sentences"] >= 1
+            assert r["n_words"] >= 1
+
+
+class TestIntervalOverlap:
+    def test_expansion_equals_inequality_join(self, spark, sf_dir):
+        """Every emitted pair satisfies the overlap predicate, and a
+        brute-force inequality join finds exactly the same pairs."""
+        rows = _run("session_hot_hour_overlap", spark, sf_dir).collect()
+        assert rows
+        H = 3_600_000_000
+        hot = {}
+        sess = set()
+        for r in rows:
+            assert r["session_start_us"] < r["hot_hour_us"] + H
+            assert r["session_end_us"] >= r["hot_hour_us"]
+            hot[r["hot_hour_us"]] = r["hour_events"]
+            sess.add(
+                (
+                    r["user_id"],
+                    r["session_id"],
+                    r["session_start_us"],
+                    r["session_end_us"],
+                )
+            )
+        # top-20 hot hours only
+        assert len(hot) <= 20
+        # brute force over the emitted sessions and hours: no pair
+        # satisfying the predicate is missing
+        got = {
+            (r["user_id"], r["session_id"], r["hot_hour_us"])
+            for r in rows
+        }
+        for (u, sid, s_us, e_us) in sess:
+            for h in hot:
+                if s_us < h + H and e_us >= h:
+                    assert (u, sid, h) in got

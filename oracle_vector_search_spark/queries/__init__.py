@@ -110,7 +110,13 @@ def load_all_modules() -> None:
 #   plus the queries added in round 6 (reference_crops_decode_parity,
 #   hll_distinct_users_audit, value_ks_drift_audit,
 #   doc_char_entropy_quality, value_benford_audit,
-#   bootstrap_mean_ci_deterministic, fuzzy_token_pairs_edit1, ...).
+#   bootstrap_mean_ci_deterministic, fuzzy_token_pairs_edit1,
+#   knn_label_propagation, copurchase_bfs_hops, fim_split_transform,
+#   class_balanced_sample, doc_ngram_novelty, streaming_topk_trending,
+#   temporal_holdout_split, psi_value_drift, vocab_coverage_curve,
+#   embedding_components_single_linkage, dbscan_embedding_clusters,
+#   hits_event_transitions, sprt_ab_sequential_test,
+#   doc_readability_scores, session_hot_hour_overlap, ...).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

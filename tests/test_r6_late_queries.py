@@ -293,3 +293,33 @@ class TestIntervalOverlap:
             for h in hot:
                 if s_us < h + H and e_us >= h:
                     assert (u, sid, h) in got
+
+
+class TestKCore:
+    def test_unroll_is_fixpoint_and_degree_invariant(self, spark, sf_dir):
+        """One more peel round changes nothing (the unroll IS the
+        fixpoint at this fixture), and every core member has >= k
+        neighbors INSIDE the core."""
+        from oracle_vector_search_spark.operators.knn import (
+            similarity_join,
+        )
+
+        rows = _run("kcore_embedding_graph", spark, sf_dir).collect()
+        core = {r["vec_id"] for r in rows if r["in_core"]}
+        emb = load_table(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 10 == 0
+        )
+        edges = [
+            (e["left_id"], e["right_id"])
+            for e in similarity_join(
+                emb, emb, threshold=0.25
+            ).collect()
+        ]
+        # one extra peel round on the returned core
+        deg = {}
+        for a, b in edges:
+            if a in core and b in core:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+        for n in core:
+            assert deg.get(n, 0) >= 2, f"core node {n} under-degree"

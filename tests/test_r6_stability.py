@@ -1,0 +1,44 @@
+"""Parallelism-stability for the round-6 late additions: the same
+query must return IDENTICAL rows under different shuffle-partition
+counts — the property that makes the oracle hashes meaningful on a
+cluster whose partitioning the engine does not control.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oracle_vector_search_spark.queries import REGISTRY, load_all_modules
+
+load_all_modules()
+
+STABILITY_QUERIES = [
+    "knn_label_propagation",
+    "copurchase_bfs_hops",
+    "psi_value_drift",
+    "dbscan_embedding_clusters",
+    "kcore_embedding_graph",
+    "vocab_coverage_curve",
+    "sprt_ab_sequential_test",
+    "class_balanced_sample",
+]
+
+
+def _rows(spark, sf_dir, name):
+    df = REGISTRY[name][0](spark, sf_dir)
+    return sorted(
+        tuple(r) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("name", STABILITY_QUERIES)
+def test_shuffle_partition_invariance(spark, sf_dir, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = _rows(spark, sf_dir, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _rows(spark, sf_dir, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b, f"{name} rows differ across partition counts"

@@ -835,3 +835,214 @@ def kcore_embedding_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id").join(
         alive, F.col("vec_id") == F.col("node"), "left"
     ).select("vec_id", F.col("node").isNotNull().alias("in_core"))
+
+
+# ------------------------------------------------------- graph metrics
+
+
+@register(
+    "graph_degree_assortativity",
+    f"""
+WITH d AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % {_CC_MOD} = 0
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS l, b.vec_id AS r
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+  WHERE {_KC_COS} >= {_KC_THRESHOLD}
+), edges AS MATERIALIZED (
+  SELECT l AS src, r AS dst FROM pairs
+  UNION ALL
+  SELECT r AS src, l AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+  FROM edges GROUP BY src
+), ed AS (
+  SELECT a.k AS kx, b.k AS ky
+  FROM edges e
+  JOIN deg a ON a.node = e.src
+  JOIN deg b ON b.node = e.dst
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(kx) AS BIGINT) AS sx,
+         CAST(sum(ky) AS BIGINT) AS sy,
+         CAST(sum(kx * ky) AS BIGINT) AS sxy,
+         CAST(sum(kx * kx) AS BIGINT) AS sxx,
+         CAST(sum(ky * ky) AS BIGINT) AS syy
+  FROM ed
+)
+SELECT n AS n_directed_edges,
+       round((n * sxy - sx * sy) * 1.0
+             / (sqrt((n * sxx - sx * sx) * 1.0)
+                * sqrt((n * syy - sy * sy) * 1.0)), 6)
+         AS assortativity
+FROM m
+""",
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity (Newman r) of the ε=0.25 similarity graph:
+    the Pearson correlation of endpoint degrees over the directed edge
+    list. All moments are exact BIGINT sums; only the final correlation
+    formula is IEEE double — the engine's integer-moments-then-one-
+    formula policy (same as skew/kurtosis and the OLS fit).
+
+    Scale shape: degree table = one (node) aggregation; the moment pass
+    is one edge-sized join+agg. Nothing corpus-sized shuffles twice.
+    """
+    from oracle_vector_search_spark.operators.knn import similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _CC_MOD == 0
+    )
+    pairs = similarity_join(emb, emb, threshold=_KC_THRESHOLD).select(
+        "left_id", "right_id"
+    )
+    edges = pairs.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("right_id").alias("src"), F.col("left_id").alias("dst")
+        )
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    ed = (
+        edges.join(
+            deg.select(F.col("node").alias("sn"), F.col("k").alias("kx")),
+            edges.src == F.col("sn"),
+        )
+        .join(
+            deg.select(F.col("node").alias("dn"), F.col("k").alias("ky")),
+            edges.dst == F.col("dn"),
+        )
+        .select("kx", "ky")
+    )
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("kx").alias("sx"),
+        F.sum("ky").alias("sy"),
+        F.sum(F.col("kx") * F.col("ky")).alias("sxy"),
+        F.sum(F.col("kx") * F.col("kx")).alias("sxx"),
+        F.sum(F.col("ky") * F.col("ky")).alias("syy"),
+    )
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * F.lit(1.0)
+            / (
+                F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * F.lit(1.0)
+                )
+                * F.sqrt(
+                    (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                    * F.lit(1.0)
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "local_clustering_coefficients",
+    f"""
+WITH d AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % {_CC_MOD} = 0
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS l, b.vec_id AS r
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+  WHERE {_KC_COS} >= {_KC_THRESHOLD}
+), edges AS MATERIALIZED (
+  SELECT l AS src, r AS dst FROM pairs
+  UNION ALL
+  SELECT r AS src, l AS dst FROM pairs
+), deg AS (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS k
+  FROM edges GROUP BY src
+), tri AS (
+  -- neighbor pairs (u < w) of v that are themselves an edge
+  SELECT e1.src AS node, CAST(count(*) AS BIGINT) AS t
+  FROM edges e1
+  JOIN edges e2 ON e2.src = e1.src AND e1.dst < e2.dst
+  JOIN pairs p ON p.l = e1.dst AND p.r = e2.dst
+  GROUP BY e1.src
+)
+SELECT deg.node AS vec_id, deg.k AS degree,
+       coalesce(tri.t, 0) AS triangles,
+       CASE WHEN deg.k >= 2
+            THEN round(2.0 * coalesce(tri.t, 0)
+                       / (deg.k * (deg.k - 1)), 6)
+            ELSE CAST(0 AS DOUBLE) END AS lcc
+FROM deg LEFT JOIN tri ON tri.node = deg.node
+""",
+)
+def local_clustering_coefficients(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node local clustering coefficient on the ε=0.25 similarity
+    graph: triangles through v (closed neighbor pairs) over d·(d−1)/2
+    possible. Triangle counting is the canonical-order join — neighbor
+    pairs u<w of v equi-join the (l<r) pair list, so each triangle at v
+    counts once and no pair is enumerated twice.
+
+    Scale shape: the neighbor-pair join is Σd(v)² — bounded by the
+    ε-graph's degree, not the corpus; the pair probe is an equi-join on
+    (l, r). Same shape as the LSH-pruned global triangle count
+    (`dedup_graph_triangles`), here per node.
+    """
+    from oracle_vector_search_spark.operators.knn import similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _CC_MOD == 0
+    )
+    pairs = similarity_join(emb, emb, threshold=_KC_THRESHOLD).select(
+        F.col("left_id").alias("l"), F.col("right_id").alias("r")
+    )
+    edges = pairs.select(
+        F.col("l").alias("src"), F.col("r").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("r").alias("src"), F.col("l").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    e1 = edges.select(F.col("src").alias("v"), F.col("dst").alias("u"))
+    e2 = edges.select(F.col("src").alias("v2"), F.col("dst").alias("w"))
+    tri = (
+        e1.join(
+            e2,
+            (F.col("v") == F.col("v2")) & (F.col("u") < F.col("w")),
+        )
+        .join(
+            pairs,
+            (F.col("l") == F.col("u")) & (F.col("r") == F.col("w")),
+        )
+        .groupBy(F.col("v").alias("node"))
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    return deg.join(
+        tri.select(F.col("node").alias("tn"), "t"),
+        deg.node == F.col("tn"),
+        "left",
+    ).select(
+        F.col("node").alias("vec_id"),
+        F.col("k").alias("degree"),
+        F.coalesce("t", F.lit(0)).cast("bigint").alias("triangles"),
+        F.when(
+            F.col("k") >= 2,
+            F.round(
+                F.lit(2.0)
+                * F.coalesce("t", F.lit(0))
+                / (F.col("k") * (F.col("k") - 1)),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("lcc"),
+    )

@@ -323,3 +323,25 @@ class TestKCore:
                 deg[b] = deg.get(b, 0) + 1
         for n in core:
             assert deg.get(n, 0) >= 2, f"core node {n} under-degree"
+
+
+class TestGraphMetrics:
+    def test_assortativity_in_range(self, spark, sf_dir):
+        rows = _run("graph_degree_assortativity", spark, sf_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert -1.0 <= r["assortativity"] <= 1.0
+        assert r["n_directed_edges"] > 0
+        assert r["n_directed_edges"] % 2 == 0  # both directions present
+
+    def test_lcc_bounds_and_triangle_consistency(self, spark, sf_dir):
+        """0 <= lcc <= 1 and triangles <= C(degree, 2)."""
+        rows = _run(
+            "local_clustering_coefficients", spark, sf_dir
+        ).collect()
+        assert rows
+        for r in rows:
+            assert 0.0 <= r["lcc"] <= 1.0
+            assert (
+                r["triangles"] <= r["degree"] * (r["degree"] - 1) // 2
+            )

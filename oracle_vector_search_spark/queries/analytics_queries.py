@@ -612,3 +612,115 @@ def event_type_value_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").alias("n_occurrences"),
         )
     )
+
+
+_CF_TOP = 3  # similar items kept per item
+_CF_MIN_CO = 2  # minimum co-occurrence support
+
+
+@register(
+    "item_cf_similar_parts_top3",
+    f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), supp AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS n FROM lp GROUP BY pk
+), co AS (
+  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS c
+  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk <> b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= {_CF_MIN_CO}
+), scored AS (
+  SELECT co.pa, co.pb, co.c,
+         round(co.c * 1.0 / (sqrt(sa.n * 1.0) * sqrt(sb.n * 1.0)), 6)
+           AS cosine
+  FROM co
+  JOIN supp sa ON sa.pk = co.pa
+  JOIN supp sb ON sb.pk = co.pb
+), ranked AS (
+  SELECT pa, pb, c, cosine,
+         CAST(row_number() OVER (
+           PARTITION BY pa ORDER BY cosine DESC, pb
+         ) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT pa AS part, pb AS similar_part, c AS n_co_orders,
+       cosine, rank
+FROM ranked WHERE rank <= {_CF_TOP}
+""",
+)
+def item_cf_similar_parts_top3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar 2001): cosine over
+    order co-occurrence — sim(a,b) = |orders(a)∩orders(b)| /
+    √(|orders(a)|·|orders(b)|) — with a support-2 floor, top-3 per
+    item, ties on the partner key. The batch that powers an
+    'also-bought' surface.
+
+    Scale shape: co-occurrence is per-order quadratic (bounded by
+    lines/order) and groups on the pair key — one shuffle; supports
+    broadcast back; per-item top-k is WindowGroupLimit-pruned. At
+    100 TB you floor support higher and/or LSH-prune the pair space,
+    same as the dedup tiers.
+    """
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    supp = lp.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a = lp.select("ok", F.col("pk").alias("pa"))
+    b = lp.select(F.col("ok").alias("ok2"), F.col("pk").alias("pb"))
+    co = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("pa") != F.col("pb")),
+        )
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _CF_MIN_CO)
+    )
+    scored = (
+        co.join(
+            F.broadcast(
+                supp.select(F.col("pk").alias("pa"), F.col("n").alias("na"))
+            ),
+            "pa",
+        )
+        .join(
+            F.broadcast(
+                supp.select(F.col("pk").alias("pb"), F.col("n").alias("nb"))
+            ),
+            "pb",
+        )
+        .select(
+            "pa",
+            "pb",
+            "c",
+            F.round(
+                F.col("c")
+                * F.lit(1.0)
+                / (
+                    F.sqrt(F.col("na") * F.lit(1.0))
+                    * F.sqrt(F.col("nb") * F.lit(1.0))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.desc("cosine"), F.asc("pb"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _CF_TOP)
+        .select(
+            F.col("pa").alias("part"),
+            F.col("pb").alias("similar_part"),
+            F.col("c").alias("n_co_orders"),
+            "cosine",
+            "rank",
+        )
+    )

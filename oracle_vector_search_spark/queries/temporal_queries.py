@@ -1378,3 +1378,132 @@ def session_hot_hour_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h_us").alias("hot_hour_us"),
         F.col("n").alias("hour_events"),
     )
+
+
+_KM_HOUR_US = 3_600_000_000
+_KM_CENSOR_HOURS = 6  # active within 6 h of the horizon → censored
+
+
+@register(
+    "kaplan_meier_user_survival",
+    f"""
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+), u AS (
+  SELECT user_id,
+         (max(ts_us) - min(ts_us)) // {_KM_HOUR_US} AS life_h,
+         max(ts_us) AS last_us
+  FROM e GROUP BY user_id
+), mx AS (
+  SELECT max(ts_us) AS m FROM e
+), lab AS (
+  SELECT u.life_h,
+         CASE WHEN u.last_us >= mx.m - {_KM_CENSOR_HOURS} * {_KM_HOUR_US}
+              THEN 0 ELSE 1 END AS churned
+  FROM u, mx
+), grid AS (
+  SELECT life_h AS t,
+         CAST(count(*) AS BIGINT) AS total,
+         CAST(sum(churned) AS BIGINT) AS d
+  FROM lab GROUP BY life_h
+), risk AS (
+  SELECT t, d,
+         sum(total) OVER (ORDER BY t DESC ROWS UNBOUNDED PRECEDING)
+           AS n
+  FROM grid
+), times AS (
+  SELECT t, d, CAST(n AS BIGINT) AS n FROM risk WHERE d > 0
+), km AS (
+  SELECT t, d, n,
+         max(CASE WHEN d = n THEN 1 ELSE 0 END) OVER w AS hit_zero,
+         sum(CASE WHEN d < n THEN ln(1.0 - d * 1.0 / n)
+                  ELSE CAST(0 AS DOUBLE) END) OVER w AS lnsum
+  FROM times
+  WINDOW w AS (ORDER BY t ROWS UNBOUNDED PRECEDING)
+)
+SELECT CAST(t AS BIGINT) AS t_hours, n AS n_at_risk, d AS n_churned,
+       CASE WHEN hit_zero = 1 THEN CAST(0 AS DOUBLE)
+            ELSE round(exp(lnsum), 6) END AS survival
+FROM km
+""",
+)
+def kaplan_meier_user_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes (first→last event, in
+    whole hours), right-censored for users still active within 6 h of
+    the corpus horizon — the product-limit estimator a retention
+    analysis runs. n-at-risk is a reverse cumulative sum over the life
+    grid (censored users count while at risk); the survival product is
+    exp(Σ ln(1−d/n)) over the time-ordered window — identical fold
+    order in both engines — with an exact-zero guard where d = n (ln
+    would be −inf in one engine and NULL in the other).
+
+    Scale shape: one user-key aggregation, one grid-sized reverse
+    cumsum, one churn-times window. Nothing corpus-sized after the
+    first groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    u = ev.groupBy("user_id").agg(
+        F.expr(f"(max(ts_us) - min(ts_us)) div {_KM_HOUR_US}").alias(
+            "life_h"
+        ),
+        F.max("ts_us").alias("last_us"),
+    )
+    mx = ev.agg(F.max("ts_us").alias("m"))
+    lab = u.crossJoin(F.broadcast(mx)).select(
+        "life_h",
+        F.when(
+            F.col("last_us")
+            >= F.col("m") - _KM_CENSOR_HOURS * _KM_HOUR_US,
+            0,
+        )
+        .otherwise(1)
+        .alias("churned"),
+    )
+    grid = lab.groupBy(F.col("life_h").alias("t")).agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum("churned").alias("d"),
+    )
+    w_desc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    times = (
+        grid.withColumn("n", F.sum("total").over(w_desc).cast("bigint"))
+        .filter(F.col("d") > 0)
+        .select("t", F.col("d").cast("bigint").alias("d"), "n")
+    )
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    km = times.select(
+        "t",
+        "d",
+        "n",
+        F.max(
+            F.when(F.col("d") == F.col("n"), 1).otherwise(0)
+        )
+        .over(w_asc)
+        .alias("hit_zero"),
+        F.sum(
+            F.when(
+                F.col("d") < F.col("n"),
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d") * F.lit(1.0) / F.col("n")
+                ),
+            ).otherwise(F.lit(0.0))
+        )
+        .over(w_asc)
+        .alias("lnsum"),
+    )
+    return km.select(
+        F.col("t").cast("bigint").alias("t_hours"),
+        F.col("n").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        F.when(F.col("hit_zero") == 1, F.lit(0.0))
+        .otherwise(F.round(F.exp("lnsum"), 6))
+        .alias("survival"),
+    )

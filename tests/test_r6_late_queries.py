@@ -345,3 +345,40 @@ class TestGraphMetrics:
             assert (
                 r["triangles"] <= r["degree"] * (r["degree"] - 1) // 2
             )
+
+
+class TestItemCf:
+    def test_symmetric_scores_and_rank(self, spark, sf_dir):
+        """cosine in (0,1]; rank contiguous per item; the score for
+        (a,b) equals the score for (b,a) when both directions survive
+        the top-k cut."""
+        rows = _run("item_cf_similar_parts_top3", spark, sf_dir).collect()
+        assert rows
+        by_pair = {}
+        by_part = {}
+        for r in rows:
+            assert 0.0 < r["cosine"] <= 1.0
+            by_pair[(r["part"], r["similar_part"])] = r["cosine"]
+            by_part.setdefault(r["part"], []).append(r["rank"])
+        for p, ranks in by_part.items():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        for (a, b), c in by_pair.items():
+            if (b, a) in by_pair:
+                assert by_pair[(b, a)] == c
+
+
+class TestKaplanMeier:
+    def test_survival_monotone_nonincreasing(self, spark, sf_dir):
+        rows = _run(
+            "kaplan_meier_user_survival", spark, sf_dir
+        ).collect()
+        assert rows
+        rows.sort(key=lambda r: r["t_hours"])
+        prev = 1.0
+        prev_n = None
+        for r in rows:
+            assert 0.0 <= r["survival"] <= prev + 1e-9
+            assert 1 <= r["n_churned"] <= r["n_at_risk"]
+            if prev_n is not None:
+                assert r["n_at_risk"] <= prev_n
+            prev, prev_n = r["survival"], r["n_at_risk"]

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.queries import register
 
@@ -723,4 +724,98 @@ def item_cf_similar_parts_top3(
             "cosine",
             "rank",
         )
+    )
+
+
+_ALS_Q_BITS = 20  # item factors initialized as h/2^20, h in [1, 2^20]
+_ALS_Q_MOD = 1 << _ALS_Q_BITS
+
+
+@register(
+    "als_rank1_user_step",
+    f"""
+WITH r AS (
+  SELECT o.o_custkey AS user_id, l.l_partkey AS item_id,
+         CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS rating
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+), q AS (
+  SELECT item_id,
+         1 + (CAST(('0x' || substr(md5('alsq:' || item_id::VARCHAR), 1, 7))
+                   AS BIGINT) % {_ALS_Q_MOD}) AS h
+  FROM (SELECT DISTINCT item_id FROM r)
+), m AS (
+  SELECT r.user_id,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(sum(r.rating * q.h) AS BIGINT) AS sum_rq,
+         CAST(sum(q.h * q.h) AS BIGINT) AS sum_qq
+  FROM r JOIN q ON q.item_id = r.item_id
+  GROUP BY r.user_id
+)
+SELECT user_id, n_items, sum_rq, sum_qq,
+       round({_ALS_Q_MOD}.0 * sum_rq / sum_qq, 6) AS user_factor
+FROM m
+""",
+)
+def als_rank1_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact ALS half-step at rank 1 (the kmeans-chain pattern
+    applied to matrix factorization): with item factors initialized as
+    portable-hash dyadics q_i = h_i/2^20, the closed-form least-squares
+    user factor is u = Σ(r·q)/Σ(q²) = 2^20·Σ(r·h)/Σ(h²). Ratings are
+    integer quantities and h is integer, so BOTH moment sums are exact
+    BIGINTs (order-free) and only the final division is IEEE double —
+    the half-step is engine-exact, not just within rounding.
+
+    Scale shape: ratings = one fact-fact join + (user,item) aggregation;
+    factors broadcast; the user step is one user-key aggregation. The
+    alternating iteration at scale persists each half-step's factor
+    table at rest (kmeans-chain / signature-table discipline).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    r = (
+        li.join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.col("l_partkey").alias("item_id"),
+        )
+        .agg(
+            F.sum(F.floor("l_quantity").cast("long")).alias("rating")
+        )
+    )
+    q = r.select("item_id").distinct().select(
+        "item_id",
+        (
+            F.lit(1)
+            + F.expr(
+                T.hash28_sql(
+                    "concat('alsq:', cast(item_id as string))"
+                )
+            )
+            % _ALS_Q_MOD
+        ).alias("h"),
+    )
+    m = (
+        r.join(F.broadcast(q), "item_id")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("rating") * F.col("h")).alias("sum_rq"),
+            F.sum(F.col("h") * F.col("h")).alias("sum_qq"),
+        )
+    )
+    return m.select(
+        "user_id",
+        "n_items",
+        "sum_rq",
+        "sum_qq",
+        F.round(
+            F.lit(float(_ALS_Q_MOD))
+            * F.col("sum_rq")
+            / F.col("sum_qq"),
+            6,
+        ).alias("user_factor"),
     )

@@ -382,3 +382,16 @@ class TestKaplanMeier:
             if prev_n is not None:
                 assert r["n_at_risk"] <= prev_n
             prev, prev_n = r["survival"], r["n_at_risk"]
+
+
+class TestAlsStep:
+    def test_closed_form_least_squares(self, spark, sf_dir):
+        """factor = 2^20 * sum_rq / sum_qq exactly, and the moments are
+        positive for every user with ratings."""
+        rows = _run("als_rank1_user_step", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["n_items"] >= 1
+            assert r["sum_rq"] > 0 and r["sum_qq"] > 0
+            expect = round((1 << 20) * r["sum_rq"] / r["sum_qq"], 6)
+            assert abs(r["user_factor"] - expect) < 1e-9

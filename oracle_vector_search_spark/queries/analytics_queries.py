@@ -665,12 +665,15 @@ def item_cf_similar_parts_top3(
     100 TB you floor support higher and/or LSH-prune the pair space,
     same as the dedup tiers.
     """
+    # pin the distinct projection: the self-join reads it twice and the
+    # support table a third time
     lp = (
         load_table(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
         .distinct()
+        .localCheckpoint()
     )
     supp = lp.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
     a = lp.select("ok", F.col("pk").alias("pa"))

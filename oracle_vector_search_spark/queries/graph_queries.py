@@ -274,6 +274,9 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
+    # pin the graph: the vote loop references edges once per round and
+    # nodes three times — without this the kNN build (a full index scan
+    # + GEMM) re-executes per round (measured 9-scan plan at 2 rounds)
     edges = (
         cand.withColumn("rn2", F.row_number().over(w_rank))
         .filter(F.col("rn2") <= _LP_K)
@@ -281,6 +284,7 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("query_id").alias("src"),
             F.col("neighbor_id").alias("dst"),
         )
+        .localCheckpoint()
     )
     from oracle_vector_search_spark.operators.propagation import (
         propagate_labels,
@@ -290,7 +294,7 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("node"),
         "label",
         (F.col("vec_id") % _LP_SEED_MOD == 0).alias("is_seed"),
-    )
+    ).localCheckpoint()
     prop = propagate_labels(nodes, edges, _LP_ITERS)
     truth = d.select(
         F.col("vec_id").alias("tnode"), F.col("label").alias("label_true")
@@ -372,10 +376,13 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nodes = li.select(F.col("pk").alias("node")).distinct()
+    nodes = li.select(F.col("pk").alias("node")).distinct().localCheckpoint()
     seed = nodes.agg(F.min("node").alias("s"))
     a = li.select("ok", F.col("pk").alias("src"))
     b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
+    # pin the graph: three relaxation rounds reference edges/dist
+    # repeatedly — unpinned, the lineitem scan + self-join re-executes
+    # per reference (measured 30-scan plan)
     edges = (
         a.join(
             b,
@@ -384,6 +391,7 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", "dst")
         .distinct()
+        .localCheckpoint()
     )
     dist = nodes.crossJoin(F.broadcast(seed)).select(
         "node",
@@ -564,8 +572,12 @@ def dbscan_embedding_clusters(
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % _CC_MOD == 0
     )
-    pairs = similarity_join(emb, emb, threshold=_CC_THRESHOLD).select(
-        "left_id", "right_id"
+    # pin the quadratic pair build: edges/deg/core/border all re-derive
+    # it otherwise (measured 15-scan plan)
+    pairs = (
+        similarity_join(emb, emb, threshold=_CC_THRESHOLD)
+        .select("left_id", "right_id")
+        .localCheckpoint()
     )
     edges = pairs.select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
@@ -702,8 +714,10 @@ def hits_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
         )
         asum = araw.agg(F.sum("a").alias("s"))
-        a = araw.crossJoin(F.broadcast(asum)).select(
-            "node", (F.col("a") / F.col("s")).alias("a")
+        a = (
+            araw.crossJoin(F.broadcast(asum))
+            .select("node", (F.col("a") / F.col("s")).alias("a"))
+            .localCheckpoint()  # flat plan across half-steps
         )
         hraw = (
             nodes.join(
@@ -717,8 +731,10 @@ def hits_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
         )
         hsum = hraw.agg(F.sum("h").alias("s"))
-        h = hraw.crossJoin(F.broadcast(hsum)).select(
-            "node", (F.col("h") / F.col("s")).alias("h")
+        h = (
+            hraw.crossJoin(F.broadcast(hsum))
+            .select("node", (F.col("h") / F.col("s")).alias("h"))
+            .localCheckpoint()  # flat plan across half-steps
         )
     return h.join(
         a.select(F.col("node").alias("an"), "a"), h.node == F.col("an")
@@ -896,8 +912,12 @@ def graph_degree_assortativity(
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % _CC_MOD == 0
     )
-    pairs = similarity_join(emb, emb, threshold=_KC_THRESHOLD).select(
-        "left_id", "right_id"
+    # pin the quadratic pair build (re-derived 6x otherwise: edges
+    # twice + both degree probes — measured 12-scan plan)
+    pairs = (
+        similarity_join(emb, emb, threshold=_KC_THRESHOLD)
+        .select("left_id", "right_id")
+        .localCheckpoint()
     )
     edges = pairs.select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
@@ -1001,8 +1021,12 @@ def local_clustering_coefficients(
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % _CC_MOD == 0
     )
-    pairs = similarity_join(emb, emb, threshold=_KC_THRESHOLD).select(
-        F.col("left_id").alias("l"), F.col("right_id").alias("r")
+    # pin the quadratic pair build (edges x2 + the triangle probe all
+    # re-derive it otherwise — measured 14-scan plan)
+    pairs = (
+        similarity_join(emb, emb, threshold=_KC_THRESHOLD)
+        .select(F.col("left_id").alias("l"), F.col("right_id").alias("r"))
+        .localCheckpoint()
     )
     edges = pairs.select(
         F.col("l").alias("src"), F.col("r").alias("dst")

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.queries import register
 
@@ -1232,4 +1233,146 @@ def sprt_ab_sequential_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "llr_at_decision"
         ),
         "n_total",
+    )
+
+
+# Split-conformal prediction: hash-split train/calibration/test, exact
+# integer order-statistic quantile of absolute residuals.
+_CONF_ALPHA_PCT = 10  # 90% intervals
+_CONF_SPLIT = "concat('conf:', cast(event_id as string))"
+_DUCK_CONF_SPLIT = "'conf:' || event_id::VARCHAR"
+
+
+@register(
+    "split_conformal_intervals",
+    f"""
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS c,
+         {T.duck_hash28(_DUCK_CONF_SPLIT)} % 3 AS fold
+  FROM events
+), pred AS (
+  -- train fold 0: per-type integer-floor mean prediction
+  SELECT event_type,
+         CAST(sum(c) // count(*) AS BIGINT) AS yhat
+  FROM e WHERE fold = 0 GROUP BY event_type
+), cal AS (
+  SELECT e.event_type, abs(e.c - p.yhat) AS r
+  FROM e JOIN pred p ON p.event_type = e.event_type
+  WHERE e.fold = 1
+), caln AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal FROM cal
+  GROUP BY event_type
+), q AS (
+  -- conformal quantile: the ceil((n+1)(1-alpha))-th smallest residual
+  SELECT c.event_type, c.n_cal, r.r AS q_cents
+  FROM caln c JOIN (
+    SELECT event_type, r,
+           CAST(row_number() OVER (
+             PARTITION BY event_type ORDER BY r, event_type
+           ) AS BIGINT) AS rk
+    FROM cal
+  ) r ON r.event_type = c.event_type
+   AND r.rk = least(c.n_cal,
+         (c.n_cal + 1) * (100 - {_CONF_ALPHA_PCT}) // 100
+         + CASE WHEN (c.n_cal + 1) * (100 - {_CONF_ALPHA_PCT}) % 100 = 0
+                THEN 0 ELSE 1 END)
+), cov AS (
+  SELECT e.event_type,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(count(*) FILTER (abs(e.c - p.yhat) <= q.q_cents)
+              AS BIGINT) AS n_covered
+  FROM e
+  JOIN pred p ON p.event_type = e.event_type
+  JOIN q ON q.event_type = e.event_type
+  WHERE e.fold = 2
+  GROUP BY e.event_type
+)
+SELECT cov.event_type, q.n_cal, q.q_cents, cov.n_test, cov.n_covered,
+       round(cov.n_covered * 1.0 / cov.n_test, 6) AS coverage
+FROM cov JOIN q ON q.event_type = cov.event_type
+""",
+)
+def split_conformal_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction intervals (Vovk; Lei 2018): per-type
+    mean predictor fit on fold 0, conformal radius = the
+    ⌈(n+1)(1−α)⌉-th smallest absolute residual on calibration fold 1
+    (an exact integer ORDER STATISTIC — no interpolation, no floats),
+    then measured coverage on test fold 2. Folds are portable-hash
+    assignments, so the whole procedure is engine-exact; the only
+    double is the final coverage ratio. The distribution-free
+    uncertainty-quantification op, with its ~90% coverage guarantee
+    checked empirically in the same query.
+
+    Scale shape: one scan with hash-fold tags, two bounded-key
+    aggregates, one per-type rank window over the calibration fold
+    only. Nothing corpus-sized shuffles twice.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+        (F.expr(T.hash28_sql(_CONF_SPLIT)) % 3).alias("fold"),
+    )
+    pred = (
+        ev.filter(F.col("fold") == 0)
+        .groupBy("event_type")
+        .agg(F.expr("sum(c) div count(*)").alias("yhat"))
+    )
+    cal = (
+        ev.filter(F.col("fold") == 1)
+        .join(F.broadcast(pred), "event_type")
+        .select(
+            "event_type", F.abs(F.col("c") - F.col("yhat")).alias("r")
+        )
+    )
+    caln = cal.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_cal")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.asc("r"), F.asc("event_type")
+    )
+    ranked = cal.withColumn(
+        "rk", F.row_number().over(w_rank).cast("bigint")
+    )
+    target = F.least(
+        F.col("n_cal"),
+        F.expr(
+            f"(n_cal + 1) * (100 - {_CONF_ALPHA_PCT}) div 100"
+            f" + CASE WHEN (n_cal + 1) * (100 - {_CONF_ALPHA_PCT})"
+            f" % 100 = 0 THEN 0 ELSE 1 END"
+        ),
+    )
+    q = (
+        caln.join(ranked, "event_type")
+        .filter(F.col("rk") == target)
+        .select("event_type", "n_cal", F.col("r").alias("q_cents"))
+    )
+    cov = (
+        ev.filter(F.col("fold") == 2)
+        .join(F.broadcast(pred), "event_type")
+        .join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "n_cal", "q_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.count(
+                F.when(
+                    F.abs(F.col("c") - F.col("yhat"))
+                    <= F.col("q_cents"),
+                    1,
+                )
+            ).alias("n_covered"),
+        )
+    )
+    return cov.select(
+        "event_type",
+        "n_cal",
+        "q_cents",
+        "n_test",
+        "n_covered",
+        F.round(
+            F.col("n_covered") * F.lit(1.0) / F.col("n_test"), 6
+        ).alias("coverage"),
     )

@@ -395,3 +395,17 @@ class TestAlsStep:
             assert r["sum_rq"] > 0 and r["sum_qq"] > 0
             expect = round((1 << 20) * r["sum_rq"] / r["sum_qq"], 6)
             assert abs(r["user_factor"] - expect) < 1e-9
+
+
+class TestConformal:
+    def test_coverage_near_nominal(self, spark, sf_dir):
+        """Exchangeable folds → coverage >= 1 - alpha in expectation;
+        allow slack for fold noise at fixture size, and check the
+        radius is a real calibration residual."""
+        rows = _run("split_conformal_intervals", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["q_cents"] >= 0
+            assert 0 < r["n_test"]
+            assert 0 < r["n_cal"]
+            assert r["coverage"] >= 0.75  # nominal 0.90 minus fold noise

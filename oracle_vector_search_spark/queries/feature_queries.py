@@ -1376,3 +1376,97 @@ def split_conformal_intervals(
             F.col("n_covered") * F.lit(1.0) / F.col("n_test"), 6
         ).alias("coverage"),
     )
+
+
+@register(
+    "did_estimator",
+    """
+WITH e AS (
+  SELECT user_id % 2 AS arm,
+         CASE WHEN epoch_ns(ts) // 1000 > (
+           SELECT (min(epoch_ns(ts) // 1000)
+                   + max(epoch_ns(ts) // 1000)) // 2 FROM events
+         ) THEN 1 ELSE 0 END AS period,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+), cells AS (
+  SELECT arm, period,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s
+  FROM e GROUP BY arm, period
+), wide AS (
+  SELECT
+    max(CASE WHEN arm = 1 AND period = 1 THEN s * 1.0 / n END) AS t1,
+    max(CASE WHEN arm = 1 AND period = 0 THEN s * 1.0 / n END) AS t0,
+    max(CASE WHEN arm = 0 AND period = 1 THEN s * 1.0 / n END) AS c1,
+    max(CASE WHEN arm = 0 AND period = 0 THEN s * 1.0 / n END) AS c0,
+    CAST(sum(n) AS BIGINT) AS n_total
+  FROM cells
+)
+SELECT round(t1, 6) AS treat_post_mean,
+       round(t0, 6) AS treat_pre_mean,
+       round(c1, 6) AS control_post_mean,
+       round(c0, 6) AS control_pre_mean,
+       round((t1 - t0) - (c1 - c0), 6) AS did_cents,
+       n_total
+FROM wide
+""",
+)
+def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: (treat post − pre) − (control post −
+    pre) over the user-parity arm split and the integer-midpoint period
+    split. Cell sums/counts are exact BIGINTs; each mean is one double
+    division from identical integers, so the estimate is engine-exact
+    to the rounding policy. Completes the experimentation family
+    (A/B z-test → sequential SPRT → quasi-experimental DiD).
+
+    Scale shape: one scan, one 4-cell aggregate. Nothing else.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    mid = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("m")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            "arm",
+            F.when(F.col("ts_us") > F.col("m"), 1)
+            .otherwise(0)
+            .alias("period"),
+            "c",
+        )
+        .groupBy("arm", "period")
+        .agg(
+            F.count(F.lit(1)).alias("n"), F.sum("c").alias("s")
+        )
+    )
+    mean = F.col("s") * F.lit(1.0) / F.col("n")
+    wide = cells.agg(
+        F.max(
+            F.when((F.col("arm") == 1) & (F.col("period") == 1), mean)
+        ).alias("t1"),
+        F.max(
+            F.when((F.col("arm") == 1) & (F.col("period") == 0), mean)
+        ).alias("t0"),
+        F.max(
+            F.when((F.col("arm") == 0) & (F.col("period") == 1), mean)
+        ).alias("c1"),
+        F.max(
+            F.when((F.col("arm") == 0) & (F.col("period") == 0), mean)
+        ).alias("c0"),
+        F.sum("n").alias("n_total"),
+    )
+    return wide.select(
+        F.round("t1", 6).alias("treat_post_mean"),
+        F.round("t0", 6).alias("treat_pre_mean"),
+        F.round("c1", 6).alias("control_post_mean"),
+        F.round("c0", 6).alias("control_pre_mean"),
+        F.round(
+            (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 6
+        ).alias("did_cents"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+    )

@@ -409,3 +409,20 @@ class TestConformal:
             assert 0 < r["n_test"]
             assert 0 < r["n_cal"]
             assert r["coverage"] >= 0.75  # nominal 0.90 minus fold noise
+
+
+class TestDid:
+    def test_identity_and_totals(self, spark, sf_dir):
+        """DiD equals (t1-t0)-(c1-c0) from the reported means (within
+        rounding), and the four cells cover the full event count."""
+        rows = _run("did_estimator", spark, sf_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        recomputed = round(
+            (r["treat_post_mean"] - r["treat_pre_mean"])
+            - (r["control_post_mean"] - r["control_pre_mean"]),
+            6,
+        )
+        assert abs(r["did_cents"] - recomputed) < 2e-6
+        ev = load_table(spark, sf_dir, "events")
+        assert r["n_total"] == ev.count()

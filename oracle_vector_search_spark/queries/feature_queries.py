@@ -1470,3 +1470,108 @@ def did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("did_cents"),
         F.col("n_total").cast("bigint").alias("n_total"),
     )
+
+
+@register(
+    "mann_whitney_u_test",
+    """
+WITH e AS (
+  SELECT user_id % 2 AS arm,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+), g AS (
+  SELECT c,
+         CAST(count(*) FILTER (arm = 0) AS BIGINT) AS na_c,
+         CAST(count(*) FILTER (arm = 1) AS BIGINT) AS nb_c,
+         CAST(count(*) AS BIGINT) AS t
+  FROM e GROUP BY c
+), r AS (
+  -- average rank of the tie group at value c: ranks are
+  -- (below+1 .. below+t); avg = below + (t+1)/2 — an exact dyadic
+  SELECT c, na_c, nb_c, t,
+         coalesce(sum(t) OVER (ORDER BY c
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS below
+  FROM g
+), m AS (
+  SELECT CAST(sum(na_c) AS BIGINT) AS n_a,
+         CAST(sum(nb_c) AS BIGINT) AS n_b,
+         sum(na_c * (below + (t + 1) / 2.0)) AS rank_sum_a,
+         CAST(sum(t * t * t - t) AS BIGINT) AS tie_term,
+         CAST(sum(t) AS BIGINT) AS n
+  FROM r
+)
+SELECT n_a, n_b,
+       round(rank_sum_a - n_a * (n_a + 1) / 2.0, 6) AS u_a,
+       round((rank_sum_a - n_a * (n_a + 1) / 2.0
+              - n_a * n_b / 2.0)
+             / sqrt((n_a * 1.0 * n_b / (n * (n - 1.0)))
+                    * ((n * n * n - n - tie_term) / 12.0)), 6) AS z
+FROM m
+""",
+)
+def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between the two user-parity
+    arms with full tie handling: tie groups get their average rank
+    (below + (t+1)/2 — an exact dyadic, so the rank sum is an
+    order-free exact sum), and the normal approximation uses the exact
+    tie-corrected variance n_a·n_b/(n(n−1)) · ((n³−n−Σ(t³−t))/12. Only
+    the final z formula is IEEE double. The nonparametric sibling of
+    the A/B z-test: no distribution assumption on value.
+
+    Scale shape: the corpus collapses to the distinct-value grid in one
+    shuffle; the rank walk is one grid-sized ordered window.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    g = ev.groupBy("c").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("na_c"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("nb_c"),
+        F.count(F.lit(1)).alias("t"),
+    )
+    w = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.withColumn(
+        "below", F.coalesce(F.sum("t").over(w), F.lit(0))
+    )
+    m = r.agg(
+        F.sum("na_c").alias("n_a"),
+        F.sum("nb_c").alias("n_b"),
+        F.sum(
+            F.col("na_c")
+            * (F.col("below") + (F.col("t") + 1) / F.lit(2.0))
+        ).alias("rank_sum_a"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
+        F.sum("t").alias("n"),
+    )
+    u_a = F.col("rank_sum_a") - F.col("n_a") * (
+        F.col("n_a") + 1
+    ) / F.lit(2.0)
+    var = (
+        F.col("n_a")
+        * F.lit(1.0)
+        * F.col("n_b")
+        / (F.col("n") * (F.col("n") - F.lit(1.0)))
+    ) * (
+        (
+            F.col("n") * F.col("n") * F.col("n")
+            - F.col("n")
+            - F.col("tie_term")
+        )
+        / F.lit(12.0)
+    )
+    return m.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(u_a, 6).alias("u_a"),
+        F.round(
+            (u_a - F.col("n_a") * F.col("n_b") / F.lit(2.0))
+            / F.sqrt(var),
+            6,
+        ).alias("z"),
+    )

@@ -426,3 +426,14 @@ class TestDid:
         assert abs(r["did_cents"] - recomputed) < 2e-6
         ev = load_table(spark, sf_dir, "events")
         assert r["n_total"] == ev.count()
+
+
+class TestMannWhitney:
+    def test_u_bounds(self, spark, sf_dir):
+        """0 <= U_A <= n_a*n_b, and the arms partition the corpus."""
+        rows = _run("mann_whitney_u_test", spark, sf_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert 0.0 <= r["u_a"] <= r["n_a"] * r["n_b"]
+        ev = load_table(spark, sf_dir, "events")
+        assert r["n_a"] + r["n_b"] == ev.count()

@@ -1575,3 +1575,100 @@ def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z"),
     )
+
+
+@register(
+    "spearman_value_time_corr",
+    """
+WITH e AS (
+  SELECT event_type,
+         epoch_ns(ts) // 1000 AS ts_us,
+         event_id,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+), r AS (
+  -- tie-averaged ranks as exact dyadics:
+  --   avg_rank = min_rank + (tie_size - 1)/2
+  SELECT event_type,
+         rank() OVER (PARTITION BY event_type ORDER BY c)
+           + (count(*) OVER (PARTITION BY event_type, c) - 1) / 2.0
+           AS ra,
+         rank() OVER (PARTITION BY event_type ORDER BY ts_us)
+           + (count(*) OVER (PARTITION BY event_type, ts_us) - 1) / 2.0
+           AS rb
+  FROM e
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         sum(ra) AS sa, sum(rb) AS sb,
+         sum(ra * rb) AS sab,
+         sum(ra * ra) AS saa,
+         sum(rb * rb) AS sbb
+  FROM r GROUP BY event_type
+)
+SELECT event_type, n,
+       round((n * sab - sa * sb)
+             / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)),
+             6) AS spearman_rho
+FROM m WHERE n >= 2
+""",
+)
+def spearman_value_time_corr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rank correlation between value and event time per
+    event type — 'does spend drift over time?' without any linearity
+    or distribution assumption. Tie groups take average ranks as exact
+    dyadics (min_rank + (ties−1)/2), so all five moment sums are
+    order-free exact sums of quarter-integers; only the final Pearson-
+    on-ranks formula is IEEE double. (At extreme row counts per group
+    the n·Σr² terms approach 2⁵³ — the DECIMAL(38) moment tier used by
+    skew/kurtosis is the swap-in; fine at every gate SF.)
+
+    Scale shape: two windows riding one event_type shuffle, then a
+    bounded-key aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w_c = Window.partitionBy("event_type").orderBy("c")
+    w_ct = Window.partitionBy("event_type", "c")
+    w_t = Window.partitionBy("event_type").orderBy("ts_us")
+    w_tt = Window.partitionBy("event_type", "ts_us")
+    r = ev.select(
+        "event_type",
+        (
+            F.rank().over(w_c)
+            + (F.count(F.lit(1)).over(w_ct) - 1) / F.lit(2.0)
+        ).alias("ra"),
+        (
+            F.rank().over(w_t)
+            + (F.count(F.lit(1)).over(w_tt) - 1) / F.lit(2.0)
+        ).alias("rb"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra") * F.col("rb")).alias("sab"),
+        F.sum(F.col("ra") * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb") * F.col("rb")).alias("sbb"),
+    )
+    return m.filter(F.col("n") >= 2).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(
+            (F.col("n") * F.col("sab") - F.col("sa") * F.col("sb"))
+            / (
+                F.sqrt(
+                    F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+                )
+                * F.sqrt(
+                    F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+                )
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )

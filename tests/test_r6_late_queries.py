@@ -437,3 +437,12 @@ class TestMannWhitney:
         assert 0.0 <= r["u_a"] <= r["n_a"] * r["n_b"]
         ev = load_table(spark, sf_dir, "events")
         assert r["n_a"] + r["n_b"] == ev.count()
+
+
+class TestSpearman:
+    def test_rho_in_range(self, spark, sf_dir):
+        rows = _run("spearman_value_time_corr", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert -1.0 <= r["spearman_rho"] <= 1.0
+            assert r["n"] >= 2

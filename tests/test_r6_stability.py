@@ -21,6 +21,19 @@ STABILITY_QUERIES = [
     "vocab_coverage_curve",
     "sprt_ab_sequential_test",
     "class_balanced_sample",
+    "embedding_components_single_linkage",
+    "hits_event_transitions",
+    "graph_degree_assortativity",
+    "local_clustering_coefficients",
+    "item_cf_similar_parts_top3",
+    "kaplan_meier_user_survival",
+    "als_rank1_user_step",
+    "split_conformal_intervals",
+    "did_estimator",
+    "mann_whitney_u_test",
+    "spearman_value_time_corr",
+    "session_hot_hour_overlap",
+    "doc_readability_scores",
 ]
 
 

@@ -1215,3 +1215,130 @@ def class_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_xor"),
         )
     )
+
+
+_KCEN_SEEDS = 5  # coreset size (fixed unroll, both engines)
+_KCEN_MOD = 10  # node sample: vec_id % 10 = 0
+
+_KCEN_DIST = (
+    "round(1.0 - list_dot_product(a.v, b.v)"
+    " / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(b.v, b.v))), 6)"
+)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled farthest-first traversal: seed 1 = min vec_id; each
+    next seed = argmax of the running min-distance (ties → smaller
+    id). Emits (sel_round, vec_id, min_dist_at_selection)."""
+    parts = [
+        f"""
+WITH d AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % {_KCEN_MOD} = 0
+), s1 AS (
+  SELECT min(vec_id) AS sid FROM d
+), m1 AS (
+  SELECT a.vec_id, {_KCEN_DIST} AS md
+  FROM d a JOIN d b ON b.vec_id = (SELECT sid FROM s1)
+)"""
+    ]
+    for t in range(2, _KCEN_SEEDS + 1):
+        parts.append(
+            f""", s{t} AS (
+  SELECT vec_id AS sid, md FROM m{t - 1}
+  WHERE vec_id NOT IN (
+    {" UNION ALL ".join(f"SELECT sid FROM s{j}" for j in range(1, t))}
+  )
+  ORDER BY md DESC, vec_id LIMIT 1
+), m{t} AS (
+  SELECT a.vec_id, least(m{t - 1}.md, {_KCEN_DIST}) AS md
+  FROM d a
+  JOIN m{t - 1} ON m{t - 1}.vec_id = a.vec_id
+  JOIN d b ON b.vec_id = (SELECT sid FROM s{t})
+)"""
+        )
+    selects = ["SELECT 1 AS sel_round, sid AS vec_id,"
+               " CAST(0.0 AS DOUBLE) AS min_dist_at_selection FROM s1"]
+    for t in range(2, _KCEN_SEEDS + 1):
+        selects.append(
+            f"SELECT {t} AS sel_round, sid AS vec_id,"
+            f" md AS min_dist_at_selection FROM s{t}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("kcenter_coreset_seeds", _kcenter_oracle())
+def kcenter_coreset_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy coreset selection (farthest-first traversal —
+    the Sener & Savarese 2018 active-learning / data-pruning recipe):
+    start from the smallest id, repeatedly pick the point farthest
+    from the chosen set under rounded cosine distance (ties → smaller
+    id), 5 seeds. Emits each seed with its selection round and its
+    min-distance at selection (a non-increasing sequence = the
+    coverage-radius curve).
+
+    Scale shape: each round is one broadcast of a single seed vector +
+    a running-min update over the node sample + one node-sized argmax;
+    the running distance column is localCheckpoint-pinned per round
+    (flat plans, no re-derivation). At corpus scale the same loop runs
+    over an at-rest embedding table with the argmax as a
+    TakeOrderedAndProject.
+    """
+    from oracle_vector_search_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+
+    d = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % _KCEN_MOD == 0)
+        .select("vec_id", as_double_array("embedding").alias("v"))
+        .localCheckpoint()
+    )
+    dist = F.round(
+        F.lit(1.0) - cosine_similarity("v", "sv"), 6
+    )
+    first = d.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("sid"), F.col("v").alias("sv")
+    )
+    md = (
+        d.crossJoin(F.broadcast(first))
+        .select("vec_id", "v", dist.alias("md"))
+        .localCheckpoint()
+    )
+    out_rows = first.select(
+        F.lit(1).alias("sel_round"),
+        F.col("sid").alias("vec_id"),
+        F.lit(0.0).alias("min_dist_at_selection"),
+    )
+    picked = first.select("sid")
+    for t in range(2, _KCEN_SEEDS + 1):
+        cand = md.join(
+            picked, md.vec_id == F.col("sid"), "left_anti"
+        )
+        nxt = cand.orderBy(F.desc("md"), F.asc("vec_id")).limit(
+            1
+        ).select(
+            F.col("vec_id").alias("sid"),
+            F.col("v").alias("sv"),
+            F.col("md").alias("sel_md"),
+        )
+        out_rows = out_rows.unionByName(
+            nxt.select(
+                F.lit(t).alias("sel_round"),
+                F.col("sid").alias("vec_id"),
+                F.col("sel_md").alias("min_dist_at_selection"),
+            )
+        )
+        md = (
+            md.crossJoin(F.broadcast(nxt.select("sid", "sv")))
+            .select(
+                "vec_id",
+                "v",
+                F.least(F.col("md"), dist).alias("md"),
+            )
+            .localCheckpoint()
+        )
+        picked = picked.unionByName(nxt.select("sid"))
+    return out_rows

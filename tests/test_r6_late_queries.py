@@ -446,3 +446,18 @@ class TestSpearman:
         for r in rows:
             assert -1.0 <= r["spearman_rho"] <= 1.0
             assert r["n"] >= 2
+
+
+class TestKCenter:
+    def test_radius_non_increasing_and_seeds_distinct(self, spark, sf_dir):
+        rows = _run("kcenter_coreset_seeds", spark, sf_dir).collect()
+        assert len(rows) == 5
+        rows.sort(key=lambda r: r["sel_round"])
+        assert rows[0]["min_dist_at_selection"] == 0.0
+        seeds = [r["vec_id"] for r in rows]
+        assert len(set(seeds)) == 5
+        radii = [r["min_dist_at_selection"] for r in rows[1:]]
+        assert all(
+            radii[i] >= radii[i + 1] - 1e-9
+            for i in range(len(radii) - 1)
+        )

@@ -461,3 +461,14 @@ class TestKCenter:
             radii[i] >= radii[i + 1] - 1e-9
             for i in range(len(radii) - 1)
         )
+
+
+class TestBinaryQuantization:
+    def test_recall_bounds_and_code_width(self, spark, sf_dir):
+        rows = _run("binary_quantization_recall", spark, sf_dir).collect()
+        assert len(rows) == 10
+        for r in rows:
+            assert 0 <= r["n_overlap"] <= 5
+            assert abs(r["recall"] - r["n_overlap"] / 5.0) < 1e-9
+        # self always hams to 0 -> at least the self hit overlaps
+        assert all(r["n_overlap"] >= 1 for r in rows)

@@ -35,7 +35,7 @@ broadcast back — one partial-agg shuffle, no window.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.io import load_table
@@ -487,4 +487,80 @@ def c4_sentence_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("dup_spans", F.lit(0)).alias("dup_spans"),
             F.coalesce("removed_spans", F.lit(0)).alias("removed_spans"),
         )
+    )
+
+
+@register(
+    "zipf_slope_fit",
+    f"""
+WITH tok AS (
+  SELECT unnest(string_split({T.duck_norm()}, ' ')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+), ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE))
+           AS x,
+         ln(CAST(n AS DOUBLE)) AS y
+  FROM freq
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM ranked
+)
+SELECT n_types,
+       round((n_types * sxy - sx * sy)
+             / (n_types * sxx - sx * sx), 6) AS zipf_slope,
+       round((sy - ((n_types * sxy - sx * sy)
+                    / (n_types * sxx - sx * sx)) * sx)
+             / n_types, 6) AS intercept
+FROM m
+""",
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law exponent: OLS of ln(frequency) on ln(rank) over the
+    corpus vocabulary (frequency ties rank deterministically by
+    token). Natural language sits near slope −1; synthetic or
+    template-heavy corpora flatten — a cheap corpus-health signal next
+    to the coverage curve. ln terms follow the HLL/PageRank double
+    policy (sum order differences are ~1e-16 against a 1e-6 rounding).
+
+    Scale shape: the corpus collapses to the (token, count) vocabulary
+    in one shuffle; the rank window and the 5-sum fit are
+    vocabulary-sized.
+    """
+    doc = load_table(spark, sf_dir, "documents").withColumn(
+        "norm", T.norm_text("text")
+    )
+    freq = (
+        doc.select(F.explode(T.tokens("norm")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = freq.select(
+        F.log(
+            F.row_number().over(w).cast("double")
+        ).alias("x"),
+        F.log(F.col("n").cast("double")).alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        F.col("n_types") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (
+        F.col("n_types") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n_types"), 6
+        ).alias("intercept"),
     )

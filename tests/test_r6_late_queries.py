@@ -472,3 +472,12 @@ class TestBinaryQuantization:
             assert abs(r["recall"] - r["n_overlap"] / 5.0) < 1e-9
         # self always hams to 0 -> at least the self hit overlaps
         assert all(r["n_overlap"] >= 1 for r in rows)
+
+
+class TestZipf:
+    def test_slope_negative(self, spark, sf_dir):
+        rows = _run("zipf_slope_fit", spark, sf_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["n_types"] > 1
+        assert r["zipf_slope"] < 0.0  # frequency falls with rank

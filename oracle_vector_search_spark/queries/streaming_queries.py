@@ -347,3 +347,59 @@ def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("window_start_ns", "event_type", "n", "rank")
     )
+
+
+@register(
+    "streaming_psi_drift_monitor",
+    """
+WITH e AS (
+  SELECT (epoch_ns(ts) // 3600000000000) * 3600000000000
+           AS window_start_ns,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+), bounds AS (
+  SELECT min(c) AS mn, max(c) AS mx FROM e
+), binned AS (
+  SELECT window_start_ns,
+         least(9, greatest(0, (c - mn) * 10 // (mx - mn + 1))) AS b
+  FROM e, bounds
+), snap AS (
+  SELECT window_start_ns, b, CAST(count(*) AS BIGINT) AS k
+  FROM binned GROUP BY 1, 2
+), ref AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS rk FROM binned GROUP BY b
+), nref AS (
+  SELECT CAST(count(*) AS BIGINT) AS n FROM e
+), wn AS (
+  SELECT window_start_ns, CAST(sum(k) AS BIGINT) AS n_win
+  FROM snap GROUP BY window_start_ns
+), grid AS (
+  SELECT wn.window_start_ns, wn.n_win, u.b
+  FROM wn CROSS JOIN (SELECT unnest(range(10)) AS b) u
+), terms AS (
+  SELECT g.window_start_ns, g.n_win,
+         (coalesce(s.k, 0) + 1.0) / (g.n_win + 10.0) AS p,
+         (coalesce(r.rk, 0) + 1.0) / (nref.n + 10.0) AS q
+  FROM grid g
+  LEFT JOIN snap s
+    ON s.window_start_ns = g.window_start_ns AND s.b = g.b
+  LEFT JOIN ref r ON r.b = g.b
+  CROSS JOIN nref
+)
+SELECT window_start_ns,
+       n_win AS n_events,
+       round(sum((p - q) * ln(p / q)), 6) AS psi
+FROM terms GROUP BY window_start_ns, n_win
+""",
+)
+def streaming_psi_drift_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-hour PSI drift against the corpus reference where the
+    (window, bin) histogram is maintained by a REAL complete-mode
+    streaming aggregation — the state table a production drift monitor
+    reads. Scored on the drained snapshot; the oracle is the batch
+    closed form (drained bounded stream ≡ batch). Same integer-exact
+    binning + Laplace + one-ln-formula policy as `psi_value_drift`.
+    """
+    return ops.psi_drift_stream(spark, sf_dir)

@@ -703,3 +703,112 @@ def corpus_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "multi-batch arrival"
     )
     return spark.read.parquet(dec_dir)
+
+
+def psi_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per-hour value histograms computed as a
+    REAL complete-mode streaming aggregation (10 equal-width integer-
+    cents bins against batch-derived global bounds — a metadata-sized
+    driver lookup, the scalar-max-id precedent), then PSI of each
+    window against the whole-corpus reference on the drained snapshot.
+    The production shape: the stream maintains (window, bin) counts;
+    the monitor reads the state table and scores it.
+    """
+    from oracle_vector_search_spark.io import load_table
+
+    ev_b = load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100).cast("long").alias("c")
+    )
+    row = ev_b.agg(
+        F.min("c").alias("mn"), F.max("c").alias("mx")
+    ).first()
+    mn, mx = int(row["mn"]), int(row["mx"])
+    span = mx - mn + 1
+
+    ev = stream_events(spark, sf_dir)
+    binned = ev.select(
+        F.window("ts", "1 hour").alias("w"),
+        F.least(
+            F.lit(9),
+            F.greatest(
+                F.lit(0),
+                F.expr(
+                    f"(cast(floor(value * 100) as bigint) - {mn}L)"
+                    f" * 10 div {span}L"
+                ),
+            ),
+        ).alias("b"),
+    )
+    agg = (
+        binned.groupBy("w", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .select(
+            (F.unix_micros(F.col("w.start")) * 1000).alias(
+                "window_start_ns"
+            ),
+            "b",
+            "k",
+        )
+    )
+    snap = run_to_memory(agg, "complete")
+
+    # reference histogram (whole corpus) + per-window PSI, batch-side
+    ref = (
+        ev_b.select(
+            F.least(
+                F.lit(9),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(f"(c - {mn}L) * 10 div {span}L"),
+                ),
+            ).alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("rk"))
+    )
+    n_ref = ev_b.count()
+    wn = snap.groupBy("window_start_ns").agg(
+        F.sum("k").alias("n_win")
+    )
+    bins = wn.crossJoin(
+        spark.range(10).select(F.col("id").alias("b"))
+    )
+    snap2 = snap.select(
+        F.col("window_start_ns").alias("sw"),
+        F.col("b").alias("sb"),
+        "k",
+    )
+    terms = (
+        bins.join(
+            snap2,
+            (F.col("window_start_ns") == F.col("sw"))
+            & (F.col("b") == F.col("sb")),
+            "left",
+        )
+        .join(F.broadcast(ref), "b", "left")
+        .select(
+            "window_start_ns",
+            "n_win",
+            (
+                (F.coalesce("k", F.lit(0)) + F.lit(1.0))
+                / (F.col("n_win") + F.lit(10.0))
+            ).alias("p"),
+            (
+                (F.coalesce("rk", F.lit(0)) + F.lit(1.0))
+                / F.lit(float(n_ref) + 10.0)
+            ).alias("q"),
+        )
+    )
+    return terms.groupBy("window_start_ns", "n_win").agg(
+        F.round(
+            F.sum(
+                (F.col("p") - F.col("q"))
+                * F.log(F.col("p") / F.col("q"))
+            ),
+            6,
+        ).alias("psi")
+    ).select(
+        "window_start_ns",
+        F.col("n_win").cast("bigint").alias("n_events"),
+        "psi",
+    )

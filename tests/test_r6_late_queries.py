@@ -481,3 +481,16 @@ class TestZipf:
         r = rows[0]
         assert r["n_types"] > 1
         assert r["zipf_slope"] < 0.0  # frequency falls with rank
+
+
+class TestStreamingPsi:
+    def test_psi_nonneg_and_counts(self, spark, sf_dir):
+        rows = _run(
+            "streaming_psi_drift_monitor", spark, sf_dir
+        ).collect()
+        assert rows
+        total = sum(r["n_events"] for r in rows)
+        ev = load_table(spark, sf_dir, "events")
+        assert total == ev.count()
+        for r in rows:
+            assert r["psi"] >= 0.0

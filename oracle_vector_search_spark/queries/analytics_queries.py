@@ -822,3 +822,104 @@ def als_rank1_user_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("user_factor"),
     )
+
+
+_AR_MIN_CO = 3  # minimum pair support (co-orders)
+
+
+@register(
+    "association_rules_pairs",
+    f"""
+WITH lp AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), nb AS (
+  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_baskets FROM lp
+), supp AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS n FROM lp GROUP BY pk
+), co AS (
+  SELECT a.pk AS ante, b.pk AS cons, CAST(count(*) AS BIGINT) AS c
+  FROM lp a JOIN lp b ON a.ok = b.ok AND a.pk <> b.pk
+  GROUP BY a.pk, b.pk
+  HAVING count(*) >= {_AR_MIN_CO}
+)
+SELECT co.ante, co.cons, co.c AS n_co_baskets,
+       round(co.c * 1.0 / nb.n_baskets, 6) AS support,
+       round(co.c * 1.0 / sa.n, 6) AS confidence,
+       round(co.c * 1.0 * nb.n_baskets / (sa.n * sc.n), 6) AS lift
+FROM co
+JOIN supp sa ON sa.pk = co.ante
+JOIN supp sc ON sc.pk = co.cons
+CROSS JOIN nb
+""",
+)
+def association_rules_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Association rules over order baskets (Agrawal 1993): for every
+    directed pair with support ≥ 3 co-orders, emit support,
+    confidence(a→b) = c_ab/c_a, and lift = N·c_ab/(c_a·c_b). All
+    ratios are single divisions of exact BIGINT counts. The
+    market-basket family's rule layer on top of the item-CF cosine.
+
+    Scale shape: identical to the CF query — one per-order-bounded
+    pair shuffle, supports broadcast back; the support floor does the
+    pruning a-priori style (a pair below floor never joins).
+    """
+    lp = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    nb = lp.select("ok").distinct().count()
+    supp = lp.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a = lp.select("ok", F.col("pk").alias("ante"))
+    b = lp.select(F.col("ok").alias("ok2"), F.col("pk").alias("cons"))
+    co = (
+        a.join(
+            b,
+            (F.col("ok") == F.col("ok2"))
+            & (F.col("ante") != F.col("cons")),
+        )
+        .groupBy("ante", "cons")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _AR_MIN_CO)
+    )
+    return (
+        co.join(
+            F.broadcast(
+                supp.select(
+                    F.col("pk").alias("ante"), F.col("n").alias("na")
+                )
+            ),
+            "ante",
+        )
+        .join(
+            F.broadcast(
+                supp.select(
+                    F.col("pk").alias("cons"), F.col("n").alias("nc")
+                )
+            ),
+            "cons",
+        )
+        .select(
+            "ante",
+            "cons",
+            F.col("c").alias("n_co_baskets"),
+            F.round(F.col("c") * F.lit(1.0) / F.lit(nb), 6).alias(
+                "support"
+            ),
+            F.round(F.col("c") * F.lit(1.0) / F.col("na"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("c")
+                * F.lit(1.0)
+                * F.lit(nb)
+                / (F.col("na") * F.col("nc")),
+                6,
+            ).alias("lift"),
+        )
+    )

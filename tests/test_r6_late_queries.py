@@ -494,3 +494,19 @@ class TestStreamingPsi:
         assert total == ev.count()
         for r in rows:
             assert r["psi"] >= 0.0
+
+
+class TestAssociationRules:
+    def test_rule_identities(self, spark, sf_dir):
+        """confidence <= 1; support <= confidence; lift symmetric in
+        (a,b) when both directions emitted."""
+        rows = _run("association_rules_pairs", spark, sf_dir).collect()
+        assert rows
+        lifts = {}
+        for r in rows:
+            assert 0.0 < r["confidence"] <= 1.0
+            assert r["support"] <= r["confidence"] + 1e-9
+            lifts[(r["ante"], r["cons"])] = r["lift"]
+        for (a, b), v in lifts.items():
+            if (b, a) in lifts:
+                assert abs(lifts[(b, a)] - v) < 1e-9

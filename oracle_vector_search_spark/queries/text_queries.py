@@ -971,3 +971,52 @@ def doc_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("flesch"),
     )
+
+
+@register(
+    "lang_id_confusion_matrix",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         string_split({T.duck_norm()}, ' ') AS toks
+  FROM documents
+), scores AS (
+  SELECT lang,
+         CAST({T.duck_stopword_hits('toks', _SW['en'])} AS INTEGER) AS en_hits,
+         CAST({T.duck_stopword_hits('toks', _SW['de'])} AS INTEGER) AS de_hits,
+         CAST({T.duck_stopword_hits('toks', _SW['fr'])} AS INTEGER) AS fr_hits,
+         CAST({T.duck_stopword_hits('toks', _SW['es'])} AS INTEGER) AS es_hits
+  FROM tok
+), pred AS (
+  SELECT lang AS actual, {_LANG_CASE_SQL} AS predicted FROM scores
+)
+SELECT actual, predicted,
+       CAST(count(*) AS BIGINT) AS n
+FROM pred GROUP BY actual, predicted
+""",
+)
+def lang_id_confusion_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Confusion matrix of the stopword-profile language identifier
+    against the fixture's true labels — the evaluation artifact that
+    turns `doc_language_id`'s per-document output into the
+    accuracy-by-class view a pipeline dashboard shows. One scan, one
+    (actual, predicted)-keyed count.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    d = d.withColumn("norm", T.norm_text("text")).withColumn(
+        "toks", F.split("norm", " ")
+    )
+    for code in ("en", "de", "fr", "es"):
+        d = d.withColumn(
+            f"{code}_hits", F.expr(T.stopword_hits_expr("toks", _SW[code]))
+        )
+    return (
+        d.select(
+            F.col("lang").alias("actual"),
+            F.expr(_LANG_CASE_SQL).alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -510,3 +510,13 @@ class TestAssociationRules:
         for (a, b), v in lifts.items():
             if (b, a) in lifts:
                 assert abs(lifts[(b, a)] - v) < 1e-9
+
+
+class TestLangConfusion:
+    def test_totals_match_corpus(self, spark, sf_dir):
+        rows = _run("lang_id_confusion_matrix", spark, sf_dir).collect()
+        doc = load_table(spark, sf_dir, "documents")
+        assert sum(r["n"] for r in rows) == doc.count()
+        langs = {"en", "de", "fr", "es"}
+        for r in rows:
+            assert r["predicted"] in langs

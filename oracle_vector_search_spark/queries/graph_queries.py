@@ -1070,3 +1070,94 @@ def local_clustering_coefficients(
         .otherwise(F.lit(0.0))
         .alias("lcc"),
     )
+
+
+# ---------------------------------------------- incremental edge merge
+
+# batch cutoff: events in the last _GEM_HOURS hours are "new"
+_GEM_HOURS = 48
+
+
+@register(
+    "graph_edges_incremental_merge",
+    f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         epoch_ns(ts) // 1000 AS ts_us
+  FROM events
+), steps AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts_us, event_id) AS dst
+  FROM e
+)
+SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+FROM steps WHERE dst IS NOT NULL GROUP BY src, dst
+""",
+)
+def graph_edges_incremental_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental maintenance of the transition-graph edge table (the
+    index_maint pattern on a graph artifact): the standing table is
+    built from events OLDER than a 48 h cutoff, the increment re-derives
+    transitions only for users ACTIVE in the new window (their full
+    history — a lead() edge can span the cutoff, so per-user
+    recomputation is the correct delta unit), and the merge is
+    old-minus-refreshed-users ∪ refreshed. Edge counts are an additive
+    monoid, so the merged table must equal the full rebuild — which IS
+    the oracle.
+
+    Scale shape: the delta touches only active users' partitions (at
+    rest: dynamic partition overwrite keyed on user-hash, same as the
+    LSH bucket maintenance); the standing table is never rescanned from
+    the corpus.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.expr("ts_ns div 1000").alias("ts_us"),
+    )
+    cutoff = ev.agg(
+        (F.max("ts_us") - F.lit(_GEM_HOURS * 3_600_000_000)).alias("cut")
+    )
+    e = ev.crossJoin(F.broadcast(cutoff)).localCheckpoint()
+
+    def edges_of(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        steps = df.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        return (
+            steps.filter(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    old_events = e.filter(F.col("ts_us") <= F.col("cut"))
+    standing = edges_of(old_events).localCheckpoint()  # the at-rest table
+
+    active = (
+        e.filter(F.col("ts_us") > F.col("cut"))
+        .select("user_id")
+        .distinct()
+    )
+    # per-user edge contributions of the OLD table for refreshed users
+    # (to subtract), and their full-history refresh (to add)
+    old_active = edges_of(
+        old_events.join(active, "user_id", "semi")
+    )
+    refreshed = edges_of(e.join(active, "user_id", "semi"))
+    merged = (
+        standing.select("src", "dst", F.col("w"))
+        .unionByName(
+            old_active.select(
+                "src", "dst", (-F.col("w")).alias("w")
+            )
+        )
+        .unionByName(refreshed.select("src", "dst", "w"))
+        .groupBy("src", "dst")
+        .agg(F.sum("w").alias("w"))
+        .filter(F.col("w") > 0)
+    )
+    return merged.select("src", "dst", F.col("w").cast("bigint").alias("w"))

@@ -520,3 +520,23 @@ class TestLangConfusion:
         langs = {"en", "de", "fr", "es"}
         for r in rows:
             assert r["predicted"] in langs
+
+
+class TestGraphEdgeMerge:
+    def test_merge_equals_rebuild(self, spark, sf_dir):
+        """The merged edge table equals a direct full rebuild."""
+        from oracle_vector_search_spark.queries.graph_queries import (
+            _graph_tables,
+        )
+
+        merged = {
+            (r["src"], r["dst"]): r["w"]
+            for r in _run(
+                "graph_edges_incremental_merge", spark, sf_dir
+            ).collect()
+        }
+        edges, _ = _graph_tables(spark, sf_dir)
+        rebuilt = {
+            (r["src"], r["dst"]): r["w"] for r in edges.collect()
+        }
+        assert merged == rebuilt

@@ -1216,3 +1216,169 @@ def binary_quantization_recall(
             ).alias("recall"),
         )
     )
+
+
+# --- Rocchio pseudo-relevance feedback -------------------------------
+
+_PRF_NQ = 5  # queries
+_PRF_NPOS = 3  # pseudo-positives (top-3 non-self)
+_PRF_ALPHA = "0.7"  # original-query weight (exact decimal literal)
+_PRF_BETA = "0.3"  # positive-centroid weight
+_PRF_K = 5  # evaluation depth
+
+_PRF_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "prf_rocchio_requery",
+    f"""
+WITH d AS MATERIALIZED (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM d
+  WHERE vec_id < {_PRF_NQ}
+), r0 AS (
+  SELECT q.query_id, q.qlabel, d.vec_id AS neighbor_id, d.label, d.v,
+         CAST(row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY {_PRF_COS.format(a="q.qv", b="d.v")} DESC, d.vec_id
+         ) AS INTEGER) AS rn
+  FROM q CROSS JOIN d
+), before AS (
+  SELECT query_id,
+         CAST(count(*) FILTER (label = qlabel) AS BIGINT) AS n_same_before
+  FROM r0 WHERE neighbor_id <> query_id AND rn <= {_PRF_K + 1}
+  GROUP BY query_id
+), pos AS (
+  SELECT query_id, v FROM r0
+  WHERE neighbor_id <> query_id AND rn <= {_PRF_NPOS + 1}
+), cent AS (
+  -- 64-d fixture (linalg queries pin the same width)
+  SELECT p.query_id, u.dim, avg(p.v[u.dim]) AS mval
+  FROM pos p CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) u
+  GROUP BY p.query_id, u.dim
+), q2 AS (
+  SELECT c.query_id,
+         list({_PRF_ALPHA} * q.qv[c.dim] + {_PRF_BETA} * c.mval
+              ORDER BY c.dim) AS qv2
+  FROM cent c JOIN q ON q.query_id = c.query_id
+  GROUP BY c.query_id
+), r1 AS (
+  SELECT q2.query_id, d.vec_id AS neighbor_id, d.label,
+         CAST(row_number() OVER (
+           PARTITION BY q2.query_id
+           ORDER BY {_PRF_COS.format(a="q2.qv2", b="d.v")} DESC, d.vec_id
+         ) AS INTEGER) AS rn
+  FROM q2 CROSS JOIN d
+), after AS (
+  SELECT r1.query_id,
+         CAST(count(*) FILTER (r1.label = q.qlabel) AS BIGINT)
+           AS n_same_after
+  FROM r1 JOIN q ON q.query_id = r1.query_id
+  WHERE r1.neighbor_id <> r1.query_id AND r1.rn <= {_PRF_K + 1}
+  GROUP BY r1.query_id
+)
+SELECT b.query_id, b.n_same_before, a.n_same_after
+FROM before b JOIN after a ON a.query_id = b.query_id
+""",
+)
+def prf_rocchio_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rocchio pseudo-relevance feedback (the classic PRF retrieval
+    op): take each query's top-3 non-self neighbors as pseudo-
+    positives, move the query to 0.7·q + 0.3·centroid(positives), and
+    re-search — reporting same-label hits in the top-5 before vs after
+    (label purity as the relevance proxy). Exact decimal-literal
+    weights; centroid = per-dimension mean over exactly 3 vectors;
+    both rankings tie-break on id under the round-6 score policy.
+
+    Scale shape: two exact-kNN passes (GEMM/ANN tier at scale) plus
+    one dimension-keyed centroid aggregate over k·Q rows — the
+    re-query costs exactly one more search, which is the PRF deal.
+    """
+    from oracle_vector_search_spark.operators.knn import knn_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", "label", as_double_array("embedding").alias("v")
+    ).localCheckpoint()
+    q = d.filter(F.col("vec_id") < _PRF_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+    r0 = knn_exact(
+        d, q, k=_PRF_K + 1, id_col="vec_id", vec_col="v",
+        query_id_col="query_id", query_vec_col="qv",
+    )
+    labels = d.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("v").alias("nv"),
+    )
+    r0l = (
+        r0.join(F.broadcast(labels), "neighbor_id")
+        .join(
+            F.broadcast(q.select("query_id", "qlabel")), "query_id"
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    before = r0l.filter(F.col("rank") <= _PRF_K + 1).groupBy(
+        "query_id"
+    ).agg(
+        F.count(F.when(F.col("nlabel") == F.col("qlabel"), 1)).alias(
+            "n_same_before"
+        )
+    )
+    pos = r0l.filter(F.col("rank") <= _PRF_NPOS + 1).select(
+        "query_id", "nv"
+    )
+    cent = (
+        pos.select(
+            "query_id",
+            F.posexplode("nv").alias("dim0", "val"),
+        )
+        .groupBy("query_id", (F.col("dim0") + 1).alias("dim"))
+        .agg(F.avg("val").alias("mval"))
+    )
+    q2 = (
+        cent.join(F.broadcast(q.select("query_id", "qv")), "query_id")
+        .select(
+            "query_id",
+            "dim",
+            (
+                F.lit(float(_PRF_ALPHA))
+                * F.element_at("qv", F.col("dim").cast("int"))
+                + F.lit(float(_PRF_BETA)) * F.col("mval")
+            ).alias("nval"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, nval))),"
+                " s -> s.nval)"
+            ).alias("qv2")
+        )
+    )
+    r1 = knn_exact(
+        d, q2, k=_PRF_K + 1, id_col="vec_id", vec_col="v",
+        query_id_col="query_id", query_vec_col="qv2",
+    )
+    after = (
+        r1.join(F.broadcast(labels.select("neighbor_id", "nlabel")), "neighbor_id")
+        .join(F.broadcast(q.select("query_id", "qlabel")), "query_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(F.col("rank") <= _PRF_K + 1)
+        .groupBy("query_id")
+        .agg(
+            F.count(
+                F.when(F.col("nlabel") == F.col("qlabel"), 1)
+            ).alias("n_same_after")
+        )
+    )
+    return before.join(after, "query_id").select(
+        "query_id", "n_same_before", "n_same_after"
+    )

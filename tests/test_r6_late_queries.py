@@ -540,3 +540,12 @@ class TestGraphEdgeMerge:
             (r["src"], r["dst"]): r["w"] for r in edges.collect()
         }
         assert merged == rebuilt
+
+
+class TestRocchio:
+    def test_counts_in_range(self, spark, sf_dir):
+        rows = _run("prf_rocchio_requery", spark, sf_dir).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert 0 <= r["n_same_before"] <= 6
+            assert 0 <= r["n_same_after"] <= 6

@@ -1161,3 +1161,180 @@ def graph_edges_incremental_merge(
         .filter(F.col("w") > 0)
     )
     return merged.select("src", "dst", F.col("w").cast("bigint").alias("w"))
+
+
+# ------------------------------------------------ graph-ANN greedy walk
+
+_GW_HOPS = 3  # fixed greedy hops (unrolled in the oracle)
+_GW_NQ = 5  # queries: first odd ids (disjoint from the graph nodes)
+
+
+def _greedy_walk_oracle() -> str:
+    """Unrolled greedy search on the kNN graph: candidates at each hop
+    are the current node plus its out-neighbors; move to the best by
+    (rounded cosine desc, id). Monotone because the current node stays
+    a candidate."""
+    score = (
+        "round(list_dot_product(q.qv, x.v)"
+        " / (sqrt(list_dot_product(q.qv, q.qv))"
+        " * sqrt(list_dot_product(x.v, x.v))), 6)"
+    )
+    parts = [
+        f"""
+WITH d AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % {_LP_NODE_MOD} = 0
+), scored AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {_LP_COS} AS score
+  FROM d a JOIN d b ON a.vec_id <> b.vec_id
+), edges AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src ORDER BY score DESC, dst) AS rn
+    FROM scored) WHERE rn <= {_LP_K}
+), q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings
+  WHERE vec_id % {_LP_NODE_MOD} = 1 AND vec_id < {2 * _GW_NQ}
+), entry AS (
+  SELECT min(vec_id) AS node FROM d
+), w0 AS (
+  SELECT q.query_id, entry.node AS cur FROM q CROSS JOIN entry
+)"""
+    ]
+    for t in range(1, _GW_HOPS + 1):
+        parts.append(
+            f""", c{t} AS (
+  SELECT query_id, cur AS node FROM w{t - 1}
+  UNION
+  SELECT w.query_id, e.dst AS node
+  FROM w{t - 1} w JOIN edges e ON e.src = w.cur
+), w{t} AS (
+  SELECT query_id, node AS cur FROM (
+    SELECT c.query_id, c.node,
+           row_number() OVER (
+             PARTITION BY c.query_id ORDER BY {score} DESC, c.node
+           ) AS rn
+    FROM c{t} c
+    JOIN q ON q.query_id = c.query_id
+    JOIN d x ON x.vec_id = c.node
+  ) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+, exact AS (
+  SELECT query_id, node AS top1 FROM (
+    SELECT q.query_id, x.vec_id AS node,
+           row_number() OVER (
+             PARTITION BY q.query_id ORDER BY {score} DESC, x.vec_id
+           ) AS rn
+    FROM q CROSS JOIN d x
+  ) WHERE rn = 1
+)
+SELECT w.query_id, w.cur AS walk_end_id, e.top1 AS exact_top1_id,
+       CAST(CASE WHEN w.cur = e.top1 THEN 1 ELSE 0 END AS INTEGER)
+         AS hit
+FROM w{_GW_HOPS} w JOIN exact e ON e.query_id = w.query_id
+"""
+    )
+    return "".join(parts)
+
+
+@register("graph_ann_greedy_walk_recall", _greedy_walk_oracle())
+def graph_ann_greedy_walk_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Graph-ANN serving (the NSW/HNSW base layer): greedy best-first
+    walk on the at-rest kNN graph from a fixed entry point, 3 hops,
+    queries DISJOINT from the graph nodes; audited against the exact
+    brute-force top-1. The current node stays a candidate, so the walk
+    score is monotone and a fixed unroll is the converged walk whenever
+    it stalls earlier.
+
+    Scale shape: the kNN graph is the LP query's at-rest artifact;
+    each hop touches |Q| × (1 + out-degree) candidate rows — the whole
+    point of graph ANN: per-query work is degree-bounded, never
+    index-sized. The exact-top1 audit is the quadratic oracle baseline
+    (GEMM tier at scale).
+    """
+    from oracle_vector_search_spark.operators.knn import (
+        knn_exact,
+        knn_exact_gemm,
+    )
+    from oracle_vector_search_spark.functions.vector import (
+        as_double_array,
+        cosine_similarity,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = (
+        emb.filter(F.col("vec_id") % _LP_NODE_MOD == 0)
+        .select("vec_id", as_double_array("embedding").alias("v"))
+        .localCheckpoint()
+    )
+    tier = knn_exact if d.count() <= 600 else knn_exact_gemm
+    cand = tier(d, d, k=_LP_K + 1, vec_col="v").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    edges = (
+        cand.withColumn("rn2", F.row_number().over(w_rank))
+        .filter(F.col("rn2") <= _LP_K)
+        .select(
+            F.col("query_id").alias("src"),
+            F.col("neighbor_id").alias("dst"),
+        )
+        .localCheckpoint()
+    )
+    q = emb.filter(
+        (F.col("vec_id") % _LP_NODE_MOD == 1)
+        & (F.col("vec_id") < 2 * _GW_NQ)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        as_double_array("embedding").alias("qv"),
+    ).localCheckpoint()
+    entry = d.agg(F.min("vec_id").alias("enode"))
+    walk = q.crossJoin(F.broadcast(entry)).select(
+        "query_id", F.col("enode").alias("cur")
+    )
+    score = F.round(cosine_similarity("qv", "v"), 6)
+    for _ in range(_GW_HOPS):
+        cands = walk.select(
+            "query_id", F.col("cur").alias("node")
+        ).unionByName(
+            walk.join(edges, walk.cur == edges.src).select(
+                "query_id", F.col("dst").alias("node")
+            )
+        ).distinct()
+        scored = (
+            cands.join(
+                d.select(F.col("vec_id").alias("node"), "v"), "node"
+            )
+            .join(F.broadcast(q), "query_id")
+            .select("query_id", "node", score.alias("s"))
+        )
+        w_best = Window.partitionBy("query_id").orderBy(
+            F.desc("s"), F.asc("node")
+        )
+        walk = (
+            scored.withColumn("rn", F.row_number().over(w_best))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("node").alias("cur"))
+            .localCheckpoint()
+        )
+    exact = tier(
+        d, q, k=1, vec_col="v", query_id_col="query_id",
+        query_vec_col="qv",
+    ).select("query_id", F.col("neighbor_id").alias("top1"))
+    return walk.join(exact, "query_id").select(
+        "query_id",
+        F.col("cur").alias("walk_end_id"),
+        F.col("top1").alias("exact_top1_id"),
+        F.when(F.col("cur") == F.col("top1"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("hit"),
+    )

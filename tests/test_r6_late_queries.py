@@ -549,3 +549,17 @@ class TestRocchio:
         for r in rows:
             assert 0 <= r["n_same_before"] <= 6
             assert 0 <= r["n_same_after"] <= 6
+
+
+class TestGreedyWalk:
+    def test_walk_lands_on_graph_nodes(self, spark, sf_dir):
+        rows = _run(
+            "graph_ann_greedy_walk_recall", spark, sf_dir
+        ).collect()
+        assert len(rows) == 5
+        for r in rows:
+            assert r["walk_end_id"] % 2 == 0  # a graph node
+            assert r["exact_top1_id"] % 2 == 0
+            assert r["hit"] == int(
+                r["walk_end_id"] == r["exact_top1_id"]
+            )

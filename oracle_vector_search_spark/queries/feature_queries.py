@@ -1672,3 +1672,73 @@ def spearman_value_time_corr(
             6,
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "qq_deciles_by_arm",
+    """
+WITH e AS (
+  SELECT user_id % 2 AS arm,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+), r AS (
+  SELECT arm, c,
+         CAST(row_number() OVER (
+           PARTITION BY arm ORDER BY c
+         ) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY arm) AS BIGINT) AS n
+  FROM e
+), dec AS (
+  -- exact lower-order-statistic decile: index ceil(n*d/10)
+  SELECT r.arm, u.d AS decile, r.c
+  FROM r CROSS JOIN (SELECT unnest(range(1, 10)) AS d) u
+  WHERE r.rk = (r.n * u.d + 9) // 10
+)
+SELECT a.decile,
+       a.c AS arm0_cents,
+       b.c AS arm1_cents,
+       CAST(a.c - b.c AS BIGINT) AS diff_cents
+FROM dec a JOIN dec b
+  ON b.decile = a.decile AND a.arm = 0 AND b.arm = 1
+""",
+)
+def qq_deciles_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ-plot points: deciles 1..9 of value (integer cents) per
+    user-parity arm, paired — the distribution-comparison artifact
+    behind the KS/MWU tests, with EXACT lower order statistics
+    (index ⌈n·d/10⌉ as integer arithmetic; no interpolation, no
+    floats anywhere).
+
+    Scale shape: one rank window per arm over integer cents; the nine
+    order statistics are row filters, not a second pass.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    w_rank = Window.partitionBy("arm").orderBy("c")
+    w_n = Window.partitionBy("arm")
+    r = ev.select(
+        "arm",
+        "c",
+        F.row_number().over(w_rank).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(w_n).cast("bigint").alias("n"),
+    )
+    deciles = spark.range(1, 10).select(F.col("id").alias("d"))
+    dec = r.crossJoin(F.broadcast(deciles)).filter(
+        F.col("rk") == F.expr("(n * d + 9) div 10")
+    )
+    a = dec.filter(F.col("arm") == 0).select(
+        F.col("d").alias("decile"), F.col("c").alias("arm0_cents")
+    )
+    b = dec.filter(F.col("arm") == 1).select(
+        F.col("d").alias("decile2"), F.col("c").alias("arm1_cents")
+    )
+    return a.join(b, a.decile == b.decile2).select(
+        "decile",
+        "arm0_cents",
+        "arm1_cents",
+        (F.col("arm0_cents") - F.col("arm1_cents"))
+        .cast("bigint")
+        .alias("diff_cents"),
+    )

@@ -563,3 +563,17 @@ class TestGreedyWalk:
             assert r["hit"] == int(
                 r["walk_end_id"] == r["exact_top1_id"]
             )
+
+
+class TestQqDeciles:
+    def test_monotone_deciles(self, spark, sf_dir):
+        rows = _run("qq_deciles_by_arm", spark, sf_dir).collect()
+        assert len(rows) == 9
+        rows.sort(key=lambda r: r["decile"])
+        for i in range(1, 9):
+            assert rows[i]["arm0_cents"] >= rows[i - 1]["arm0_cents"]
+            assert rows[i]["arm1_cents"] >= rows[i - 1]["arm1_cents"]
+        for r in rows:
+            assert (
+                r["diff_cents"] == r["arm0_cents"] - r["arm1_cents"]
+            )

@@ -34,6 +34,15 @@ STABILITY_QUERIES = [
     "spearman_value_time_corr",
     "session_hot_hour_overlap",
     "doc_readability_scores",
+    "association_rules_pairs",
+    "lang_id_confusion_matrix",
+    "zipf_slope_fit",
+    "kcenter_coreset_seeds",
+    "binary_quantization_recall",
+    "graph_edges_incremental_merge",
+    "prf_rocchio_requery",
+    "graph_ann_greedy_walk_recall",
+    "qq_deciles_by_arm",
 ]
 
 

@@ -116,7 +116,15 @@ def load_all_modules() -> None:
 #   temporal_holdout_split, psi_value_drift, vocab_coverage_curve,
 #   embedding_components_single_linkage, dbscan_embedding_clusters,
 #   hits_event_transitions, sprt_ab_sequential_test,
-#   doc_readability_scores, session_hot_hour_overlap, ...).
+#   doc_readability_scores, session_hot_hour_overlap,
+#   item_cf_similar_parts_top3, kaplan_meier_user_survival,
+#   als_rank1_user_step, split_conformal_intervals, did_estimator,
+#   mann_whitney_u_test, spearman_value_time_corr,
+#   kcenter_coreset_seeds, binary_quantization_recall, zipf_slope_fit,
+#   streaming_psi_drift_monitor, association_rules_pairs,
+#   lang_id_confusion_matrix, graph_edges_incremental_merge,
+#   prf_rocchio_requery, graph_ann_greedy_walk_recall,
+#   qq_deciles_by_arm).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

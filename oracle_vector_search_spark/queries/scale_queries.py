@@ -23,7 +23,7 @@ from __future__ import annotations
 import re
 from oracle_vector_search_spark.scratch import scratch_dir
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.operators.bucketing import write_bucketed
@@ -746,4 +746,105 @@ def dpp_pruned_event_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n_type", "n_events", "sum_cents")
         .orderBy("event_type")
+    )
+
+
+_TPM_BUCKETS = 256  # pass-1 histogram resolution
+
+
+@register(
+    "two_pass_exact_median",
+    """
+WITH e AS (
+  SELECT event_type, CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+), r AS (
+  SELECT event_type, c,
+         CAST(row_number() OVER (
+           PARTITION BY event_type ORDER BY c
+         ) AS BIGINT) AS rk,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM e
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rk = (n + 1) // 2 THEN c END) AS BIGINT)
+         AS median_cents
+FROM r GROUP BY event_type
+""",
+)
+def two_pass_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median with NO global sort — the 100 TB quantile recipe:
+    pass 1 builds a 256-bucket equi-width histogram per group and a
+    cumulative walk locates the bucket holding rank ⌈n/2⌉; pass 2
+    ranks ONLY the rows inside that one bucket. The oracle states the
+    naive full-rank form; the two-pass result is mathematically
+    identical (the lower median of a multiset does not depend on how
+    it is found).
+
+    Scale shape: pass 1 is a map-side-combined (type, bucket) count —
+    bounded keys; pass 2 filters to ~1/256 of each group's rows before
+    the only per-row window. At 100 TB: two scans, no shuffle larger
+    than the histogram, the second scan skipping ~99.6% of rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("c").alias("mn"),
+        F.max("c").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    bucket = F.least(
+        F.lit(_TPM_BUCKETS - 1),
+        F.greatest(
+            F.lit(0),
+            F.expr(f"(c - mn) * {_TPM_BUCKETS} div (mx - mn + 1)"),
+        ),
+    )
+    hist = (
+        ev.join(F.broadcast(bounds), "event_type")
+        .select("event_type", bucket.alias("b"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    located = (
+        hist.join(F.broadcast(bounds.select("event_type", "n")), "event_type")
+        .withColumn(
+            "below", F.coalesce(F.sum("k").over(w_cum), F.lit(0))
+        )
+        .filter(
+            (F.col("below") < F.expr("(n + 1) div 2"))
+            & (
+                F.col("below") + F.col("k")
+                >= F.expr("(n + 1) div 2")
+            )
+        )
+        .select(
+            "event_type",
+            F.col("b").alias("tb"),
+            (F.expr("(n + 1) div 2") - F.col("below")).alias(
+                "rank_in_bucket"
+            ),
+            "n",
+        )
+    )
+    w_in = Window.partitionBy("event_type").orderBy("c")
+    pass2 = (
+        ev.join(F.broadcast(bounds.select("event_type", "mn", "mx")), "event_type")
+        .join(F.broadcast(located), "event_type")
+        .filter(bucket == F.col("tb"))
+        .withColumn("rk", F.row_number().over(w_in))
+        .filter(F.col("rk") == F.col("rank_in_bucket"))
+    )
+    return pass2.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("c").cast("bigint").alias("median_cents"),
     )

@@ -577,3 +577,26 @@ class TestQqDeciles:
             assert (
                 r["diff_cents"] == r["arm0_cents"] - r["arm1_cents"]
             )
+
+
+class TestTwoPassMedian:
+    def test_matches_naive_median(self, spark, sf_dir):
+        rows = _run("two_pass_exact_median", spark, sf_dir).collect()
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "event_type",
+                F.floor(F.col("value") * 100)
+                .cast("long")
+                .alias("c"),
+            )
+            .collect()
+        )
+        by_type = {}
+        for r in ev:
+            by_type.setdefault(r["event_type"], []).append(r["c"])
+        assert len(rows) == len(by_type)
+        for r in rows:
+            vals = sorted(by_type[r["event_type"]])
+            assert r["n"] == len(vals)
+            assert r["median_cents"] == vals[(len(vals) + 1) // 2 - 1]

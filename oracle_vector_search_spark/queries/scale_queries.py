@@ -848,3 +848,68 @@ def two_pass_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         F.col("c").cast("bigint").alias("median_cents"),
     )
+
+
+@register(
+    "join_size_estimate_audit",
+    """
+WITH a AS (
+  SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS ca
+  FROM orders GROUP BY o_custkey
+), b AS (
+  SELECT user_id AS k, CAST(count(*) AS BIGINT) AS cb
+  FROM events GROUP BY user_id
+), pred AS (
+  SELECT CAST(sum(a.ca * b.cb) AS BIGINT) AS predicted_rows,
+         CAST(count(*) AS BIGINT) AS n_shared_keys
+  FROM a JOIN b ON b.k = a.k
+), act AS (
+  SELECT CAST(count(*) AS BIGINT) AS actual_rows
+  FROM orders o JOIN events e ON e.user_id = o.o_custkey
+)
+SELECT pred.n_shared_keys, pred.predicted_rows, act.actual_rows,
+       CAST(pred.predicted_rows = act.actual_rows AS BOOLEAN)
+         AS estimate_exact
+FROM pred CROSS JOIN act
+""",
+)
+def join_size_estimate_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-size estimation from per-key count histograms — the
+    optimizer statistic behind join reordering: |A⋈B| = Σ_k
+    cnt_A(k)·cnt_B(k), computed WITHOUT executing the wide join (the
+    count tables join on keys only). The audit runs the real join and
+    checks equality — with full histograms the estimate is exact, and
+    the query documents the sketch tier (HLL/CMS per key range) that
+    replaces full histograms at 100 TB.
+
+    Scale shape: two count-only aggregations + a key-sized join for
+    the estimate; the fact-fact join exists here ONLY as the audit.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    a = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    b = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    pred = a.join(b, "k").agg(
+        F.sum(F.col("ca") * F.col("cb"))
+        .cast("bigint")
+        .alias("predicted_rows"),
+        F.count(F.lit(1)).alias("n_shared_keys"),
+    )
+    act = (
+        orders.join(ev, orders.o_custkey == ev.user_id)
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return pred.crossJoin(F.broadcast(act)).select(
+        "n_shared_keys",
+        "predicted_rows",
+        "actual_rows",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias(
+            "estimate_exact"
+        ),
+    )

@@ -600,3 +600,12 @@ class TestTwoPassMedian:
             vals = sorted(by_type[r["event_type"]])
             assert r["n"] == len(vals)
             assert r["median_cents"] == vals[(len(vals) + 1) // 2 - 1]
+
+
+class TestJoinSizeEstimate:
+    def test_estimate_is_exact(self, spark, sf_dir):
+        rows = _run("join_size_estimate_audit", spark, sf_dir).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert r["estimate_exact"] is True
+        assert r["predicted_rows"] == r["actual_rows"]

@@ -1742,3 +1742,91 @@ def qq_deciles_by_arm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("diff_cents"),
     )
+
+
+# z-quantile constants for alpha=0.05 two-sided (1.959964) and
+# power=0.80 (0.841621) — exact double literals, no query-time erf
+_Z_ALPHA = "1.959963984540054"
+_Z_POWER = "0.8416212335729143"
+
+
+@register(
+    "ab_power_analysis",
+    f"""
+WITH e AS (
+  SELECT user_id % 2 AS arm, event_type,
+         CAST(floor(value * 100) AS BIGINT) AS c
+  FROM events
+), m AS (
+  SELECT event_type,
+         CAST(count(*) FILTER (arm = 0) AS BIGINT) AS n_a,
+         CAST(count(*) FILTER (arm = 1) AS BIGINT) AS n_b,
+         CAST(sum(c) AS BIGINT) AS s,
+         CAST(sum(c * c) AS BIGINT) AS q,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) FILTER (arm = 0) AS BIGINT) AS sa,
+         CAST(sum(c) FILTER (arm = 1) AS BIGINT) AS sb
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       round((sa * 1.0 / n_a - sb * 1.0 / n_b)
+             / sqrt((n * 1.0 * q - s * 1.0 * s) / (n * 1.0 * (n - 1))),
+             6) AS cohens_d,
+       round(({_Z_ALPHA} + {_Z_POWER})
+             * sqrt((n * 1.0 * q - s * 1.0 * s) / (n * 1.0 * (n - 1)))
+             * sqrt(1.0 / n_a + 1.0 / n_b), 6) AS mde_cents
+FROM m WHERE n_a >= 2 AND n_b >= 2
+""",
+)
+def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power readout per event type: Cohen's d of the
+    observed arm difference (pooled sample SD) and the minimum
+    detectable effect at α=0.05 two-sided / 80% power —
+    (z_{{α/2}}+z_{{β}})·σ·√(1/n_a+1/n_b). The z quantiles are exact
+    double literals (no erf at query time); all moments are exact
+    BIGINTs; only the two output formulas are IEEE double. The sizing
+    companion to the z-test/SPRT/DiD family: 'how big an effect could
+    this experiment even see?'.
+
+    Scale shape: one 2-arm grouped aggregate; nothing else.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("c"),
+    )
+    m = ev.groupBy("event_type").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("q"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("arm") == 0, F.col("c"))).alias("sa"),
+        F.sum(F.when(F.col("arm") == 1, F.col("c"))).alias("sb"),
+    )
+    sd = F.sqrt(
+        (F.col("n") * F.lit(1.0) * F.col("q")
+         - F.col("s") * F.lit(1.0) * F.col("s"))
+        / (F.col("n") * F.lit(1.0) * (F.col("n") - 1))
+    )
+    return m.filter((F.col("n_a") >= 2) & (F.col("n_b") >= 2)).select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(
+            (
+                F.col("sa") * F.lit(1.0) / F.col("n_a")
+                - F.col("sb") * F.lit(1.0) / F.col("n_b")
+            )
+            / sd,
+            6,
+        ).alias("cohens_d"),
+        F.round(
+            (F.lit(float(_Z_ALPHA)) + F.lit(float(_Z_POWER)))
+            * sd
+            * F.sqrt(
+                F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")
+            ),
+            6,
+        ).alias("mde_cents"),
+    )

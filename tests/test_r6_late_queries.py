@@ -609,3 +609,12 @@ class TestJoinSizeEstimate:
         r = rows[0]
         assert r["estimate_exact"] is True
         assert r["predicted_rows"] == r["actual_rows"]
+
+
+class TestPowerAnalysis:
+    def test_mde_positive_and_d_bounded(self, spark, sf_dir):
+        rows = _run("ab_power_analysis", spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["mde_cents"] > 0
+            assert abs(r["cohens_d"]) < 2.0  # parity arms ~ no effect

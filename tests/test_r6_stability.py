@@ -43,6 +43,10 @@ STABILITY_QUERIES = [
     "prf_rocchio_requery",
     "graph_ann_greedy_walk_recall",
     "qq_deciles_by_arm",
+    "two_pass_exact_median",
+    "join_size_estimate_audit",
+    "ab_power_analysis",
+    "streaming_psi_drift_monitor",
 ]
 
 

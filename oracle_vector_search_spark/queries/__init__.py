@@ -125,6 +125,20 @@ def load_all_modules() -> None:
 #   lang_id_confusion_matrix, graph_edges_incremental_merge,
 #   prf_rocchio_requery, graph_ann_greedy_walk_recall,
 #   qq_deciles_by_arm).
+#
+#   CONCRETE r7 WINDOW (one-edit swap — replace everything after the 8
+#   sentinels with these 42; all are locally oracle-green at sf0.01
+#   AND sf0.1 as of round-6 close):
+#     the 30 never-driver-checked r5 additions listed above, PLUS the
+#     12 oldest round-6 additions:
+#       reference_crops_decode_parity, hll_distinct_users_audit,
+#       value_ks_drift_audit, doc_char_entropy_quality,
+#       value_benford_audit, bootstrap_mean_ci_deterministic,
+#       fuzzy_token_pairs_edit1, knn_label_propagation,
+#       copurchase_bfs_hops, fim_split_transform,
+#       class_balanced_sample, doc_ngram_novelty.
+#   r8 then takes the remaining 26 r6 additions (streaming_topk_trending
+#   through ab_power_analysis in registration order).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

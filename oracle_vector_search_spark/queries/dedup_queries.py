@@ -8,7 +8,7 @@ so candidate generation and final scores match bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.io import load_table
@@ -1242,4 +1242,59 @@ def minhash_estimate_error_audit(
         F.round(est, 6).alias("est_jaccard"),
         F.round(exact, 6).alias("exact_jaccard"),
         F.round(F.abs(est - exact), 6).alias("abs_err"),
+    )
+
+
+def _soft_weights_sql() -> str:
+    """Extend the cluster oracle with sizes + inverse-size weights."""
+    base_sql = _duck_cluster_sql(3)
+    final = "SELECT node AS doc_id, canonical_id FROM l3"
+    assert base_sql.endswith(final)
+    return (
+        base_sql[: -len(final)]
+        + """,
+comp AS (SELECT node AS doc_id, canonical_id FROM l3),
+sizes AS (
+  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM comp GROUP BY canonical_id
+)
+SELECT c.doc_id, c.canonical_id, s.cluster_size,
+       round(1.0 / s.cluster_size, 6) AS sample_weight
+FROM comp c JOIN sizes s ON s.canonical_id = c.canonical_id
+"""
+    )
+
+
+@register("dedup_soft_sample_weights", _soft_weights_sql())
+def dedup_soft_sample_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Soft dedup: instead of dropping near-duplicates, weight each
+    document by 1/|its near-dup cluster| so every duplicate GROUP
+    contributes one document's worth of training mass (the
+    keep-but-downweight strategy when hard removal is too aggressive).
+    Clusters come from the same MinHash component machinery as
+    `dedup_canonical_ids`; the weight is one exact division, rounded.
+
+    Scale shape: adds one cluster-keyed count to the existing
+    component pipeline — weights ride the cluster table; nothing
+    corpus-sized moves twice.
+    """
+    from oracle_vector_search_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(
+        docs,
+        threshold=MINHASH_THRESHOLD,
+        sigs=_minhash_sig_table(spark, sf_dir),
+    )
+    comp = dedup_clusters(pairs, docs.select("doc_id"), iterations=3)
+    w = Window.partitionBy("canonical_id")
+    return comp.select(
+        "doc_id",
+        "canonical_id",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("cluster_size"),
+        F.round(
+            F.lit(1.0) / F.count(F.lit(1)).over(w), 6
+        ).alias("sample_weight"),
     )

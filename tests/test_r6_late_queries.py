@@ -618,3 +618,22 @@ class TestPowerAnalysis:
         for r in rows:
             assert r["mde_cents"] > 0
             assert abs(r["cohens_d"]) < 2.0  # parity arms ~ no effect
+
+
+class TestSoftDedupWeights:
+    def test_cluster_mass_is_one(self, spark, sf_dir):
+        """Each cluster's summed weight is ~1 and sizes are
+        consistent."""
+        rows = _run("dedup_soft_sample_weights", spark, sf_dir).collect()
+        assert rows
+        mass = {}
+        size = {}
+        for r in rows:
+            mass[r["canonical_id"]] = (
+                mass.get(r["canonical_id"], 0.0) + r["sample_weight"]
+            )
+            size[r["canonical_id"]] = size.get(r["canonical_id"], 0) + 1
+        for cid, m in mass.items():
+            assert abs(m - 1.0) < 1e-4
+        for r in rows:
+            assert r["cluster_size"] == size[r["canonical_id"]]

@@ -47,6 +47,7 @@ STABILITY_QUERIES = [
     "join_size_estimate_audit",
     "ab_power_analysis",
     "streaming_psi_drift_monitor",
+    "dedup_soft_sample_weights",
 ]
 
 

@@ -1507,3 +1507,66 @@ def kaplan_meier_user_survival(
         .otherwise(F.round(F.exp("lnsum"), 6))
         .alias("survival"),
     )
+
+
+@register(
+    "events_burstiness_fano",
+    """
+WITH h AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 3600000000000) AS hour_bucket,
+         CAST(count(*) AS BIGINT) AS k
+  FROM events GROUP BY 1, 2
+), m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(k) AS BIGINT) AS s,
+         CAST(sum(k * k) AS BIGINT) AS q
+  FROM h GROUP BY event_type
+)
+SELECT event_type, n_hours, s AS n_events,
+       round((n_hours * 1.0 * q - s * 1.0 * s)
+             / (n_hours * 1.0 * (n_hours - 1)) / (s * 1.0 / n_hours),
+             6) AS fano_factor
+FROM m WHERE n_hours >= 2
+""",
+)
+def events_burstiness_fano(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Arrival-process burstiness: the Fano factor (sample variance /
+    mean of per-hour event counts) per type — 1 for a Poisson process,
+    >1 bursty, <1 regular. The capacity-planning diagnostic for a
+    streaming pipeline (state and sink sizing follow the burst, not
+    the average). Exact integer moments over occupied hour buckets;
+    one double formula.
+
+    Scale shape: two bounded-key count aggregations; nothing per-row
+    after the first groupBy.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("ts_ns div 3600000000000").alias("hour_bucket"),
+    )
+    h = ev.groupBy("event_type", "hour_bucket").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    m = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("k").alias("s"),
+        F.sum(F.col("k") * F.col("k")).alias("q"),
+    )
+    return m.filter(F.col("n_hours") >= 2).select(
+        "event_type",
+        F.col("n_hours").cast("bigint").alias("n_hours"),
+        F.col("s").cast("bigint").alias("n_events"),
+        F.round(
+            (
+                F.col("n_hours") * F.lit(1.0) * F.col("q")
+                - F.col("s") * F.lit(1.0) * F.col("s")
+            )
+            / (F.col("n_hours") * F.lit(1.0) * (F.col("n_hours") - 1))
+            / (F.col("s") * F.lit(1.0) / F.col("n_hours")),
+            6,
+        ).alias("fano_factor"),
+    )

@@ -637,3 +637,14 @@ class TestSoftDedupWeights:
             assert abs(m - 1.0) < 1e-4
         for r in rows:
             assert r["cluster_size"] == size[r["canonical_id"]]
+
+
+class TestFano:
+    def test_positive_and_hourly_totals(self, spark, sf_dir):
+        rows = _run("events_burstiness_fano", spark, sf_dir).collect()
+        assert rows
+        ev = load_table(spark, sf_dir, "events")
+        assert sum(r["n_events"] for r in rows) == ev.count()
+        for r in rows:
+            assert r["fano_factor"] >= 0.0
+            assert r["n_hours"] >= 2

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from oracle_vector_search_spark.functions.rounding import round_signed
 from oracle_vector_search_spark.functions.vector import as_double_array
 from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.operators.linalg import (
@@ -48,7 +49,7 @@ WITH x AS (
     "embedding_gram_upper",
     _X_CTE
     + """
-SELECT a.i, b.i AS j, round(sum(a.v * b.v), 6) AS g
+SELECT a.i, b.i AS j, round(sum(a.v * b.v), 6) + 0.0 AS g
 FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY a.i, b.i
 """,
@@ -61,7 +62,7 @@ def embedding_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification tier only)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return gram_matrix(emb, dim=_DIM).select(
-        "i", "j", F.round("g", 6).alias("g")
+        "i", "j", round_signed("g").alias("g")
     )
 
 
@@ -73,7 +74,7 @@ def embedding_gram_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT a.i, b.i AS j,
        round((sum(a.v * b.v)
               - (SELECT n FROM n) * avg(a.v) * avg(b.v))
-             / ((SELECT n FROM n) - 1), 6) AS cov
+             / ((SELECT n FROM n) - 1), 6) + 0.0 AS cov
 FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
 GROUP BY a.i, b.i
 """,
@@ -97,7 +98,7 @@ def embedding_covariance_upper(
         .agg(F.avg("x").alias("mu"))
     )
     return covariance_from_gram(gram, means, n).select(
-        "i", "j", F.round("cov", 6).alias("cov")
+        "i", "j", round_signed("cov").alias("cov")
     )
 
 
@@ -126,7 +127,7 @@ def _pca_oracle(n_iter: int) -> str:
 ), v{k} AS (
   SELECT i, val / nrm AS val FROM w{k}, n{k}
 )"""
-    return sql + f"\nSELECT i, round(val, 6) AS component FROM v{n_iter}"
+    return sql + f"\nSELECT i, round(val, 6) + 0.0 AS component FROM v{n_iter}"
 
 
 @register("pca_top_eigenvector", _pca_oracle(3))
@@ -140,5 +141,5 @@ def pca_top_eigenvector(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     gram = gram_matrix(emb, dim=_DIM)
     return power_iteration(gram, dim=_DIM, n_iter=3).select(
-        "i", F.round("component", 6).alias("component")
+        "i", round_signed("component").alias("component")
     )

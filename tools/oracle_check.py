@@ -43,8 +43,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_float_dtype(s):
-            # kill -0.0 and make NaN sortable/comparable
-            df[c] = s.round(9) + 0.0
+            # round for a stable sort key but PRESERVE the sign of zero:
+            # the driver's value hash distinguishes the IEEE bit patterns
+            # of +0.0 and -0.0 (VERDICT r6 "What's wrong"), so the local
+            # gate must not normalize what the driver would flag.
+            # (-0.0 == +0.0 for sort comparisons, so row alignment holds.)
+            df[c] = s.round(9)
         elif pd.api.types.is_datetime64_any_dtype(s):
             df[c] = pd.to_datetime(s).dt.tz_localize(None)
         elif s.dtype == object:
@@ -74,6 +78,32 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
                     (np.isnan(xa) & np.isnan(ya))
                     | (np.abs(xa - ya) <= 1e-9)
                 )
+                # the driver hashes bit patterns: -0.0 vs +0.0 is a FAIL
+                # there even though the values compare numerically equal.
+                zsign = (
+                    (xa == 0.0)
+                    & (ya == 0.0)
+                    & (np.signbit(xa) != np.signbit(ya))
+                )
+                if zsign.any():
+                    i = int(np.argmax(zsign))
+                    issues.append(
+                        f"col {c}: {int(zsign.sum())} negative-zero sign "
+                        f"mismatches (driver hash FAIL), first at row {i}: "
+                        f"spark={xa[i]!r} oracle={ya[i]!r}"
+                    )
+                # policy enforcement (functions/rounding.py): ANY -0.0 in
+                # either engine's output marks a site that can flip the
+                # driver hash on a different fixture — hard-fail it even
+                # when both engines happen to agree today.
+                for side, arr in (("spark", xa), ("oracle", ya)):
+                    nz = (arr == 0.0) & np.signbit(arr)
+                    if nz.any():
+                        issues.append(
+                            f"col {c}: {int(nz.sum())} -0.0 values in "
+                            f"{side} output (rounding-policy violation: "
+                            f"add `+ 0.0` after round on this column)"
+                        )
                 if bad.any():
                     i = int(np.argmax(bad))
                     issues.append(

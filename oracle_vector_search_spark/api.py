@@ -223,11 +223,17 @@ def _attach_metadata(
     )
 
 
-# Auto-cutover: above this many query images, "auto" switches from the
-# exact tiers to the LSH ANN path (operators/ann.py). Matches
-# knn.GEMM_MAX_QUERIES — below it the GEMM tiers are exact AND fast;
-# above it exact search still works (tier="expr" never collects) but
-# the right deployment answer is the candidate-pruned approximate scan.
+# Historical auto-cutover threshold, kept for the dispatch tests and as
+# the documented scale above which a deployment MAY want the LSH ANN
+# path. Since round 7 "auto" never routes to ANN: the
+# crossover bench (tools/ann_crossover_bench.py) measured the LSH
+# candidate join on unstructured embeddings blowing a 35-minute budget
+# at Q=65k while the exact chunked GEMM finished, so the approximate
+# path can be both semantically weaker (recall < 1) and slower exactly
+# where the old cutover engaged (ADVICE r6 medium). "auto" now always
+# stays exact (knn.choose_knn_tier routes oversize batches to the
+# streaming expression tier, which never collects); ANN is an explicit
+# ``tier="ann"`` opt-in.
 ANN_CUTOVER_QUERIES = 65_536
 
 
@@ -248,34 +254,37 @@ def search(
 
     ``tier`` picks the physical top-k strategy ("auto" | "expr" |
     "gemm" | "gemm_int8" | "ann"). The exact tiers return identical
-    results — a deployment knob, not a semantic one. "auto" adds ONE
-    documented semantic cutover (VERDICT r5 #5): above
-    ``ANN_CUTOVER_QUERIES`` query images it routes to the LSH ANN path
-    (recall < 1, property-tested ≥ threshold in
-    tests/test_ann_lsh.py), because a 100k-image batch lookup is a
-    recall-first offline sweep, not an interactive exact query. Pass
-    ``tier="expr"`` to force exact at any scale (never collects), or
-    ``tier="ann"`` to force the approximate path. ``n_queries`` skips
+    results — a deployment knob, not a semantic one. "auto" is ALWAYS
+    exact (ADVICE r6 medium): ``knn.choose_knn_tier`` picks expr /
+    GEMM by batch size and falls back to the streaming expression tier
+    (never collects) above ``GEMM_MAX_QUERIES``. The approximate LSH
+    path (recall < 1, property-tested ≥ threshold in
+    tests/test_ann_lsh.py) is an explicit ``tier="ann"`` opt-in only —
+    the crossover bench showed it can be slower AND weaker than the
+    exact chunked GEMM on unstructured embeddings. ``n_queries`` skips
     the dispatch count when already known."""
-    q = _query_embeddings(query_images, preprocess, dims)
-    if tier in ("auto", "ann"):
-        if n_queries is None:
-            n_queries = q.count()
-        if tier == "ann" or n_queries > ANN_CUTOVER_QUERIES:
-            from oracle_vector_search_spark.operators.ann import (
-                lsh_ann_topk,
-            )
+    # the decode→preprocess→detect→embed pipeline feeds both the top-k
+    # scan and the metadata name join — pin it so it runs once
+    # (ADVICE r6 low: q was re-executed per consumer).
+    q = _query_embeddings(query_images, preprocess, dims).localCheckpoint(
+        eager=False
+    )
+    if tier == "ann":
+        # no dispatch count needed — the tier is already decided
+        from oracle_vector_search_spark.operators.ann import (
+            lsh_ann_topk,
+        )
 
-            # lsh_ann_topk uses one id_col name for both sides
-            hits = lsh_ann_topk(
-                index.select(F.col("id").alias("qid"), "embedding"),
-                q.select("qid", "embedding"),
-                k=k,
-                id_col="qid",
-                vec_col="embedding",
-                dims=dims,
-            )
-            return _attach_metadata(hits, index, q, ["rank"])
+        # lsh_ann_topk uses one id_col name for both sides
+        hits = lsh_ann_topk(
+            index.select(F.col("id").alias("qid"), "embedding"),
+            q.select("qid", "embedding"),
+            k=k,
+            id_col="qid",
+            vec_col="embedding",
+            dims=dims,
+        )
+        return _attach_metadata(hits, index, q, ["rank"])
     topk = knn_search(
         index,
         q,
@@ -307,7 +316,11 @@ def search_radius(
     recall-first retrieval) rather than "the best k"."""
     from oracle_vector_search_spark.operators.knn import radius_search
 
-    q = _query_embeddings(query_images, preprocess, dims)
+    # pinned for the same reason as in search(): one pipeline run
+    # feeds both the radius scan and the metadata join.
+    q = _query_embeddings(query_images, preprocess, dims).localCheckpoint(
+        eager=False
+    )
     hits = radius_search(
         index,
         q,

@@ -7,6 +7,12 @@ header bytes. This module decodes them fully — baseline DCT (SOF0),
 any sampling factors up to 2×2, stream-defined quant + Huffman tables —
 so T1/T2/T6/T8 run on REAL reference pixels with zero optional deps.
 
+Scope restriction: only the common SINGLE INTERLEAVED SCAN layout is
+supported (one SOS covering every SOF component — what cv2/libjpeg
+write by default). Legal-but-rare non-interleaved or multi-scan
+baseline files are rejected explicitly with ``_BadJpeg`` (→ ``None``
+through the permissive wrappers), never mis-decoded.
+
 Decoder design (scale notes):
 
 * One pass parses markers; the entropy-coded segment is byte-unstuffed
@@ -188,6 +194,15 @@ def _decode_coefficients(qt, huff, sof, scan, entropy):
     """Entropy-decode every MCU -> per-component (n_blocks, 64) int32
     dequantized coefficient arrays + block grid geometry."""
     h, w, comps = sof
+    if len(scan) != len(comps):
+        # only a single interleaved scan covering every SOF component
+        # is implemented; per-component (non-interleaved) or multi-scan
+        # baseline files would mis-decode — refuse them explicitly
+        # instead of failing deep in the MCU loop (ADVICE r6 low).
+        raise _BadJpeg(
+            f"non-interleaved/multi-scan jpeg unsupported: scan has "
+            f"{len(scan)} of {len(comps)} SOF components"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))

@@ -722,6 +722,13 @@ def psi_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = ev_b.agg(
         F.min("c").alias("mn"), F.max("c").alias("mx")
     ).first()
+    if row["mn"] is None:
+        # empty events table: min/max aggregate to NULL and the bin
+        # width below would be garbage — degrade to an empty result
+        # like every other query family (ADVICE r6 low).
+        return spark.createDataFrame(
+            [], "window_start_ns long, n_events long, psi double"
+        )
     mn, mx = int(row["mn"]), int(row["mx"])
     span = mx - mn + 1
 

@@ -840,3 +840,189 @@ def reference_crops_decode_parity(
         ).alias("dims_multiset"),
         (F.max("dcdiff") <= F.lit(0.05)).alias("dc_consistent"),
     )
+
+
+# ----------------- REAL pixels through the WHOLE chain (VERDICT r6 #4)
+@register(
+    "reference_crops_pixel_chain_profile",
+    f"""
+WITH lines AS (
+  SELECT regexp_extract(filename, '([^/]+)[.]txt$', 1) AS stem,
+         x_c, y_c, w, h
+  FROM read_csv('{_REF_ROOT}/*/labels/*.txt',
+       delim=' ', header=false, filename=true,
+       columns={{'class_id': 'INTEGER', 'x_c': 'DOUBLE', 'y_c': 'DOUBLE',
+                 'w': 'DOUBLE', 'h': 'DOUBLE'}})
+), boxes AS (
+  SELECT stem,
+         CAST(trunc(w * 640) AS INTEGER) AS w_abs,
+         CAST(trunc(h * 640) AS INTEGER) AS h_abs,
+         CAST(trunc(x_c * 640 - trunc(w * 640) / 2) AS INTEGER) AS x1,
+         CAST(trunc(y_c * 640 - trunc(h * 640) / 2) AS INTEGER) AS y1
+  FROM lines
+), eff AS (
+  SELECT stem,
+    least(greatest(CASE WHEN x1 < 0 THEN x1 + 640 ELSE x1 END, 0), 640)
+      AS ex1,
+    least(greatest(CASE WHEN x1 + w_abs < 0 THEN x1 + w_abs + 640
+                        ELSE x1 + w_abs END, 0), 640) AS ex2,
+    least(greatest(CASE WHEN y1 < 0 THEN y1 + 640 ELSE y1 END, 0), 640)
+      AS ey1,
+    least(greatest(CASE WHEN y1 + h_abs < 0 THEN y1 + h_abs + 640
+                        ELSE y1 + h_abs END, 0), 640) AS ey2
+  FROM boxes
+), kept AS (
+  SELECT split_part(stem, '_', 1) AS prefix,
+         (ey2 - ey1) * (ex2 - ex1) AS px
+  FROM eff WHERE ex2 > ex1 AND ey2 > ey1
+), lab AS (
+  SELECT prefix, CAST(count(*) AS BIGINT) AS n_crops,
+         CAST(sum(px) AS BIGINT) AS n_pixels
+  FROM kept GROUP BY prefix
+), blobs AS (
+  SELECT split_part(regexp_extract(filename, '([^/]+)[.]jpg$', 1),
+                    '_', 1) AS prefix,
+         octet_length(content) AS nb
+  FROM read_blob('{_REF_CROPS}/*.jpg')
+), fb AS (
+  SELECT prefix, CAST(sum(nb) AS BIGINT) AS crop_bytes
+  FROM blobs GROUP BY prefix
+), golden(prefix, g_crops, g_pixels, raw_sum, chain_sum,
+          emb_checksum_micros) AS (
+  VALUES
+  ('Tr-gl', 830, 5826961, 1973591499, 2497859121, -5931702),
+  ('Tr-me', 547, 10506157, 4267077504, 5106191664, 24093198),
+  ('Tr-no', 483, 67581885, 25603097547, 31207910178, -27404872),
+  ('Tr-pi', 612, 4143710, 1793076513, 2078247801, -9133599)
+)
+SELECT l.prefix, l.n_crops, l.n_pixels, f.crop_bytes,
+       round(CAST(g.raw_sum AS DOUBLE)
+             / CAST(3 * l.n_pixels AS DOUBLE), 6) AS mean_raw_luma,
+       round(CAST(g.chain_sum AS DOUBLE)
+             / CAST(3 * l.n_pixels AS DOUBLE), 6) AS mean_chain_luma,
+       CAST(g.emb_checksum_micros AS BIGINT) AS emb_checksum_micros
+FROM lab l
+JOIN fb f ON l.prefix = f.prefix
+JOIN golden g ON l.prefix = g.prefix
+""",
+)
+def reference_crops_pixel_chain_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VERDICT r6 #4 — the LAST pre-torch fidelity step: every one of
+    the reference's 2,472 real shipped crops runs the FULL
+    preprocessing stack on its REAL decoded pixels, in one Arrow pass:
+
+        S2 decode (functions/jpeg_numpy.py, no deps)
+        → T1 gamma LUT γ=1.5     (build_faiss_db.py:53-55)
+        → T2 Gaussian blur 3×3   (build_faiss_db.py:77)
+        → T7 CNN input tensor    (build_faiss_db.py:117-124 semantics)
+        → T8 hash-projection embed over the tensor bytes
+
+    using the SAME kernels as the production operators
+    (sources/images.py `_gamma_lut`/`_blur3`/`_cnn_input_tensor`,
+    functions/embed.py batch embedder). Per class prefix (the filename
+    token cv2.imwrite inherited from the dataset split —
+    build_faiss_db.py:192) it emits exact-integer aggregates: crop and
+    pixel counts, byte totals, mean luma before and after the chain,
+    and an order-free embedding checksum (per-crop micro-quantized
+    BEFORE the integer sum, so aggregation order cannot perturb it).
+
+    Oracle: n_crops / n_pixels re-derived INDEPENDENTLY from the
+    reference's label files (numpy-slice crop semantics replay),
+    crop_bytes from read_blob over the same JPEGs, and the three
+    pixel-chain scalars pinned to frozen goldens produced by
+    tools/make_pixel_chain_golden.py — an INDEPENDENT scalar
+    re-implementation of every post-decode transform, asserted equal to
+    the production kernels crop-by-crop before freezing (decode itself
+    is cross-validated by `reference_crops_decode_parity`). sf_dir
+    unused — pinned to the reference's shipped data."""
+    import numpy as np
+    import pandas as pd
+
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(_REF_CROPS)
+    )
+    src = scan.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.jpg$", 1).alias(
+            "stem"
+        ),
+        "length",
+        "content",
+    )
+
+    def batches(it):
+        from oracle_vector_search_spark.functions.embed import (
+            hash_projection_embed_batch,
+        )
+        from oracle_vector_search_spark.functions.jpeg_numpy import (
+            decode_baseline_jpeg,
+        )
+        from oracle_vector_search_spark.sources.images import (
+            _blur3,
+            _cnn_input_tensor,
+            _gamma_lut,
+        )
+
+        lut = _gamma_lut(1.5)
+        for pdf in it:
+            rows = []
+            for stem, nb, b in zip(
+                pdf["stem"], pdf["length"], pdf["content"]
+            ):
+                prefix = stem.split("_", 1)[0]
+                arr = decode_baseline_jpeg(bytes(b))
+                if arr is None:  # F3: skip undecodable, never raise
+                    continue
+                chain = _blur3(lut[arr])
+                tensor = _cnn_input_tensor(chain)
+                emb = hash_projection_embed_batch(
+                    [tensor.tobytes()], 8
+                )[0]
+                rows.append(
+                    (
+                        prefix,
+                        int(nb),
+                        arr.shape[0] * arr.shape[1],
+                        int(arr.astype(np.int64).sum()),
+                        int(chain.astype(np.int64).sum()),
+                        int(np.rint(sum(emb) * 1e6)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "prefix", "nb", "px", "raw_sum", "chain_sum",
+                    "emb_micros",
+                ],
+            )
+
+    per = src.mapInPandas(
+        batches,
+        schema="prefix string, nb long, px long, raw_sum long, "
+        "chain_sum long, emb_micros long",
+    )
+    agg = per.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_crops"),
+        F.sum("px").alias("n_pixels"),
+        F.sum("nb").alias("crop_bytes"),
+        F.sum("raw_sum").alias("raw_sum"),
+        F.sum("chain_sum").alias("chain_sum"),
+        F.sum("emb_micros").alias("emb_checksum_micros"),
+    )
+    den = (F.lit(3) * F.col("n_pixels")).cast("double")
+    return agg.select(
+        "prefix",
+        "n_crops",
+        "n_pixels",
+        "crop_bytes",
+        F.round(F.col("raw_sum").cast("double") / den, 6).alias(
+            "mean_raw_luma"
+        ),
+        F.round(F.col("chain_sum").cast("double") / den, 6).alias(
+            "mean_chain_luma"
+        ),
+        "emb_checksum_micros",
+    )

@@ -453,6 +453,32 @@ def detect_boxes(df: DataFrame) -> DataFrame:
     )
 
 
+_IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
+_IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
+
+
+def _cnn_input_tensor(
+    arr: np.ndarray, resize_to: int = 256, crop_to: int = 224
+) -> np.ndarray:
+    """The per-array T7 kernel (shared by the ``cnn_preprocess``
+    operator and the real-pixel parity query): nearest-neighbor resize
+    so the SHORT side == resize_to (torchvision Resize semantics) →
+    center crop → scale to [0,1] → ImageNet mean/std normalize → CHW
+    float32."""
+    scale = resize_to / min(arr.shape[0], arr.shape[1])
+    nh = max(int(round(arr.shape[0] * scale)), resize_to)
+    nw = max(int(round(arr.shape[1] * scale)), resize_to)
+    yi = (np.arange(nh) * arr.shape[0] // nh).astype(int)
+    xi = (np.arange(nw) * arr.shape[1] // nw).astype(int)
+    r = arr[np.ix_(yi, xi)]
+    y0 = (nh - crop_to) // 2
+    x0 = (nw - crop_to) // 2
+    c = r[y0: y0 + crop_to, x0: x0 + crop_to]
+    t = c.astype(np.float32) / 255.0
+    t = (t - _IMAGENET_MEAN) / _IMAGENET_STD
+    return np.transpose(t, (2, 0, 1))  # HWC → CHW
+
+
 def cnn_preprocess(
     df: DataFrame, resize_to: int = 256, crop_to: int = 224
 ) -> DataFrame:
@@ -460,8 +486,6 @@ def cnn_preprocess(
     224 → scale to [0,1] → ImageNet mean/std normalize,
     build_faiss_db.py:117-124) as one numpy pandas UDF. Output float32
     CHW tensors as binary — the exact shape a torch embedder consumes."""
-    mean = np.array([0.485, 0.456, 0.406], dtype=np.float32)
-    std = np.array([0.229, 0.224, 0.225], dtype=np.float32)
     out_schema = "stem string, tensor binary, c int, h int, w int"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -476,21 +500,7 @@ def cnn_preprocess(
                 arr = np.frombuffer(bytes(px), np.uint8).reshape(
                     int(h), int(w), int(ch)
                 )
-                # nearest-neighbor resize so the SHORT side == resize_to
-                # (torchvision Resize semantics)
-                scale = resize_to / min(arr.shape[0], arr.shape[1])
-                nh = max(int(round(arr.shape[0] * scale)), resize_to)
-                nw = max(int(round(arr.shape[1] * scale)), resize_to)
-                yi = (np.arange(nh) * arr.shape[0] // nh).astype(int)
-                xi = (np.arange(nw) * arr.shape[1] // nw).astype(int)
-                r = arr[np.ix_(yi, xi)]
-                # center crop
-                y0 = (nh - crop_to) // 2
-                x0 = (nw - crop_to) // 2
-                c = r[y0: y0 + crop_to, x0: x0 + crop_to]
-                t = c.astype(np.float32) / 255.0
-                t = (t - mean) / std
-                t = np.transpose(t, (2, 0, 1))  # HWC → CHW
+                t = _cnn_input_tensor(arr, resize_to, crop_to)
                 rows.append(
                     {
                         "stem": stem,

@@ -81,64 +81,36 @@ def load_all_modules() -> None:
 #   r1 ∪ r2 ∪ r3 ∪ r4 ∪ r5 windows = every query that existed before
 #   round 5 (186 distinct driver-checked names; CORRECTNESS_r05 was
 #   50/50 green).
-#   r6 (this file) = 8 always-on sentinels + 42 of the 72 queries ADDED
-#   during round 5 that no driver window has seen (oldest additions
-#   first, per VERDICT r5 #1; every one verified value-exact against
-#   its DuckDB oracle by both the builder's full-registry gate and the
-#   judge's independent re-run). `scd2_point_in_time_join` is pulled
-#   forward from the r7 batch because its tiebreak behavior changed
-#   this round (ADVICE r5 high) and the fix should get the hard
-#   external check immediately.
+#   r6 window = 8 sentinels + the 42 oldest round-5 additions
+#   (CORRECTNESS_r06: 49/50 green; the one red was
+#   embedding_covariance_upper's −0.0-vs-+0.0 rounding artifact, fixed
+#   this round — see functions/rounding.py).
+#   r7 (this file) = 8 sentinels + embedding_covariance_upper (re-check
+#   of the ±0.0 fix, per VERDICT r6 #1) + the 29 remaining
+#   never-driver-checked r5 additions, the 11 oldest round-6 additions,
+#   and the new round-7 real-pixel chain query (VERDICT r6 #4).
 #   Queries past position 49 remain verified by the local gate
 #   (tools/oracle_check.py, full surface, CI via
 #   tests/test_oracle_surface.py). Keep this list at exactly 50 names.
-#   r7 rotation TODO: swap these 42 for the remaining 30 never-checked
-#   r5 additions — source_lang_chisq_divergence,
-#   cdc_merge_with_deletes, null_safe_join_audit,
-#   xml_roundtrip_checksum, funnel_view_click_purchase,
-#   events_trailing_hour_range_sum, incremental_revenue_snapshot,
-#   winsorized_value_sums, revenue_yoy_growth, top_orders_with_ties,
-#   event_type_value_mode, bpe_merge_pairs_top20, bigram_lm_fluency,
-#   seasonal_hour_anomalies, ivf_closure_recall_audit,
-#   bpe_apply_merge_recount, c4_sentence_span_dedup,
-#   retrieval_ndcg_audit, table_stats_profile,
-#   rolling_distinct_users_range, dpp_pruned_event_revenue,
-#   golden_record_survivorship, scd2_user_type_intervals,
-#   largest_remainder_allocation, user_resurrection_stats,
-#   doc_top_keywords, corpus_summary_card,
-#   temperature_mixture_allocation, user_event_diversity_simpson —
-#   plus the queries added in round 6 (reference_crops_decode_parity,
-#   hll_distinct_users_audit, value_ks_drift_audit,
-#   doc_char_entropy_quality, value_benford_audit,
-#   bootstrap_mean_ci_deterministic, fuzzy_token_pairs_edit1,
-#   knn_label_propagation, copurchase_bfs_hops, fim_split_transform,
-#   class_balanced_sample, doc_ngram_novelty, streaming_topk_trending,
-#   temporal_holdout_split, psi_value_drift, vocab_coverage_curve,
-#   embedding_components_single_linkage, dbscan_embedding_clusters,
-#   hits_event_transitions, sprt_ab_sequential_test,
-#   doc_readability_scores, session_hot_hour_overlap,
-#   item_cf_similar_parts_top3, kaplan_meier_user_survival,
-#   als_rank1_user_step, split_conformal_intervals, did_estimator,
-#   mann_whitney_u_test, spearman_value_time_corr,
-#   kcenter_coreset_seeds, binary_quantization_recall, zipf_slope_fit,
-#   streaming_psi_drift_monitor, association_rules_pairs,
-#   lang_id_confusion_matrix, graph_edges_incremental_merge,
-#   prf_rocchio_requery, graph_ann_greedy_walk_recall,
-#   qq_deciles_by_arm).
-#
-#   CONCRETE r7 WINDOW (one-edit swap — replace everything after the 8
-#   sentinels with these 42; all are locally oracle-green at sf0.01
-#   AND sf0.1 as of round-6 close):
-#     the 30 never-driver-checked r5 additions listed above, PLUS the
-#     12 oldest round-6 additions:
-#       reference_crops_decode_parity, hll_distinct_users_audit,
-#       value_ks_drift_audit, doc_char_entropy_quality,
-#       value_benford_audit, bootstrap_mean_ci_deterministic,
-#       fuzzy_token_pairs_edit1, knn_label_propagation,
-#       copurchase_bfs_hops, fim_split_transform,
-#       class_balanced_sample, doc_ngram_novelty.
-#   r8 then takes the remaining 26 r6 additions (streaming_topk_trending
-#   through ab_power_analysis in registration order).
+#   r8 rotation TODO: swap the 41 non-sentinel/non-recheck names for the
+#   remaining 36 never-checked round-6 additions (in registration
+#   order: binary_quantization_recall, prf_rocchio_requery,
+#   temporal_holdout_split, session_hot_hour_overlap,
+#   kaplan_meier_user_survival, events_burstiness_fano,
+#   vocab_coverage_curve, doc_readability_scores,
+#   lang_id_confusion_matrix, minhash_estimate_error_audit,
+#   dedup_soft_sample_weights, psi_value_drift,
+#   sprt_ab_sequential_test, split_conformal_intervals, did_estimator,
+#   mann_whitney_u_test, spearman_value_time_corr, qq_deciles_by_arm,
+#   ab_power_analysis, two_pass_exact_median, join_size_estimate_audit,
+#   item_cf_similar_parts_top3, als_rank1_user_step,
+#   association_rules_pairs, embedding_components_single_linkage,
+#   dbscan_embedding_clusters, hits_event_transitions,
+#   kcore_embedding_graph, graph_degree_assortativity,
+#   local_clustering_coefficients, graph_edges_incremental_merge,
+#   graph_ann_greedy_walk_recall, kcenter_coreset_seeds,
+#   streaming_topk_trending, streaming_psi_drift_monitor,
+#   zipf_slope_fit) plus round-7 additions as slots allow.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",
@@ -149,53 +121,52 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_cosine_top5_gemm",
     "exact_dedup_groups",
     "streaming_upsert_snapshot",
-    # --- r5 additions, never driver-checked: curation/LM family ---
-    "quality_classifier_keep",
-    "dsir_importance_select",
-    "semantic_dedup_keep",
-    "lm_perplexity_buckets",
-    "shard_export_manifest",
-    "curated_corpus_checksum",
-    "incremental_corpus_admission",
-    "sequential_poisson_sample",
-    "media_frame_manifest",
-    "streaming_corpus_admission",
-    # --- r5 additions: TPC-H completions ---
-    "q3_shipping_priority",
-    "q18_large_volume_customers",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_supplier",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    # --- r5 additions: analytics / graph / feature kernels ---
-    "dedup_graph_triangles",
-    "ab_test_event_value_z",
-    "events_user_ewma",
-    "events_user_cusum",
-    "synopsis_range_count_audit",
-    "retrieval_map_audit",
-    "knn_classifier_confusion",
-    "revenue_rollup_nation_year",
-    "customer_spend_window_suite",
-    "quantity_quantiles_by_flag",
-    "set_ops_customer_cohorts",
-    "knn_radius_search",
-    "pagerank_event_transitions",
-    # --- r5 additions: linear algebra / retrieval / ANN ---
-    "embedding_gram_upper",
+    # --- re-check: the r6 red row, fixed via functions/rounding.py ---
     "embedding_covariance_upper",
-    "pca_top_eigenvector",
-    "tfidf_cosine_top5",
-    "copurchase_part_pairs_top20",
-    "events_hourly_gapfill_ffill",
-    "events_rolling_median_value",
-    "ivfpq_ann_topk",
-    "ivfpq_residual_fidelity",
-    "pareto_skyline_orders",
-    # --- behavior changed this round (ADVICE r5 high): verify now ---
-    "scd2_point_in_time_join",
+    # --- r5 additions, never driver-checked (29) ---
+    "source_lang_chisq_divergence",
+    "cdc_merge_with_deletes",
+    "null_safe_join_audit",
+    "xml_roundtrip_checksum",
+    "funnel_view_click_purchase",
+    "events_trailing_hour_range_sum",
+    "incremental_revenue_snapshot",
+    "winsorized_value_sums",
+    "revenue_yoy_growth",
+    "top_orders_with_ties",
+    "event_type_value_mode",
+    "bpe_merge_pairs_top20",
+    "bigram_lm_fluency",
+    "seasonal_hour_anomalies",
+    "ivf_closure_recall_audit",
+    "bpe_apply_merge_recount",
+    "c4_sentence_span_dedup",
+    "retrieval_ndcg_audit",
+    "table_stats_profile",
+    "rolling_distinct_users_range",
+    "dpp_pruned_event_revenue",
+    "golden_record_survivorship",
+    "scd2_user_type_intervals",
+    "largest_remainder_allocation",
+    "user_resurrection_stats",
+    "doc_top_keywords",
+    "corpus_summary_card",
+    "temperature_mixture_allocation",
+    "user_event_diversity_simpson",
+    # --- 11 oldest round-6 additions, never driver-checked ---
+    "reference_crops_decode_parity",
+    "hll_distinct_users_audit",
+    "value_ks_drift_audit",
+    "doc_char_entropy_quality",
+    "value_benford_audit",
+    "bootstrap_mean_ci_deterministic",
+    "fuzzy_token_pairs_edit1",
+    "knn_label_propagation",
+    "copurchase_bfs_hops",
+    "fim_split_transform",
+    "class_balanced_sample",
+    # --- new this round: real-pixel full-chain parity (VERDICT r6 #4)
+    "reference_crops_pixel_chain_profile",
 )
 
 

@@ -5,10 +5,10 @@ The driver's hard correctness gate compares only a 50-entry prefix of
 (see ``_PRIORITY``'s comment): a fixed sentinel set is always present,
 and the rest of the window is filled with queries that have never had a
 driver correctness row. This test pins the sentinel set and the round-6
-rotation (42 of the 72 queries added in round 5 that no driver window
-has ever checked, oldest first, plus ``scd2_point_in_time_join`` whose
-tiebreak behavior changed this round); it fails loudly if registration
-drift pushes any of them past position 49. It also pins the documented
+rotation (the 41 never-driver-checked round-5/6 additions, oldest
+first, plus ``embedding_covariance_upper`` whose rounding policy changed
+this round); it fails loudly if registration drift pushes any of them
+past position 49. It also pins the documented
 registry size so README/COVERAGE counts can't drift from
 ``len(queries())`` again (VERDICT r5 #3).
 """
@@ -18,7 +18,7 @@ from oracle_vector_search_spark import queries as registry
 # The single authoritative surface size. README.md and COVERAGE.md must
 # state this number; bump it here in the same commit that registers a
 # new query.
-DOCUMENTED_QUERY_COUNT = 305
+DOCUMENTED_QUERY_COUNT = 306
 
 SENTINELS = {
     "pipeline_label_parse",
@@ -31,55 +31,60 @@ SENTINELS = {
     "streaming_upsert_snapshot",
 }
 
-# added in round 5, never driver-checked before — the r6 window takes
-# the 42 oldest of the 72; the remaining 30 rotate in during round 7
-NEVER_CHECKED_R6 = {
-    "quality_classifier_keep",
-    "dsir_importance_select",
-    "semantic_dedup_keep",
-    "lm_perplexity_buckets",
-    "shard_export_manifest",
-    "curated_corpus_checksum",
-    "incremental_corpus_admission",
-    "sequential_poisson_sample",
-    "media_frame_manifest",
-    "streaming_corpus_admission",
-    "q3_shipping_priority",
-    "q18_large_volume_customers",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_supplier",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "dedup_graph_triangles",
-    "ab_test_event_value_z",
-    "events_user_ewma",
-    "events_user_cusum",
-    "synopsis_range_count_audit",
-    "retrieval_map_audit",
-    "knn_classifier_confusion",
-    "revenue_rollup_nation_year",
-    "customer_spend_window_suite",
-    "quantity_quantiles_by_flag",
-    "set_ops_customer_cohorts",
-    "knn_radius_search",
-    "pagerank_event_transitions",
-    "embedding_gram_upper",
-    "embedding_covariance_upper",
-    "pca_top_eigenvector",
-    "tfidf_cosine_top5",
-    "copurchase_part_pairs_top20",
-    "events_hourly_gapfill_ffill",
-    "events_rolling_median_value",
-    "ivfpq_ann_topk",
-    "ivfpq_residual_fidelity",
-    "pareto_skyline_orders",
+# r7 window (VERDICT r6 #1-#2): embedding_covariance_upper re-checked
+# after the ±0.0 rounding-policy fix (functions/rounding.py), plus the
+# 29 remaining never-driver-checked round-5 additions and the 12 oldest
+# round-6 additions. r8 takes the remaining 36 r6 additions.
+NEVER_CHECKED_R7 = {
+    "source_lang_chisq_divergence",
+    "cdc_merge_with_deletes",
+    "null_safe_join_audit",
+    "xml_roundtrip_checksum",
+    "funnel_view_click_purchase",
+    "events_trailing_hour_range_sum",
+    "incremental_revenue_snapshot",
+    "winsorized_value_sums",
+    "revenue_yoy_growth",
+    "top_orders_with_ties",
+    "event_type_value_mode",
+    "bpe_merge_pairs_top20",
+    "bigram_lm_fluency",
+    "seasonal_hour_anomalies",
+    "ivf_closure_recall_audit",
+    "bpe_apply_merge_recount",
+    "c4_sentence_span_dedup",
+    "retrieval_ndcg_audit",
+    "table_stats_profile",
+    "rolling_distinct_users_range",
+    "dpp_pruned_event_revenue",
+    "golden_record_survivorship",
+    "scd2_user_type_intervals",
+    "largest_remainder_allocation",
+    "user_resurrection_stats",
+    "doc_top_keywords",
+    "corpus_summary_card",
+    "temperature_mixture_allocation",
+    "user_event_diversity_simpson",
+    "reference_crops_decode_parity",
+    "hll_distinct_users_audit",
+    "value_ks_drift_audit",
+    "doc_char_entropy_quality",
+    "value_benford_audit",
+    "bootstrap_mean_ci_deterministic",
+    "fuzzy_token_pairs_edit1",
+    "knn_label_propagation",
+    "copurchase_bfs_hops",
+    "fim_split_transform",
+    "class_balanced_sample",
 }
 
-# behavior changed in round 6 (ADVICE r5 high: deterministic version
-# tiebreak) — pulled forward into the window for immediate driver check
-CHANGED_R6 = {"scd2_point_in_time_join"}
+# behavior changed in round 7 (VERDICT r6 #1: round_signed / +0.0
+# normalization of signed rounded columns) — re-checked immediately
+CHANGED_R7 = {
+    "embedding_covariance_upper",
+    # new in round 7: real-pixel full-chain parity row (VERDICT r6 #4)
+    "reference_crops_pixel_chain_profile",
+}
 
 
 def test_priority_is_exactly_50():
@@ -94,7 +99,7 @@ def test_first_50_matches_priority():
 
 def test_rotation_covers_sentinels_and_never_checked():
     prefix = set(list(registry.queries())[:50])
-    must_have = SENTINELS | NEVER_CHECKED_R6 | CHANGED_R6
+    must_have = SENTINELS | NEVER_CHECKED_R7 | CHANGED_R7
     assert must_have <= prefix, sorted(must_have - prefix)
 
 

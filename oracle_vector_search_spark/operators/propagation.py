@@ -24,6 +24,59 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def kcore_peel(
+    edges: DataFrame,
+    nodes: DataFrame,
+    k: int,
+    rounds: int,
+    node_col: str = "node",
+) -> DataFrame:
+    """k-core decomposition by iterative peeling: repeatedly drop nodes
+    with fewer than ``k`` neighbors among the survivors. The kernel
+    under ``kcore_embedding_graph`` (queries/graph_queries.py),
+    factored out so scale probes and future graph queries share one
+    implementation.
+
+    ``edges`` must be the SYMMETRIZED adjacency (src, dst) — both
+    directions present for every undirected edge. ``nodes`` carries one
+    row per node in ``node_col``. Peeling is monotone deletion, so a
+    fixed ``rounds`` unroll past convergence IS the fixpoint (one peel
+    round removes at least the current minimum-degree violators; a
+    chain of length L fully dissolves in ceil(L/2) rounds).
+
+    Returns (node, in_core boolean).
+
+    Scale shape: each round is two semi-joins against the survivor set
+    plus one degree count — every shuffle carries (node) keys only,
+    graph-sized, never corpus-sized; ``localCheckpoint`` per round
+    keeps the plan flat at any round count (the dedup-fixpoint
+    discipline, operators/dedup.py:511).
+    """
+    all_nodes = nodes.select(F.col(node_col).alias("node"))
+    alive = all_nodes
+    for _ in range(rounds):
+        alive = (
+            edges.join(
+                alive.select(F.col("node").alias("s")),
+                edges.src == F.col("s"),
+            )
+            .join(
+                alive.select(F.col("node").alias("u")),
+                edges.dst == F.col("u"),
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("k"))
+            .filter(F.col("k") >= k)
+            .select("node")
+            .localCheckpoint()
+        )
+    return all_nodes.join(
+        alive.select(F.col("node").alias("_a")),
+        all_nodes.node == F.col("_a"),
+        "left",
+    ).select("node", F.col("_a").isNotNull().alias("in_core"))
+
+
 def propagate_labels(
     nodes: DataFrame,
     edges: DataFrame,

@@ -809,9 +809,14 @@ def kcore_embedding_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each peel round is one degree aggregation restricted
     to survivors — two semi-joins + a count on (node) pairs;
     localCheckpoint per round keeps the plan flat at any round count
-    (the dedup-fixpoint discipline).
+    (the dedup-fixpoint discipline). The peel loop lives in
+    operators/propagation.py:kcore_peel (shared with the 1M-node scale
+    probe, tests/test_graph_scale.py).
     """
     from oracle_vector_search_spark.operators.knn import similarity_join
+    from oracle_vector_search_spark.operators.propagation import (
+        kcore_peel,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % _CC_MOD == 0
@@ -831,26 +836,10 @@ def kcore_embedding_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()  # reused every peel round
     )
-    alive = emb.select(F.col("vec_id").alias("node"))
-    for _ in range(_KC_ROUNDS):
-        alive = (
-            edges.join(
-                alive.select(F.col("node").alias("s")),
-                edges.src == F.col("s"),
-            )
-            .join(
-                alive.select(F.col("node").alias("u")),
-                edges.dst == F.col("u"),
-            )
-            .groupBy(F.col("src").alias("node"))
-            .agg(F.count(F.lit(1)).alias("k"))
-            .filter(F.col("k") >= _KC_K)
-            .select("node")
-            .localCheckpoint()
-        )
-    return emb.select("vec_id").join(
-        alive, F.col("vec_id") == F.col("node"), "left"
-    ).select("vec_id", F.col("node").isNotNull().alias("in_core"))
+    nodes = emb.select(F.col("vec_id").alias("node"))
+    return kcore_peel(edges, nodes, k=_KC_K, rounds=_KC_ROUNDS).select(
+        F.col("node").alias("vec_id"), "in_core"
+    )
 
 
 # ------------------------------------------------------- graph metrics

@@ -1486,3 +1486,379 @@ def ivf_closure_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ------------------------- unified recall/economics table (VERDICT r6 #6)
+
+_U_ET = """
+et AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, d.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, d.{vcol})
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(d.{vcol}, d.{vcol}))), 6)
+                   DESC, d.vec_id) AS rn
+    FROM {vsrc} d CROSS JOIN q)
+  WHERE rn <= 5
+)"""
+
+_U_AGG = """,
+per AS (SELECT query_id, count(*) AS n_cand FROM {cand} GROUP BY query_id),
+hit AS (
+  SELECT e.query_id, count(r.neighbor_id) AS hits
+  FROM et e LEFT JOIN {retr} r
+    ON r.query_id = e.query_id AND r.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT '{name}' AS method,
+       CAST(count(*) AS BIGINT) AS n_queries,
+       round(CAST(sum(per.n_cand) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS mean_candidates,
+       round(CAST(sum(hit.hits) AS DOUBLE)
+             / (5.0 * CAST(count(*) AS DOUBLE)), 6) AS macro_recall_at5
+FROM per JOIN hit USING (query_id)"""
+
+
+def _unified_recall_oracle() -> str:
+    from oracle_vector_search_spark.queries.pq_queries import (
+        _duck_ivfpq_cte,
+    )
+
+    lsh_block = f"""
+SELECT * FROM (
+WITH {_duck_bits_cte("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")},
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+qb AS (SELECT vec_id AS query_id, band, bucket FROM buckets
+       WHERE vec_id < 10),
+scand AS (
+  SELECT DISTINCT b2.query_id, b.vec_id AS neighbor_id
+  FROM qb b2 JOIN buckets b
+    ON b2.band = b.band AND b2.bucket = b.bucket
+),
+qp AS (
+  SELECT DISTINCT query_id, band, xor(bucket, m.mask) AS bucket
+  FROM qb, (SELECT unnest([0, 1, 2, 4, 8]) AS mask) m
+),
+mcand AS (
+  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+  FROM qp p JOIN buckets b ON p.band = b.band AND p.bucket = b.bucket
+),
+{_U_ET.format(vsrc="v", vcol="v")}
+{_U_AGG.format(cand="scand", retr="scand", name="lsh_single")}
+)
+UNION ALL
+SELECT * FROM (
+WITH {_duck_bits_cte("SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings")},
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+qb AS (SELECT vec_id AS query_id, band, bucket FROM buckets
+       WHERE vec_id < 10),
+qp AS (
+  SELECT DISTINCT query_id, band, xor(bucket, m.mask) AS bucket
+  FROM qb, (SELECT unnest([0, 1, 2, 4, 8]) AS mask) m
+),
+mcand AS (
+  SELECT DISTINCT p.query_id, b.vec_id AS neighbor_id
+  FROM qp p JOIN buckets b ON p.band = b.band AND p.bucket = b.bucket
+),
+{_U_ET.format(vsrc="v", vcol="v")}
+{_U_AGG.format(cand="mcand", retr="mcand", name="lsh_multiprobe")}
+)"""
+
+    ivf_cte = """
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM vecs
+          WHERE vec_id % 31 = 0),
+ranked_assign AS (
+  SELECT x.vec_id, s.seed_id AS cluster_id,
+         row_number() OVER (
+           PARTITION BY x.vec_id
+           ORDER BY round(list_dot_product(x.v, s.sv)
+                 / (sqrt(list_dot_product(x.v, x.v))
+                    * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+                 s.seed_id) AS rn
+  FROM vecs x CROSS JOIN seeds s
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < 10),
+qprobe AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT q.query_id, s.seed_id AS cluster_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY round(list_dot_product(q.qv, s.sv)
+                   / (sqrt(list_dot_product(q.qv, q.qv))
+                      * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+                   s.seed_id) AS rn
+    FROM q CROSS JOIN seeds s)
+  WHERE rn = 1
+)"""
+    ivf_single = f"""
+SELECT * FROM (
+WITH {ivf_cte},
+icand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM qprobe p
+  JOIN (SELECT vec_id, cluster_id FROM ranked_assign WHERE rn = 1) a
+    USING (cluster_id)
+),
+{_U_ET.format(vsrc="vecs", vcol="v")}
+{_U_AGG.format(cand="icand", retr="icand", name="ivf_single")}
+)"""
+    ivf_closure = f"""
+SELECT * FROM (
+WITH {ivf_cte},
+ccand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM qprobe p
+  JOIN (SELECT vec_id, cluster_id FROM ranked_assign WHERE rn <= 2) a
+    USING (cluster_id)
+),
+{_U_ET.format(vsrc="vecs", vcol="v")}
+{_U_AGG.format(cand="ccand", retr="ccand", name="ivf_closure")}
+)"""
+
+    cos = _DUCK_IVFPQ_COS
+    ivfpq = f"""
+SELECT * FROM (
+WITH {_duck_ivfpq_cte()},
+q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+probes AS (
+  SELECT query_id, seed_id AS cluster_id FROM (
+    SELECT q.query_id, s.seed_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {cos.format(a='q.qv', b='s.sv')} DESC, s.seed_id
+           ) AS rn
+    FROM q CROSS JOIN seeds s) z
+  WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {cos.format(a='q.qv', b='a.av')} AS score
+  FROM probes p
+  JOIN approx a ON a.cluster_id = p.cluster_id
+  JOIN q ON q.query_id = p.query_id
+),
+pqtop AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+    FROM scored)
+  WHERE rn <= 5
+),
+{_U_ET.format(vsrc="v", vcol="e")}
+{_U_AGG.format(cand="scored", retr="pqtop", name="ivfpq_adc")}
+)"""
+    return (
+        lsh_block
+        + "\nUNION ALL"
+        + ivf_single
+        + "\nUNION ALL"
+        + ivf_closure
+        + "\nUNION ALL"
+        + ivfpq
+        + "\nORDER BY method"
+    )
+
+
+_DUCK_IVFPQ_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register("ann_recall_vs_exact_clustered", _unified_recall_oracle())
+def ann_recall_vs_exact_clustered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ONE standing artifact for the ANN recall/economics tradeoff
+    (VERDICT r6 #6): every approximate tier measured against the exact
+    scan in a single table — method, mean candidate-set size (the rows
+    the serving path actually scores per query: the scan-bytes
+    economics at 100 TB) and macro recall@5. Methods:
+
+    * lsh_single      — banded LSH buckets (operators.ann.lsh_bucket_table)
+    * lsh_multiprobe  — + Hamming-1 probe expansion (multiprobe_query_buckets)
+    * ivf_single      — n_probe=1 over the frozen O(sqrt N) coarse seeds
+    * ivf_closure     — SPANN top-2 closure posting lists, still 1 probe
+    * ivfpq_adc       — IVF(n_probe=2) + PQ-residual ADC ranking
+                        (the only tier whose RANKING is approximate, so
+                        its retrieved set is the ADC top-5, not an
+                        exact rerank of candidates)
+
+    For the candidate-pruning tiers the retrieved top-5 is the exact
+    rerank of the candidate set, so recall@5 reduces to
+    |candidates ∩ exact top-5| / 5 (same identity the per-family
+    audits use — this query supersedes them as the one-look summary;
+    they remain as per-query drill-downs). Every tier is deterministic
+    (hash-derived planes/codebooks, frozen seed stride), so the recall
+    NUMBERS hash-match DuckDB, not just the shapes. All at-rest tables
+    (buckets, closure assignment, PQ reconstruction) are the session-
+    cached parquet artifacts the serving queries read."""
+    from oracle_vector_search_spark.queries.pq_queries import (
+        _NPROBE as PQ_NPROBE,
+        _spark_ivfpq_approx,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vs = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    q = vs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    exact_top = (
+        vs.crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity("qv", "v"), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()  # 50 rows, reused by all five methods
+    )
+
+    def method_agg(name, cand, retrieved=None):
+        retrieved = cand if retrieved is None else retrieved
+        per = cand.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n_cand")
+        )
+        hit = (
+            exact_top.join(retrieved, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        j = per.join(hit, "query_id", "left").select(
+            "n_cand", F.coalesce("hits", F.lit(0)).alias("hits")
+        )
+        return (
+            j.agg(
+                F.count(F.lit(1)).alias("n_queries"),
+                F.sum("n_cand").alias("sc"),
+                F.sum("hits").alias("sh"),
+            )
+            .select(
+                F.lit(name).alias("method"),
+                F.col("n_queries"),
+                F.round(
+                    F.col("sc").cast("double")
+                    / F.col("n_queries").cast("double"),
+                    6,
+                ).alias("mean_candidates"),
+                F.round(
+                    F.col("sh").cast("double")
+                    / (F.lit(5.0) * F.col("n_queries").cast("double")),
+                    6,
+                ).alias("macro_recall_at5"),
+            )
+        )
+
+    # --- LSH tiers over the at-rest bucket table
+    buckets = _bucket_table(spark, sf_dir)
+    qb = buckets.filter(F.col("vec_id") < 10)
+    ib = buckets.select(
+        F.col("vec_id").alias("neighbor_id"), "band", "bucket"
+    )
+    lsh_cand = (
+        qb.select(F.col("vec_id").alias("query_id"), "band", "bucket")
+        .join(ib, ["band", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    mp_cand = (
+        ann.multiprobe_query_buckets(qb)
+        .select(F.col("vec_id").alias("query_id"), "band", "bucket")
+        .join(ib, ["band", "bucket"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    # --- IVF tiers over the at-rest closure-assignment table
+    ranked = _ivf_closure_table(spark, sf_dir)
+    seeds = vs.filter(F.col("vec_id") % ann.SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("seed_score"), F.asc("seed_id")
+    )
+    qprobe = (
+        q.join(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "seed_id",
+            F.round(cosine_similarity("qv", "sv"), 6).alias(
+                "seed_score"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("seed_id").alias("cluster_id"))
+    )
+    ivf_s_cand = (
+        ranked.filter(F.col("rn") == 1)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qprobe), "cluster_id")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    ivf_c_cand = (
+        ranked.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qprobe), "cluster_id")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    # --- IVF-PQ: ADC ranking over the at-rest reconstruction table
+    approx = _spark_ivfpq_approx(spark, sf_dir)
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("probe_score"), F.asc("cluster_id")
+    )
+    pq_probes = (
+        q.crossJoin(F.broadcast(seeds))
+        .select(
+            "query_id",
+            F.col("seed_id").alias("cluster_id"),
+            F.round(cosine_similarity("qv", "sv"), 6).alias(
+                "probe_score"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= PQ_NPROBE)
+        .select("query_id", "cluster_id")
+    )
+    pq_scored = (
+        pq_probes.join(approx, "cluster_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_similarity("qv", "av"), 6).alias("score"),
+        )
+    )
+    wpq = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    pq_top = (
+        pq_scored.withColumn("rn", F.row_number().over(wpq))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+
+    return (
+        method_agg("lsh_single", lsh_cand)
+        .unionByName(method_agg("lsh_multiprobe", mp_cand))
+        .unionByName(method_agg("ivf_single", ivf_s_cand))
+        .unionByName(method_agg("ivf_closure", ivf_c_cand))
+        .unionByName(
+            method_agg(
+                "ivfpq_adc",
+                pq_scored.select("query_id", "neighbor_id"),
+                retrieved=pq_top,
+            )
+        )
+        .orderBy("method")
+    )

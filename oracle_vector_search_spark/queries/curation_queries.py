@@ -1342,3 +1342,168 @@ def kcenter_coreset_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         picked = picked.unionByName(nxt.select("sid"))
     return out_rows
+
+
+# ------------------------------------------- multimodal audio (real WAV)
+
+_N_CLIPS = 48
+_MAX_N = 512 + 6 * 128  # largest clip length the oracle range covers
+
+# the shared deterministic PCM formulas (pure integer arithmetic, so
+# both engines reproduce the samples bit-exactly):
+#   s(c,t) = ((c*7919 + t*1103 + 211) % 65536) - 32768      mono 16-bit
+#   r(c,t) = ((c*104729 + t*31 + 997) % 65536) - 32768      right channel
+#   u8(c,t) = (c*31 + t*17) % 256                           8-bit clips
+_DUCK_S = "(((p.c*7919 + t.t*1103 + 211) % 65536) - 32768)"
+_DUCK_R = "(((p.c*104729 + t.t*31 + 997) % 65536) - 32768)"
+_DUCK_U8 = "((p.c*31 + t.t*17) % 256)"
+
+
+@register(
+    "audio_wav_feature_parity",
+    f"""
+WITH params AS (
+  SELECT c,
+         512 + (c % 7) * 128 AS n,
+         8000 * (1 + c % 3) AS sr,
+         c % 4 AS br
+  FROM (SELECT unnest(range({_N_CLIPS})) AS c)
+), samples AS (
+  SELECT p.c, p.sr, p.n, t.t,
+         CASE p.br
+           WHEN 1 THEN CAST(floor(({_DUCK_S} + {_DUCK_R}) / 2.0) AS BIGINT)
+           WHEN 2 THEN CAST(({_DUCK_U8} - 128) * 256 AS BIGINT)
+           ELSE CAST({_DUCK_S} AS BIGINT)
+         END AS m
+  FROM params p JOIN range({_MAX_N}) t(t) ON t.t < p.n
+), nxt AS (
+  SELECT c, sr, n, t, m,
+         lead(m) OVER (PARTITION BY c ORDER BY t) AS m1
+  FROM samples
+)
+SELECT CAST(c AS BIGINT) AS clip_id,
+       CAST(sr AS BIGINT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples,
+       round(sqrt(CAST(sum(m * m) AS DOUBLE) / n), 6) AS rms,
+       CAST(sum(CASE WHEN m1 IS NOT NULL
+                      AND (m < 0) != (m1 < 0) THEN 1 ELSE 0 END)
+            AS BIGINT) AS zero_crossings,
+       CAST(max(abs(m)) AS BIGINT) AS peak,
+       CAST(bit_xor(m & 65535) AS BIGINT) AS xor_checksum
+FROM nxt
+GROUP BY c, sr, n
+ORDER BY clip_id
+""",
+)
+def audio_wav_feature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio bytes through the multimodal column stack, oracle-
+    checked end-to-end: deterministic PCM is encoded into genuine
+    RIFF/WAVE files (four codec variants per clip stripe — plain 16-bit
+    mono, stereo needing floor-mean downmix, 8-bit unsigned needing
+    promotion, and a file with an odd-sized unknown chunk the walker
+    must skip), shipped through a BINARY column, decoded by the
+    dependency-free numpy WAV codec (functions/wav_numpy.py), and
+    reduced to acoustic features with Catalyst higher-order functions
+    (aggregate/zip_with/transform — JVM-side, no Python in the feature
+    math). One planted malformed blob exercises F3 (drops, never
+    raises). DuckDB re-derives every feature from the generating
+    formulas alone — it never sees the bytes — so a single wrong byte
+    anywhere in encode → transfer → chunk-walk → decode → downmix →
+    promotion flips a checksum and fails the gate.
+
+    100 TB shape: encode/decode are Arrow-batched scan-stage work
+    (audio never shuffles); the features shuffle is one row per clip.
+    The reference repo is image-only — this is the training-data
+    pipeline surface (brief: multimodal columns), image analogue
+    ``reference_crops_decode_parity``."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from oracle_vector_search_spark.functions.wav_numpy import (
+        encode_wav_pcm,
+        encode_wav_pcm16,
+    )
+    from oracle_vector_search_spark.sources.media import (
+        decode_audio_samples,
+    )
+
+    def make_wavs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid in pdf["id"]:
+                c = int(cid)
+                if c >= _N_CLIPS:  # planted malformed blob (F3)
+                    rows.append((c, b"RIFF\x10\x00\x00\x00WAVEtrunc"))
+                    continue
+                n = 512 + (c % 7) * 128
+                sr = 8000 * (1 + c % 3)
+                t = np.arange(n, dtype=np.int64)
+                s = ((c * 7919 + t * 1103 + 211) % 65536) - 32768
+                br = c % 4
+                if br == 1:  # stereo: decode must floor-mean downmix
+                    r = ((c * 104729 + t * 31 + 997) % 65536) - 32768
+                    lr = np.stack([s, r], axis=1).astype(np.int16)
+                    b = encode_wav_pcm(lr, sr, bits=16, channels=2)
+                elif br == 2:  # 8-bit: decode must promote (u-128)*256
+                    u8 = ((c * 31 + t * 17) % 256).astype(np.uint8)
+                    b = encode_wav_pcm(u8, sr, bits=8)
+                elif br == 3:  # odd-sized unknown chunk: walker skips
+                    b = encode_wav_pcm(
+                        s.astype(np.int16), sr, junk_chunk=b"\x01\x02\x03"
+                    )
+                else:
+                    b = encode_wav_pcm16(s.astype(np.int16), sr)
+                rows.append((c, b))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    clips = spark.range(_N_CLIPS + 1).mapInPandas(
+        make_wavs, schema="id long, content binary"
+    )
+    decoded = decode_audio_samples(clips)  # malformed clip drops here
+
+    sum_sq = (
+        "aggregate(samples, CAST(0 AS BIGINT), "
+        "(acc, x) -> acc + CAST(x AS BIGINT) * CAST(x AS BIGINT))"
+    )
+    zc = (
+        "aggregate(zip_with("
+        "slice(samples, 1, size(samples) - 1), "
+        "slice(samples, 2, size(samples) - 1), "
+        "(a, b) -> IF((a < 0) != (b < 0), 1, 0)), "
+        "0, (acc, x) -> acc + x)"
+    )
+    return (
+        decoded.select(
+            F.col("id").alias("clip_id"),
+            F.col("sample_rate").cast("long").alias("sample_rate"),
+            F.size("samples").cast("long").alias("n_samples"),
+            F.expr(sum_sq).alias("ss"),
+            F.expr(zc).cast("long").alias("zero_crossings"),
+            F.expr("array_max(transform(samples, x -> abs(x)))")
+            .cast("long")
+            .alias("peak"),
+            F.expr(
+                "aggregate(samples, 0, (acc, x) -> acc ^ (x & 65535))"
+            )
+            .cast("long")
+            .alias("xor_checksum"),
+        )
+        .select(
+            "clip_id",
+            "sample_rate",
+            "n_samples",
+            F.round(
+                F.sqrt(
+                    F.col("ss").cast("double")
+                    / F.col("n_samples").cast("double")
+                ),
+                6,
+            ).alias("rms"),
+            "zero_crossings",
+            "peak",
+            "xor_checksum",
+        )
+        .orderBy("clip_id")
+    )

@@ -3,10 +3,12 @@
 Same pattern as images (sources/images.py): media is an opaque BINARY
 column with typed metadata; every transform is an Arrow pandas UDF over
 ``mapInPandas`` batches so the plumbing — schemas, batch iteration,
-explode shapes, partitioning — is real and tested even though the
-codecs are stubs (this container has no ffmpeg/librosa; real decoders
-drop into ``_decode_video``/``_decode_audio`` behind the same
-interface, marked NotImplementedError).
+explode shapes, partitioning — is real and tested.  Audio is no longer
+stub-only: genuine RIFF/WAVE PCM bytes decode through the
+dependency-free numpy codec (``functions/wav_numpy.py``, same move as
+the JPEG codec for images), with soundfile as an optional tier for
+flac/ogg.  Video remains container-gated (no ffmpeg here; real decoders
+drop into ``_decode_video`` behind the same interface).
 
 Deterministic FAKE containers (self-describing byte formats) stand in
 for real media so every operator is testable end-to-end:
@@ -60,8 +62,20 @@ def _decode_video(b: bytes | None):
 def _decode_audio(b: bytes | None):
     if b is None:
         return None
+    if b.startswith(b"RIFF"):
+        # real WAV: dependency-free numpy tier (functions/wav_numpy.py,
+        # deterministic floor-mean downmix) — preferred over soundfile
+        # so CI and production decode identically
+        from oracle_vector_search_spark.functions.wav_numpy import (
+            decode_wav,
+        )
+
+        dec = decode_wav(b)
+        if dec is not None:
+            return dec
+        # fall through: maybe a WAV variant only soundfile understands
     if not b.startswith(AUD_MAGIC):
-        try:  # real containers (wav/flac/ogg) when soundfile is present
+        try:  # other real containers (flac/ogg) when soundfile is present
             import io
 
             import soundfile as sf
@@ -140,6 +154,37 @@ def resize_frames(
             )
 
     return df.mapInPandas(batches, schema=df.schema)
+
+
+def decode_audio_samples(df: DataFrame) -> DataFrame:
+    """(id, content BINARY) → (id, sample_rate, samples ARRAY<INT>):
+    the decoded mono PCM as a COLUMN, so downstream feature math stays
+    in Catalyst higher-order functions (aggregate/zip_with/transform —
+    JVM-side, whole-stage-codegen'd) instead of Python. Real WAV bytes
+    take the numpy codec tier; FAKEAUD1 takes the test container;
+    undecodable rows drop (F3)."""
+    out_schema = "id long, sample_rate int, samples array<int>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, b in zip(pdf["id"], pdf["content"]):
+                dec = _decode_audio(bytes(b) if b is not None else None)
+                if dec is None:
+                    continue
+                sr, x = dec
+                rows.append(
+                    {
+                        "id": aid,
+                        "sample_rate": int(sr),
+                        "samples": x.astype(np.int32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "sample_rate", "samples"]
+            )
+
+    return df.select("id", "content").mapInPandas(batches, schema=out_schema)
 
 
 def audio_features(df: DataFrame) -> DataFrame:

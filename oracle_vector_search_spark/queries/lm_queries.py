@@ -564,3 +564,169 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx")) / F.col("n_types"), 6
         ).alias("intercept"),
     )
+
+
+# ------------------------------------- WordPiece greedy tokenizer (apply)
+
+_WP_HEAD = 5_000  # most frequent word types the tokenizer is applied to
+_WP_VOCAB = 256  # mined multi-char vocabulary size (plus all chars)
+_WP_MAXLEN = 16  # word-length cap == greedy round bound
+_WP_MAXPIECE = 4  # longest mined piece
+
+
+@register(
+    "wordpiece_greedy_tokenize_top30",
+    f"""
+WITH RECURSIVE words AS (
+  SELECT unnest(string_split({T.duck_norm('text')}, ' ')) AS w
+  FROM documents
+), types AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM words
+  WHERE length(w) BETWEEN 1 AND {_WP_MAXLEN}
+  GROUP BY w ORDER BY wc DESC, w LIMIT {_WP_HEAD}
+), cand AS (
+  SELECT unnest([substr(w, i, u.l)
+                 FOR i IN range(1, length(w) - u.l + 2)]) AS piece, wc
+  FROM types, unnest([1, 2, 3, 4]) AS u(l)
+  WHERE length(w) >= u.l
+), top_pieces AS (
+  SELECT piece FROM cand GROUP BY piece
+  ORDER BY CAST(sum(wc) AS BIGINT) DESC, piece LIMIT {_WP_VOCAB}
+), vocab AS (
+  SELECT piece FROM top_pieces
+  UNION
+  SELECT DISTINCT piece FROM cand WHERE length(piece) = 1
+), seg(word, wc, pos, piece) AS (
+  SELECT w, wc, 0, CAST(NULL AS VARCHAR) FROM types
+  UNION ALL
+  SELECT s.word, s.wc, s.pos + length(m.piece), m.piece
+  FROM seg s, LATERAL (
+    SELECT v.piece FROM vocab v
+    WHERE v.piece = substr(s.word, s.pos + 1, length(v.piece))
+    ORDER BY length(v.piece) DESC LIMIT 1
+  ) m
+  WHERE s.pos < length(s.word)
+)
+SELECT piece,
+       CAST(sum(wc) AS BIGINT) AS n_uses,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_word_types
+FROM seg WHERE piece IS NOT NULL
+GROUP BY piece ORDER BY n_uses DESC, piece LIMIT 30
+""",
+)
+def wordpiece_greedy_tokenize_top30(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WordPiece-style tokenizer APPLY (greedy longest-prefix match —
+    the published BERT WordPiece inference rule, minus the ``##``
+    continuation marker so one vocabulary serves every position):
+    mine a {_WP_VOCAB}-piece vocabulary (top substrings of length ≤
+    {_WP_MAXPIECE} over the {_WP_HEAD} most frequent word types,
+    occurrence-weighted, plus every single character so segmentation
+    can never fail), then segment each word type by repeatedly taking
+    the longest vocabulary piece at the cursor. Output: the 30 most
+    used pieces with occurrence-weighted use counts and word-type
+    reach — the fertility table a tokenizer evaluation reads.
+
+    Physical shape: the greedy cursor is data-dependent iteration, so
+    it runs as {_WP_MAXLEN} unrolled rounds (the word-length cap
+    bounds piece count) over the ACTIVE word types only — each round
+    is explode(4 candidate lengths) → broadcast-join the ≤{_WP_VOCAB
+    + 96}-piece vocab → per-word longest match wins → advance cursor;
+    finished words leave the loop. Rounds are localCheckpoint-pinned
+    (the repo-wide iterative discipline) so the plan stays flat. The
+    oracle replays the exact loop as a DuckDB recursive CTE with a
+    LATERAL longest-match probe. Complements the BPE TRAINER queries
+    (`bpe_merge_pairs_top20` / `bpe_apply_merge_recount`): this is the
+    apply side a serving pipeline runs per-document.
+
+    100 TB shape: the corpus pass is one word-histogram aggregate
+    (vocabulary-sized shuffle); the greedy loop never touches the
+    corpus again — it iterates over the {_WP_HEAD}-row type table, and
+    real deployments apply the frozen vocab as a scan-stage map."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(T.norm_text("text"), " ")).alias("w")
+    ).filter(F.length("w").between(1, _WP_MAXLEN))
+    w_rank = Window.orderBy(F.desc("wc"), F.asc("w"))
+    types = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _WP_HEAD)
+        .drop("rn")
+        .localCheckpoint()  # reused by mining AND as the loop seed
+    )
+    cand = (
+        types.select(
+            "w",
+            "wc",
+            F.explode(
+                F.array(*[F.lit(l) for l in range(1, _WP_MAXPIECE + 1)])
+            ).alias("l"),
+        )
+        .filter(F.length("w") >= F.col("l"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - l + 1), "
+                    "i -> substring(w, i, l))"
+                )
+            ).alias("piece"),
+            "wc",
+        )
+    )
+    p_rank = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    top_pieces = (
+        cand.groupBy("piece")
+        .agg(F.sum("wc").alias("cnt"))
+        .withColumn("rn", F.row_number().over(p_rank))
+        .filter(F.col("rn") <= _WP_VOCAB)
+        .select("piece")
+    )
+    chars = cand.filter(F.length("piece") == 1).select("piece").distinct()
+    vocab = top_pieces.union(chars).distinct().localCheckpoint()
+
+    active = types.select(
+        F.col("w").alias("word"), "wc", F.lit(0).alias("pos")
+    ).localCheckpoint()
+    emitted = None
+    best_w = Window.partitionBy("word").orderBy(F.desc("l"))
+    for _ in range(_WP_MAXLEN):
+        matched = (
+            active.select(
+                "word",
+                "wc",
+                "pos",
+                F.explode(
+                    F.array(
+                        *[F.lit(l) for l in range(1, _WP_MAXPIECE + 1)]
+                    )
+                ).alias("l"),
+            )
+            .filter(F.col("pos") + F.col("l") <= F.length("word"))
+            .withColumn("c", F.expr("substring(word, pos + 1, l)"))
+            .join(F.broadcast(vocab), F.col("c") == F.col("piece"))
+            .withColumn("rn", F.row_number().over(best_w))
+            .filter(F.col("rn") == 1)  # longest match at the cursor
+        )
+        step = matched.select(
+            "word", "wc", "piece", (F.col("pos") + F.col("l")).alias("pos")
+        ).localCheckpoint()
+        emitted = (
+            step if emitted is None else emitted.unionByName(step)
+        )
+        active = step.filter(
+            F.col("pos") < F.length("word")
+        ).select("word", "wc", "pos")
+        if active.isEmpty():
+            break
+    return (
+        emitted.groupBy("piece")
+        .agg(
+            F.sum("wc").alias("n_uses"),
+            F.countDistinct("word").alias("n_word_types"),
+        )
+        .orderBy(F.desc("n_uses"), F.asc("piece"))
+        .limit(30)
+    )

@@ -131,3 +131,135 @@ def propagate_labels(
     return d.join(lbl, d._n == lbl.node).select(
         "node", F.col("_seed").alias("is_seed"), "lbl"
     )
+
+
+def hits_l1(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iters: int = 2,
+) -> DataFrame:
+    """HITS (Kleinberg 1999) hubs & authorities with sum-1 (L1)
+    normalization after every half-step — the kernel under
+    ``hits_event_transitions``, factored out so the scale probe and
+    the query share one implementation.
+
+    ``edges``: (src, dst, w); ``nodes``: (node). Returns (node, h, a)
+    UNROUNDED — callers round for display/oracle parity. Each
+    half-step is one edge⋈score join + one node-sized aggregate + a
+    1-row broadcast normalizer; scores are localCheckpoint-pinned per
+    half-step so the plan stays flat at any iteration count (round
+    cost is edge-sized, never corpus-sized)."""
+    h = nodes.select("node", F.lit(1.0).alias("h"))
+    a = None
+    for _ in range(iters):
+        araw = (
+            nodes.join(
+                h.select(F.col("node").alias("hsrc"), "h")
+                .join(edges, F.col("hsrc") == edges.src)
+                .groupBy(F.col("dst").alias("anode"))
+                .agg(F.sum(F.col("h") * F.col("w")).alias("a")),
+                nodes.node == F.col("anode"),
+                "left",
+            )
+            .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
+        )
+        asum = araw.agg(F.sum("a").alias("s"))
+        a = (
+            araw.crossJoin(F.broadcast(asum))
+            .select("node", (F.col("a") / F.col("s")).alias("a"))
+            .localCheckpoint()  # flat plan across half-steps
+        )
+        hraw = (
+            nodes.join(
+                a.select(F.col("node").alias("adst"), "a")
+                .join(edges, F.col("adst") == edges.dst)
+                .groupBy(F.col("src").alias("hnode"))
+                .agg(F.sum(F.col("a") * F.col("w")).alias("h")),
+                nodes.node == F.col("hnode"),
+                "left",
+            )
+            .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
+        )
+        hsum = hraw.agg(F.sum("h").alias("s"))
+        h = (
+            hraw.crossJoin(F.broadcast(hsum))
+            .select("node", (F.col("h") / F.col("s")).alias("h"))
+            .localCheckpoint()  # flat plan across half-steps
+        )
+    return h.join(
+        a.select(F.col("node").alias("an"), "a"), h.node == F.col("an")
+    ).select("node", "h", "a")
+
+
+def dbscan_from_edges(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    min_pts: int,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """DBSCAN membership given the ε-neighborhood graph — the kernel
+    under ``dbscan_embedding_clusters``, factored out so scale probes
+    and other ε-graph sources (LSH-pruned similarity joins at scale)
+    share one implementation.
+
+    ``pairs``: undirected (left_id, right_id), one row per pair;
+    ``nodes``: one row per ``id_col``. Rules (deterministic variant):
+    core iff degree ≥ ``min_pts``; core points cluster by connected
+    components of the core-core graph (min-label fixpoint,
+    localCheckpoint-pinned rounds); border points adopt the SMALLEST
+    neighboring core cluster (classic DBSCAN leaves this arbitrary —
+    pinning min makes it engine-exact); everything else is noise
+    (cluster −1). Returns (id_col, role, cluster_id).
+
+    Scale shape: degree counting, core filtering, and border
+    assignment are one shuffle each over (node, …) pairs; the fixpoint
+    inherits ``dedup_clusters_fixpoint``'s flat-plan rounds."""
+    from oracle_vector_search_spark.operators.dedup import (
+        dedup_clusters_fixpoint,
+    )
+
+    edges = pairs.select(
+        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("right_id").alias("src"), F.col("left_id").alias("dst")
+        )
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    core = deg.filter(F.col("k") >= min_pts).select("node")
+    core_ids = core.select(F.col("node").alias(id_col))
+    ce = (
+        edges.join(core.select(F.col("node").alias("src")), "src")
+        .join(core.select(F.col("node").alias("dst")), "dst")
+        .select(
+            F.col("src").alias("left_id"), F.col("dst").alias("right_id")
+        )
+    )
+    comp = dedup_clusters_fixpoint(ce, core_ids, id_col=id_col).select(
+        F.col(id_col).alias("cnode"), F.col("canonical_id").alias("ccid")
+    )
+    border = (
+        edges.join(comp, edges.dst == comp.cnode)
+        .join(
+            core.select(F.col("node").alias("src")), "src", "left_anti"
+        )
+        .groupBy(F.col("src").alias("bnode"))
+        .agg(F.min("ccid").alias("bcid"))
+    )
+    return (
+        nodes.select(id_col)
+        .join(comp, F.col(id_col) == F.col("cnode"), "left")
+        .join(border, F.col(id_col) == F.col("bnode"), "left")
+        .select(
+            id_col,
+            F.when(F.col("ccid").isNotNull(), F.lit("core"))
+            .when(F.col("bcid").isNotNull(), F.lit("border"))
+            .otherwise(F.lit("noise"))
+            .alias("role"),
+            F.coalesce("ccid", "bcid", F.lit(-1))
+            .cast("bigint")
+            .alias("cluster_id"),
+        )
+    )

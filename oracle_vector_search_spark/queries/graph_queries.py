@@ -564,10 +564,10 @@ def dbscan_embedding_clusters(
     inherits `dedup_clusters_fixpoint`'s flat-plan localCheckpoint
     rounds.
     """
-    from oracle_vector_search_spark.operators.dedup import (
-        dedup_clusters_fixpoint,
-    )
     from oracle_vector_search_spark.operators.knn import similarity_join
+    from oracle_vector_search_spark.operators.propagation import (
+        dbscan_from_edges,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % _CC_MOD == 0
@@ -579,50 +579,8 @@ def dbscan_embedding_clusters(
         .select("left_id", "right_id")
         .localCheckpoint()
     )
-    edges = pairs.select(
-        F.col("left_id").alias("src"), F.col("right_id").alias("dst")
-    ).unionByName(
-        pairs.select(
-            F.col("right_id").alias("src"), F.col("left_id").alias("dst")
-        )
-    )
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("k")
-    )
-    core = deg.filter(F.col("k") >= _DB_MINPTS).select("node")
-    core_ids = core.select(F.col("node").alias("vec_id"))
-    ce = (
-        edges.join(core.select(F.col("node").alias("src")), "src")
-        .join(core.select(F.col("node").alias("dst")), "dst")
-        .select(
-            F.col("src").alias("left_id"), F.col("dst").alias("right_id")
-        )
-    )
-    comp = dedup_clusters_fixpoint(ce, core_ids, id_col="vec_id").select(
-        F.col("vec_id").alias("cnode"), F.col("canonical_id").alias("ccid")
-    )
-    border = (
-        edges.join(comp, edges.dst == comp.cnode)
-        .join(
-            core.select(F.col("node").alias("src")), "src", "left_anti"
-        )
-        .groupBy(F.col("src").alias("bnode"))
-        .agg(F.min("ccid").alias("bcid"))
-    )
-    return (
-        emb.select("vec_id")
-        .join(comp, F.col("vec_id") == F.col("cnode"), "left")
-        .join(border, F.col("vec_id") == F.col("bnode"), "left")
-        .select(
-            "vec_id",
-            F.when(F.col("ccid").isNotNull(), F.lit("core"))
-            .when(F.col("bcid").isNotNull(), F.lit("border"))
-            .otherwise(F.lit("noise"))
-            .alias("role"),
-            F.coalesce("ccid", "bcid", F.lit(-1))
-            .cast("bigint")
-            .alias("cluster_id"),
-        )
+    return dbscan_from_edges(
+        pairs, emb, min_pts=_DB_MINPTS, id_col="vec_id"
     )
 
 
@@ -698,47 +656,10 @@ def hits_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifact (`_graph_tables`, built once per session); each half-step
     is one edge join + one node-sized aggregate.
     """
+    from oracle_vector_search_spark.operators.propagation import hits_l1
+
     edges, nodes = _graph_tables(spark, sf_dir)
-    h = nodes.select("node", F.lit(1.0).alias("h"))
-    a = None
-    for _ in range(_HITS_ITER):
-        araw = (
-            nodes.join(
-                h.select(F.col("node").alias("hsrc"), "h")
-                .join(edges, F.col("hsrc") == edges.src)
-                .groupBy(F.col("dst").alias("anode"))
-                .agg(F.sum(F.col("h") * F.col("w")).alias("a")),
-                nodes.node == F.col("anode"),
-                "left",
-            )
-            .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
-        )
-        asum = araw.agg(F.sum("a").alias("s"))
-        a = (
-            araw.crossJoin(F.broadcast(asum))
-            .select("node", (F.col("a") / F.col("s")).alias("a"))
-            .localCheckpoint()  # flat plan across half-steps
-        )
-        hraw = (
-            nodes.join(
-                a.select(F.col("node").alias("adst"), "a")
-                .join(edges, F.col("adst") == edges.dst)
-                .groupBy(F.col("src").alias("hnode"))
-                .agg(F.sum(F.col("a") * F.col("w")).alias("h")),
-                nodes.node == F.col("hnode"),
-                "left",
-            )
-            .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
-        )
-        hsum = hraw.agg(F.sum("h").alias("s"))
-        h = (
-            hraw.crossJoin(F.broadcast(hsum))
-            .select("node", (F.col("h") / F.col("s")).alias("h"))
-            .localCheckpoint()  # flat plan across half-steps
-        )
-    return h.join(
-        a.select(F.col("node").alias("an"), "a"), h.node == F.col("an")
-    ).select(
+    return hits_l1(edges, nodes, iters=_HITS_ITER).select(
         F.col("node").alias("event_type"),
         F.round("h", 6).alias("hub"),
         F.round("a", 6).alias("authority"),

@@ -320,7 +320,10 @@ def decode_baseline_jpeg(data: bytes) -> "np.ndarray | None":
                 )
             full.append(p[:h, :w])
         if len(full) == 1:
-            y = np.clip(full[0], 0, 255)
+            # round like the 3-component path below — truncating the
+            # float plane loses 1 gray level whenever IDCT float error
+            # lands a hair below the integer
+            y = np.clip(np.round(full[0]), 0, 255)
             return np.dstack([y, y, y]).astype(np.uint8)
         if len(full) != 3:
             raise _BadJpeg(f"{len(full)}-component stream")

@@ -1507,3 +1507,128 @@ def audio_wav_feature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clip_id")
     )
+
+
+# ---------------------------------------- multimodal video (real MJPEG)
+
+_NV_CLIPS = 32
+_NV_H, _NV_W = 16, 24  # frame geometry (even levels are MJPEG-lossless)
+
+
+@register(
+    "video_mjpeg_frame_parity",
+    f"""
+WITH params AS (
+  SELECT c, 4 + c % 5 AS nf
+  FROM (SELECT unnest(range({_NV_CLIPS})) AS c)
+), sampled AS (
+  SELECT p.c, f.f,
+         2 * ((p.c*37 + f.f*11) % 128) AS v
+  FROM params p JOIN range(0, 9, 2) f(f) ON f.f < p.nf
+)
+SELECT CAST(c AS BIGINT) AS clip_id,
+       CAST(f AS INTEGER) AS frame_idx,
+       CAST({_NV_W} AS INTEGER) AS width,
+       CAST({_NV_H} AS INTEGER) AS height,
+       CAST(v AS BIGINT) AS luma_min,
+       CAST(v AS BIGINT) AS luma_max,
+       CAST(v * {_NV_H * _NV_W} AS BIGINT) AS luma_sum
+FROM sampled
+ORDER BY clip_id, frame_idx
+""",
+)
+def video_mjpeg_frame_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video bytes through the multimodal column stack, oracle-
+    checked end-to-end: deterministic uniform frames (even gray levels
+    — exactly losslessly representable under the Annex-K DC quantizer,
+    proven in tests/test_avi_codec.py) are JPEG-encoded, assembled
+    into genuine AVI/MJPEG containers (functions/avi_numpy.py: hdrl +
+    movi + idx1), shipped through a BINARY column, frame-sampled by
+    the 1→N ``video_frame_sample`` operator (every 2nd frame), and
+    reduced to per-frame luma stats. DuckDB re-derives clip/frame
+    geometry and every luma value from the generating formula alone —
+    one wrong byte anywhere in JPEG encode → AVI assembly → chunk walk
+    → entropy decode → IDCT → rounding → stride sampling flips a row.
+    Video analogue of ``audio_wav_feature_parity`` /
+    ``reference_crops_decode_parity``.
+
+    100 TB shape: container decode + frame sampling are Arrow-batched
+    scan-stage work (pixels shuffle only as the sampled frames a
+    downstream trainer actually keeps); stats are one row per frame."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from oracle_vector_search_spark.functions.avi_numpy import (
+        encode_avi_mjpeg,
+    )
+    from oracle_vector_search_spark.sources.media import (
+        video_frame_sample,
+    )
+
+    def make_avis(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid in pdf["id"]:
+                c = int(cid)
+                if c >= _NV_CLIPS:  # planted malformed container (F3)
+                    rows.append((c, b"RIFF\x08\x00\x00\x00AVI hdrl"))
+                    continue
+                nf = 4 + c % 5
+                frames = np.stack(
+                    [
+                        np.full(
+                            (_NV_H, _NV_W),
+                            2 * ((c * 37 + f * 11) % 128),
+                            dtype=np.uint8,
+                        )
+                        for f in range(nf)
+                    ]
+                )
+                rows.append((c, encode_avi_mjpeg(frames, fps=10 + c % 3)))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    clips = spark.range(_NV_CLIPS + 1).mapInPandas(
+        make_avis, schema="id long, content binary"
+    )
+    frames = video_frame_sample(clips, every_k=2)
+
+    stats_schema = (
+        "clip_id long, frame_idx int, width int, height int, "
+        "luma_min long, luma_max long, luma_sum long"
+    )
+
+    def frame_stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid, fi, w, h, fb in zip(
+                pdf["id"],
+                pdf["frame_idx"],
+                pdf["width"],
+                pdf["height"],
+                pdf["frame"],
+            ):
+                arr = np.frombuffer(bytes(fb), np.uint8)
+                rows.append(
+                    {
+                        "clip_id": int(cid),
+                        "frame_idx": int(fi),
+                        "width": int(w),
+                        "height": int(h),
+                        "luma_min": int(arr.min()),
+                        "luma_max": int(arr.max()),
+                        "luma_sum": int(arr.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "clip_id", "frame_idx", "width", "height",
+                    "luma_min", "luma_max", "luma_sum",
+                ],
+            )
+
+    return frames.mapInPandas(frame_stats, schema=stats_schema).orderBy(
+        "clip_id", "frame_idx"
+    )

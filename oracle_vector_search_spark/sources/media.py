@@ -6,9 +6,10 @@ column with typed metadata; every transform is an Arrow pandas UDF over
 explode shapes, partitioning — is real and tested.  Audio is no longer
 stub-only: genuine RIFF/WAVE PCM bytes decode through the
 dependency-free numpy codec (``functions/wav_numpy.py``, same move as
-the JPEG codec for images), with soundfile as an optional tier for
-flac/ogg.  Video remains container-gated (no ffmpeg here; real decoders
-drop into ``_decode_video`` behind the same interface).
+the JPEG codec for images).  Neither is video: AVI/MJPEG files decode
+through ``functions/avi_numpy.py`` (RIFF chunk walk + per-frame
+baseline-JPEG decode).  soundfile/ffmpeg remain optional tiers for
+formats outside those scopes (flac/ogg/mp4/webm).
 
 Deterministic FAKE containers (self-describing byte formats) stand in
 for real media so every operator is testable end-to-end:
@@ -48,8 +49,17 @@ def encode_fake_audio(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 def _decode_video(b: bytes | None):
     if b is None or not b.startswith(VID_MAGIC) or len(b) < 20:
+        if b is not None and b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            # real AVI/MJPEG: dependency-free numpy tier (RIFF walker +
+            # per-frame baseline-JPEG decode, functions/avi_numpy.py)
+            from oracle_vector_search_spark.functions.avi_numpy import (
+                decode_avi_mjpeg,
+            )
+
+            dec = decode_avi_mjpeg(b)
+            return None if dec is None else dec[1]
         if b is not None and not b.startswith(VID_MAGIC):
-            # real containers (mp4/webm/...) need ffmpeg — not in this env
+            # other real containers (mp4/webm/...) need ffmpeg — not here
             return None  # NotImplemented: treated as undecodable (F3)
         return None
     n, w, h = struct.unpack("<III", b[8:20])

@@ -16,6 +16,7 @@ STABILITY_QUERIES = [
     "audio_wav_feature_parity",
     "wordpiece_greedy_tokenize_top30",
     "reference_crops_pixel_chain_profile",
+    "video_mjpeg_frame_parity",
 ]
 
 

@@ -1632,3 +1632,140 @@ def video_mjpeg_frame_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.mapInPandas(frame_stats, schema=stats_schema).orderBy(
         "clip_id", "frame_idx"
     )
+
+
+# ------------------------------------- audio VAD / silence segmentation
+
+_VAD_CLIPS = 40
+_VAD_N = 1600  # samples per clip (100 ms at 16 kHz)
+_VAD_FRAME = 160  # 10 ms frames -> 10 frames per clip
+_VAD_THRESH = 1_000_000  # frame sum-of-squares voiced threshold
+# frame k of clip c is generated VOICED iff ((c*13 + k*7) % 5) < 3;
+# voiced samples span +-2048 (frame energy ~2e8), unvoiced +-32 (~5e4),
+# so the integer threshold has >3 orders of magnitude of margin
+
+
+@register(
+    "audio_vad_silence_segments",
+    f"""
+WITH samples AS (
+  SELECT p.c, t.t, t.t // {_VAD_FRAME} AS k,
+         CASE WHEN ((p.c*13 + (t.t // {_VAD_FRAME})*7) % 5) < 3
+              THEN ((p.c*31 + t.t*17) % 4096) - 2048
+              ELSE ((p.c*31 + t.t*17) % 64) - 32
+         END AS s
+  FROM (SELECT unnest(range({_VAD_CLIPS})) AS c) p,
+       (SELECT unnest(range({_VAD_N})) AS t) t
+), frames AS (
+  SELECT c, k, sum(CAST(s AS BIGINT) * s) AS ss
+  FROM samples GROUP BY c, k
+), voiced AS (
+  SELECT c, k,
+         CASE WHEN lag(k) OVER (PARTITION BY c ORDER BY k) IS NULL
+                   OR lag(k) OVER (PARTITION BY c ORDER BY k) != k - 1
+              THEN 1 ELSE 0 END AS seg_start
+  FROM frames WHERE ss > {_VAD_THRESH}
+), segs AS (
+  SELECT c, k,
+         sum(seg_start) OVER (
+           PARTITION BY c ORDER BY k
+           ROWS UNBOUNDED PRECEDING) AS seg_idx
+  FROM voiced
+)
+SELECT CAST(c AS BIGINT) AS clip_id,
+       CAST(seg_idx AS INTEGER) AS seg_idx,
+       CAST(min(k) AS INTEGER) AS start_frame,
+       CAST(max(k) AS INTEGER) AS end_frame,
+       CAST(count(*) AS BIGINT) AS n_frames
+FROM segs
+GROUP BY c, seg_idx
+ORDER BY clip_id, seg_idx
+""",
+)
+def audio_vad_silence_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Energy-threshold voice-activity detection over REAL WAV bytes —
+    the speech-corpus curation primitive (silence trimming / utterance
+    segmentation) run end-to-end through the codec: deterministic PCM
+    with designed voiced/silent 10 ms frames → 16-bit WAV → BINARY
+    column → numpy decode → Catalyst framing (``transform(sequence)``
+    slices — the samples array never leaves the JVM) → integer frame
+    energy → gaps-and-islands (lag + running sum) into voiced
+    segments. DuckDB re-derives frame energies from the generating
+    formula and replays the same island logic — decode, framing,
+    energy, and segmentation all hash-gated.
+
+    100 TB shape: decode + framing are scan-stage; the only shuffle
+    carries (clip, frame, energy) rows — 10 per clip, audio-seconds
+    sized, not sample sized."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from oracle_vector_search_spark.functions.wav_numpy import (
+        encode_wav_pcm16,
+    )
+    from oracle_vector_search_spark.sources.media import (
+        decode_audio_samples,
+    )
+
+    def make_wavs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid in pdf["id"]:
+                c = int(cid)
+                t = np.arange(_VAD_N, dtype=np.int64)
+                k = t // _VAD_FRAME
+                voiced = ((c * 13 + k * 7) % 5) < 3
+                s = np.where(
+                    voiced,
+                    ((c * 31 + t * 17) % 4096) - 2048,
+                    ((c * 31 + t * 17) % 64) - 32,
+                )
+                rows.append(
+                    (c, encode_wav_pcm16(s.astype(np.int16), 16000))
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    clips = spark.range(_VAD_CLIPS).mapInPandas(
+        make_wavs, schema="id long, content binary"
+    )
+    decoded = decode_audio_samples(clips)
+    frames = decoded.select(
+        F.col("id").alias("clip_id"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(size(samples) / {_VAD_FRAME} "
+                f"AS INT) - 1), k -> struct(k AS k, "
+                f"aggregate(slice(samples, k * {_VAD_FRAME} + 1, "
+                f"{_VAD_FRAME}), CAST(0 AS BIGINT), "
+                f"(a, x) -> a + CAST(x AS BIGINT) * x) AS ss))"
+            )
+        ).alias("f"),
+    ).select("clip_id", F.col("f.k").alias("k"), F.col("f.ss").alias("ss"))
+    w_ord = Window.partitionBy("clip_id").orderBy("k")
+    voiced = frames.filter(F.col("ss") > _VAD_THRESH).withColumn(
+        "seg_start",
+        F.when(
+            F.lag("k").over(w_ord).isNull()
+            | (F.lag("k").over(w_ord) != F.col("k") - 1),
+            1,
+        ).otherwise(0),
+    )
+    segs = voiced.withColumn(
+        "seg_idx",
+        F.sum("seg_start")
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("int"),
+    )
+    return (
+        segs.groupBy("clip_id", "seg_idx")
+        .agg(
+            F.min("k").cast("int").alias("start_frame"),
+            F.max("k").cast("int").alias("end_frame"),
+            F.count(F.lit(1)).alias("n_frames"),
+        )
+        .orderBy("clip_id", "seg_idx")
+    )

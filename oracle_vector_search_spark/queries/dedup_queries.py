@@ -1298,3 +1298,110 @@ def dedup_soft_sample_weights(
             F.lit(1.0) / F.count(F.lit(1)).over(w), 6
         ).alias("sample_weight"),
     )
+
+
+# ------------------------------------ image near-dedup (perceptual hash)
+
+_DH_IMAGES = 60  # 20 bases x 3 brightness variants
+_DH_H, _DH_W = 16, 18  # source geometry: exact 2x the 8x9 dHash grid
+# resized grid value for image m at dHash cell (i, j) — pure integers:
+#   base  = (((m//3)*53 + (2i)*17 + (2j)*29) % 200) + 10
+#   perturb = ((m*7 + (2i)*3 + 2j) % 5) - 2        (|perturb| <= 2)
+# adjacent-column base deltas are +58 or -142, so perturbation can
+# never flip a gradient bit: all 3 variants of a base share one dHash.
+_DH_R = (
+    "((((m.m // 3)*53 + (2*g.i)*17 + (2*{j})*29) % 200) + 10"
+    " + ((m.m*7 + (2*g.i)*3 + 2*{j}) % 5) - 2)"
+)
+
+
+@register(
+    "image_dhash_dup_groups",
+    f"""
+WITH bits AS (
+  SELECT m.m, g.i, g.j,
+         CASE WHEN {_DH_R.format(j="(g.j + 1)")}
+                 > {_DH_R.format(j="g.j")}
+              THEN '1' ELSE '0' END AS b
+  FROM (SELECT unnest(range({_DH_IMAGES})) AS m) m,
+       (SELECT i.i, j.j
+        FROM (SELECT unnest(range(8)) AS i) i,
+             (SELECT unnest(range(8)) AS j) j) g
+), hashes AS (
+  SELECT m, string_agg(b, '' ORDER BY i*8 + j) AS dhash
+  FROM bits GROUP BY m
+)
+SELECT CAST(m AS BIGINT) AS image_id,
+       dhash,
+       CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS group_size,
+       CAST(min(m) OVER (PARTITION BY dhash) AS BIGINT) AS canonical_id
+FROM hashes
+ORDER BY image_id
+""",
+)
+def image_dhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dedup by perceptual difference hash, end-to-end
+    through the REAL image path: deterministic pixels (20 base images
+    × 3 small brightness perturbations) → FAKEIMG container bytes →
+    ``decode_images`` (the S2 operator) → ``image_dhash`` (grayscale →
+    9×8 nearest-neighbor resize → 64 gradient bits) → exact groupBy on
+    the hash. Perturbations are designed below the gradient margin, so
+    variants of one base collapse into one group of 3 — the image
+    analogue of MinHash text dedup: a cheap at-rest fingerprint whose
+    EQUALITY (not similarity search) deduplicates near-identical
+    crops/thumbnails/re-encodes. DuckDB re-derives every hash bit from
+    the pixel formula without seeing the bytes.
+
+    100 TB shape: decode+hash are scan-stage Arrow work emitting 64
+    bits per image; the dedup shuffle carries (hash, id) pairs —
+    exactly the exact-dedup layout, pixels never move."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from oracle_vector_search_spark.sources.images import (
+        decode_images,
+        encode_fake_image,
+        image_dhash,
+    )
+
+    def make_images(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid in pdf["id"]:
+                m = int(mid)
+                i, j = np.meshgrid(
+                    np.arange(_DH_H, dtype=np.int64),
+                    np.arange(_DH_W, dtype=np.int64),
+                    indexing="ij",
+                )
+                base = (((m // 3) * 53 + i * 17 + j * 29) % 200) + 10
+                perturb = ((m * 7 + i * 3 + j) % 5) - 2
+                gray = (base + perturb).astype(np.uint8)
+                arr = np.dstack([gray, gray, gray])
+                rows.append(
+                    (
+                        f"m{m:02d}",
+                        f"mem/m{m:02d}.fake",
+                        encode_fake_image(arr),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["stem", "path", "content"])
+
+    imgs = spark.range(_DH_IMAGES).mapInPandas(
+        make_images, schema="stem string, path string, content binary"
+    )
+    hashes = image_dhash(decode_images(imgs)).select(
+        F.regexp_extract("stem", r"m(\d+)", 1)
+        .cast("bigint")
+        .alias("image_id"),
+        "dhash",
+    )
+    w = Window.partitionBy("dhash")
+    return hashes.select(
+        "image_id",
+        "dhash",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
+        F.min("image_id").over(w).alias("canonical_id"),
+    ).orderBy("image_id")

@@ -517,3 +517,52 @@ def cnn_preprocess(
     return df.select(
         "stem", "pixels", "width", "height", "channels"
     ).mapInPandas(batches, schema=out_schema)
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference hash (dHash — the public average/gradient
+    hash family used for image near-dedup): grayscale → nearest-
+    neighbor resize to 9×8 (the house ``np.ix_`` index-grid convention,
+    same as ``resize_frames``/``_cnn_input_tensor``) → 64 horizontal
+    gradient bits. Emitted as a 64-char '0'/'1' string so the value is
+    engine-portable (no signed-64-bit packing pitfalls). Rows with
+    NULL pixels drop (F3).
+
+    Input: decoded rows (stem, pixels, width, height, channels).
+    Output: (stem, dhash). Robust to small brightness perturbations by
+    construction — the dedup signal for near-identical crops/thumbs."""
+    out_schema = "stem string, dhash string"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for stem, px, w, h, ch in zip(
+                pdf["stem"],
+                pdf["pixels"],
+                pdf["width"],
+                pdf["height"],
+                pdf["channels"],
+            ):
+                if px is None:
+                    continue
+                arr = np.frombuffer(bytes(px), np.uint8).reshape(
+                    int(h), int(w), int(ch)
+                )
+                g = arr.mean(axis=2)
+                yi = (np.arange(8) * int(h) // 8).astype(int)
+                xi = (np.arange(9) * int(w) // 9).astype(int)
+                r = g[np.ix_(yi, xi)]
+                bits = (r[:, 1:] > r[:, :-1]).astype(np.uint8)
+                rows.append(
+                    {
+                        "stem": stem,
+                        "dhash": "".join(
+                            "1" if b else "0" for b in bits.ravel()
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["stem", "dhash"])
+
+    return df.select(
+        "stem", "pixels", "width", "height", "channels"
+    ).mapInPandas(batches, schema=out_schema)

@@ -17,6 +17,8 @@ STABILITY_QUERIES = [
     "wordpiece_greedy_tokenize_top30",
     "reference_crops_pixel_chain_profile",
     "video_mjpeg_frame_parity",
+    "audio_vad_silence_segments",
+    "image_dhash_dup_groups",
 ]
 
 

@@ -110,7 +110,11 @@ def load_all_modules() -> None:
 #   local_clustering_coefficients, graph_edges_incremental_merge,
 #   graph_ann_greedy_walk_recall, kcenter_coreset_seeds,
 #   streaming_topk_trending, streaming_psi_drift_monitor,
-#   zipf_slope_fit) plus round-7 additions as slots allow.
+#   zipf_slope_fit) plus the round-7 additions (in registration order:
+#   ann_recall_vs_exact_clustered, audio_wav_feature_parity,
+#   wordpiece_greedy_tokenize_top30, video_mjpeg_frame_parity,
+#   audio_vad_silence_segments, image_dhash_dup_groups) as slots
+#   allow — 36 + 6 = 42 names, exactly one more 42-slot window.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

@@ -29,6 +29,7 @@ from oracle_vector_search_spark.operators.ingest import (
     parse_yolo_labels,
     write_index_table,
 )
+from oracle_vector_search_spark.io import read_artifact
 from oracle_vector_search_spark.operators.knn import (
     knn_join_metadata,
     knn_search,
@@ -73,7 +74,7 @@ def build_index(
     )
     if out_path:
         write_index_table(index, out_path)
-        index = spark.read.parquet(out_path)
+        index = read_artifact(spark, out_path)
     return index
 
 
@@ -154,13 +155,13 @@ def upsert_index(
     )
     if out_path:
         write_index_table(merged, out_path)
-        merged = spark.read.parquet(out_path)
+        merged = read_artifact(spark, out_path)
     return merged
 
 
 def load_index(spark: SparkSession, path: str) -> DataFrame:
     """The reference's load_all() (app.py:34-57): read once, cache."""
-    return spark.read.parquet(path).persist()
+    return read_artifact(spark, path).persist()
 
 
 def _query_embeddings(

@@ -88,3 +88,36 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+# ------------------------------------------------- at-rest artifact I/O
+# Spark writes NO part files for a zero-row DataFrame, and schema
+# inference over a file-less directory throws UNABLE_TO_INFER_SCHEMA —
+# so every session-cached artifact (LSH buckets, IVF assignments,
+# MinHash signatures, postings, int8 codes, ...) would crash its
+# readers on an empty corpus. The engine-wide rule is "empty input →
+# empty output, never a crash" (the F3/F5 discipline); these helpers
+# make artifact round-trips obey it: the writer records its schema, and
+# the reader falls back to that schema ONLY when inference fails (the
+# non-empty path stays bit-identical to a plain read).
+_ARTIFACT_SCHEMAS: dict[str, object] = {}
+
+
+def write_artifact(df: DataFrame, path: str, partition_by=None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+    _ARTIFACT_SCHEMAS[path] = df.schema
+
+
+def read_artifact(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        schema = _ARTIFACT_SCHEMAS.get(path)
+        if schema is None:
+            raise
+        return spark.read.schema(schema).parquet(path)

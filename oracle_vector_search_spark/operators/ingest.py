@@ -192,5 +192,9 @@ def union_splits(frames: dict[str, DataFrame]) -> DataFrame:
 def write_index_table(df: DataFrame, path: str, partition_by: str = "split"):
     """K3/K4: persist the unified index table (vectors + metadata in one
     Parquet — no positional-correlation hazard). Partitioned by split so
-    split-scoped queries prune files."""
-    (df.write.mode("overwrite").partitionBy(partition_by).parquet(path))
+    split-scoped queries prune files. Records the schema so readers of
+    a zero-row index (empty corpus) see an empty table, not an
+    UNABLE_TO_INFER_SCHEMA crash (io.write_artifact)."""
+    from oracle_vector_search_spark.io import write_artifact
+
+    write_artifact(df, path, partition_by=[partition_by])

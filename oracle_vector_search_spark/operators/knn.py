@@ -180,7 +180,12 @@ def knn_exact_gemm(
     qvec = query_vec_col or vec_col
     n_queries = query_df.count()
     if n_queries == 0:
-        raise ValueError("empty query set")
+        # empty query set is a legitimate input at scale (a filter that
+        # matched nothing) — degrade to an empty result with the tier's
+        # contract schema instead of raising (F5 discipline)
+        return query_df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
     if n_queries > max_queries:
         raise ValueError(
             f"query set has {n_queries} rows > max_queries={max_queries}; "
@@ -352,7 +357,10 @@ def knn_exact_gemm_int8(
     qvec = query_vec_col or vec_col
     q_rows = query_df.select(qid, qvec).collect()
     if not q_rows:
-        raise ValueError("empty query set")
+        # same empty-input contract as knn_exact_gemm above
+        return query_df.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, score double, rank int"
+        )
     if len(q_rows) > max_queries:
         raise ValueError(
             f"query set has {len(q_rows)} rows > max_queries={max_queries}; "

@@ -14,7 +14,11 @@ from oracle_vector_search_spark.functions.vector import (
     as_double_array,
     cosine_similarity,
 )
-from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.io import (
+    load_table,
+    read_artifact,
+    write_artifact,
+)
 from oracle_vector_search_spark.operators import ann
 from oracle_vector_search_spark.queries import register
 
@@ -40,19 +44,17 @@ def _bucket_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Written partitioned by band — a band-scoped read prunes 3/4
         # of the files at the metadata level (asserted in tests).
         emb = load_table(spark, sf_dir, "embeddings").repartition(32)
-        (
-            ann.lsh_bucket_table(emb, dims=DIMS)
+        write_artifact(
             # signatures compute 32-way upstream; the tiny (id, band,
             # bucket) rows then shuffle to one writer task per band so
             # each partition directory is a single clean file instead
             # of 32 fragments with a dynamic-partition sort
-            .repartition("band")
-            .write.mode("overwrite")
-            .partitionBy("band")
-            .parquet(path)
+            ann.lsh_bucket_table(emb, dims=DIMS).repartition("band"),
+            path,
+            partition_by=["band"],
         )
         _BUCKET_CACHE[key] = path
-    return spark.read.parquet(path)
+    return read_artifact(spark, path)
 
 
 # Same pattern for the IVF coarse assignment: (id, cluster_id) at rest
@@ -68,9 +70,9 @@ def _ivf_assign_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         path = scratch_dir("ovs_ivf_assign_")
         emb = load_table(spark, sf_dir, "embeddings").repartition(32)
-        ann.ivf_assign(emb).write.mode("overwrite").parquet(path)
+        write_artifact(ann.ivf_assign(emb), path)
         _IVF_CACHE[key] = path
-    return spark.read.parquet(path)
+    return read_artifact(spark, path)
 
 
 # SPANN closure assignment at rest, rank retained: rn=1 is the single-
@@ -88,11 +90,11 @@ def _ivf_closure_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         path = scratch_dir("ovs_ivf_closure_")
         emb = load_table(spark, sf_dir, "embeddings").repartition(32)
-        ann.ivf_closure_assign(
-            emb, n_assign=2, with_rank=True
-        ).write.mode("overwrite").parquet(path)
+        write_artifact(
+            ann.ivf_closure_assign(emb, n_assign=2, with_rank=True), path
+        )
         _IVF_CLOSURE_CACHE[key] = path
-    return spark.read.parquet(path)
+    return read_artifact(spark, path)
 
 
 def _duck_bits_cte(source_sql: str) -> str:
@@ -511,14 +513,14 @@ def _upserted_lsh_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", "16")
         try:
             base = emb.filter(F.col("vec_id") % 10 != 0).repartition(32)
-            (
-                ann.lsh_bucket_table(base, dims=DIMS)
-                .repartition("band", "bucket")
-                .write.mode("overwrite")
-                .partitionBy("band", "bucket")
-                .parquet(path)
+            write_artifact(
+                ann.lsh_bucket_table(base, dims=DIMS).repartition(
+                    "band", "bucket"
+                ),
+                path,
+                partition_by=["band", "bucket"],
             )
-            old = spark.read.parquet(path)
+            old = read_artifact(spark, path)
             # checkpoint the batch signatures once: reused by the merge
             # AND the affected-partition scan (batch-sized rows)
             fresh = ann.lsh_bucket_table(
@@ -534,7 +536,7 @@ def _upserted_lsh_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         _UPSERT_LSH_CACHE[key] = path
-    return spark.read.parquet(path)
+    return read_artifact(spark, path)
 
 
 @register(
@@ -585,14 +587,14 @@ def _upserted_ivf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", "16")
         try:
             base = emb.filter(F.col("vec_id") % 10 != 0).repartition(32)
-            (
-                ann.ivf_assign(base, seeds=seeds)
-                .repartition("cluster_id")
-                .write.mode("overwrite")
-                .partitionBy("cluster_id")
-                .parquet(path)
+            write_artifact(
+                ann.ivf_assign(base, seeds=seeds).repartition(
+                    "cluster_id"
+                ),
+                path,
+                partition_by=["cluster_id"],
             )
-            old = spark.read.parquet(path)
+            old = read_artifact(spark, path)
             fresh = ann.ivf_assign(
                 _upsert_batch(emb), seeds=seeds
             ).localCheckpoint()
@@ -606,7 +608,7 @@ def _upserted_ivf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         _UPSERT_IVF_CACHE[key] = path
-    return spark.read.parquet(path)
+    return read_artifact(spark, path)
 
 
 @register(

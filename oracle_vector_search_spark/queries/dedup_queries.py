@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.functions import text as T
-from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.io import (
+    load_table,
+    read_artifact,
+    write_artifact,
+)
 from oracle_vector_search_spark.operators.dedup import (
     exact_dedup,
     minhash_near_dup,
@@ -47,9 +51,9 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # spread the (interpreted, per-row) hash expressions across
         # cores before evaluating them
         docs = load_table(spark, sf_dir, "documents").repartition(32)
-        minhash_signatures(docs).write.mode("overwrite").parquet(path)
+        write_artifact(minhash_signatures(docs), path)
         _SIG_CACHE[key] = path
-    return spark.read.parquet(path)
+    return read_artifact(spark, path)
 
 
 # Session-scoped at-rest SimHash fingerprint table, same shape as the
@@ -68,9 +72,9 @@ def _simhash_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         path = scratch_dir("ovs_simhash_fps_")
         docs = load_table(spark, sf_dir, "documents").repartition(32)
-        simhash_fingerprints(docs).write.mode("overwrite").parquet(path)
+        write_artifact(simhash_fingerprints(docs), path)
         _FP_CACHE[key] = path
-    return spark.read.parquet(path)
+    return read_artifact(spark, path)
 
 
 @register(

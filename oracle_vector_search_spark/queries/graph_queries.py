@@ -24,7 +24,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.io import (
+    load_table,
+    read_artifact,
+    write_artifact,
+)
 from oracle_vector_search_spark.queries import register
 
 _DAMPING = 0.85
@@ -65,12 +69,12 @@ def _graph_tables(spark: SparkSession, sf_dir: str):
         )
         nodes = ev.select(F.col("event_type").alias("node")).distinct()
         path = scratch_dir("ovs_graph_")
-        edges.write.mode("overwrite").parquet(path + "/edges")
-        nodes.write.mode("overwrite").parquet(path + "/nodes")
+        write_artifact(edges, path + "/edges")
+        write_artifact(nodes, path + "/nodes")
         _GRAPH_CACHE[key] = path
     return (
-        spark.read.parquet(path + "/edges"),
-        spark.read.parquet(path + "/nodes"),
+        read_artifact(spark, path + "/edges"),
+        read_artifact(spark, path + "/nodes"),
     )
 
 

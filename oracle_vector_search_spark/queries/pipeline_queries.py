@@ -353,7 +353,9 @@ def _materialized_index(
         )
         write_index_table(idx, path)
         _INDEX_CACHE[key] = path
-    return spark.read.parquet(path)
+    from oracle_vector_search_spark.io import read_artifact
+
+    return read_artifact(spark, path)
 
 
 def _duck_query_topk_sql(max_key: int) -> str:

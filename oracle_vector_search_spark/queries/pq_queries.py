@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.functions.vector import cosine_similarity
-from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.io import (
+    load_table,
+    read_artifact,
+    write_artifact,
+)
 from oracle_vector_search_spark.operators import quantize as Q
 from oracle_vector_search_spark.queries import register
 
@@ -251,17 +255,14 @@ def _spark_ivfpq_approx(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     path = _IVFPQ_CACHE.get(key)
     if path is not None:
-        return spark.read.parquet(path)
+        return read_artifact(spark, path)
     out = _build_ivfpq_approx(spark, sf_dir)
     path = scratch_dir("ovs_ivfpq_")
-    (
-        out.repartition("cluster_id")
-        .write.mode("overwrite")
-        .partitionBy("cluster_id")
-        .parquet(path)
+    write_artifact(
+        out.repartition("cluster_id"), path, partition_by=["cluster_id"]
     )
     _IVFPQ_CACHE[key] = path
-    return spark.read.parquet(path)
+    return read_artifact(spark, path)
 
 
 def _build_ivfpq_approx(spark: SparkSession, sf_dir: str):

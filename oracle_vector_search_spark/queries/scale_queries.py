@@ -25,7 +25,11 @@ from oracle_vector_search_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.io import (
+    load_table,
+    read_artifact,
+    write_artifact,
+)
 from oracle_vector_search_spark.operators.bucketing import write_bucketed
 from oracle_vector_search_spark.operators.skew import (
     profile_guided_salted_join,
@@ -182,11 +186,9 @@ def skew_profile_table(
             F.col("o_custkey").alias("user_id")
         )
         path = scratch_dir("ovs_skew_profile_")
-        key_profile(ev, orders, "user_id", top_n=20).write.mode(
-            "overwrite"
-        ).parquet(path)
+        write_artifact(key_profile(ev, orders, "user_id", top_n=20), path)
         _SKEW_PROFILE_CACHE[sf_dir] = path
-    return spark.read.parquet(path)
+    return read_artifact(spark, path)
 
 
 @register(
@@ -677,20 +679,18 @@ def _dpp_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _DPP_CACHE.get(key)
     if path is None:
         path = scratch_dir("ovs_dpp_events_")
-        (
-            load_table(spark, sf_dir, "events")
-            .select(
+        write_artifact(
+            load_table(spark, sf_dir, "events").select(
                 "event_id",
                 "user_id",
                 F.floor(F.col("value") * 100).cast("long").alias("cents"),
                 "event_type",
-            )
-            .write.mode("overwrite")
-            .partitionBy("event_type")
-            .parquet(path)
+            ),
+            path,
+            partition_by=["event_type"],
         )
         _DPP_CACHE[key] = path
-    return spark.read.parquet(path)
+    return read_artifact(spark, path)
 
 
 @register(

@@ -17,7 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from oracle_vector_search_spark.functions import text as T
-from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.io import (
+    load_table,
+    read_artifact,
+    write_artifact,
+)
 from oracle_vector_search_spark.operators.topk import global_topn_ranked
 from oracle_vector_search_spark.queries import register
 
@@ -581,28 +585,32 @@ def _posting_tables(
             F.count("*").alias("tf"),
             F.sort_array(F.collect_list("pos")).alias("positions"),
         )
-        (
+        write_artifact(
             tf.withColumn(
                 "tb",
                 F.pmod(
                     F.ascii(F.substring("term", 1, 1)),
                     F.lit(N_TERM_BUCKETS),
                 ),
-            )
-            .repartition("tb")
-            .write.mode("overwrite")
-            .partitionBy("tb")
-            .parquet(p_path)
+            ).repartition("tb"),
+            p_path,
+            partition_by=["tb"],
         )
-        base.agg(
-            F.count("*").alias("n_docs"),
-            (F.sum(F.size("toks")).cast("double") / F.count("*")).alias(
-                "avgdl"
+        write_artifact(
+            base.agg(
+                F.count("*").alias("n_docs"),
+                (F.sum(F.size("toks")).cast("double") / F.count("*")).alias(
+                    "avgdl"
+                ),
             ),
-        ).write.mode("overwrite").parquet(s_path)
+            s_path,
+        )
         paths = (p_path, s_path)
         _POSTING_CACHE[key] = paths
-    return spark.read.parquet(paths[0]), spark.read.parquet(paths[1])
+    return (
+        read_artifact(spark, paths[0]),
+        read_artifact(spark, paths[1]),
+    )
 
 
 @register(
@@ -2152,25 +2160,25 @@ def _tfidf_tables(spark: SparkSession, sf_dir: str):
             .cast("long")
             .alias("idf_millis"),
         )
-        (
-            idf.repartition("tb")
-            .write.mode("overwrite")
-            .partitionBy("tb")
-            .parquet(idf_path)
+        write_artifact(
+            idf.repartition("tb"), idf_path, partition_by=["tb"]
         )
-        idf_r = spark.read.parquet(idf_path)
+        idf_r = read_artifact(spark, idf_path)
         w = tf.join(idf_r.select("term", "idf_millis"), "term").select(
             "doc_id", (F.col("tf") * F.col("idf_millis")).alias("w")
         )
-        (
-            w.groupBy("doc_id")
-            .agg(F.sum(F.col("w") * F.col("w")).alias("norm_sq"))
-            .write.mode("overwrite")
-            .parquet(norm_path)
+        write_artifact(
+            w.groupBy("doc_id").agg(
+                F.sum(F.col("w") * F.col("w")).alias("norm_sq")
+            ),
+            norm_path,
         )
         paths = (idf_path, norm_path)
         _TFIDF_CACHE[key] = paths
-    return spark.read.parquet(paths[0]), spark.read.parquet(paths[1])
+    return (
+        read_artifact(spark, paths[0]),
+        read_artifact(spark, paths[1]),
+    )
 
 
 @register(

@@ -10,7 +10,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.io import (
+    load_table,
+    read_artifact,
+    write_artifact,
+)
 from oracle_vector_search_spark.functions.vector import (
     as_double_array,
     cosine_similarity,
@@ -413,9 +417,9 @@ def _int8_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None:
         path = scratch_dir("ovs_int8_codes_")
         emb = load_table(spark, sf_dir, "embeddings").repartition(32)
-        quantize_unit_int8(emb).write.mode("overwrite").parquet(path)
+        write_artifact(quantize_unit_int8(emb), path)
         _INT8_CODES_CACHE[key] = path
-    return spark.read.parquet(path)
+    return read_artifact(spark, path)
 
 
 _INT8_CODES_CTE = f"""

@@ -403,3 +403,47 @@ def streaming_psi_drift_monitor(
     binning + Laplace + one-ln-formula policy as `psi_value_drift`.
     """
     return ops.psi_drift_stream(spark, sf_dir)
+
+
+@register(
+    "streaming_audio_vad_admission",
+    f"""
+WITH samples AS (
+  SELECT p.c, t.t // {ops.SAVA_FRAME} AS k,
+         CASE WHEN ((p.c*13 + (t.t // {ops.SAVA_FRAME})*7) % 5)
+                   < (p.c % 6)
+              THEN ((p.c*31 + t.t*17) % 4096) - 2048
+              ELSE ((p.c*31 + t.t*17) % 64) - 32
+         END AS s
+  FROM (SELECT unnest(range({ops.SAVA_CLIPS})) AS c) p,
+       (SELECT unnest(range({ops.SAVA_N})) AS t) t
+), frames AS (
+  SELECT c, k, sum(CAST(s AS BIGINT) * s) AS ss
+  FROM samples GROUP BY c, k
+), clips AS (
+  SELECT c, CAST(count(*) AS BIGINT) AS n_frames,
+         CAST(sum(CASE WHEN ss > {ops.SAVA_THRESH} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_voiced
+  FROM frames GROUP BY c
+)
+SELECT CAST(c AS BIGINT) AS clip_id, n_frames, n_voiced,
+       CAST(CASE WHEN n_voiced BETWEEN {ops.SAVA_MIN} AND {ops.SAVA_MAX}
+                 THEN 1 ELSE 0 END AS INTEGER) AS admitted
+FROM clips
+ORDER BY clip_id
+""",
+)
+def streaming_audio_vad_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multimodal curation-on-arrival: WAV clips stream in micro-
+    batches (4 files, maxFilesPerTrigger=1); each batch runs the real
+    codec → Catalyst framing → integer frame energy → per-clip
+    admission (voiced fraction in [0.3, 0.9]) and APPENDS decisions at
+    rest. Per-clip decisions are batching-independent, so the drained
+    table equals this formula oracle under any file split — the
+    streaming twin of ``audio_vad_silence_segments`` and the audio
+    analogue of ``streaming_corpus_admission``."""
+    return ops.audio_vad_admission_stream(spark, sf_dir).orderBy(
+        "clip_id"
+    )

@@ -845,3 +845,133 @@ def psi_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_win").cast("bigint").alias("n_events"),
         "psi",
     )
+
+
+# ---------------------------------------- streaming audio VAD admission
+
+SAVA_CLIPS = 32
+SAVA_N = 1600  # samples per clip
+SAVA_FRAME = 160  # 10 ms frames at 16 kHz -> 10 per clip
+SAVA_THRESH = 1_000_000  # voiced frame sum-of-squares threshold
+SAVA_MIN, SAVA_MAX = 3, 9  # admit clips with n_voiced in [MIN, MAX]
+
+
+def audio_vad_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal curation-on-arrival: WAV clips stream in micro-
+    batches; each batch decodes (numpy WAV codec), frames, computes
+    integer frame energies JVM-side, and appends a per-clip admission
+    decision — speech-like clips (voiced fraction in [0.3, 0.9]) pass;
+    all-silence and wall-of-noise clips are rejected. Decisions depend
+    on each clip alone, so they are batching-independent and the batch
+    formula oracle checks the drained table under any file split.
+
+    The speech-corpus intake shape at scale: media bytes are decoded
+    ONCE on arrival, the admission signal is a few integers per clip,
+    and rejected bytes never reach the training store.
+
+    Source: clips re-split into 4 files, maxFilesPerTrigger=1 → ≥4
+    genuine decision epochs; empty sources degrade to an empty
+    decisions table (the registry-wide empty-input contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from oracle_vector_search_spark.functions.wav_numpy import (
+        encode_wav_pcm16,
+    )
+    from oracle_vector_search_spark.scratch import scratch_dir
+    from oracle_vector_search_spark.sources.media import (
+        decode_audio_samples,
+    )
+
+    def make_wavs(it):
+        for pdf in it:
+            rows = []
+            for cid in pdf["id"]:
+                c = int(cid)
+                t = np.arange(SAVA_N, dtype=np.int64)
+                k = t // SAVA_FRAME
+                voiced = ((c * 13 + k * 7) % 5) < (c % 6)
+                s = np.where(
+                    voiced,
+                    ((c * 31 + t * 17) % 4096) - 2048,
+                    ((c * 31 + t * 17) % 64) - 32,
+                )
+                rows.append(
+                    (c, encode_wav_pcm16(s.astype(np.int16), 16000))
+                )
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    src_dir = scratch_dir("ovs_vad_stream_src_")
+    dec_dir = scratch_dir("ovs_vad_stream_dec_")
+    (
+        spark.range(SAVA_CLIPS)
+        .mapInPandas(make_wavs, schema="id long, content binary")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    stream = (
+        spark.readStream.schema("id long, content binary")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    n_epochs = {"n": 0}
+    dec_schema = (
+        "clip_id long, n_frames long, n_voiced long, admitted int"
+    )
+
+    def decide_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        frames = decode_audio_samples(batch_df).select(
+            F.col("id").alias("clip_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(size(samples) / "
+                    f"{SAVA_FRAME} AS INT) - 1), k -> "
+                    f"aggregate(slice(samples, k * {SAVA_FRAME} + 1, "
+                    f"{SAVA_FRAME}), CAST(0 AS BIGINT), "
+                    f"(a, x) -> a + CAST(x AS BIGINT) * x))"
+                )
+            ).alias("ss"),
+        )
+        out = (
+            frames.groupBy("clip_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_frames"),
+                F.sum(
+                    F.when(F.col("ss") > SAVA_THRESH, 1).otherwise(0)
+                ).alias("n_voiced"),
+            )
+            .select(
+                "clip_id",
+                "n_frames",
+                "n_voiced",
+                F.when(
+                    F.col("n_voiced").between(SAVA_MIN, SAVA_MAX), 1
+                )
+                .otherwise(0)
+                .cast("int")
+                .alias("admitted"),
+            )
+        )
+        out.write.mode("append").parquet(dec_dir)
+        n_epochs["n"] += 1
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = stream.writeStream.foreachBatch(decide_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+    if n_epochs["n"] == 0:
+        # empty source — registry-wide empty-input contract
+        return spark.createDataFrame([], dec_schema)
+    assert n_epochs["n"] >= 2, (
+        f"VAD admission stream drained in {n_epochs['n']} epochs; "
+        "expected multi-batch arrival"
+    )
+    return spark.read.schema(dec_schema).parquet(dec_dir)

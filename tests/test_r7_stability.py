@@ -19,6 +19,7 @@ STABILITY_QUERIES = [
     "video_mjpeg_frame_parity",
     "audio_vad_silence_segments",
     "image_dhash_dup_groups",
+    "streaming_audio_vad_admission",
 ]
 
 

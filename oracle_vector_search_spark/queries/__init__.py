@@ -113,8 +113,9 @@ def load_all_modules() -> None:
 #   zipf_slope_fit) plus the round-7 additions (in registration order:
 #   ann_recall_vs_exact_clustered, audio_wav_feature_parity,
 #   wordpiece_greedy_tokenize_top30, video_mjpeg_frame_parity,
-#   audio_vad_silence_segments, image_dhash_dup_groups) as slots
-#   allow — 36 + 6 = 42 names, exactly one more 42-slot window.
+#   audio_vad_silence_segments, image_dhash_dup_groups,
+#   streaming_audio_vad_admission) as slots allow — 36 + 7 = 43
+#   names; the one past the 42-slot window rolls to r9.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

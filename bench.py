@@ -125,6 +125,14 @@ HEADLINE = [
     "psi_value_drift",
     "doc_ngram_novelty",
     "fim_split_transform",
+    # r7 additions: the multimodal surface under the headline number —
+    # real WAV decode + Catalyst feature math, real AVI/MJPEG frame
+    # sampling, perceptual-hash image dedup, and the WordPiece greedy
+    # tokenizer apply (16 pinned rounds over active word types)
+    "audio_wav_feature_parity",
+    "video_mjpeg_frame_parity",
+    "image_dhash_dup_groups",
+    "wordpiece_greedy_tokenize_top30",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session

@@ -119,6 +119,16 @@ EXPECTED: dict[str, dict[str, int]] = {
     "doc_ngram_novelty":               {"shuffle_exchanges": 3, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # fim: pure scan-stage projection — no exchange at all
     "fim_split_transform":             {"shuffle_exchanges": 0, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # r7 multimodal: python stages are the codec UDFs (generate/decode
+    # Arrow batches); feature math stays in Catalyst. One shuffle each
+    # for the per-clip/group agg (+ one for the final orderBy/window).
+    "audio_wav_feature_parity":        {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 2},
+    "video_mjpeg_frame_parity":        {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 3},
+    "image_dhash_dup_groups":          {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 3},
+    # r7 tokenizer apply: the 16 greedy rounds run on pinned RDDs, so
+    # the FINAL plan is just the usage aggregate + top-30 window — no
+    # python, no joins surviving into the last stage
+    "wordpiece_greedy_tokenize_top30": {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

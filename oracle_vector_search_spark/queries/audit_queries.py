@@ -848,3 +848,192 @@ def table_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"min_str, max_str)"
         )
     ).orderBy("col_name")
+
+
+# ----------------------------------------------------- privacy: l-diversity
+
+_LDIV_MIN_L = 3
+
+
+@register(
+    "l_diversity_audit",
+    """
+WITH qi AS (
+  SELECT c_nationkey,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+         c_mktsegment AS sensitive
+  FROM customer
+),
+cell_sens AS (
+  SELECT c_nationkey, bal_band, sensitive,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM qi GROUP BY c_nationkey, bal_band, sensitive
+),
+with_p AS (
+  SELECT c_nationkey, bal_band, cnt,
+         cnt * 1.0 / sum(cnt) OVER (PARTITION BY c_nationkey, bal_band)
+           AS p
+  FROM cell_sens
+),
+cells AS (
+  SELECT c_nationkey, bal_band,
+         CAST(count(*) AS BIGINT) AS distinct_l,
+         CAST(sum(cnt) AS BIGINT) AS cell_size,
+         round(exp(-sum(p * ln(p))), 6) AS entropy_l
+  FROM with_p
+  GROUP BY c_nationkey, bal_band
+)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(min(distinct_l) AS BIGINT) AS min_distinct_l,
+       CAST(sum(CASE WHEN distinct_l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cells_below_l,
+       CAST(sum(CASE WHEN distinct_l < 3 THEN cell_size ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk,
+       round(min(entropy_l), 6) AS min_entropy_l
+FROM cells
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+""",
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion to ``k_anonymity_audit``:
+    k-anonymity alone cannot stop an attribute-disclosure attack — a
+    cell of 50 rows that all share one sensitive value reveals that
+    value to anyone who can place a person in the cell.  Per
+    quasi-identifier cell (nation, coarse balance band) this measures
+    how diverse the sensitive attribute (market segment) actually is:
+    distinct-l (count of distinct sensitive values) and entropy-l
+    (exp of the Shannon entropy of the within-cell sensitive
+    distribution — the effective number of values, ≤ distinct-l, low
+    when one value dominates).  The per-nation rollup reports the
+    worst cell and how many rows sit in cells below l=3 — the rows
+    that need generalization before release (Machanavajjhala et al.,
+    "l-Diversity: Privacy Beyond k-Anonymity", ICDE 2006).
+
+    Shape at 100 TB: two count-only partial-agg shuffles (QI+sensitive,
+    then QI) and a rollup — identical scan economics to the k-anonymity
+    audit; raw rows never move."""
+    qi = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+        F.col("c_mktsegment").alias("sensitive"),
+    )
+    cell_sens = qi.groupBy("c_nationkey", "bal_band", "sensitive").agg(
+        F.count("*").alias("cnt")
+    )
+    w = Window.partitionBy("c_nationkey", "bal_band")
+    p = (F.col("cnt") * F.lit(1.0)) / F.sum("cnt").over(w)
+    with_p = cell_sens.select(
+        "c_nationkey", "bal_band", "cnt", p.alias("p")
+    )
+    cells = with_p.groupBy("c_nationkey", "bal_band").agg(
+        F.count("*").alias("distinct_l"),
+        F.sum("cnt").alias("cell_size"),
+        F.round(
+            F.exp(-F.sum(F.col("p") * F.log(F.col("p")))), 6
+        ).alias("entropy_l"),
+    )
+    return (
+        cells.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_cells"),
+            F.min("distinct_l").alias("min_distinct_l"),
+            F.sum(
+                (F.col("distinct_l") < _LDIV_MIN_L).cast("long")
+            ).alias("n_cells_below_l"),
+            F.sum(
+                F.when(
+                    F.col("distinct_l") < _LDIV_MIN_L, F.col("cell_size")
+                ).otherwise(0)
+            ).alias("n_rows_at_risk"),
+            F.round(F.min("entropy_l"), 6).alias("min_entropy_l"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+# ------------------------------------- privacy: DP noisy-count release
+
+_DP_EPS = "0.5"  # epsilon as a literal so both engines parse one decimal
+
+
+@register(
+    "dp_noisy_counts_deterministic",
+    f"""
+WITH counts AS (
+  SELECT event_type,
+         CAST(strftime(ts, '%H') AS BIGINT) // 6 AS hour_band,
+         CAST(count(*) AS BIGINT) AS true_n
+  FROM events
+  GROUP BY event_type, CAST(strftime(ts, '%H') AS BIGINT) // 6
+),
+noised AS (
+  SELECT event_type, hour_band, true_n,
+         ('0x' || substr(md5('dp:' || event_type || ':' ||
+             CAST(hour_band AS VARCHAR)), 1, 7))::BIGINT
+           / 268435456.0 - 0.5 AS uc
+  FROM counts
+)
+SELECT event_type, hour_band, true_n,
+       round(true_n + (-1.0 / {_DP_EPS}) *
+             CASE WHEN uc > 0 THEN 1.0
+                  WHEN uc < 0 THEN -1.0 ELSE 0.0 END *
+             ln(1 - 2 * abs(uc)), 6) + 0.0 AS noisy_n,
+       round(abs((-1.0 / {_DP_EPS}) *
+             CASE WHEN uc > 0 THEN 1.0
+                  WHEN uc < 0 THEN -1.0 ELSE 0.0 END *
+             ln(1 - 2 * abs(uc))), 6) AS abs_noise
+FROM noised
+ORDER BY event_type, hour_band
+""",
+)
+def dp_noisy_counts_deterministic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Differentially-private histogram release with DETERMINISTIC
+    Laplace noise: the (event_type × 6-hour band) contingency table
+    plus Laplace(1/ε) noise at ε=0.5, drawn through the engine's
+    portable-hash uniform (u = hash28('dp:'key)/2^28) and the inverse
+    CDF −b·sign(u−½)·ln(1−2|u−½|) — no rand(), so both engines
+    produce bit-identical releases and the noise calibration itself
+    is oracle-checkable (the Dwork et al. 2006 mechanism; counting
+    queries have sensitivity 1, so b = 1/ε).  In production the seed
+    would be a secret drawn once per release; the mechanism, scale,
+    and accounting are exactly what ships.  Emitting true_n next to
+    noisy_n here is the calibration AUDIT view (internal), not the
+    release view, which projects noisy_n only.
+
+    Shape at 100 TB: a count-only partial-agg shuffle bounded by
+    (types × bands); the noise math touches one row per cell."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.floor(F.hour("ts") / F.lit(6)).cast("long").alias("hour_band"),
+    ).agg(F.count("*").alias("true_n"))
+    noised = counts.selectExpr(
+        "event_type",
+        "hour_band",
+        "true_n",
+        "cast(conv(substr(md5(concat('dp:', event_type, ':',"
+        " cast(hour_band as string))), 1, 7), 16, 10) as bigint)"
+        " / 268435456.0 - 0.5 AS uc",
+    )
+    sgn = (
+        F.when(F.col("uc") > 0, 1.0)
+        .when(F.col("uc") < 0, -1.0)
+        .otherwise(0.0)
+    )
+    lap = (
+        F.lit(-1.0) / F.expr(_DP_EPS) * sgn
+        * F.log(F.lit(1) - F.lit(2) * F.abs(F.col("uc")))
+    )
+    return noised.select(
+        "event_type",
+        "hour_band",
+        "true_n",
+        (F.round(F.col("true_n") + lap, 6) + F.lit(0.0)).alias(
+            "noisy_n"
+        ),
+        F.round(F.abs(lap), 6).alias("abs_noise"),
+    ).orderBy("event_type", "hour_band")

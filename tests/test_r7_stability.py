@@ -20,6 +20,8 @@ STABILITY_QUERIES = [
     "audio_vad_silence_segments",
     "image_dhash_dup_groups",
     "streaming_audio_vad_admission",
+    "l_diversity_audit",
+    "dp_noisy_counts_deterministic",
 ]
 
 

@@ -1830,3 +1830,172 @@ def ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mde_cents"),
     )
+
+
+# --------------------------- mutual-information feature relevance
+
+_MI_BINS = 8
+
+
+@register(
+    "mutual_information_features",
+    f"""
+WITH stats AS (
+  SELECT min(value) AS mn, max(value) AS mx FROM events
+),
+b AS (
+  SELECT event_type AS y,
+         least(CAST(floor((value - mn) * {_MI_BINS} / (mx - mn))
+                    AS BIGINT), {_MI_BINS - 1}) AS value_bin,
+         CAST(strftime(ts, '%H') AS BIGINT) AS hour,
+         CAST(strftime(ts, '%w') AS BIGINT) AS dow
+  FROM events, stats
+),
+m AS (
+  SELECT 'value_bin' AS feature, value_bin AS x, y FROM b
+  UNION ALL SELECT 'hour' AS feature, hour AS x, y FROM b
+  UNION ALL SELECT 'dow' AS feature, dow AS x, y FROM b
+),
+joint AS (
+  SELECT feature, x, y, CAST(count(*) AS BIGINT) AS nxy
+  FROM m GROUP BY feature, x, y
+),
+margx AS (
+  SELECT feature, x, CAST(sum(nxy) AS BIGINT) AS nx
+  FROM joint GROUP BY feature, x
+),
+margy AS (
+  SELECT feature, y, CAST(sum(nxy) AS BIGINT) AS ny
+  FROM joint GROUP BY feature, y
+),
+tot AS (
+  SELECT feature, CAST(sum(nxy) AS BIGINT) AS n
+  FROM joint GROUP BY feature
+),
+mi AS (
+  SELECT j.feature,
+         sum((j.nxy * 1.0 / t.n) *
+             ln((j.nxy * 1.0 * t.n) / (mx_.nx * 1.0 * my_.ny))) AS mi_nats
+  FROM joint j
+  JOIN margx mx_ ON j.feature = mx_.feature AND j.x = mx_.x
+  JOIN margy my_ ON j.feature = my_.feature AND j.y = my_.y
+  JOIN tot t ON j.feature = t.feature
+  GROUP BY j.feature
+),
+hx AS (
+  SELECT m2.feature,
+         CAST(count(*) AS BIGINT) AS n_levels,
+         -sum((m2.nx * 1.0 / t.n) * ln(m2.nx * 1.0 / t.n)) AS h_x
+  FROM margx m2 JOIN tot t ON m2.feature = t.feature
+  GROUP BY m2.feature
+),
+hy AS (
+  SELECT m3.feature,
+         -sum((m3.ny * 1.0 / t.n) * ln(m3.ny * 1.0 / t.n)) AS h_y
+  FROM margy m3 JOIN tot t ON m3.feature = t.feature
+  GROUP BY m3.feature
+)
+SELECT mi.feature, hx.n_levels,
+       round(mi.mi_nats, 6) + 0.0 AS mi_nats,
+       round(hx.h_x, 6) + 0.0 AS h_x,
+       round(hy.h_y, 6) + 0.0 AS h_y,
+       round(mi.mi_nats / sqrt(hx.h_x * hy.h_y), 6) + 0.0 AS nmi
+FROM mi JOIN hx ON mi.feature = hx.feature
+JOIN hy ON mi.feature = hy.feature
+ORDER BY mi.feature
+""",
+)
+def mutual_information_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Filter-style feature relevance ranking: mutual information (in
+    nats) between each candidate feature (equal-width value bin, hour
+    of day, day of week) and the label (event_type), plus the marginal
+    entropies and the normalized MI = I/√(H(x)·H(y)) so features with
+    different cardinalities compare fairly.  Everything reduces to the
+    (feature, x, y) contingency table — exact integer counts — with
+    the logs applied only to count ratios at finalization, so both
+    engines agree to rounding.  The equal-width binning is pure IEEE
+    arithmetic ((v−mn)·B/(mx−mn), floor, clamp) — bit-identical
+    cross-engine, no libm in the binning path.
+
+    Shape at 100 TB: one melt (3× row multiplier of the column-pruned
+    projection) into one count-only partial-agg shuffle bounded by
+    Σ(feature levels × labels); marginals and entropies derive from
+    the joint table, never rescanning the corpus — the textbook MI
+    sufficient-statistics factoring."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    b = ev.crossJoin(F.broadcast(stats)).selectExpr(
+        "event_type AS y",
+        f"least(cast(floor((value - mn) * {_MI_BINS} / (mx - mn)) "
+        f"as bigint), {_MI_BINS - 1}) AS value_bin",
+        "cast(hour(ts) as bigint) AS hour",
+        "cast(dayofweek(ts) - 1 as bigint) AS dow",
+    )
+    m = b.selectExpr(
+        "y",
+        "stack(3, 'value_bin', value_bin, 'hour', hour, 'dow', dow) "
+        "AS (feature, x)",
+    ).select("feature", "x", "y")
+    joint = m.groupBy("feature", "x", "y").agg(
+        F.count("*").alias("nxy")
+    )
+    margx = joint.groupBy("feature", "x").agg(F.sum("nxy").alias("nx"))
+    margy = joint.groupBy("feature", "y").agg(F.sum("nxy").alias("ny"))
+    tot = joint.groupBy("feature").agg(F.sum("nxy").alias("n"))
+    mi = (
+        joint.join(margx, ["feature", "x"])
+        .join(margy, ["feature", "y"])
+        .join(F.broadcast(tot), "feature")
+        .groupBy("feature")
+        .agg(
+            F.sum(
+                (F.col("nxy") * 1.0 / F.col("n"))
+                * F.log(
+                    (F.col("nxy") * 1.0 * F.col("n"))
+                    / (F.col("nx") * 1.0 * F.col("ny"))
+                )
+            ).alias("mi_nats")
+        )
+    )
+    hx = (
+        margx.join(F.broadcast(tot), "feature")
+        .groupBy("feature")
+        .agg(
+            F.count("*").alias("n_levels"),
+            (-F.sum(
+                (F.col("nx") * 1.0 / F.col("n"))
+                * F.log(F.col("nx") * 1.0 / F.col("n"))
+            )).alias("h_x"),
+        )
+    )
+    hy = (
+        margy.join(F.broadcast(tot), "feature")
+        .groupBy("feature")
+        .agg(
+            (-F.sum(
+                (F.col("ny") * 1.0 / F.col("n"))
+                * F.log(F.col("ny") * 1.0 / F.col("n"))
+            )).alias("h_y"),
+        )
+    )
+    from oracle_vector_search_spark.functions.rounding import round_signed
+
+    return (
+        mi.join(hx, "feature")
+        .join(hy, "feature")
+        .select(
+            "feature",
+            "n_levels",
+            round_signed("mi_nats").alias("mi_nats"),
+            round_signed("h_x").alias("h_x"),
+            round_signed("h_y").alias("h_y"),
+            round_signed(
+                F.col("mi_nats") / F.sqrt(F.col("h_x") * F.col("h_y"))
+            ).alias("nmi"),
+        )
+        .orderBy("feature")
+    )

@@ -92,30 +92,18 @@ def load_all_modules() -> None:
 #   Queries past position 49 remain verified by the local gate
 #   (tools/oracle_check.py, full surface, CI via
 #   tests/test_oracle_surface.py). Keep this list at exactly 50 names.
-#   r8 rotation TODO: swap the 41 non-sentinel/non-recheck names for the
-#   remaining 36 never-checked round-6 additions (in registration
-#   order: binary_quantization_recall, prf_rocchio_requery,
-#   temporal_holdout_split, session_hot_hour_overlap,
-#   kaplan_meier_user_survival, events_burstiness_fano,
-#   vocab_coverage_curve, doc_readability_scores,
-#   lang_id_confusion_matrix, minhash_estimate_error_audit,
-#   dedup_soft_sample_weights, psi_value_drift,
-#   sprt_ab_sequential_test, split_conformal_intervals, did_estimator,
-#   mann_whitney_u_test, spearman_value_time_corr, qq_deciles_by_arm,
-#   ab_power_analysis, two_pass_exact_median, join_size_estimate_audit,
-#   item_cf_similar_parts_top3, als_rank1_user_step,
-#   association_rules_pairs, embedding_components_single_linkage,
-#   dbscan_embedding_clusters, hits_event_transitions,
-#   kcore_embedding_graph, graph_degree_assortativity,
+#   r8 (this file) = 8 sentinels + 42 of the 49 never-driver-checked
+#   names: the 2 new round-8 queries (reference_crops_clahe_chain_profile,
+#   video_keyframe_knn — VERDICT r7 #3/#6), all 10 round-7 additions
+#   (including l_diversity_audit, dp_noisy_counts_deterministic and
+#   mutual_information_features, omitted from the earlier draft), and
+#   the 30 oldest round-6-era additions in registration order. The 7
+#   overflow names roll to r9 (registration-order tail:
 #   local_clustering_coefficients, graph_edges_incremental_merge,
 #   graph_ann_greedy_walk_recall, kcenter_coreset_seeds,
 #   streaming_topk_trending, streaming_psi_drift_monitor,
-#   zipf_slope_fit) plus the round-7 additions (in registration order:
-#   ann_recall_vs_exact_clustered, audio_wav_feature_parity,
-#   wordpiece_greedy_tokenize_top30, video_mjpeg_frame_parity,
-#   audio_vad_silence_segments, image_dhash_dup_groups,
-#   streaming_audio_vad_admission) as slots allow — 36 + 7 = 43
-#   names; the one past the 42-slot window rolls to r9.
+#   zipf_slope_fit) — all were verified green by the r7 judge's local
+#   oracle run; only the driver-side record is pending.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",
@@ -126,52 +114,51 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_cosine_top5_gemm",
     "exact_dedup_groups",
     "streaming_upsert_snapshot",
-    # --- re-check: the r6 red row, fixed via functions/rounding.py ---
-    "embedding_covariance_upper",
-    # --- r5 additions, never driver-checked (29) ---
-    "source_lang_chisq_divergence",
-    "cdc_merge_with_deletes",
-    "null_safe_join_audit",
-    "xml_roundtrip_checksum",
-    "funnel_view_click_purchase",
-    "events_trailing_hour_range_sum",
-    "incremental_revenue_snapshot",
-    "winsorized_value_sums",
-    "revenue_yoy_growth",
-    "top_orders_with_ties",
-    "event_type_value_mode",
-    "bpe_merge_pairs_top20",
-    "bigram_lm_fluency",
-    "seasonal_hour_anomalies",
-    "ivf_closure_recall_audit",
-    "bpe_apply_merge_recount",
-    "c4_sentence_span_dedup",
-    "retrieval_ndcg_audit",
-    "table_stats_profile",
-    "rolling_distinct_users_range",
-    "dpp_pruned_event_revenue",
-    "golden_record_survivorship",
-    "scd2_user_type_intervals",
-    "largest_remainder_allocation",
-    "user_resurrection_stats",
-    "doc_top_keywords",
-    "corpus_summary_card",
-    "temperature_mixture_allocation",
-    "user_event_diversity_simpson",
-    # --- 11 oldest round-6 additions, never driver-checked ---
-    "reference_crops_decode_parity",
-    "hll_distinct_users_audit",
-    "value_ks_drift_audit",
-    "doc_char_entropy_quality",
-    "value_benford_audit",
-    "bootstrap_mean_ci_deterministic",
-    "fuzzy_token_pairs_edit1",
-    "knn_label_propagation",
-    "copurchase_bfs_hops",
-    "fim_split_transform",
-    "class_balanced_sample",
-    # --- new this round: real-pixel full-chain parity (VERDICT r6 #4)
-    "reference_crops_pixel_chain_profile",
+    # --- new round-8 queries (VERDICT r7 #3 and #6) ---
+    "reference_crops_clahe_chain_profile",
+    "video_keyframe_knn",
+    # --- round-7 additions, never driver-checked (10) ---
+    "ann_recall_vs_exact_clustered",
+    "audio_wav_feature_parity",
+    "wordpiece_greedy_tokenize_top30",
+    "video_mjpeg_frame_parity",
+    "audio_vad_silence_segments",
+    "image_dhash_dup_groups",
+    "streaming_audio_vad_admission",
+    "l_diversity_audit",
+    "dp_noisy_counts_deterministic",
+    "mutual_information_features",
+    # --- round-6-era additions, never driver-checked (oldest 30) ---
+    "binary_quantization_recall",
+    "prf_rocchio_requery",
+    "temporal_holdout_split",
+    "session_hot_hour_overlap",
+    "kaplan_meier_user_survival",
+    "events_burstiness_fano",
+    "doc_ngram_novelty",
+    "vocab_coverage_curve",
+    "doc_readability_scores",
+    "lang_id_confusion_matrix",
+    "minhash_estimate_error_audit",
+    "dedup_soft_sample_weights",
+    "psi_value_drift",
+    "sprt_ab_sequential_test",
+    "split_conformal_intervals",
+    "did_estimator",
+    "mann_whitney_u_test",
+    "spearman_value_time_corr",
+    "qq_deciles_by_arm",
+    "ab_power_analysis",
+    "two_pass_exact_median",
+    "join_size_estimate_audit",
+    "item_cf_similar_parts_top3",
+    "als_rank1_user_step",
+    "association_rules_pairs",
+    "embedding_components_single_linkage",
+    "dbscan_embedding_clusters",
+    "hits_event_transitions",
+    "kcore_embedding_graph",
+    "graph_degree_assortativity",
 )
 
 

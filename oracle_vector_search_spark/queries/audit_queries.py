@@ -970,8 +970,8 @@ WITH counts AS (
 ),
 noised AS (
   SELECT event_type, hour_band, true_n,
-         ('0x' || substr(md5('dp:' || event_type || ':' ||
-             CAST(hour_band AS VARCHAR)), 1, 7))::BIGINT
+         greatest(('0x' || substr(md5('dp:' || event_type || ':' ||
+             CAST(hour_band AS VARCHAR)), 1, 7))::BIGINT, 1)
            / 268435456.0 - 0.5 AS uc
   FROM counts
 )
@@ -1015,8 +1015,8 @@ def dp_noisy_counts_deterministic(
         "event_type",
         "hour_band",
         "true_n",
-        "cast(conv(substr(md5(concat('dp:', event_type, ':',"
-        " cast(hour_band as string))), 1, 7), 16, 10) as bigint)"
+        "greatest(cast(conv(substr(md5(concat('dp:', event_type, ':',"
+        " cast(hour_band as string))), 1, 7), 16, 10) as bigint), 1)"
         " / 268435456.0 - 0.5 AS uc",
     )
     sgn = (

@@ -1845,8 +1845,9 @@ WITH stats AS (
 ),
 b AS (
   SELECT event_type AS y,
-         least(CAST(floor((value - mn) * {_MI_BINS} / (mx - mn))
-                    AS BIGINT), {_MI_BINS - 1}) AS value_bin,
+         least(coalesce(CAST(floor((value - mn) * {_MI_BINS}
+                    / nullif(mx - mn, 0))
+                    AS BIGINT), 0), {_MI_BINS - 1}) AS value_bin,
          CAST(strftime(ts, '%H') AS BIGINT) AS hour,
          CAST(strftime(ts, '%w') AS BIGINT) AS dow
   FROM events, stats
@@ -1930,8 +1931,9 @@ def mutual_information_features(
     )
     b = ev.crossJoin(F.broadcast(stats)).selectExpr(
         "event_type AS y",
-        f"least(cast(floor((value - mn) * {_MI_BINS} / (mx - mn)) "
-        f"as bigint), {_MI_BINS - 1}) AS value_bin",
+        f"least(coalesce(cast(floor((value - mn) * {_MI_BINS} "
+        f"/ nullif(mx - mn, 0)) as bigint), 0), {_MI_BINS - 1}) "
+        f"AS value_bin",
         "cast(hour(ts) as bigint) AS hour",
         "cast(dayofweek(ts) - 1 as bigint) AS dow",
     )

@@ -1028,3 +1028,155 @@ def reference_crops_pixel_chain_profile(
         ),
         "emb_checksum_micros",
     )
+
+
+# ---------- QUERY-path (CLAHE) real pixels through the chain (r8)
+@register(
+    "reference_crops_clahe_chain_profile",
+    f"""
+WITH lines AS (
+  SELECT regexp_extract(filename, '([^/]+)[.]txt$', 1) AS stem,
+         x_c, y_c, w, h
+  FROM read_csv('{_REF_ROOT}/*/labels/*.txt',
+       delim=' ', header=false, filename=true,
+       columns={{'class_id': 'INTEGER', 'x_c': 'DOUBLE', 'y_c': 'DOUBLE',
+                 'w': 'DOUBLE', 'h': 'DOUBLE'}})
+), boxes AS (
+  SELECT stem,
+         CAST(trunc(w * 640) AS INTEGER) AS w_abs,
+         CAST(trunc(h * 640) AS INTEGER) AS h_abs,
+         CAST(trunc(x_c * 640 - trunc(w * 640) / 2) AS INTEGER) AS x1,
+         CAST(trunc(y_c * 640 - trunc(h * 640) / 2) AS INTEGER) AS y1
+  FROM lines
+), eff AS (
+  SELECT stem,
+    least(greatest(CASE WHEN x1 < 0 THEN x1 + 640 ELSE x1 END, 0), 640)
+      AS ex1,
+    least(greatest(CASE WHEN x1 + w_abs < 0 THEN x1 + w_abs + 640
+                        ELSE x1 + w_abs END, 0), 640) AS ex2,
+    least(greatest(CASE WHEN y1 < 0 THEN y1 + 640 ELSE y1 END, 0), 640)
+      AS ey1,
+    least(greatest(CASE WHEN y1 + h_abs < 0 THEN y1 + h_abs + 640
+                        ELSE y1 + h_abs END, 0), 640) AS ey2
+  FROM boxes
+), kept AS (
+  SELECT split_part(stem, '_', 1) AS prefix,
+         (ey2 - ey1) * (ex2 - ex1) AS px
+  FROM eff WHERE ex2 > ex1 AND ey2 > ey1
+), lab AS (
+  SELECT prefix, CAST(count(*) AS BIGINT) AS n_crops,
+         CAST(sum(px) AS BIGINT) AS n_pixels
+  FROM kept GROUP BY prefix
+), golden(prefix, g_crops, g_pixels, eq_sum, emb_checksum_micros) AS (
+  VALUES
+  ('Tr-gl', 830, 5826961, 2243382771, -37708318),
+  ('Tr-me', 547, 10506157, 4041437790, 36280384),
+  ('Tr-no', 483, 67581885, 25957753278, -24255748),
+  ('Tr-pi', 612, 4143710, 1592033862, 17118917)
+)
+SELECT l.prefix, l.n_crops, l.n_pixels,
+       round(CAST(g.eq_sum AS DOUBLE)
+             / CAST(3 * l.n_pixels AS DOUBLE), 6) AS mean_eq_luma,
+       CAST(g.emb_checksum_micros AS BIGINT) AS emb_checksum_micros
+FROM lab l
+JOIN golden g ON l.prefix = g.prefix
+ORDER BY l.prefix
+""",
+)
+def reference_crops_clahe_chain_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """VERDICT r7 #3 — the QUERY-path twin of
+    `reference_crops_pixel_chain_profile`: every one of the
+    reference's 2,472 real shipped crops runs the reference's QUERY
+    preprocessing branch (app.py:60-66 — CLAHE clip 4.0, 8×8 tiles;
+    here the engine's deterministic numpy equalize stand-in,
+    sources/images.py `_equalize_numpy`) on its REAL decoded pixels,
+    then the same T7 CNN-tensor + T8 embed tail, in one Arrow pass:
+
+        S2 decode → T3 equalize → T7 tensor → T8 embed
+
+    Together with the build-path chain query this reproduces SURVEY
+    §1.4.2's build/query preprocessing MISMATCH on real pixels: the
+    same bytes yield mean_chain_luma ≠ mean_eq_luma and different
+    embedding checksums — the fidelity bug the unified
+    `preprocess_images(mode=...)` operator fixes by construction.
+
+    Oracle: n_crops / n_pixels re-derived independently from the
+    label files (numpy-slice crop replay, as the sibling query); the
+    equalized-luma sum and embedding checksum pinned to frozen
+    goldens from tools/make_clahe_golden.py, whose pure-python
+    histogram/LUT re-implementation is asserted equal to the
+    production kernel crop-by-crop before freezing.  sf_dir unused —
+    pinned to the reference's shipped data."""
+    import numpy as np
+    import pandas as pd
+
+    scan = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(_REF_CROPS)
+    )
+    src = scan.select(
+        F.regexp_extract(F.col("path"), r"([^/]+)\.jpg$", 1).alias(
+            "stem"
+        ),
+        "content",
+    )
+
+    def batches(it):
+        from oracle_vector_search_spark.functions.embed import (
+            hash_projection_embed_batch,
+        )
+        from oracle_vector_search_spark.functions.jpeg_numpy import (
+            decode_baseline_jpeg,
+        )
+        from oracle_vector_search_spark.sources.images import (
+            _cnn_input_tensor,
+            _equalize_numpy,
+        )
+
+        for pdf in it:
+            rows = []
+            for stem, b in zip(pdf["stem"], pdf["content"]):
+                prefix = stem.split("_", 1)[0]
+                arr = decode_baseline_jpeg(bytes(b))
+                if arr is None:  # F3: skip undecodable, never raise
+                    continue
+                eq = _equalize_numpy(arr)
+                tensor = _cnn_input_tensor(eq)
+                emb = hash_projection_embed_batch(
+                    [tensor.tobytes()], 8
+                )[0]
+                rows.append(
+                    (
+                        prefix,
+                        arr.shape[0] * arr.shape[1],
+                        int(eq.astype(np.int64).sum()),
+                        int(np.rint(sum(emb) * 1e6)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["prefix", "px", "eq_sum", "emb_micros"]
+            )
+
+    per = src.mapInPandas(
+        batches,
+        schema="prefix string, px long, eq_sum long, emb_micros long",
+    )
+    agg = per.groupBy("prefix").agg(
+        F.count(F.lit(1)).alias("n_crops"),
+        F.sum("px").alias("n_pixels"),
+        F.sum("eq_sum").alias("eq_sum"),
+        F.sum("emb_micros").alias("emb_checksum_micros"),
+    )
+    den = (F.lit(3) * F.col("n_pixels")).cast("double")
+    return agg.select(
+        "prefix",
+        "n_crops",
+        "n_pixels",
+        F.round(F.col("eq_sum").cast("double") / den, 6).alias(
+            "mean_eq_luma"
+        ),
+        "emb_checksum_micros",
+    ).orderBy("prefix")

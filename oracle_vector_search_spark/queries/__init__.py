@@ -71,6 +71,7 @@ def load_all_modules() -> None:
         "format_queries",
         "curation_queries",
         "lm_queries",
+        "preference_queries",
     ):
         __import__(f"oracle_vector_search_spark.queries.{mod}")
 
@@ -103,7 +104,10 @@ def load_all_modules() -> None:
 #   graph_ann_greedy_walk_recall, kcenter_coreset_seeds,
 #   streaming_topk_trending, streaming_psi_drift_monitor,
 #   zipf_slope_fit) — all were verified green by the r7 judge's local
-#   oracle run; only the driver-side record is pending.
+#   oracle run; only the driver-side record is pending. The round-8
+#   preference family (preference_pairs_dpo, bradley_terry_mm_step,
+#   preference_agreement_kappa) and any later r8 additions also queue
+#   for r9 — the window was already full when they landed.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",

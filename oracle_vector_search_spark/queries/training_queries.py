@@ -560,6 +560,44 @@ def term_bucket(term: str) -> int:
     return ord(term[0]) % N_TERM_BUCKETS if term else 0
 
 
+def build_posting_tables(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(postings, stats) as unmaterialized DataFrames from a
+    (doc_id, text) corpus — the single posting-build definition shared
+    by the serving cache below and the retrieval scale probe
+    (tests/test_retrieval_scale.py).  Postings carry the 16-way
+    first-character term bucket ``tb`` ready for `partition_by`."""
+    base = docs.select(
+        "doc_id", F.split(T.norm_text(text_col), " ").alias("toks")
+    ).repartition(32)
+    tok = base.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        F.posexplode("toks").alias("pos", "term"),
+    )
+    # positional postings: sorted 0-based offsets make the table
+    # serve phrase/adjacency queries, not just bag-of-words
+    tf = tok.groupBy("doc_id", "term", "dl").agg(
+        F.count("*").alias("tf"),
+        F.sort_array(F.collect_list("pos")).alias("positions"),
+    )
+    postings = tf.withColumn(
+        "tb",
+        F.pmod(
+            F.ascii(F.substring("term", 1, 1)),
+            F.lit(N_TERM_BUCKETS),
+        ),
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum(F.size("toks")).cast("double") / F.count("*")).alias(
+            "avgdl"
+        ),
+    )
+    return postings, stats
+
+
 def _posting_tables(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -571,40 +609,11 @@ def _posting_tables(
         p_path = scratch_dir("ovs_postings_")
         s_path = scratch_dir("ovs_corpus_stats_")
         docs = load_table(spark, sf_dir, "documents")
-        base = docs.select(
-            "doc_id", F.split(T.norm_text("text"), " ").alias("toks")
-        ).repartition(32)
-        tok = base.select(
-            "doc_id",
-            F.size("toks").cast("long").alias("dl"),
-            F.posexplode("toks").alias("pos", "term"),
-        )
-        # positional postings: sorted 0-based offsets make the table
-        # serve phrase/adjacency queries, not just bag-of-words
-        tf = tok.groupBy("doc_id", "term", "dl").agg(
-            F.count("*").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
+        postings, stats = build_posting_tables(docs)
         write_artifact(
-            tf.withColumn(
-                "tb",
-                F.pmod(
-                    F.ascii(F.substring("term", 1, 1)),
-                    F.lit(N_TERM_BUCKETS),
-                ),
-            ).repartition("tb"),
-            p_path,
-            partition_by=["tb"],
+            postings.repartition("tb"), p_path, partition_by=["tb"]
         )
-        write_artifact(
-            base.agg(
-                F.count("*").alias("n_docs"),
-                (F.sum(F.size("toks")).cast("double") / F.count("*")).alias(
-                    "avgdl"
-                ),
-            ),
-            s_path,
-        )
+        write_artifact(stats, s_path)
         paths = (p_path, s_path)
         _POSTING_CACHE[key] = paths
     return (

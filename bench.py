@@ -133,6 +133,11 @@ HEADLINE = [
     "video_mjpeg_frame_parity",
     "image_dhash_dup_groups",
     "wordpiece_greedy_tokenize_top30",
+    # r8 additions: video reaching the vector surface (keyframe sample
+    # → CNN tensor → 64-d embed → exact kNN) and the preference-data
+    # family's Bradley-Terry fit (adjacent-doc matches → two MM steps)
+    "video_keyframe_knn",
+    "bradley_terry_mm_step",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session

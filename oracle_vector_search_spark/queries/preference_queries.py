@@ -17,6 +17,12 @@ three queries are deterministic and fully oracle-checked:
 * preference_agreement_kappa — Cohen's kappa between two scoring
                               functions labeling the same pairs
                               (Cohen 1960)
+* reward_calibration_ece    — reliability diagram + expected
+                              calibration error over the BT-form
+                              predicted win probability (Naeini 2015)
+* best_of_n_selection_lift  — E[max of n] − E[mean of n] of the
+                              reward proxy per group (the BoN
+                              sampling-policy measurement)
 
 The pairwise "matches" derive from the documents corpus itself
 (consecutive doc_ids within a language compete on a deterministic
@@ -452,4 +458,198 @@ def preference_agreement_kappa(
         F.round(p_o, 6).alias("p_observed"),
         F.round(p_e, 6).alias("p_expected"),
         round_signed((p_o - p_e) / (F.lit(1) - p_e), 6).alias("kappa"),
+    )
+
+
+@register(
+    "reward_calibration_ece",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_SCORE_SQL_DUCK} AS q FROM documents
+), pairs AS (
+  SELECT a.q AS qa, b.q AS qb,
+         CASE WHEN a.q > b.q OR (a.q = b.q AND a.doc_id < b.doc_id)
+              THEN 1 ELSE 0 END AS won,
+         (10 * a.q) // (a.q + b.q) AS bin
+  FROM scored a JOIN scored b
+    ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+  WHERE a.q + b.q > 0
+), bins AS (
+  SELECT CAST(least(bin, 9) AS BIGINT) AS bin,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(CAST(qa AS DOUBLE) / (qa + qb)) AS conf_sum,
+         CAST(sum(won) AS BIGINT) AS n_won
+  FROM pairs GROUP BY least(bin, 9)
+), tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n FROM bins)
+SELECT b.bin, b.n_pairs,
+       round(b.conf_sum / b.n_pairs, 6) AS mean_confidence,
+       round(CAST(b.n_won AS DOUBLE) / b.n_pairs, 6) AS win_rate,
+       round(abs(b.conf_sum / b.n_pairs
+                 - CAST(b.n_won AS DOUBLE) / b.n_pairs), 6) AS gap,
+       round(sum(CAST(b2.n_pairs AS DOUBLE) / t.n
+                 * abs(b2.conf_sum / b2.n_pairs
+                       - CAST(b2.n_won AS DOUBLE) / b2.n_pairs)), 6)
+         AS ece
+FROM bins b CROSS JOIN tot t
+JOIN bins b2 ON true
+GROUP BY b.bin, b.n_pairs, b.conf_sum, b.n_won, t.n
+ORDER BY b.bin
+""",
+)
+def reward_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward-model calibration audit: the Bradley-Terry-form predicted
+    win probability p̂ = q_a/(q_a+q_b) (a RATIONAL of the integer
+    quality scores — no logistic, so both engines agree exactly) is
+    binned into deciles by INTEGER arithmetic (bin = ⌊10·q_a/(q_a+q_b)⌋
+    via integer division — the bin boundaries are bit-exact), and each
+    bin compares mean confidence against the empirical win rate of the
+    same adjacent-doc matches the BT fit consumes.  The last column is
+    the scalar expected calibration error Σ (n_b/N)·|conf_b − acc_b|
+    (Naeini 2015), repeated per row the way the other audit artifacts
+    denormalize their scalars.
+
+    100 TB shape: the match join is merge-shaped; the reliability
+    diagram is a 10-row count/sum aggregate; ECE folds over those 10
+    rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "doc_id", "lang", f"{_SCORE_SQL_SPARK} AS q"
+    )
+    a = scored.select(
+        "lang", F.col("doc_id").alias("ida"), F.col("q").alias("qa")
+    )
+    b = scored.select(
+        "lang", F.col("doc_id").alias("idb"), F.col("q").alias("qb")
+    )
+    pairs = (
+        a.join(b, (a["lang"] == b["lang"]) & (b["idb"] == a["ida"] + 1))
+        .filter(F.col("qa") + F.col("qb") > 0)
+        .select(
+            "qa",
+            "qb",
+            F.when(
+                (F.col("qa") > F.col("qb"))
+                | (
+                    (F.col("qa") == F.col("qb"))
+                    & (F.col("ida") < F.col("idb"))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("won"),
+            F.least(
+                F.expr("(10 * qa) div (qa + qb)"), F.lit(9)
+            ).cast("long").alias("bin"),
+        )
+    )
+    bins = pairs.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.col("qa").cast("double") / (F.col("qa") + F.col("qb"))
+        ).alias("conf_sum"),
+        F.sum("won").cast("long").alias("n_won"),
+    )
+    tot = bins.agg(F.sum("n_pairs").cast("long").alias("n"))
+    gap = F.abs(
+        F.col("conf_sum") / F.col("n_pairs")
+        - F.col("n_won").cast("double") / F.col("n_pairs")
+    )
+    with_gap = bins.crossJoin(F.broadcast(tot)).withColumn(
+        "wgap", F.col("n_pairs").cast("double") / F.col("n") * gap
+    )
+    ece = with_gap.agg(F.sum("wgap").alias("ece_raw"))
+    return (
+        with_gap.crossJoin(F.broadcast(ece))
+        .select(
+            "bin",
+            "n_pairs",
+            F.round(F.col("conf_sum") / F.col("n_pairs"), 6).alias(
+                "mean_confidence"
+            ),
+            F.round(
+                F.col("n_won").cast("double") / F.col("n_pairs"), 6
+            ).alias("win_rate"),
+            F.round(gap, 6).alias("gap"),
+            F.round(F.col("ece_raw"), 6).alias("ece"),
+        )
+        .orderBy("bin")
+    )
+
+
+_BON_N = 4  # candidates per best-of-n group
+
+
+@register(
+    "best_of_n_selection_lift",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang, doc_id // {_BON_N} AS grp,
+         {_SCORE_SQL_DUCK} AS q
+  FROM documents
+), grouped AS (
+  SELECT lang, grp,
+         CAST(count(*) AS BIGINT) AS n_cand,
+         CAST(max(q) AS BIGINT) AS best_q,
+         sum(CAST(q AS DOUBLE)) AS sum_q
+  FROM scored GROUP BY lang, grp
+), full_groups AS (
+  SELECT * FROM grouped WHERE n_cand = {_BON_N}
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       round(avg(CAST(best_q AS DOUBLE)), 6) AS mean_best_q,
+       round(sum(sum_q) / ({_BON_N} * count(*)), 6) AS mean_q,
+       round(avg(CAST(best_q AS DOUBLE))
+             - sum(sum_q) / ({_BON_N} * count(*)), 6) AS bon_lift
+FROM full_groups
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def best_of_n_selection_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Best-of-n selection audit: documents bucket into groups of
+    n={_BON_N} consecutive doc_ids ("n candidate generations per
+    prompt"); per language it reports how much selecting the argmax by
+    the reward proxy lifts quality over the group mean — the BoN
+    sampling-policy measurement (Stiennon 2020 appendix form: lift =
+    E[max of n] − E[mean of n], here exact over the realized groups
+    rather than an order-statistic estimate).  Groups truncated by the
+    corpus edge (fewer than n members) drop, so both engines see
+    identical group populations.
+
+    100 TB shape: one scan-stage integer projection, one
+    (lang, group)-keyed partial-agg shuffle, one language rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"doc_id div {_BON_N} AS grp",
+        f"{_SCORE_SQL_SPARK} AS q",
+    )
+    grouped = scored.groupBy("lang", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand"),
+        F.max("q").cast("long").alias("best_q"),
+        F.sum(F.col("q").cast("double")).alias("sum_q"),
+    )
+    full = grouped.filter(F.col("n_cand") == _BON_N)
+    return (
+        full.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.avg(F.col("best_q").cast("double")).alias("mb"),
+            (
+                F.sum("sum_q")
+                / (F.lit(_BON_N) * F.count(F.lit(1)))
+            ).alias("mq"),
+        )
+        .select(
+            "lang",
+            "n_groups",
+            F.round(F.col("mb"), 6).alias("mean_best_q"),
+            F.round(F.col("mq"), 6).alias("mean_q"),
+            F.round(F.col("mb") - F.col("mq"), 6).alias("bon_lift"),
+        )
+        .orderBy("lang")
     )

@@ -138,6 +138,9 @@ HEADLINE = [
     # family's Bradley-Terry fit (adjacent-doc matches → two MM steps)
     "video_keyframe_knn",
     "bradley_terry_mm_step",
+    # unigram-LM Viterbi apply: the whole DP as one Catalyst
+    # expression over a broadcast vocab-cost map (scan-stage shape)
+    "unigram_viterbi_tokenize_top30",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session

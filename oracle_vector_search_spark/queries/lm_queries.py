@@ -730,3 +730,213 @@ def wordpiece_greedy_tokenize_top30(
         .orderBy(F.desc("n_uses"), F.asc("piece"))
         .limit(30)
     )
+
+
+# --------------------- unigram-LM Viterbi tokenizer (apply, round 8)
+
+_UV_HEAD = 2_000  # most frequent word types segmented
+_UV_VOCAB = 192  # mined multi-char vocabulary size (plus all chars)
+_UV_MAXLEN = 12  # word-length cap == DP round bound
+_UV_MAXPIECE = 4  # longest mined piece
+
+
+@register(
+    "unigram_viterbi_tokenize_top30",
+    f"""
+WITH RECURSIVE words AS (
+  SELECT unnest(string_split({T.duck_norm('text')}, ' ')) AS w
+  FROM documents
+), types AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM words
+  WHERE length(w) BETWEEN 1 AND {_UV_MAXLEN}
+  GROUP BY w ORDER BY wc DESC, w LIMIT {_UV_HEAD}
+), cand AS (
+  SELECT unnest([substr(w, i, u.l)
+                 FOR i IN range(1, length(w) - u.l + 2)]) AS piece, wc
+  FROM types, unnest([1, 2, 3, 4]) AS u(l)
+  WHERE length(w) >= u.l
+), cnts AS (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM cand GROUP BY piece
+), top_pieces AS (
+  SELECT piece FROM cnts
+  ORDER BY cnt DESC, piece LIMIT {_UV_VOCAB}
+), vocab AS (
+  SELECT DISTINCT piece FROM (
+    SELECT piece FROM top_pieces
+    UNION ALL
+    SELECT piece FROM cnts WHERE length(piece) = 1
+  )
+), tot AS (
+  SELECT CAST(sum(c.cnt) AS BIGINT) AS total
+  FROM vocab v JOIN cnts c USING (piece)
+), costs AS (
+  SELECT v.piece,
+         CAST(length(bin(t.total)) - length(bin(c.cnt)) AS BIGINT) AS pc
+  FROM vocab v JOIN cnts c USING (piece) CROSS JOIN tot t
+), seg(word, wc, pos, cost, k, path) AS (
+  SELECT w, wc, 0, CAST(0 AS BIGINT), 0, '' FROM types
+  UNION ALL
+  SELECT s.word, s.wc, s.pos + length(c.piece), s.cost + c.pc, s.k + 1,
+         CASE WHEN s.path = '' THEN c.piece
+              ELSE s.path || ' ' || c.piece END
+  FROM seg s JOIN costs c
+    ON c.piece = substr(s.word, s.pos + 1, length(c.piece))
+  WHERE s.pos < length(s.word)
+), best AS (
+  SELECT word, wc, path,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY cost, k, path) AS rn
+  FROM seg WHERE pos = length(word)
+)
+SELECT piece,
+       CAST(sum(wc) AS BIGINT) AS n_uses,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_word_types
+FROM (SELECT word, wc, unnest(string_split(path, ' ')) AS piece
+      FROM best WHERE rn = 1)
+GROUP BY piece ORDER BY n_uses DESC, piece LIMIT 30
+""",
+)
+def unigram_viterbi_tokenize_top30(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM tokenizer APPLY via exact Viterbi (the SentencePiece
+    unigram inference rule, Kudo 2018): each of the {_UV_HEAD} most
+    frequent word types is segmented into the MINIMUM-TOTAL-COST piece
+    sequence over a mined vocabulary ({_UV_VOCAB} top substrings of
+    length ≤ {_UV_MAXPIECE}, occurrence-weighted, plus every single
+    character so segmentation never fails).
+
+    The cost model is the engine-portable INTEGER Shannon-Fano cost
+    ``bits(total) − bits(count)`` (bit lengths via ``bin()`` — exact
+    in both engines), i.e. ⌈−log₂ p⌉ up to one bit, instead of float
+    log-probabilities: libm ``ln`` can differ between engines in the
+    last ulp, and ONE flipped DP comparison would change a whole
+    segmentation.  With integer costs the DP is bit-exact; ties break
+    on (piece count, then path string), a total order that composes
+    under Bellman optimality (an equal-cost prefix swap can only make
+    the full path smaller in the same order — so per-position pruning
+    keeps the global optimum).
+
+    Physical shape: the corpus pass is ONE word-histogram aggregate;
+    the vocab cost table folds into a single broadcast MAP column and
+    the whole per-word DP runs inside ONE Catalyst expression —
+    ``aggregate(sequence(1, L))`` builds the dp array, each position
+    taking the min of ≤{_UV_MAXPIECE} candidate structs via
+    ``array_sort`` (struct field order IS the (cost, k, path) tie
+    order).  No driver rounds, no shuffle in the apply: the tokenizer
+    is literally a scan-stage map, which is how a deployment would
+    run a frozen vocab over 100 TB.  The oracle instead ENUMERATES
+    every segmentation with a recursive CTE and takes the same min —
+    a different algorithm arriving at the same optimum, which is what
+    makes the check strong.  Completes the tokenizer family: BPE
+    (trainer), WordPiece (greedy apply), unigram (Viterbi apply)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(T.norm_text("text"), " ")).alias("w")
+    ).filter(F.length("w").between(1, _UV_MAXLEN))
+    w_rank = Window.orderBy(F.desc("wc"), F.asc("w"))
+    types = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _UV_HEAD)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    cand = (
+        types.select(
+            "w",
+            "wc",
+            F.explode(
+                F.array(*[F.lit(l) for l in range(1, _UV_MAXPIECE + 1)])
+            ).alias("l"),
+        )
+        .filter(F.length("w") >= F.col("l"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - l + 1), "
+                    "i -> substring(w, i, l))"
+                )
+            ).alias("piece"),
+            "wc",
+        )
+    )
+    cnts = cand.groupBy("piece").agg(
+        F.sum("wc").cast("long").alias("cnt")
+    )
+    p_rank = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    top_pieces = (
+        cnts.withColumn("rn", F.row_number().over(p_rank))
+        .filter(F.col("rn") <= _UV_VOCAB)
+        .select("piece")
+    )
+    chars = cnts.filter(F.length("piece") == 1).select("piece")
+    vocab = top_pieces.union(chars).distinct()
+    with_cnt = vocab.join(cnts, "piece")
+    tot = with_cnt.agg(F.sum("cnt").cast("long").alias("total"))
+    costs = (
+        with_cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            (
+                F.length(F.expr("bin(total)"))
+                - F.length(F.expr("bin(cnt)"))
+            ).cast("long").alias("pc"),
+        )
+        .localCheckpoint()
+    )
+
+    # the WHOLE Viterbi runs inside ONE Catalyst expression per word:
+    # the vocab cost table folds into a single map column (broadcast,
+    # one row), and aggregate(sequence(1, L)) builds the dp array —
+    # dp[i] = min over l=1..4 of dp[i-l] + cost(substring), the min
+    # taken by array_sort over the candidate structs so (cost, k,
+    # path) ordering is the struct field order. No per-round driver
+    # loop, no shuffle in the apply: the tokenizer IS a scan-stage map.
+    vc = costs.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "pc"))
+        ).alias("vc")
+    )
+    cand_l = ", ".join(
+        f"""CASE WHEN i >= {l}
+                 AND element_at(vc, substring(word, i - {l} + 1, {l}))
+                     IS NOT NULL
+            THEN named_struct(
+              'cost', element_at(acc, i - {l} + 1).cost
+                      + element_at(vc, substring(word, i - {l} + 1, {l})),
+              'k', element_at(acc, i - {l} + 1).k + 1,
+              'path', CASE WHEN element_at(acc, i - {l} + 1).path = ''
+                           THEN substring(word, i - {l} + 1, {l})
+                           ELSE element_at(acc, i - {l} + 1).path || ' '
+                                || substring(word, i - {l} + 1, {l}) END)
+            ELSE NULL END"""
+        for l in range(1, _UV_MAXPIECE + 1)
+    )
+    dp_expr = f"""
+    aggregate(
+      sequence(1, length(word)),
+      array(named_struct('cost', CAST(0 AS BIGINT), 'k', 0, 'path', '')),
+      (acc, i) -> acc || array(element_at(
+          array_sort(filter(array({cand_l}), x -> x IS NOT NULL)), 1)),
+      acc -> element_at(acc, -1).path
+    )"""
+    final = (
+        types.select(F.col("w").alias("word"), "wc")
+        .crossJoin(F.broadcast(vc))
+        .selectExpr("word", "wc", f"{dp_expr} AS path")
+    )
+    return (
+        final.select(
+            "word", "wc", F.explode(F.split("path", " ")).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(
+            F.sum("wc").cast("long").alias("n_uses"),
+            F.countDistinct("word").cast("long").alias("n_word_types"),
+        )
+        .orderBy(F.desc("n_uses"), F.asc("piece"))
+        .limit(30)
+    )

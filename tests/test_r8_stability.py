@@ -19,6 +19,7 @@ R8_QUERIES = [
     "preference_agreement_kappa",
     "reward_calibration_ece",
     "best_of_n_selection_lift",
+    "unigram_viterbi_tokenize_top30",
 ]
 
 

@@ -1978,3 +1978,135 @@ def video_keyframe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score",
         "rank",
     ).orderBy("clip_id", "frame_idx", "rank")
+
+
+# --------------------------- multimodal image #2: real PNG (round 8)
+
+_NP_IMGS = 24
+
+
+@register(
+    "image_png_decode_parity",
+    f"""
+WITH imgs AS (
+  SELECT i, 8 + i % 5 AS w, 6 + i % 7 AS h,
+         ([1, 3, 4])[(i % 3) + 1] AS cin
+  FROM (SELECT unnest(range({_NP_IMGS})) AS i)
+), px AS (
+  SELECT m.i, m.w, m.h,
+         (m.i*7 + y.y*5 + x.x*3
+          + (CASE WHEN m.cin = 1 THEN 0 ELSE 2 - c.c END) * 11)
+           % 256 AS v,
+         (y.y*31 + x.x*17 + c.c*7) % 97 AS wgt
+  FROM imgs m,
+       (SELECT unnest(range(16)) AS y) y,
+       (SELECT unnest(range(16)) AS x) x,
+       (SELECT unnest(range(3)) AS c) c
+  WHERE y.y < m.h AND x.x < m.w
+)
+SELECT CAST(i AS BIGINT) AS img_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum(v) AS BIGINT) AS pix_sum,
+       CAST(sum(v * wgt) AS BIGINT) AS pos_checksum,
+       CAST(min(v) AS BIGINT) AS v_min,
+       CAST(max(v) AS BIGINT) AS v_max
+FROM px
+GROUP BY i, w, h
+ORDER BY img_id
+""",
+)
+def image_png_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG bytes through the S2 multimodal stack, oracle-checked
+    end-to-end: deterministic formula pixels (gray / RGB / RGBA per
+    image) are PNG-encoded with the per-row filter CYCLING through all
+    five types (None/Sub/Up/Average/Paeth — so every decoder
+    unfiltering path, including both intra-row recurrences, sits on
+    the oracle path), shipped through a BINARY column, decoded by the
+    production `_decode_one` dispatch (signature-routed to
+    functions/png_numpy.py, output normalized to 3-channel BGR like
+    the cv2 tier), and reduced to exact integer stats — including a
+    POSITION-weighted checksum Σ v·((31y+17x+7c) mod 97), which one
+    transposed pixel, shifted row, or swapped channel anywhere in
+    inflate → unfilter → palette/alpha normalize → BGR would flip.
+
+    DuckDB re-derives every value from the generating formula alone
+    (PNG is lossless, so parity is EXACT, not tolerance-based): the
+    BGR channel map is c→2−c for color inputs, constant 0 for gray;
+    the planted malformed blob (image {_NP_IMGS}) must drop, never
+    raise (F3).  Image analogue #2 after JPEG — the other format the
+    S2 scan's F1 filter admits.
+
+    100 TB shape: decode is Arrow-batched scan-stage work (stdlib
+    zlib inflate + numpy unfilter); one stats row per image shuffles,
+    pixels never do."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from oracle_vector_search_spark.functions.png_numpy import encode_png
+    from oracle_vector_search_spark.sources.images import _decode_one
+
+    def make_pngs(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid in pdf["id"]:
+                i = int(iid)
+                if i >= _NP_IMGS:  # planted malformed blob (F3)
+                    rows.append((i, b"\x89PNG\r\n\x1a\n\x00trunc"))
+                    continue
+                w, h = 8 + i % 5, 6 + i % 7
+                cin = (1, 3, 4)[i % 3]
+                y, x, ch = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(cin),
+                    indexing="ij",
+                )
+                a = ((i * 7 + y * 5 + x * 3 + ch * 11) % 256).astype(
+                    np.uint8
+                )
+                rows.append((i, encode_png(a, "cycle")))
+            yield pd.DataFrame(rows, columns=["id", "content"])
+
+    blobs = spark.range(_NP_IMGS + 1).mapInPandas(
+        make_pngs, schema="id long, content binary"
+    )
+
+    def stats(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for iid, b in zip(pdf["id"], pdf["content"]):
+                arr = _decode_one(bytes(b))
+                if arr is None:
+                    continue  # F3: malformed drops
+                h, w, _ = arr.shape
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3),
+                    indexing="ij",
+                )
+                wgt = (y * 31 + x * 17 + c * 7) % 97
+                a64 = arr.astype(np.int64)
+                rows.append(
+                    {
+                        "img_id": int(iid),
+                        "width": int(w),
+                        "height": int(h),
+                        "pix_sum": int(a64.sum()),
+                        "pos_checksum": int((a64 * wgt).sum()),
+                        "v_min": int(a64.min()),
+                        "v_max": int(a64.max()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "img_id", "width", "height", "pix_sum",
+                    "pos_checksum", "v_min", "v_max",
+                ],
+            )
+
+    return blobs.mapInPandas(
+        stats,
+        schema="img_id long, width int, height int, pix_sum long, "
+        "pos_checksum long, v_min long, v_max long",
+    ).orderBy("img_id")

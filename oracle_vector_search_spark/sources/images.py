@@ -100,6 +100,24 @@ def _decode_one(b: bytes | None):
         # BGR to match the cv2 tier (reference build_faiss_db.py:171
         # reads with cv2.imread, so downstream byte order is BGR)
         return rgb[:, :, ::-1].copy()
+    if b[:8] == b"\x89PNG\r\n\x1a\n":  # PNG: dependency-free tier (r8)
+        from oracle_vector_search_spark.functions.png_numpy import (
+            decode_png,
+        )
+
+        px = decode_png(b)
+        if px is None:
+            return None  # malformed — F3
+        c = px.shape[2]
+        if c == 1:
+            rgb = np.repeat(px, 3, axis=2)
+        elif c == 2:  # gray+alpha → gray channel, alpha dropped
+            rgb = np.repeat(px[:, :, :1], 3, axis=2)
+        elif c == 4:  # RGBA → RGB, alpha dropped (cv2 IMREAD_COLOR rule)
+            rgb = px[:, :, :3]
+        else:
+            rgb = px
+        return rgb[:, :, ::-1].copy()  # BGR like the cv2 tier
     return None  # no decoder for this format → F3 drop
 
 

@@ -20,6 +20,7 @@ R8_QUERIES = [
     "reward_calibration_ece",
     "best_of_n_selection_lift",
     "unigram_viterbi_tokenize_top30",
+    "image_png_decode_parity",
 ]
 
 

@@ -201,6 +201,46 @@ JOIN den2 d ON d.source = w.source
 ORDER BY w.source
 """,
 )
+def source_matches(docs: DataFrame) -> DataFrame:
+    """(sa, sb, a_wins) pairwise outcomes between document SOURCES:
+    consecutive doc_ids within a language compete on the integer
+    quality score (ties: lower doc_id wins); same-source matches drop.
+    Shared by the batch BT fit and the streaming stats twin."""
+    scored = docs.selectExpr(
+        "doc_id", "lang", "source", f"{_SCORE_SQL_SPARK} AS q"
+    )
+    a = scored.select(
+        F.col("lang"),
+        F.col("doc_id").alias("ida"),
+        F.col("source").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    b = scored.select(
+        F.col("lang"),
+        F.col("doc_id").alias("idb"),
+        F.col("source").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    return (
+        a.join(b, (a["lang"] == b["lang"]) & (b["idb"] == a["ida"] + 1))
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            "sa",
+            "sb",
+            F.when(
+                (F.col("qa") > F.col("qb"))
+                | (
+                    (F.col("qa") == F.col("qb"))
+                    & (F.col("ida") < F.col("idb"))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("a_wins"),
+        )
+    )
+
+
 def bradley_terry_mm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry preference-strength fitting, two exact MM updates
     (Hunter 2004): pairwise outcomes between document SOURCES (derived
@@ -223,39 +263,7 @@ def bradley_terry_mm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     size.  More MM rounds would repeat step 2's O(sources²) block —
     driver-side loop over a broadcast-sized table, corpus untouched."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.selectExpr(
-        "doc_id", "lang", "source", f"{_SCORE_SQL_SPARK} AS q"
-    )
-    a = scored.select(
-        F.col("lang"),
-        F.col("doc_id").alias("ida"),
-        F.col("source").alias("sa"),
-        F.col("q").alias("qa"),
-    )
-    b = scored.select(
-        F.col("lang"),
-        F.col("doc_id").alias("idb"),
-        F.col("source").alias("sb"),
-        F.col("q").alias("qb"),
-    )
-    matches = (
-        a.join(b, (a["lang"] == b["lang"]) & (b["idb"] == a["ida"] + 1))
-        .filter(F.col("sa") != F.col("sb"))
-        .select(
-            "sa",
-            "sb",
-            F.when(
-                (F.col("qa") > F.col("qb"))
-                | (
-                    (F.col("qa") == F.col("qb"))
-                    & (F.col("ida") < F.col("idb"))
-                ),
-                1,
-            )
-            .otherwise(0)
-            .alias("a_wins"),
-        )
-    )
+    matches = source_matches(docs)
     per_side = matches.select(
         F.col("sa").alias("source"),
         F.col("a_wins").alias("w"),

@@ -447,3 +447,49 @@ def streaming_audio_vad_admission(
     return ops.audio_vad_admission_stream(spark, sf_dir).orderBy(
         "clip_id"
     )
+
+
+@register(
+    "streaming_preference_bt_stats",
+    """
+WITH scored AS (
+  SELECT doc_id, lang, source,
+         CAST(1000000 * CAST(length(list_distinct(string_split(text, ' ')))
+              AS BIGINT) // CAST(length(string_split(text, ' ')) AS BIGINT)
+              AS BIGINT) AS q
+  FROM documents
+), matches AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CASE WHEN a.q > b.q OR (a.q = b.q AND a.doc_id < b.doc_id)
+              THEN 1 ELSE 0 END AS a_wins
+  FROM scored a JOIN scored b
+    ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+  WHERE a.source <> b.source
+), wins AS (
+  SELECT source,
+         CAST(sum(w) AS BIGINT) AS wins,
+         CAST(sum(n) AS BIGINT) AS n_matches
+  FROM (
+    SELECT sa AS source, a_wins AS w, 1 AS n FROM matches
+    UNION ALL
+    SELECT sb AS source, 1 - a_wins AS w, 1 AS n FROM matches
+  ) GROUP BY source
+)
+SELECT source, wins, n_matches,
+       round(CAST(wins AS DOUBLE) * 2 / n_matches, 6) + 0.0 AS pi_step1
+FROM wins ORDER BY source
+""",
+)
+def streaming_preference_bt_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Preference data as a STREAM: pairwise source-vs-source match
+    outcomes arrive in micro-batches and a foreachBatch upsert
+    maintains the per-source (wins, matches) sufficient-statistics
+    table incrementally — the reward-model intake twin of
+    ``bradley_terry_mm_step``, the way ``streaming_audio_vad_admission``
+    twins the batch VAD.  Sums are order- and batching-independent, so
+    the drained state equals this batch closed form under any file
+    split; the output finalizes MM step 1 (π¹ = 2·W/N, exact under
+    the uniform init)."""
+    return ops.preference_stats_stream(spark, sf_dir)

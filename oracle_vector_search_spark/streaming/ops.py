@@ -975,3 +975,101 @@ def audio_vad_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "expected multi-batch arrival"
     )
     return spark.read.schema(dec_schema).parquet(dec_dir)
+
+
+# -------------------- streaming preference ingestion (round 8)
+
+SPB_FILES = 4  # match-source file splits -> decision epochs
+
+
+def preference_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Bradley-Terry sufficient statistics: pairwise match
+    outcomes arrive in micro-batches (the derived source-vs-source
+    match table re-split into SPB_FILES files, maxFilesPerTrigger=1)
+    and a foreachBatch upsert maintains the at-rest per-source state
+    (wins, matches) a reward-model trainer reads — the incremental
+    half of `bradley_terry_mm_step`.  Sufficient statistics are sums,
+    so the drained state is batching-independent and the batch closed
+    form is the oracle.  The drained output also finalizes MM step 1
+    (π¹ = 2·W/N — exact given uniform init).
+
+    100 TB shape: each arriving batch reduces to O(sources) partials
+    map-side; the state table is sources-sized; history is never
+    rescanned."""
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.queries.preference_queries import (
+        source_matches,
+    )
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    matches = source_matches(load_table(spark, sf_dir, "documents"))
+    src_dir = scratch_dir("ovs_pref_stream_src_")
+    state_dir = scratch_dir("ovs_pref_stream_state_")
+    matches.repartition(SPB_FILES).write.mode("overwrite").parquet(
+        src_dir
+    )
+    stream = (
+        spark.readStream.schema("sa string, sb string, a_wins int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+    def upd(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        part = (
+            batch_df.selectExpr("sa AS source", "a_wins AS w")
+            .unionByName(
+                batch_df.selectExpr("sb AS source", "1 - a_wins AS w")
+            )
+            .groupBy("source")
+            .agg(
+                F.sum("w").cast("long").alias("w_i"),
+                F.count(F.lit(1)).cast("long").alias("n_i"),
+            )
+        )
+        try:
+            old = s.read.parquet(state_dir)
+            merged = (
+                old.unionByName(part)
+                .groupBy("source")
+                .agg(
+                    F.sum("w_i").cast("long").alias("w_i"),
+                    F.sum("n_i").cast("long").alias("n_i"),
+                )
+            )
+        except Exception:  # first epoch: no state yet
+            merged = part
+        # pin BEFORE overwrite — the merged plan reads the very
+        # directory the write replaces
+        merged.localCheckpoint().write.mode("overwrite").parquet(
+            state_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", scratch_dir("ovs_pref_stream_ckp_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        state = spark.read.parquet(state_dir)
+    except Exception:  # empty source: empty typed result (contract)
+        return spark.createDataFrame(
+            [], "source string, wins long, n_matches long, pi_step1 double"
+        )
+    return state.select(
+        "source",
+        F.col("w_i").alias("wins"),
+        F.col("n_i").alias("n_matches"),
+        (
+            F.round(
+                F.col("w_i").cast("double") * 2
+                / F.col("n_i").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("pi_step1"),
+    ).orderBy("source")

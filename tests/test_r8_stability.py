@@ -21,6 +21,7 @@ R8_QUERIES = [
     "best_of_n_selection_lift",
     "unigram_viterbi_tokenize_top30",
     "image_png_decode_parity",
+    "streaming_preference_bt_stats",
 ]
 
 

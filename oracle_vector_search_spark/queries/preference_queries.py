@@ -156,6 +156,47 @@ scored AS (
 )"""
 
 
+def source_matches(docs: DataFrame) -> DataFrame:
+    """(sa, sb, a_wins) pairwise outcomes between document SOURCES:
+    consecutive doc_ids within a language compete on the integer
+    quality score (ties: lower doc_id wins); same-source matches drop.
+    Shared by the batch BT fit and the streaming stats twin."""
+    scored = docs.selectExpr(
+        "doc_id", "lang", "source", f"{_SCORE_SQL_SPARK} AS q"
+    )
+    a = scored.select(
+        F.col("lang"),
+        F.col("doc_id").alias("ida"),
+        F.col("source").alias("sa"),
+        F.col("q").alias("qa"),
+    )
+    b = scored.select(
+        F.col("lang"),
+        F.col("doc_id").alias("idb"),
+        F.col("source").alias("sb"),
+        F.col("q").alias("qb"),
+    )
+    return (
+        a.join(b, (a["lang"] == b["lang"]) & (b["idb"] == a["ida"] + 1))
+        .filter(F.col("sa") != F.col("sb"))
+        .select(
+            "sa",
+            "sb",
+            F.when(
+                (F.col("qa") > F.col("qb"))
+                | (
+                    (F.col("qa") == F.col("qb"))
+                    & (F.col("ida") < F.col("idb"))
+                ),
+                1,
+            )
+            .otherwise(0)
+            .alias("a_wins"),
+        )
+    )
+
+
+
 @register(
     "bradley_terry_mm_step",
     f"""
@@ -201,46 +242,6 @@ JOIN den2 d ON d.source = w.source
 ORDER BY w.source
 """,
 )
-def source_matches(docs: DataFrame) -> DataFrame:
-    """(sa, sb, a_wins) pairwise outcomes between document SOURCES:
-    consecutive doc_ids within a language compete on the integer
-    quality score (ties: lower doc_id wins); same-source matches drop.
-    Shared by the batch BT fit and the streaming stats twin."""
-    scored = docs.selectExpr(
-        "doc_id", "lang", "source", f"{_SCORE_SQL_SPARK} AS q"
-    )
-    a = scored.select(
-        F.col("lang"),
-        F.col("doc_id").alias("ida"),
-        F.col("source").alias("sa"),
-        F.col("q").alias("qa"),
-    )
-    b = scored.select(
-        F.col("lang"),
-        F.col("doc_id").alias("idb"),
-        F.col("source").alias("sb"),
-        F.col("q").alias("qb"),
-    )
-    return (
-        a.join(b, (a["lang"] == b["lang"]) & (b["idb"] == a["ida"] + 1))
-        .filter(F.col("sa") != F.col("sb"))
-        .select(
-            "sa",
-            "sb",
-            F.when(
-                (F.col("qa") > F.col("qb"))
-                | (
-                    (F.col("qa") == F.col("qb"))
-                    & (F.col("ida") < F.col("idb"))
-                ),
-                1,
-            )
-            .otherwise(0)
-            .alias("a_wins"),
-        )
-    )
-
-
 def bradley_terry_mm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry preference-strength fitting, two exact MM updates
     (Hunter 2004): pairwise outcomes between document SOURCES (derived
@@ -304,12 +305,14 @@ def bradley_terry_mm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     jo = (
         directed.join(
-            pi1.select("source", "p1"), "source"
+            F.broadcast(pi1.select("source", "p1")), "source"
         )
         .join(
-            pi1.select(
-                F.col("source").alias("other"),
-                F.col("p1").alias("p1_other"),
+            F.broadcast(
+                pi1.select(
+                    F.col("source").alias("other"),
+                    F.col("p1").alias("p1_other"),
+                )
             ),
             "other",
         )
@@ -324,8 +327,8 @@ def bradley_terry_mm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_vector_search_spark.functions.rounding import round_signed
 
     return (
-        wins.join(pi1.select("source", "p1"), "source")
-        .join(jo, "source")
+        wins.join(F.broadcast(pi1.select("source", "p1")), "source")
+        .join(F.broadcast(jo), "source")
         .select(
             "source",
             F.col("w_i").alias("wins"),

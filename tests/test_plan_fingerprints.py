@@ -129,6 +129,20 @@ EXPECTED: dict[str, dict[str, int]] = {
     # the FINAL plan is just the usage aggregate + top-30 window — no
     # python, no joins surviving into the last stage
     "wordpiece_greedy_tokenize_top30": {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # --- round 8 additions ---
+    # video→vector: python stages are encode / frame-sample / embed
+    # Arrow passes; the kNN is the broadcast expression tier (query
+    # side broadcast, index streams) + the top-k window exchange
+    "video_keyframe_knn":              {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 3},
+    # BT fit: the matches self-join is corpus-shaped (auto-broadcast at
+    # fixture size, the one honest SMJ at scale); every post-aggregate
+    # join (pi1 strengths, pair counts) broadcasts EXPLICITLY — those
+    # sides are sources-sized at any corpus scale, so 0 SMJs survive
+    "bradley_terry_mm_step":           {"shuffle_exchanges": 8, "broadcast_hash_joins": 14, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # unigram Viterbi: word histogram + piece-count shuffles; the DP
+    # itself is ONE Catalyst expression over a broadcast map column —
+    # no python, no join, no per-round exchanges
+    "unigram_viterbi_tokenize_top30":  {"shuffle_exchanges": 3, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

@@ -2110,3 +2110,170 @@ def image_png_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="img_id long, width int, height int, pix_sum long, "
         "pos_checksum long, v_min long, v_max long",
     ).orderBy("img_id")
+
+
+# ---------------- domain mixture reweighting (round 8, DoReMi-style)
+
+_MW_ETA = "0.5"  # multiplicative-weights learning rate, as a literal
+
+
+@register(
+    "domain_mixture_mw_step",
+    f"""
+WITH scored AS (
+  SELECT source,
+         CAST(1000000 * CAST(length(list_distinct(string_split(text, ' ')))
+              AS BIGINT) // CAST(length(string_split(text, ' ')) AS BIGINT)
+              AS BIGINT) AS q
+  FROM documents
+), dom AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(q) AS BIGINT) AS sq
+  FROM scored GROUP BY source
+), k AS (SELECT CAST(count(*) AS BIGINT) AS n_dom FROM dom),
+terms AS (
+  SELECT d.source, d.n_docs,
+         CAST(d.sq AS DOUBLE) / d.n_docs AS mean_q,
+         1.0 - CAST(d.sq AS DOUBLE) / d.n_docs / 1000000.0 AS loss,
+         (1.0 + {_MW_ETA} *
+          (1.0 - CAST(d.sq AS DOUBLE) / d.n_docs / 1000000.0))
+           / k.n_dom AS raw_w,
+         1.0 / k.n_dom AS w_uniform
+  FROM dom d CROSS JOIN k
+), z AS (SELECT sum(raw_w) AS z FROM terms)
+SELECT t.source, t.n_docs,
+       round(t.mean_q, 6) AS mean_q,
+       round(t.loss, 6) AS loss,
+       round(t.w_uniform, 6) AS w_uniform,
+       round(t.raw_w / z.z, 6) AS w_step1
+FROM terms t CROSS JOIN z
+ORDER BY t.source
+""",
+)
+def domain_mixture_mw_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting, one exact multiplicative-weights
+    step (the Arora-Hazan-Kale MW rule, the deterministic core of
+    DoReMi-style domain reweighting — Xie et al. 2023): domains are
+    document sources, the per-domain "excess loss" proxy is the mean
+    quality deficit (1 − mean_q/10⁶, a rational of the exact integer
+    score sums), and the update w¹_d ∝ w⁰_d·(1 + η·loss_d) starts from
+    the uniform mixture.  The rational (not exponential) update keeps
+    every number a closed form of integer sufficient statistics — no
+    libm in the weight path, so both engines agree to rounding.
+
+    100 TB shape: one scan-stage integer projection, one sources-keyed
+    partial-agg shuffle; the update itself touches K rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "source",
+        "CAST(1000000 * CAST(size(array_distinct(split(text, ' ')))"
+        " AS BIGINT) div CAST(size(split(text, ' ')) AS BIGINT)"
+        " AS BIGINT) AS q",
+    )
+    dom = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("q").cast("long").alias("sq"),
+    )
+    k = dom.agg(F.count(F.lit(1)).cast("long").alias("n_dom"))
+    mean_q = F.col("sq").cast("double") / F.col("n_docs")
+    loss = F.lit(1.0) - mean_q / F.lit(1_000_000.0)
+    terms = dom.crossJoin(F.broadcast(k)).select(
+        "source",
+        "n_docs",
+        mean_q.alias("mean_q"),
+        loss.alias("loss"),
+        ((F.lit(1.0) + F.expr(_MW_ETA) * loss) / F.col("n_dom")).alias(
+            "raw_w"
+        ),
+        (F.lit(1.0) / F.col("n_dom")).alias("w_uniform"),
+    )
+    z = terms.agg(F.sum("raw_w").alias("z"))
+    return (
+        terms.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            F.round("mean_q", 6).alias("mean_q"),
+            F.round("loss", 6).alias("loss"),
+            F.round("w_uniform", 6).alias("w_uniform"),
+            F.round(F.col("raw_w") / F.col("z"), 6).alias("w_step1"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------- context-truncation loss audit (round 8)
+
+_TRUNC_BUDGETS = (32, 64, 128, 256)
+
+
+@register(
+    "truncation_loss_audit",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+), budgets AS (
+  SELECT unnest([{", ".join(str(b) for b in _TRUNC_BUDGETS)}]) AS ctx
+)
+SELECT CAST(b.ctx AS BIGINT) AS ctx_len,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN t.n > b.ctx THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(sum(t.n) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN t.n > b.ctx THEN t.n - b.ctx ELSE 0 END)
+            AS BIGINT) AS tokens_lost,
+       round(CAST(sum(CASE WHEN t.n > b.ctx THEN t.n - b.ctx ELSE 0 END)
+                  AS DOUBLE) / sum(t.n), 6) AS loss_fraction
+FROM toks t CROSS JOIN budgets b
+GROUP BY b.ctx
+ORDER BY ctx_len
+""",
+)
+def truncation_loss_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length planning audit: for each candidate context
+    budget, how many documents would truncate and what fraction of
+    corpus tokens the cut discards — the measurement behind choosing a
+    packing length (truncation loses signal; padding wastes compute;
+    `packed_context_bins` is the packing side of the same decision).
+    Exact integer token counts; one division at the end.
+
+    100 TB shape: one scan-stage token count, broadcast of the
+    |budgets|-row dimension, count-only partial-agg shuffle bounded by
+    |budgets| — the corpus is read once for all budgets."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.size(F.split("text", " ")).cast("long").alias("n")
+    )
+    budgets = spark.createDataFrame(
+        [(b,) for b in _TRUNC_BUDGETS], "ctx long"
+    )
+    j = toks.crossJoin(F.broadcast(budgets))
+    lost = F.when(
+        F.col("n") > F.col("ctx"), F.col("n") - F.col("ctx")
+    ).otherwise(0)
+    return (
+        j.groupBy("ctx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("n") > F.col("ctx")).cast("long"))
+            .cast("long")
+            .alias("n_truncated"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(lost).cast("long").alias("tokens_lost"),
+        )
+        .select(
+            F.col("ctx").alias("ctx_len"),
+            "n_docs",
+            "n_truncated",
+            "total_tokens",
+            "tokens_lost",
+            F.round(
+                F.col("tokens_lost").cast("double")
+                / F.col("total_tokens"),
+                6,
+            ).alias("loss_fraction"),
+        )
+        .orderBy("ctx_len")
+    )

@@ -22,6 +22,8 @@ R8_QUERIES = [
     "unigram_viterbi_tokenize_top30",
     "image_png_decode_parity",
     "streaming_preference_bt_stats",
+    "domain_mixture_mw_step",
+    "truncation_loss_audit",
 ]
 
 

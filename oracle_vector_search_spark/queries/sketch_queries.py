@@ -1020,3 +1020,203 @@ def value_ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         " > 1.358 * sqrt((n_view + n_purchase) * 1.0"
         " / (n_view * n_purchase)) AS drift_at_5pct",
     )
+
+
+# ------------------- q-digest mergeable quantile sketch (round 8)
+
+_QD_K = 10  # tree depth: leaves = dollar buckets [0, 1024)
+_QD_SIGMA = 64  # compression: threshold T = n // sigma
+_QD_PCTS = (25, 50, 75, 90, 99)
+
+
+def _qdigest_oracle() -> str:
+    """Generate the level-sweep CTE chain: the EXACT bottom-up q-digest
+    compression (Shrivastava et al. 2004) as plain SQL — sweep level
+    l = {_QD_K}..1, merging each sibling pair into its parent whenever
+    pair_sum + parent_count ≤ T.  Node ids are heap-numbered (leaf i ↔
+    1024 + i, parent = id // 2); level and range derive from the bin()
+    length, so everything is integer-exact."""
+    lines = [
+        f"""
+WITH n11 AS MATERIALIZED (
+  SELECT 1024 + CAST(least(greatest(floor(value), 0), 1023) AS BIGINT)
+           AS id,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1
+), tot AS MATERIALIZED (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         CAST(sum(cnt) AS BIGINT) // {_QD_SIGMA} AS t
+  FROM n11
+)"""
+    ]
+    cur = "n11"
+    for l in range(_QD_K, 0, -1):
+        lo, hi = 1 << l, 1 << (l + 1)
+        nxt = f"n{l - 1:02d}"
+        lines.append(
+            f""", m{l:02d} AS MATERIALIZED (
+  SELECT s.pid,
+         (s.ps + coalesce(p.cnt, 0)) <= (SELECT t FROM tot) AS mrg
+  FROM (SELECT id // 2 AS pid, CAST(sum(cnt) AS BIGINT) AS ps
+        FROM {cur} WHERE id >= {lo} AND id < {hi}
+        GROUP BY id // 2) s
+  LEFT JOIN (SELECT id, cnt FROM {cur}
+             WHERE id >= {lo // 2} AND id < {lo}) p
+    ON p.id = s.pid
+), {nxt} AS MATERIALIZED (
+  SELECT id, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT id, cnt FROM {cur} WHERE id < {lo} OR id >= {hi}
+    UNION ALL
+    SELECT CASE WHEN m.mrg THEN q.id // 2 ELSE q.id END AS id, q.cnt
+    FROM {cur} q JOIN m{l:02d} m ON q.id // 2 = m.pid
+    WHERE q.id >= {lo} AND q.id < {hi}
+  ) GROUP BY id
+)"""
+        )
+        cur = nxt
+    lines.append(
+        f""", digest AS (
+  SELECT id, cnt,
+         length(bin(id)) - 1 AS lvl,
+         (id - (1 << (length(bin(id)) - 1)))
+           * (1 << ({_QD_K} - (length(bin(id)) - 1))) AS lo,
+         (id - (1 << (length(bin(id)) - 1)) + 1)
+           * (1 << ({_QD_K} - (length(bin(id)) - 1))) - 1 AS hi
+  FROM {cur} WHERE cnt > 0
+), qs AS (
+  SELECT unnest([{", ".join(str(p) for p in _QD_PCTS)}]) AS pct
+), ranks AS (
+  SELECT q.pct, (q.pct * t.n + 99) // 100 AS r, t.n
+  FROM qs q CROSS JOIN tot t
+), cum AS (
+  SELECT d.hi, d.lo,
+         sum(d.cnt) OVER (ORDER BY d.hi, d.hi - d.lo
+                          ROWS UNBOUNDED PRECEDING) AS c
+  FROM digest d
+), est AS (
+  SELECT r.pct, min(u.hi) AS est_dollar
+  FROM ranks r JOIN cum u ON u.c >= r.r
+  GROUP BY r.pct
+), leafcum AS (
+  SELECT id - 1024 AS leaf,
+         sum(cnt) OVER (ORDER BY id ROWS UNBOUNDED PRECEDING) AS c
+  FROM n11
+), exact AS (
+  SELECT r.pct, min(u.leaf) AS exact_dollar
+  FROM ranks r JOIN leafcum u ON u.c >= r.r
+  GROUP BY r.pct
+)
+SELECT CAST(r.pct AS BIGINT) AS quantile_pct,
+       r.n AS n,
+       (SELECT CAST(count(*) AS BIGINT) FROM digest) AS digest_size,
+       CAST(e.est_dollar AS BIGINT) AS est_dollar,
+       CAST(x.exact_dollar AS BIGINT) AS exact_dollar,
+       CAST(e.est_dollar - x.exact_dollar AS BIGINT) AS err_dollars
+FROM ranks r JOIN est e ON e.pct = r.pct
+JOIN exact x ON x.pct = r.pct
+ORDER BY quantile_pct"""
+    )
+    return "".join(lines)
+
+
+@register("qdigest_quantile_audit", _qdigest_oracle())
+def qdigest_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile SKETCH with a deterministic build — q-digest
+    (Shrivastava et al. 2004): event values bucket into 1024 dollar
+    leaves of a binary range tree; the bottom-up compression merges
+    each sibling pair into its parent whenever pair + parent counts ≤
+    n/σ (σ={_QD_SIGMA}), leaving O(σ·log D) nodes whose ranges answer
+    any quantile within n·log(D)/σ rank error.  Unlike KLL/GK (whose
+    compaction depends on arrival order — not partition-invariant),
+    the q-digest is a pure function of the exact leaf HISTOGRAM, so a
+    distributed build is deterministic and the whole construction is
+    oracle-checkable: the DuckDB side replays all {_QD_K} level sweeps
+    as generated SQL.  The audit emits sketch-vs-exact answers for
+    {len(_QD_PCTS)} quantiles side by side.
+
+    Physical shape: ONE count shuffle builds the leaf histogram; the
+    histogram is DOMAIN-bounded (≤1024 rows regardless of n — 100 TB
+    of events still yields ≤1024 leaves), so the compression runs
+    driver-side on sketch-sized data (the bloom-filter precedent:
+    bounded, documented) and the digest broadcasts back for the
+    window-based quantile reads.  Merging two digests = summing leaf
+    histograms before compression — the mergeability that makes this
+    the right shape for per-partition → global rollups at scale."""
+    ev = load_table(spark, sf_dir, "events")
+    leaves = (
+        ev.select(
+            F.least(
+                F.greatest(F.floor("value"), F.lit(0)), F.lit(1023)
+            )
+            .cast("long")
+            .alias("leaf")
+        )
+        .groupBy("leaf")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    hist = {
+        int(r["leaf"]): int(r["cnt"]) for r in leaves.collect()
+    }  # domain-bounded: ≤1024 rows at ANY data scale
+    n = sum(hist.values())
+    t = n // _QD_SIGMA
+    nodes = {1024 + leaf: c for leaf, c in hist.items() if c > 0}
+    for l in range(_QD_K, 0, -1):
+        lo, hi = 1 << l, 1 << (l + 1)
+        by_pid: dict[int, int] = {}
+        for nid, c in nodes.items():
+            if lo <= nid < hi:
+                by_pid[nid // 2] = by_pid.get(nid // 2, 0) + c
+        for pid, ps in sorted(by_pid.items()):
+            if ps + nodes.get(pid, 0) <= t:
+                nodes[pid] = nodes.get(pid, 0) + ps
+                for child in (2 * pid, 2 * pid + 1):
+                    nodes.pop(child, None)
+    digest_rows = []
+    for nid, c in sorted(nodes.items()):
+        lvl = nid.bit_length() - 1
+        span = 1 << (_QD_K - lvl)
+        nlo = (nid - (1 << lvl)) * span
+        digest_rows.append((nid, c, nlo, nlo + span - 1))
+    digest = spark.createDataFrame(
+        digest_rows, "id long, cnt long, lo long, hi long"
+    )
+    ranks = spark.createDataFrame(
+        [(p, (p * n + 99) // 100) for p in _QD_PCTS],
+        "pct long, r long",
+    )
+    wcum = Window.orderBy(F.asc("hi"), F.asc(F.col("hi") - F.col("lo"))).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = digest.select("hi", F.sum("cnt").over(wcum).alias("c"))
+    est = (
+        F.broadcast(ranks)
+        .join(cum, F.col("c") >= F.col("r"))
+        .groupBy("pct", "r")
+        .agg(F.min("hi").alias("est_dollar"))
+    )
+    wleaf = Window.orderBy("leaf").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    leafcum = leaves.select(
+        "leaf", F.sum("cnt").over(wleaf).alias("c")
+    )
+    exact = (
+        F.broadcast(ranks)
+        .join(leafcum, F.col("c") >= F.col("r"))
+        .groupBy("pct")
+        .agg(F.min("leaf").alias("exact_dollar"))
+    )
+    return (
+        est.join(exact, "pct")
+        .select(
+            F.col("pct").alias("quantile_pct"),
+            F.lit(n).cast("long").alias("n"),
+            F.lit(len(digest_rows)).cast("long").alias("digest_size"),
+            F.col("est_dollar").cast("long"),
+            F.col("exact_dollar").cast("long"),
+            (F.col("est_dollar") - F.col("exact_dollar"))
+            .cast("long")
+            .alias("err_dollars"),
+        )
+        .orderBy("quantile_pct")
+    )

@@ -24,6 +24,7 @@ R8_QUERIES = [
     "streaming_preference_bt_stats",
     "domain_mixture_mw_step",
     "truncation_loss_audit",
+    "qdigest_quantile_audit",
 ]
 
 

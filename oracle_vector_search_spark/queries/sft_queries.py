@@ -1,0 +1,394 @@
+"""SFT / instruction-tuning data operators — the supervised-fine-tuning
+stage of an LLM training pipeline: validating chat-transcript structure
+before training, accounting for which tokens actually receive loss, and
+scoring sampled generations with the unbiased pass@k estimator.
+
+New family in round 8 (no reference counterpart — the reference
+(Niobe96/Oracle_vector_search) stops at retrieval; these are the
+"operations a large-scale training-data pipeline would need" the brief
+asks for alongside SURVEY §2).  All three queries are deterministic and
+fully oracle-checked:
+
+* sft_turn_alternation_audit — role-alternation validation over
+                               event-derived conversations (the
+                               standard pre-SFT transcript lint:
+                               starts-with-user, no adjacent
+                               same-role turns, longest run)
+* sft_loss_mask_accounting   — trainable-token accounting: of all
+                               tokens a packed transcript feeds the
+                               model, how many are assistant-content
+                               (loss-bearing) vs user-content and
+                               chat-template overhead
+* pass_at_k_per_task         — the unbiased pass@k estimator
+                               (Chen et al. 2021, "Evaluating Large
+                               Language Models Trained on Code",
+                               eq. 1): per task with n samples and c
+                               correct, pass@k = 1 − C(n−c,k)/C(n,k)
+
+Conversations derive from the fixture tables themselves (events
+sessionized at 30 minutes; documents split on a content-derived
+boundary), so every number is reproducible from the parquet alone —
+no rand(), no external annotations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.temporal import sessionize
+from oracle_vector_search_spark.queries import register
+
+# Role map for event-derived transcripts: demand-side event types are
+# "user" turns, fulfilment-side types are "assistant" turns.
+_ROLE_SQL = (
+    "CASE WHEN event_type IN ('purchase', 'signup') "
+    "THEN 'assistant' ELSE 'user' END"
+)
+
+
+@register(
+    "sft_turn_alternation_audit",
+    f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         epoch_ns(ts) // 1000 AS ts_us,
+         epoch_ns(ts) // 1000000000 AS ts_s,
+         {_ROLE_SQL} AS role
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us, role,
+         CASE WHEN lag(ts_s) OVER w IS NULL
+                   OR ts_s - lag(ts_s) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts_us, role,
+         sum(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), turns AS (
+  SELECT user_id, session_id, event_id, ts_us, role,
+         row_number() OVER w AS turn_idx,
+         CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS same_adj
+  FROM sess
+  WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts_us, event_id)
+), runs AS (
+  SELECT user_id, session_id, role, turn_idx,
+         turn_idx - sum(same_adj) OVER (
+           PARTITION BY user_id, session_id ORDER BY turn_idx
+           ROWS UNBOUNDED PRECEDING) AS run_id,
+         same_adj
+  FROM turns
+), run_lengths AS (
+  SELECT user_id, session_id, run_id,
+         CAST(count(*) AS BIGINT) AS run_len
+  FROM runs GROUP BY user_id, session_id, run_id
+), conv AS (
+  SELECT t.user_id, t.session_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         min(CASE WHEN t.turn_idx = 1 THEN t.role END) AS first_role,
+         CAST(sum(t.same_adj) AS BIGINT) AS violations
+  FROM turns t GROUP BY t.user_id, t.session_id
+), conv_runs AS (
+  SELECT c.user_id, c.session_id, c.n_turns, c.first_role, c.violations,
+         (SELECT max(rl.run_len) FROM run_lengths rl
+          WHERE rl.user_id = c.user_id
+            AND rl.session_id = c.session_id) AS max_run
+  FROM conv c
+)
+SELECT first_role,
+       CAST(count(*) AS BIGINT) AS conversations,
+       CAST(sum(CASE WHEN violations = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS strict_alternating,
+       CAST(sum(violations) AS BIGINT) AS adjacent_violations,
+       CAST(max(max_run) AS BIGINT) AS max_same_role_run,
+       CAST(1000000 * sum(n_turns) // count(*) AS BIGINT)
+         AS avg_turns_micro
+FROM conv_runs
+GROUP BY first_role
+ORDER BY first_role
+""",
+)
+def sft_turn_alternation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-transcript structure lint, the validation pass every SFT
+    pipeline runs before training: sessionize events into conversations
+    (30-min gap, the repo-standard ``sessionize`` operator), map event
+    types to chat roles, and per conversation measure (a) whether it
+    opens with a user turn, (b) adjacent same-role turns (alternation
+    violations — transcripts that need merge-or-split repair), and
+    (c) the longest same-role run.  Output is grouped by opening role.
+
+    100 TB shape: everything is windows over one shuffle on user_id
+    (sessionize reuses the partitioning for the turn windows) plus one
+    conversation-sized aggregation — no joins, no corpus re-scan; the
+    run-length pass rides the same (user, session) partitioning."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.expr(_ROLE_SQL).alias("role"),
+    )
+    sess = sessionize(ev, "user_id", "ts", 1800, order_tiebreak="event_id")
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    turns = sess.select(
+        "user_id",
+        "session_id",
+        "role",
+        F.row_number().over(w).alias("turn_idx"),
+        F.when(F.col("role") == F.lag("role").over(w), 1)
+        .otherwise(0)
+        .alias("same_adj"),
+    )
+    # Run ids: turn_idx minus the cumulative count of same-role
+    # adjacencies is constant within a run and increments across runs.
+    wo = Window.partitionBy("user_id", "session_id").orderBy("turn_idx")
+    runs = turns.withColumn(
+        "run_id",
+        F.col("turn_idx")
+        - F.sum("same_adj").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    run_max = (
+        runs.groupBy("user_id", "session_id", "run_id")
+        .agg(F.count("*").alias("run_len"))
+        .groupBy("user_id", "session_id")
+        .agg(F.max("run_len").alias("max_run"))
+    )
+    conv = turns.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_turns"),
+        F.min(F.when(F.col("turn_idx") == 1, F.col("role"))).alias(
+            "first_role"
+        ),
+        F.sum("same_adj").alias("violations"),
+    )
+    return (
+        conv.join(run_max, ["user_id", "session_id"])
+        .groupBy("first_role")
+        .agg(
+            F.count("*").alias("conversations"),
+            F.sum(
+                F.when(F.col("violations") == 0, 1).otherwise(0)
+            ).alias("strict_alternating"),
+            F.sum("violations").alias("adjacent_violations"),
+            F.max("max_run").alias("max_same_role_run"),
+            (
+                F.lit(1000000) * F.sum("n_turns")
+            ).cast("bigint").alias("_sum"),
+        )
+        .select(
+            "first_role",
+            "conversations",
+            "strict_alternating",
+            "adjacent_violations",
+            "max_same_role_run",
+            F.expr("_sum div conversations").alias("avg_turns_micro"),
+        )
+        .orderBy("first_role")
+    )
+
+
+# Chat-template cost model: 4 tokens of scaffolding per turn (role
+# header + separators) and 2 per conversation (BOS/EOS).
+_TURN_OVERHEAD = 4
+_CONV_OVERHEAD = 2
+
+
+@register(
+    "sft_loss_mask_accounting",
+    f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS tokens,
+         CASE WHEN n_chars % 7 = 0 THEN 1 ELSE 0 END AS boundary
+  FROM documents
+), flagged AS (
+  SELECT doc_id, lang, tokens,
+         CASE WHEN lag(doc_id) OVER w IS NULL OR boundary = 1
+              THEN 1 ELSE 0 END AS new_conv
+  FROM d
+  WINDOW w AS (PARTITION BY lang ORDER BY doc_id)
+), convs AS (
+  SELECT doc_id, lang, tokens,
+         sum(new_conv) OVER (PARTITION BY lang ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS conv_id
+  FROM flagged
+), turns AS (
+  SELECT lang, conv_id, tokens,
+         row_number() OVER (PARTITION BY lang, conv_id
+                            ORDER BY doc_id) AS turn_idx
+  FROM convs
+), per_conv AS (
+  SELECT lang, conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(sum(tokens) AS BIGINT) AS content_tokens,
+         CAST(sum(CASE WHEN turn_idx % 2 = 0 THEN tokens ELSE 0 END)
+              AS BIGINT) AS assistant_tokens
+  FROM turns GROUP BY lang, conv_id
+)
+SELECT n_turns,
+       CAST(count(*) AS BIGINT) AS conversations,
+       CAST(sum(content_tokens) AS BIGINT) AS content_tokens,
+       CAST(sum(assistant_tokens) AS BIGINT) AS trainable_tokens,
+       CAST(sum({_TURN_OVERHEAD} * n_turns + {_CONV_OVERHEAD})
+            AS BIGINT) AS template_tokens,
+       CAST(1000000 * sum(assistant_tokens)
+            // (sum(content_tokens)
+                + sum({_TURN_OVERHEAD} * n_turns + {_CONV_OVERHEAD}))
+            AS BIGINT) AS trainable_frac_micro
+FROM per_conv
+GROUP BY n_turns
+ORDER BY n_turns
+""",
+)
+def sft_loss_mask_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainable-token accounting for SFT: documents are grouped into
+    conversations (boundaries where n_chars % 7 == 0 — a deterministic
+    content-derived split, same conditional-cumsum operator shape as
+    sessionization), turns alternate user/assistant by position, and
+    only assistant-content tokens carry loss.  Adds the chat-template
+    scaffolding cost (4 tokens/turn + 2/conversation) that inflates
+    sequence length without ever being trainable.  Output: per
+    conversation length, the token budget split into content vs
+    trainable vs template, and the trainable fraction in exact
+    micro-units — the number that decides what an SFT epoch actually
+    costs per learned token.
+
+    100 TB shape: one scan projects token counts (scan-stage), the
+    conversation assembly is two windows over one shuffle on lang, and
+    the output is O(distinct conversation lengths).  Integer arithmetic
+    end-to-end — bit-identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("tokens"),
+        F.when(F.col("n_chars") % 7 == 0, 1).otherwise(0).alias("boundary"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    flagged = d.withColumn(
+        "new_conv",
+        F.when(
+            F.lag("doc_id").over(w).isNull() | (F.col("boundary") == 1), 1
+        ).otherwise(0),
+    )
+    convs = flagged.withColumn(
+        "conv_id",
+        F.sum("new_conv").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    wt = Window.partitionBy("lang", "conv_id").orderBy("doc_id")
+    turns = convs.select(
+        "lang",
+        "conv_id",
+        "tokens",
+        F.row_number().over(wt).alias("turn_idx"),
+    )
+    per_conv = turns.groupBy("lang", "conv_id").agg(
+        F.count("*").alias("n_turns"),
+        F.sum("tokens").alias("content_tokens"),
+        F.sum(
+            F.when(F.col("turn_idx") % 2 == 0, F.col("tokens")).otherwise(0)
+        ).alias("assistant_tokens"),
+    )
+    return (
+        per_conv.groupBy("n_turns")
+        .agg(
+            F.count("*").alias("conversations"),
+            F.sum("content_tokens").alias("content_tokens"),
+            F.sum("assistant_tokens").alias("trainable_tokens"),
+            F.sum(
+                F.lit(_TURN_OVERHEAD) * F.col("n_turns")
+                + F.lit(_CONV_OVERHEAD)
+            ).cast("bigint").alias("template_tokens"),
+        )
+        .select(
+            "n_turns",
+            "conversations",
+            "content_tokens",
+            "trainable_tokens",
+            "template_tokens",
+            F.expr(
+                "CAST(1000000 * trainable_tokens div "
+                "(content_tokens + template_tokens) AS BIGINT)"
+            ).alias("trainable_frac_micro"),
+        )
+        .orderBy("n_turns")
+    )
+
+
+def _falling_ratio_sql(k: int) -> str:
+    """``C(n-c,k)/C(n,k)`` as the falling-factorial ratio, every factor
+    cast to DOUBLE *before* multiplying (no BIGINT overflow at any n)
+    and the expression tree written identically on both engines so the
+    IEEE-754 evaluation order — hence the bits — match exactly."""
+    num = " * ".join(f"CAST(n - c - {i} AS DOUBLE)" for i in range(k))
+    den = " * ".join(f"CAST(n - {i} AS DOUBLE)" for i in range(k))
+    return f"({num}) / ({den})"
+
+
+_PASS_K = (1, 5, 10)
+_MIN_SAMPLES = 10
+# 64 buckets keeps n >= _MIN_SAMPLES even at the smallest fixture
+# (sf0.001: ~15 samples/task), so every tier produces a full task table.
+_N_TASKS = 64
+
+
+@register(
+    "pass_at_k_per_task",
+    f"""
+WITH samples AS (
+  SELECT event_id % {_N_TASKS} AS task_id,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 1 ELSE 0 END AS correct
+  FROM events
+), per_task AS (
+  SELECT task_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(correct) AS BIGINT) AS c
+  FROM samples GROUP BY task_id
+)
+SELECT task_id, n, c,
+       round(1.0 - {_falling_ratio_sql(1)}, 6) AS pass_at_1,
+       round(1.0 - {_falling_ratio_sql(5)}, 6) AS pass_at_5,
+       round(1.0 - {_falling_ratio_sql(10)}, 6) AS pass_at_10
+FROM per_task
+WHERE n >= {_MIN_SAMPLES}
+ORDER BY task_id
+""",
+)
+def pass_at_k_per_task(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (Chen et al. 2021, eq. 1) per evaluation task:
+    events are the sampled generations ({_N_TASKS} task buckets by
+    event_id), a sample "passes" when its type is fulfilment-side, and
+    pass@k = 1 − C(n−c,k)/C(n,k) computed as the falling-factorial
+    ratio — when n−c < k the factor chain crosses zero, so the estimate
+    degrades to exactly 1.0 with no special-casing.  Reported per task
+    for k ∈ {_PASS_K} (no cross-task averaging: macro-averages of
+    floats would reintroduce aggregation-order nondeterminism; the
+    per-task values come from a fixed-shape expression tree and are
+    bit-identical cross-engine).
+
+    100 TB shape: ONE count-only shuffle on task_id (partial aggregation
+    map-side); the pass@k arithmetic is a scalar projection over
+    O(tasks) rows.  No floats ever aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % _N_TASKS).alias("task_id"),
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .alias("correct"),
+    )
+    per_task = ev.groupBy("task_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("correct").cast("bigint").alias("c"),
+    )
+    cols = [
+        F.expr(f"round(1.0 - {_falling_ratio_sql(k)}, 6)").alias(
+            f"pass_at_{k}"
+        )
+        for k in _PASS_K
+    ]
+    return (
+        per_task.filter(F.col("n") >= _MIN_SAMPLES)
+        .select("task_id", "n", "c", *cols)
+        .orderBy("task_id")
+    )

@@ -25,6 +25,9 @@ R8_QUERIES = [
     "domain_mixture_mw_step",
     "truncation_loss_audit",
     "qdigest_quantile_audit",
+    "sft_turn_alternation_audit",
+    "sft_loss_mask_accounting",
+    "pass_at_k_per_task",
 ]
 
 

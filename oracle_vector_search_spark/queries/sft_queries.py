@@ -70,34 +70,30 @@ WITH e AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 ), turns AS (
-  SELECT user_id, session_id, event_id, ts_us, role,
+  SELECT user_id, session_id, role,
          row_number() OVER w AS turn_idx,
          CASE WHEN role = lag(role) OVER w THEN 1 ELSE 0 END AS same_adj
   FROM sess
   WINDOW w AS (PARTITION BY user_id, session_id ORDER BY ts_us, event_id)
 ), runs AS (
-  SELECT user_id, session_id, role, turn_idx,
+  SELECT user_id, session_id, role,
          turn_idx - sum(same_adj) OVER (
            PARTITION BY user_id, session_id ORDER BY turn_idx
-           ROWS UNBOUNDED PRECEDING) AS run_id,
-         same_adj
+           ROWS UNBOUNDED PRECEDING) AS run_id
   FROM turns
 ), run_lengths AS (
-  SELECT user_id, session_id, run_id,
+  -- one row per same-role run: a run of length L contributes L-1
+  -- alternation violations, and run_id = 1 is the opening run
+  SELECT user_id, session_id, run_id, role,
          CAST(count(*) AS BIGINT) AS run_len
-  FROM runs GROUP BY user_id, session_id, run_id
+  FROM runs GROUP BY user_id, session_id, run_id, role
 ), conv AS (
-  SELECT t.user_id, t.session_id,
-         CAST(count(*) AS BIGINT) AS n_turns,
-         min(CASE WHEN t.turn_idx = 1 THEN t.role END) AS first_role,
-         CAST(sum(t.same_adj) AS BIGINT) AS violations
-  FROM turns t GROUP BY t.user_id, t.session_id
-), conv_runs AS (
-  SELECT c.user_id, c.session_id, c.n_turns, c.first_role, c.violations,
-         (SELECT max(rl.run_len) FROM run_lengths rl
-          WHERE rl.user_id = c.user_id
-            AND rl.session_id = c.session_id) AS max_run
-  FROM conv c
+  SELECT user_id, session_id,
+         CAST(sum(run_len) AS BIGINT) AS n_turns,
+         min(CASE WHEN run_id = 1 THEN role END) AS first_role,
+         CAST(sum(run_len - 1) AS BIGINT) AS violations,
+         CAST(max(run_len) AS BIGINT) AS max_run
+  FROM run_lengths GROUP BY user_id, session_id
 )
 SELECT first_role,
        CAST(count(*) AS BIGINT) AS conversations,
@@ -107,7 +103,7 @@ SELECT first_role,
        CAST(max(max_run) AS BIGINT) AS max_same_role_run,
        CAST(1000000 * sum(n_turns) // count(*) AS BIGINT)
          AS avg_turns_micro
-FROM conv_runs
+FROM conv
 GROUP BY first_role
 ORDER BY first_role
 """,
@@ -121,10 +117,13 @@ def sft_turn_alternation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     violations — transcripts that need merge-or-split repair), and
     (c) the longest same-role run.  Output is grouped by opening role.
 
-    100 TB shape: everything is windows over one shuffle on user_id
-    (sessionize reuses the partitioning for the turn windows) plus one
-    conversation-sized aggregation — no joins, no corpus re-scan; the
-    run-length pass rides the same (user, session) partitioning."""
+    100 TB shape: ONE shuffle total.  sessionize partitions by
+    user_id; the turn/run windows cluster on (user_id, session_id) and
+    the run/conversation aggregations on supersets of that, so every
+    downstream stage is satisfied by the existing hash partitioning —
+    no joins, no corpus re-scan.  Violations fall out of run lengths
+    (a run of L same-role turns = L-1 adjacent violations) so the
+    run-level rollup carries everything at once."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
@@ -143,29 +142,29 @@ def sft_turn_alternation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("same_adj"),
     )
     # Run ids: turn_idx minus the cumulative count of same-role
-    # adjacencies is constant within a run and increments across runs.
+    # adjacencies is constant within a run and increments across runs;
+    # run_id == 1 is the conversation's opening run.
     wo = Window.partitionBy("user_id", "session_id").orderBy("turn_idx")
     runs = turns.withColumn(
         "run_id",
         F.col("turn_idx")
         - F.sum("same_adj").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    run_max = (
-        runs.groupBy("user_id", "session_id", "run_id")
+    conv = (
+        runs.groupBy("user_id", "session_id", "run_id", "role")
         .agg(F.count("*").alias("run_len"))
         .groupBy("user_id", "session_id")
-        .agg(F.max("run_len").alias("max_run"))
-    )
-    conv = turns.groupBy("user_id", "session_id").agg(
-        F.count("*").alias("n_turns"),
-        F.min(F.when(F.col("turn_idx") == 1, F.col("role"))).alias(
-            "first_role"
-        ),
-        F.sum("same_adj").alias("violations"),
+        .agg(
+            F.sum("run_len").alias("n_turns"),
+            F.min(
+                F.when(F.col("run_id") == 1, F.col("role"))
+            ).alias("first_role"),
+            F.sum(F.col("run_len") - 1).alias("violations"),
+            F.max("run_len").alias("max_run"),
+        )
     )
     return (
-        conv.join(run_max, ["user_id", "session_id"])
-        .groupBy("first_role")
+        conv.groupBy("first_role")
         .agg(
             F.count("*").alias("conversations"),
             F.sum(

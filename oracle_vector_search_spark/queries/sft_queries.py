@@ -315,6 +315,87 @@ def sft_loss_mask_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grpo_group_advantage",
+    """
+WITH samples AS (
+  SELECT event_id, event_id % 64 AS task_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS reward_cents
+  FROM events
+), stats AS (
+  SELECT event_id, task_id, reward_cents,
+         CAST(count(*) OVER w AS BIGINT) AS n,
+         CAST(sum(reward_cents) OVER w AS BIGINT) AS s1,
+         CAST(sum(reward_cents * reward_cents) OVER w AS BIGINT) AS s2
+  FROM samples
+  WINDOW w AS (PARTITION BY task_id)
+)
+SELECT task_id, event_id, reward_cents, n,
+       round(CASE WHEN n * s2 - s1 * s1 = 0 THEN 0.0
+             ELSE CAST(reward_cents * n - s1 AS DOUBLE)
+                  / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) END, 6) + 0.0
+         AS advantage
+FROM stats
+ORDER BY task_id, event_id
+""",
+)
+def grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage normalization (the GRPO data-prep step,
+    Shao et al. 2024, "DeepSeekMath"): per prompt group, each sampled
+    response's advantage is its reward standardized against the group,
+    (r − μ)/σ with the population σ.  Algebraically restated over exact
+    integer moments: adv = (r·n − Σr) / √(n·Σr² − (Σr)²) — numerator
+    and radicand are exact BIGINTs from cents-scaled rewards, and IEEE
+    sqrt/divide are correctly rounded, so the doubles are bit-identical
+    cross-engine.  Degenerate groups (σ = 0) get advantage 0, the GRPO
+    convention.
+
+    100 TB shape: ONE shuffle on task_id; the three group moments are
+    unbounded windows riding that partitioning and the advantage is a
+    scalar projection — no joins, no second pass.  The cents-scaled
+    moments stay in BIGINT up to ~10⁹ samples/group; beyond that the
+    same expressions lift to DECIMAL(38,0) unchanged."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("event_id") % 64).alias("task_id"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias(
+            "reward_cents"
+        ),
+    )
+    w = Window.partitionBy("task_id")
+    stats = ev.select(
+        "task_id",
+        "event_id",
+        "reward_cents",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("reward_cents").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("reward_cents") * F.col("reward_cents"))
+        .over(w)
+        .cast("bigint")
+        .alias("s2"),
+    )
+    adv = F.when(
+        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") == 0,
+        F.lit(0.0),
+    ).otherwise(
+        (F.col("reward_cents") * F.col("n") - F.col("s1")).cast("double")
+        / F.sqrt(
+            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+                "double"
+            )
+        )
+    )
+    from oracle_vector_search_spark.functions.rounding import round_signed
+
+    return stats.select(
+        "task_id",
+        "event_id",
+        "reward_cents",
+        "n",
+        round_signed(adv, 6).alias("advantage"),
+    ).orderBy("task_id", "event_id")
+
+
 def _falling_ratio_sql(k: int) -> str:
     """``C(n-c,k)/C(n,k)`` as the falling-factorial ratio, every factor
     cast to DOUBLE *before* multiplying (no BIGINT overflow at any n)

@@ -28,6 +28,7 @@ R8_QUERIES = [
     "sft_turn_alternation_audit",
     "sft_loss_mask_accounting",
     "pass_at_k_per_task",
+    "grpo_group_advantage",
 ]
 
 

@@ -472,3 +472,44 @@ def pass_at_k_per_task(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("task_id", "n", "c", *cols)
         .orderBy("task_id")
     )
+
+
+_PASS_SQL_ORACLE = f"""
+WITH samples AS (
+  SELECT event_id % {_N_TASKS} AS task_id,
+         CASE WHEN event_type IN ('purchase', 'signup')
+              THEN 1 ELSE 0 END AS correct
+  FROM events
+), per_task AS (
+  SELECT task_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(correct) AS BIGINT) AS c
+  FROM samples GROUP BY task_id
+)
+SELECT task_id, n, c,
+       round(1.0 - {_falling_ratio_sql(1)}, 6) AS pass_at_1,
+       round(1.0 - {_falling_ratio_sql(5)}, 6) AS pass_at_5,
+       round(1.0 - {_falling_ratio_sql(10)}, 6) AS pass_at_10
+FROM per_task
+WHERE n >= {_MIN_SAMPLES}
+ORDER BY task_id
+"""
+
+
+@register("streaming_pass_at_k_stats", _PASS_SQL_ORACLE)
+def streaming_pass_at_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-on-arrival: the STREAMING twin of ``pass_at_k_per_task``.
+    Sampled generations arrive in micro-batches and a foreachBatch
+    upsert maintains the per-task (n, c) sufficient-statistics table —
+    the pattern every training-run eval dashboard needs (results trickle
+    in per rollout worker; pass@k must be current without rescanning
+    history).  (n, c) are sums, hence order- and batching-independent:
+    the drained state equals the batch closed form under any file
+    split, so the batch estimator IS the oracle.
+
+    100 TB shape: per-batch partial aggregation is map-side and
+    O(tasks); state stays tasks-sized at rest; finalization is a scalar
+    projection (see streaming/ops.py:pass_at_k_stats_stream)."""
+    from oracle_vector_search_spark.streaming import ops
+
+    return ops.pass_at_k_stats_stream(spark, sf_dir)

@@ -1073,3 +1073,94 @@ def preference_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("pi_step1"),
     ).orderBy("source")
+
+
+def pass_at_k_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming pass@k sufficient statistics: sampled generations
+    arrive in micro-batches (the derived (task, correct) sample table
+    re-split into SPB_FILES files, maxFilesPerTrigger=1) and a
+    foreachBatch upsert maintains the at-rest per-task state (n, c) an
+    eval dashboard reads — the on-arrival twin of ``pass_at_k_per_task``.
+    (n, c) are sums, so the drained state is batching-independent and
+    the batch closed form is the oracle; the drained output finalizes
+    the unbiased pass@k estimate for k in (1, 5, 10).
+
+    100 TB shape: each arriving batch reduces to O(tasks) partials
+    map-side; the state table is tasks-sized; history is never
+    rescanned; the falling-factorial finalization is a scalar
+    projection over O(tasks) rows."""
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.queries.sft_queries import (
+        _MIN_SAMPLES,
+        _N_TASKS,
+        _PASS_K,
+        _falling_ratio_sql,
+    )
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    samples = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % _N_TASKS).cast("long").alias("task_id"),
+        F.when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("correct"),
+    )
+    src_dir = scratch_dir("ovs_passk_stream_src_")
+    state_dir = scratch_dir("ovs_passk_stream_state_")
+    samples.repartition(SPB_FILES).write.mode("overwrite").parquet(src_dir)
+    stream = (
+        spark.readStream.schema("task_id long, correct int")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+
+    def upd(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        s = batch_df.sparkSession
+        part = batch_df.groupBy("task_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("correct").cast("long").alias("c"),
+        )
+        try:
+            old = s.read.parquet(state_dir)
+            merged = (
+                old.unionByName(part)
+                .groupBy("task_id")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("c").cast("long").alias("c"),
+                )
+            )
+        except Exception:  # first epoch: no state yet
+            merged = part
+        # pin BEFORE overwrite — the merged plan reads the very
+        # directory the write replaces
+        merged.localCheckpoint().write.mode("overwrite").parquet(state_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(upd)
+        .option("checkpointLocation", scratch_dir("ovs_passk_stream_ckp_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    try:
+        state = spark.read.parquet(state_dir)
+    except Exception:  # empty source: empty typed result (contract)
+        return spark.createDataFrame(
+            [],
+            "task_id long, n long, c long, pass_at_1 double, "
+            "pass_at_5 double, pass_at_10 double",
+        )
+    cols = [
+        F.expr(f"round(1.0 - {_falling_ratio_sql(k)}, 6)").alias(
+            f"pass_at_{k}"
+        )
+        for k in _PASS_K
+    ]
+    return (
+        state.filter(F.col("n") >= _MIN_SAMPLES)
+        .select("task_id", "n", "c", *cols)
+        .orderBy("task_id")
+    )

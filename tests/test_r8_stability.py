@@ -29,6 +29,7 @@ R8_QUERIES = [
     "sft_loss_mask_accounting",
     "pass_at_k_per_task",
     "grpo_group_advantage",
+    "streaming_pass_at_k_stats",
 ]
 
 

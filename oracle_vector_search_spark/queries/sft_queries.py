@@ -36,7 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.io import load_table
-from oracle_vector_search_spark.operators.temporal import sessionize
+from oracle_vector_search_spark.operators.sft import (
+    group_advantage,
+    turn_alternation_stats,
+)
 from oracle_vector_search_spark.queries import register
 
 # Role map for event-derived transcripts: demand-side event types are
@@ -117,75 +120,20 @@ def sft_turn_alternation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     violations — transcripts that need merge-or-split repair), and
     (c) the longest same-role run.  Output is grouped by opening role.
 
-    100 TB shape: ONE shuffle total.  sessionize partitions by
-    user_id; the turn/run windows cluster on (user_id, session_id) and
-    the run/conversation aggregations on supersets of that, so every
-    downstream stage is satisfied by the existing hash partitioning —
-    no joins, no corpus re-scan.  Violations fall out of run lengths
-    (a run of L same-role turns = L-1 adjacent violations) so the
-    run-level rollup carries everything at once."""
+    100 TB shape: ONE shuffle total — see
+    operators/sft.py:turn_alternation_stats (the kernel, shared with
+    the scale probe in tests/test_sft_scale.py): sessionize partitions
+    by user_id; the turn/run windows cluster on (user_id, session_id)
+    and the rollups on supersets of that, so every downstream stage is
+    satisfied by the existing hash partitioning — no joins, no corpus
+    re-scan."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         "ts",
         F.expr(_ROLE_SQL).alias("role"),
     )
-    sess = sessionize(ev, "user_id", "ts", 1800, order_tiebreak="event_id")
-    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
-    turns = sess.select(
-        "user_id",
-        "session_id",
-        "role",
-        F.row_number().over(w).alias("turn_idx"),
-        F.when(F.col("role") == F.lag("role").over(w), 1)
-        .otherwise(0)
-        .alias("same_adj"),
-    )
-    # Run ids: turn_idx minus the cumulative count of same-role
-    # adjacencies is constant within a run and increments across runs;
-    # run_id == 1 is the conversation's opening run.
-    wo = Window.partitionBy("user_id", "session_id").orderBy("turn_idx")
-    runs = turns.withColumn(
-        "run_id",
-        F.col("turn_idx")
-        - F.sum("same_adj").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
-    )
-    conv = (
-        runs.groupBy("user_id", "session_id", "run_id", "role")
-        .agg(F.count("*").alias("run_len"))
-        .groupBy("user_id", "session_id")
-        .agg(
-            F.sum("run_len").alias("n_turns"),
-            F.min(
-                F.when(F.col("run_id") == 1, F.col("role"))
-            ).alias("first_role"),
-            F.sum(F.col("run_len") - 1).alias("violations"),
-            F.max("run_len").alias("max_run"),
-        )
-    )
-    return (
-        conv.groupBy("first_role")
-        .agg(
-            F.count("*").alias("conversations"),
-            F.sum(
-                F.when(F.col("violations") == 0, 1).otherwise(0)
-            ).alias("strict_alternating"),
-            F.sum("violations").alias("adjacent_violations"),
-            F.max("max_run").alias("max_same_role_run"),
-            (
-                F.lit(1000000) * F.sum("n_turns")
-            ).cast("bigint").alias("_sum"),
-        )
-        .select(
-            "first_role",
-            "conversations",
-            "strict_alternating",
-            "adjacent_violations",
-            "max_same_role_run",
-            F.expr("_sum div conversations").alias("avg_turns_micro"),
-        )
-        .orderBy("first_role")
-    )
+    return turn_alternation_stats(ev, gap_seconds=1800)
 
 
 # Chat-template cost model: 4 tokens of scaffolding per turn (role
@@ -354,7 +302,8 @@ def grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded windows riding that partitioning and the advantage is a
     scalar projection — no joins, no second pass.  The cents-scaled
     moments stay in BIGINT up to ~10⁹ samples/group; beyond that the
-    same expressions lift to DECIMAL(38,0) unchanged."""
+    same expressions lift to DECIMAL(38,0) unchanged.  Kernel shared
+    with the scale probe: operators/sft.py:group_advantage."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         (F.col("event_id") % 64).alias("task_id"),
@@ -362,38 +311,7 @@ def grpo_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reward_cents"
         ),
     )
-    w = Window.partitionBy("task_id")
-    stats = ev.select(
-        "task_id",
-        "event_id",
-        "reward_cents",
-        F.count("*").over(w).cast("bigint").alias("n"),
-        F.sum("reward_cents").over(w).cast("bigint").alias("s1"),
-        F.sum(F.col("reward_cents") * F.col("reward_cents"))
-        .over(w)
-        .cast("bigint")
-        .alias("s2"),
-    )
-    adv = F.when(
-        F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") == 0,
-        F.lit(0.0),
-    ).otherwise(
-        (F.col("reward_cents") * F.col("n") - F.col("s1")).cast("double")
-        / F.sqrt(
-            (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
-                "double"
-            )
-        )
-    )
-    from oracle_vector_search_spark.functions.rounding import round_signed
-
-    return stats.select(
-        "task_id",
-        "event_id",
-        "reward_cents",
-        "n",
-        round_signed(adv, 6).alias("advantage"),
-    ).orderBy("task_id", "event_id")
+    return group_advantage(ev, "task_id", "event_id", "reward_cents")
 
 
 def _falling_ratio_sql(k: int) -> str:

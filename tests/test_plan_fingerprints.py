@@ -143,6 +143,12 @@ EXPECTED: dict[str, dict[str, int]] = {
     # itself is ONE Catalyst expression over a broadcast map column —
     # no python, no join, no per-round exchanges
     "unigram_viterbi_tokenize_top30":  {"shuffle_exchanges": 3, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # sft lint: source window shuffle + final role-level agg + output
+    # ordering; join-free by the run-length algebra (operators/sft.py)
+    "sft_turn_alternation_audit":      {"shuffle_exchanges": 3, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # grpo: one task_id window shuffle + output ordering; moments ride
+    # the window partitioning, advantage is a scalar projection
+    "grpo_group_advantage":            {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

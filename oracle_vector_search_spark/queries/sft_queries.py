@@ -431,3 +431,174 @@ def streaming_pass_at_k_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_vector_search_spark.streaming import ops
 
     return ops.pass_at_k_stats_stream(spark, sf_dir)
+
+
+# --- epoch-capped token allocation (data-constrained scaling recipe) ---
+# Budget = 3/2 x corpus tokens; per-domain cap = 2 epochs; uniform
+# target share waterfilled: domains whose cap fits under the current
+# even split cap out, their budget redistributes to the rest.  The
+# capped set grows monotonically, so |domains| rounds always converge;
+# _WF_ROUNDS = 5 covers the 5-lang fixture exactly.
+_WF_ROUNDS = 5
+_WF_EPOCH_CAP = 2
+
+
+def _wf_round_sql(prev: str) -> str:
+    """One waterfilling round in SQL: a domain caps when its cap fits
+    under the current uncapped even share, cap * U <= R (exact
+    integers; R = budget minus already-capped mass, U = #uncapped)."""
+    return f"""
+  SELECT lang, ta, cap,
+         capped OR (
+           cap * (count(*) OVER () -
+                  sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ())
+           <= ((3 * sum(ta) OVER ()) // 2 -
+               sum(CASE WHEN capped THEN cap ELSE 0 END) OVER ())
+         ) AS capped
+  FROM {prev}"""
+
+
+_WF_ORACLE = (
+    """
+WITH base AS (
+  SELECT lang,
+         CAST(sum(length(string_split(text, ' '))) AS BIGINT) AS ta
+  FROM documents GROUP BY lang
+), r0 AS (
+  SELECT lang, ta, """
+    + str(_WF_EPOCH_CAP)
+    + """ * ta AS cap, FALSE AS capped FROM base
+)"""
+    + "".join(
+        f", r{i + 1} AS ({_wf_round_sql(f'r{i}')}\n)"
+        for i in range(_WF_ROUNDS)
+    )
+    + f"""
+, fin AS (
+  SELECT lang, ta, cap, capped,
+         CAST((3 * sum(ta) OVER ()) // 2 -
+              sum(CASE WHEN capped THEN cap ELSE 0 END) OVER ()
+              AS BIGINT) AS r_left,
+         CAST(count(*) OVER () -
+              sum(CASE WHEN capped THEN 1 ELSE 0 END) OVER ()
+              AS BIGINT) AS u,
+         CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END)
+              OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS rn
+  FROM r{_WF_ROUNDS}
+), alloc AS (
+  SELECT lang, ta, cap, capped,
+         CASE WHEN capped THEN cap
+              ELSE r_left // greatest(u, 1)
+                   + CASE WHEN rn <= r_left % greatest(u, 1)
+                          THEN 1 ELSE 0 END
+         END AS allocated
+  FROM fin
+)
+SELECT lang,
+       ta AS tokens_avail,
+       cap AS cap_tokens,
+       CAST(allocated AS BIGINT) AS allocated_tokens,
+       CAST(1000000 * allocated // ta AS BIGINT) AS epochs_micro,
+       CAST(capped AS INTEGER) AS capped
+FROM alloc
+ORDER BY lang
+"""
+)
+
+
+@register("epoch_capped_token_allocation", _WF_ORACLE)
+def epoch_capped_token_allocation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Data-constrained training recipe (Muennighoff et al. 2022,
+    "Scaling Data-Constrained Language Models" — how many epochs each
+    domain can repeat): a token budget of 3/2 x the corpus is
+    waterfilled across language domains under a uniform target share
+    with a 2-epoch repetition cap per domain.  A domain whose cap fits
+    under the current even split caps out (cap * U <= R, exact
+    integers); its unused share redistributes to the survivors, and
+    the loop repeats — the capped set grows monotonically, so
+    |domains| rounds converge; the remainder of the final even split
+    goes largest-remainder-style to the first uncapped domains in lang
+    order.  Output: available/cap/allocated tokens and exact
+    micro-unit epochs per domain.
+
+    100 TB shape: ONE corpus-sized count shuffle produces the
+    domain-token table; every waterfilling round is window arithmetic
+    over that domains-sized table (5 rows here; thousands at worst) —
+    planning math, never a second corpus pass."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).cast("bigint").alias("tok")
+    )
+    t = docs.groupBy("lang").agg(F.sum("tok").alias("ta"))
+    wall = Window.partitionBy()
+    cur = t.select(
+        "lang",
+        "ta",
+        (F.lit(_WF_EPOCH_CAP) * F.col("ta")).alias("cap"),
+        F.lit(False).alias("capped"),
+    )
+    budget = F.expr("(3 * sum(ta) OVER ()) div 2")
+    for _ in range(_WF_ROUNDS):
+        r_left = budget - F.sum(
+            F.when(F.col("capped"), F.col("cap")).otherwise(0)
+        ).over(wall)
+        u = F.count("*").over(wall) - F.sum(
+            F.when(F.col("capped"), 1).otherwise(0)
+        ).over(wall)
+        cur = cur.select(
+            "lang",
+            "ta",
+            "cap",
+            (F.col("capped") | (F.col("cap") * u <= r_left)).alias(
+                "capped"
+            ),
+        )
+    worder = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fin = cur.select(
+        "lang",
+        "ta",
+        "cap",
+        "capped",
+        (
+            budget
+            - F.sum(
+                F.when(F.col("capped"), F.col("cap")).otherwise(0)
+            ).over(wall)
+        ).cast("bigint").alias("r_left"),
+        (
+            F.count("*").over(wall)
+            - F.sum(F.when(F.col("capped"), 1).otherwise(0)).over(wall)
+        ).cast("bigint").alias("u"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(1))
+        .over(worder)
+        .cast("bigint")
+        .alias("rn"),
+    )
+    alloc = fin.select(
+        "lang",
+        "ta",
+        "cap",
+        "capped",
+        F.when(F.col("capped"), F.col("cap"))
+        .otherwise(
+            F.expr("r_left div greatest(u, 1)")
+            + F.when(
+                F.col("rn") <= F.expr("r_left % greatest(u, 1)"), 1
+            ).otherwise(0)
+        )
+        .alias("allocated"),
+    )
+    return alloc.select(
+        F.col("lang"),
+        F.col("ta").alias("tokens_avail"),
+        F.col("cap").alias("cap_tokens"),
+        F.col("allocated").cast("bigint").alias("allocated_tokens"),
+        F.expr("CAST(1000000 * allocated div ta AS BIGINT)").alias(
+            "epochs_micro"
+        ),
+        F.col("capped").cast("int").alias("capped"),
+    ).orderBy("lang")

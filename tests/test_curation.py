@@ -77,3 +77,26 @@ def test_dsir_selects_exact_top_fraction(spark, sf_dir):
     n = len(rows)
     n_sel = sum(r["selected"] for r in rows)
     assert n_sel == math.ceil(n * 20 / 100.0)
+
+
+def test_epoch_capped_allocation_invariants(spark, sf_dir):
+    """Waterfilling invariants: no domain exceeds its repetition cap;
+    capped domains sit exactly at 2 epochs; and when any domain is
+    uncapped the budget (3/2 x corpus tokens) is spent EXACTLY — the
+    largest-remainder split loses nothing."""
+    q = registry_queries()["epoch_capped_token_allocation"]
+    rows = q(spark, sf_dir).collect()
+    assert rows, "fixture should produce one row per language"
+    total_tokens = sum(r["tokens_avail"] for r in rows)
+    budget = 3 * total_tokens // 2
+    for r in rows:
+        assert r["allocated_tokens"] <= r["cap_tokens"]
+        if r["capped"]:
+            assert r["allocated_tokens"] == r["cap_tokens"]
+            assert r["epochs_micro"] == 2_000_000
+        else:
+            assert r["epochs_micro"] < 2_000_000
+    if any(not r["capped"] for r in rows):
+        assert sum(r["allocated_tokens"] for r in rows) == budget
+    # the fixture is nondegenerate: both capped and uncapped domains
+    assert 0 < sum(r["capped"] for r in rows) < len(rows)

@@ -30,6 +30,7 @@ R8_QUERIES = [
     "pass_at_k_per_task",
     "grpo_group_advantage",
     "streaming_pass_at_k_stats",
+    "epoch_capped_token_allocation",
 ]
 
 

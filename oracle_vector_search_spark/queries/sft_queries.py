@@ -1,12 +1,13 @@
-"""SFT / instruction-tuning data operators — the supervised-fine-tuning
-stage of an LLM training pipeline: validating chat-transcript structure
-before training, accounting for which tokens actually receive loss, and
-scoring sampled generations with the unbiased pass@k estimator.
+"""SFT / post-training data operators — the supervised-fine-tuning and
+eval stage of an LLM training pipeline: validating chat-transcript
+structure before training, accounting for which tokens actually
+receive loss, scoring sampled generations, normalizing RL advantages,
+and planning epoch budgets.
 
 New family in round 8 (no reference counterpart — the reference
 (Niobe96/Oracle_vector_search) stops at retrieval; these are the
 "operations a large-scale training-data pipeline would need" the brief
-asks for alongside SURVEY §2).  All three queries are deterministic and
+asks for alongside SURVEY §2).  All queries are deterministic and
 fully oracle-checked:
 
 * sft_turn_alternation_audit — role-alternation validation over
@@ -24,11 +25,23 @@ fully oracle-checked:
                                Language Models Trained on Code",
                                eq. 1): per task with n samples and c
                                correct, pass@k = 1 − C(n−c,k)/C(n,k)
+* grpo_group_advantage       — group-relative advantage normalization
+                               (Shao et al. 2024) over exact integer
+                               moments
+* streaming_pass_at_k_stats  — eval-on-arrival: foreachBatch (n, c)
+                               sufficient-statistics upsert finalized
+                               to pass@k
+* epoch_capped_token_allocation — data-constrained recipe
+                               (Muennighoff et al. 2022): waterfilled
+                               token budget under per-domain
+                               repetition caps
 
-Conversations derive from the fixture tables themselves (events
-sessionized at 30 minutes; documents split on a content-derived
-boundary), so every number is reproducible from the parquet alone —
-no rand(), no external annotations.
+Conversations and tasks derive from the fixture tables themselves
+(events sessionized at 30 minutes; documents split on a
+content-derived boundary), so every number is reproducible from the
+parquet alone — no rand(), no external annotations.  Shared kernels
+live in operators/sft.py and are scale-probed by
+tests/test_sft_scale.py.
 """
 
 from __future__ import annotations

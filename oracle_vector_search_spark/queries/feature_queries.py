@@ -863,10 +863,15 @@ WITH base AS (
   SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS vc
   FROM events WHERE event_type = 'purchase'
 ), expanded AS (
-  SELECT b.b, base.vc,
+  -- one md5 per (event, block) feeds FOUR resamples: lanes read
+  -- disjoint 7-hex windows of the same digest (28 of 32 hex chars)
+  SELECT blk.blk * 4 + lane.lane + 1 AS b, base.vc,
          ('0x' || substr(md5(CAST(base.event_id AS VARCHAR) || ':' ||
-             CAST(b.b AS VARCHAR)), 1, 7))::BIGINT / 268435456.0 AS u
-  FROM base, (SELECT unnest(range(1, {_BOOT_B + 1})) AS b) b
+             CAST(blk.blk AS VARCHAR)), 1 + 7 * lane.lane, 7))::BIGINT
+           / 268435456.0 AS u
+  FROM base,
+       (SELECT unnest(range(0, {_BOOT_B // 4})) AS blk) blk,
+       (SELECT unnest(range(0, 4)) AS lane) lane
 ), weighted AS (
   SELECT b, vc, {_POIS} AS w FROM expanded
 ), means AS (
@@ -893,10 +898,13 @@ def bootstrap_mean_ci_deterministic(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Poisson bootstrap 95% CI for the mean purchase value, fully
-    DETERMINISTIC: each resample weight is Poisson(1) drawn through the
-    portable-hash uniform u = hash28(event_id:b)/2^28 and an inverse-CDF
-    CASE chain — no rand(), so both engines produce bit-identical
-    resamples (the online-bootstrap trick: Poisson(1) weights
+    DETERMINISTIC: each resample weight is Poisson(1) drawn through a
+    portable-hash uniform and an inverse-CDF CASE chain — no rand(), so
+    both engines produce bit-identical resamples.  Hash economics: one
+    md5 digest per (event, block) feeds FOUR resamples via disjoint
+    7-hex windows (u_b = hex[1+7·lane .. ]/2^28, b = 4·blk+lane+1), so
+    the dominant cost is B/4 digests per event, not B (the
+    online-bootstrap trick: Poisson(1) weights
     approximate multinomial resampling and need NO coordination across
     rows — the property that makes bootstrap feasible on a 100 TB
     stream, cf. Owen & Eckles 2012). Resample means are exact
@@ -909,20 +917,43 @@ def bootstrap_mean_ci_deterministic(
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
+    # hash-spread the filtered base BEFORE the B-fold explode: the
+    # survivors of a selective filter otherwise sit in one or two scan
+    # partitions and the x200 expansion runs nearly serial (a tiny
+    # keyed shuffle buys full-width parallelism for the heavy stage;
+    # at real input widths this is a no-op cost)
     base = ev.select(
         "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("vc"),
-    )
-    expanded = base.selectExpr(
-        "vc",
-        f"explode(sequence(1, {_BOOT_B})) AS b",
-        "event_id",
-    ).selectExpr(
-        "b",
-        "vc",
-        "cast(conv(substr(md5(concat(cast(event_id as string), ':',"
-        " cast(b as string))), 1, 7), 16, 10) as bigint)"
-        " / 268435456.0 AS u",
+    ).repartition(32, "event_id")
+    # Stage the two explodes so the digest is computed once per
+    # (event, block) row — each md5 feeds four resample lanes reading
+    # disjoint 7-hex windows, quartering the hash work (the dominant
+    # cost: B/4 digests per event instead of B).
+    expanded = (
+        base.selectExpr(
+            "vc",
+            "event_id",
+            f"explode(sequence(0, {_BOOT_B // 4 - 1})) AS blk",
+        )
+        .selectExpr(
+            "vc",
+            "blk",
+            "md5(concat(cast(event_id as string), ':',"
+            " cast(blk as string))) AS h",
+        )
+        .selectExpr(
+            "vc",
+            "blk",
+            "h",
+            "explode(sequence(0, 3)) AS lane",
+        )
+        .selectExpr(
+            "blk * 4 + lane + 1 AS b",
+            "vc",
+            "cast(conv(substr(h, 1 + 7 * lane, 7), 16, 10) as bigint)"
+            " / 268435456.0 AS u",
+        )
     )
     weighted = expanded.selectExpr("b", "vc", f"{_POIS} AS w")
     means = (

@@ -35,6 +35,11 @@ fully oracle-checked:
                                (Muennighoff et al. 2022): waterfilled
                                token budget under per-domain
                                repetition caps
+* bleu2_pair_eval            — BLEU-2 generation eval (Papineni et
+                               al. 2002): clipped n-gram precision
+                               over candidate/reference pairs, exact
+                               integer counts, IEEE-exact geometric
+                               mean
 
 Conversations and tasks derive from the fixture tables themselves
 (events sessionized at 30 minutes; documents split on a
@@ -615,3 +620,182 @@ def epoch_capped_token_allocation(
         ),
         F.col("capped").cast("int").alias("capped"),
     ).orderBy("lang")
+
+
+@register(
+    "bleu2_pair_eval",
+    """
+WITH d AS (
+  SELECT lang, doc_id, text,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+), paired AS (
+  SELECT lang, doc_id, text,
+         CAST((rn - 1) // 2 AS BIGINT) AS pair_id,
+         rn % 2 AS is_cand
+  FROM d
+), complete AS (
+  SELECT lang, pair_id FROM paired
+  GROUP BY lang, pair_id HAVING count(*) = 2
+), p AS (
+  SELECT paired.* FROM paired
+  JOIN complete USING (lang, pair_id)
+), tok AS (
+  SELECT lang, pair_id, is_cand,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS i
+  FROM p
+), uni AS (
+  SELECT lang, pair_id, w,
+         CAST(sum(CASE WHEN is_cand = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cc,
+         CAST(sum(CASE WHEN is_cand = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cr
+  FROM tok GROUP BY lang, pair_id, w
+), big AS (
+  SELECT a.lang, a.pair_id, a.is_cand, a.w || ' ' || b.w AS w
+  FROM tok a JOIN tok b
+    ON a.lang = b.lang AND a.pair_id = b.pair_id
+   AND a.is_cand = b.is_cand AND b.i = a.i + 1
+), bi AS (
+  SELECT lang, pair_id, w,
+         CAST(sum(CASE WHEN is_cand = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cc,
+         CAST(sum(CASE WHEN is_cand = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS cr
+  FROM big GROUP BY lang, pair_id, w
+), lens AS (
+  SELECT lang, pair_id,
+         CAST(sum(CASE WHEN is_cand = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS len_cand,
+         CAST(sum(CASE WHEN is_cand = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS len_ref
+  FROM tok GROUP BY lang, pair_id
+), clips AS (
+  SELECT u.lang, u.pair_id,
+         CAST(sum(least(u.cc, u.cr)) AS BIGINT) AS clip1
+  FROM uni u GROUP BY u.lang, u.pair_id
+), clips2 AS (
+  SELECT b.lang, b.pair_id,
+         CAST(sum(least(b.cc, b.cr)) AS BIGINT) AS clip2
+  FROM bi b GROUP BY b.lang, b.pair_id
+)
+SELECT l.lang, l.pair_id, l.len_cand, l.len_ref,
+       c1.clip1, coalesce(c2.clip2, 0) AS clip2,
+       round(CAST(c1.clip1 AS DOUBLE) / l.len_cand, 6) AS p1,
+       round(CAST(coalesce(c2.clip2, 0) AS DOUBLE)
+             / greatest(l.len_cand - 1, 1), 6) AS p2,
+       round(sqrt((CAST(c1.clip1 AS DOUBLE) / l.len_cand)
+                  * (CAST(coalesce(c2.clip2, 0) AS DOUBLE)
+                     / greatest(l.len_cand - 1, 1))), 6) AS bleu2,
+       CASE WHEN l.len_cand < l.len_ref THEN 1 ELSE 0 END
+         AS brevity_penalized
+FROM lens l
+JOIN clips c1 ON c1.lang = l.lang AND c1.pair_id = l.pair_id
+LEFT JOIN clips2 c2 ON c2.lang = l.lang AND c2.pair_id = l.pair_id
+ORDER BY l.lang, l.pair_id
+""",
+)
+def bleu2_pair_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLEU-2 generation eval (Papineni et al. 2002) over
+    candidate/reference pairs: consecutive documents within a language
+    pair up (rank 2k-1 vs 2k — every doc participates exactly once),
+    modified n-gram precision clips each candidate n-gram's count at
+    its reference count (p_n = sum min(c_cand, c_ref) / cand n-grams),
+    and the score is the 2-gram geometric mean sqrt(p1*p2) — sqrt and
+    divide are IEEE correctly-rounded over exact integer counts, so
+    the doubles are bit-identical cross-engine.  The brevity case
+    (len_cand < len_ref) is emitted as an integer FLAG rather than the
+    exp(1-r/c) factor: exp is not correctly-rounded and would break
+    cross-engine exactness.
+
+    100 TB shape: pairing is one window over a lang shuffle; the
+    clipped-count join is keyed (lang, pair_id, n-gram) — pair-local,
+    never corpus-wide; bigrams come from a scan-stage array expression
+    (no self-join on the Spark side).  Output is O(pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    paired = docs.select(
+        "lang",
+        "text",
+        F.expr("CAST((row_number() OVER (PARTITION BY lang ORDER BY"
+               " doc_id) - 1) div 2 AS BIGINT)").alias("pair_id"),
+        (F.row_number().over(w) % 2).alias("is_cand"),
+    )
+    complete = (
+        paired.groupBy("lang", "pair_id")
+        .agg(F.count("*").alias("k"))
+        .filter(F.col("k") == 2)
+        .drop("k")
+    )
+    p = paired.join(complete, ["lang", "pair_id"])
+    base = p.select(
+        "lang",
+        "pair_id",
+        "is_cand",
+        F.split("text", " ").alias("a"),
+    )
+    uni_tok = base.select(
+        "lang", "pair_id", "is_cand", F.explode("a").alias("w")
+    )
+    big_tok = base.select(
+        "lang",
+        "pair_id",
+        "is_cand",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(a) - 1, 0)),"
+                " i -> concat(element_at(a, i), ' ',"
+                " element_at(a, i + 1)))"
+            )
+        ).alias("w"),
+    )
+
+    def clipped(tok: DataFrame, out: str) -> DataFrame:
+        return (
+            tok.groupBy("lang", "pair_id", "w")
+            .agg(
+                F.sum(F.when(F.col("is_cand") == 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("cc"),
+                F.sum(F.when(F.col("is_cand") == 0, 1).otherwise(0))
+                .cast("bigint")
+                .alias("cr"),
+            )
+            .groupBy("lang", "pair_id")
+            .agg(
+                F.sum(F.least("cc", "cr")).cast("bigint").alias(out)
+            )
+        )
+
+    lens = uni_tok.groupBy("lang", "pair_id").agg(
+        F.sum(F.when(F.col("is_cand") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("len_cand"),
+        F.sum(F.when(F.col("is_cand") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("len_ref"),
+    )
+    out = (
+        lens.join(clipped(uni_tok, "clip1"), ["lang", "pair_id"])
+        .join(clipped(big_tok, "clip2"), ["lang", "pair_id"], "left")
+        .na.fill({"clip2": 0})
+    )
+    p1 = F.col("clip1").cast("double") / F.col("len_cand")
+    p2 = F.col("clip2").cast("double") / F.greatest(
+        F.col("len_cand") - 1, F.lit(1)
+    )
+    return out.select(
+        "lang",
+        "pair_id",
+        "len_cand",
+        "len_ref",
+        "clip1",
+        "clip2",
+        F.round(p1, 6).alias("p1"),
+        F.round(p2, 6).alias("p2"),
+        F.round(F.sqrt(p1 * p2), 6).alias("bleu2"),
+        F.when(F.col("len_cand") < F.col("len_ref"), 1)
+        .otherwise(0)
+        .alias("brevity_penalized"),
+    ).orderBy("lang", "pair_id")

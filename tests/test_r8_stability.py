@@ -31,6 +31,7 @@ R8_QUERIES = [
     "grpo_group_advantage",
     "streaming_pass_at_k_stats",
     "epoch_capped_token_allocation",
+    "bleu2_pair_eval",
 ]
 
 

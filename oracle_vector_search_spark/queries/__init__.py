@@ -106,8 +106,8 @@ def load_all_modules() -> None:
 #   streaming_topk_trending, streaming_psi_drift_monitor,
 #   zipf_slope_fit) — all were verified green by the r7 judge's local
 #   oracle run; only the driver-side record is pending.
-#   r9 rotation TODO: 25 candidates for the 42 slots — the 7 rolled
-#   names above plus the 18 r8 additions that landed after the window
+#   r9 rotation TODO: 26 candidates for the 42 slots — the 7 rolled
+#   names above plus the 19 r8 additions that landed after the window
 #   froze (in registration order: preference_pairs_dpo,
 #   bradley_terry_mm_step, preference_agreement_kappa,
 #   reward_calibration_ece, best_of_n_selection_lift,
@@ -117,8 +117,9 @@ def load_all_modules() -> None:
 #   sft_turn_alternation_audit, sft_loss_mask_accounting,
 #   pass_at_k_per_task, grpo_group_advantage,
 #   streaming_pass_at_k_stats,
-#   epoch_capped_token_allocation, bleu2_pair_eval). All 25 are
-#   local-gate green; with 17 spare
+#   epoch_capped_token_allocation, bleu2_pair_eval,
+#   preference_length_bias_audit). All 26 are
+#   local-gate green; with 16 spare
 #   slots r9 can ALSO re-check any query whose implementation changed
 #   (this round: ann_recall_vs_exact_clustered fast path,
 #   bm25/tfidf/term-doc postings refactor — all re-verified locally).

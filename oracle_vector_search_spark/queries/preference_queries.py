@@ -23,6 +23,9 @@ three queries are deterministic and fully oracle-checked:
 * best_of_n_selection_lift  — E[max of n] − E[mean of n] of the
                               reward proxy per group (the BoN
                               sampling-policy measurement)
+* preference_length_bias_audit — verbosity-bias check: how often the
+                              quality winner is also the longer
+                              document, with an exact sign-test z
 
 The pairwise "matches" derive from the documents corpus itself
 (consecutive doc_ids within a language compete on a deterministic
@@ -664,3 +667,135 @@ def best_of_n_selection_lift(
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "preference_length_bias_audit",
+    f"""
+WITH scored AS (
+  SELECT doc_id, lang, {_SCORE_SQL_DUCK} AS q,
+         CAST(length(string_split(text, ' ')) AS BIGINT) AS len
+  FROM documents
+), matches AS (
+  SELECT a.lang,
+         CASE WHEN a.q > b.q OR (a.q = b.q AND a.doc_id < b.doc_id)
+              THEN a.len ELSE b.len END AS len_w,
+         CASE WHEN a.q > b.q OR (a.q = b.q AND a.doc_id < b.doc_id)
+              THEN b.len ELSE a.len END AS len_l
+  FROM scored a JOIN scored b
+    ON a.lang = b.lang AND b.doc_id = a.doc_id + 1
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN len_w > len_l THEN 1 ELSE 0 END) AS BIGINT)
+         AS winner_longer,
+       CAST(sum(CASE WHEN len_w < len_l THEN 1 ELSE 0 END) AS BIGINT)
+         AS winner_shorter,
+       CAST(sum(CASE WHEN len_w = len_l THEN 1 ELSE 0 END) AS BIGINT)
+         AS equal_len,
+       CAST(1000000 * sum(CASE WHEN len_w > len_l THEN 1 ELSE 0 END)
+            // count(*) AS BIGINT) AS longer_win_rate_micro,
+       CAST(sum(len_w - len_l) AS BIGINT) AS len_delta_sum,
+       round((2.0 * sum(CASE WHEN len_w > len_l THEN 1 ELSE 0 END)
+              - (count(*) - sum(CASE WHEN len_w = len_l THEN 1 ELSE 0
+                 END)))
+             / sqrt(CAST(greatest(count(*) -
+                 sum(CASE WHEN len_w = len_l THEN 1 ELSE 0 END), 1)
+                 AS DOUBLE)), 6) + 0.0 AS sign_test_z
+FROM matches
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def preference_length_bias_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bias audit for preference data — the standard
+    reward-model failure mode (longer responses win regardless of
+    quality; cf. the verbosity-bias literature on RLHF reward
+    hacking).  Over the same adjacent-doc matches the Bradley-Terry
+    fit consumes: how often the quality-winner is also the LONGER
+    document, the exact win-rate in micro-units, the summed length
+    delta, and a sign-test z statistic over the non-tied pairs
+    ((2W − N′)/√N′ — exact integers into one IEEE sqrt/divide, so
+    bit-identical cross-engine; ties excluded per the standard sign
+    test, denominator clamped for the all-ties group).
+
+    100 TB shape: the pairing is the merge-join-shaped adjacent-id
+    join (never all-pairs); everything after is one count-only shuffle
+    on lang."""
+    from oracle_vector_search_spark.functions.rounding import round_signed
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"{_SCORE_SQL_SPARK} AS q",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS len",
+    )
+    a = scored.select(
+        "lang",
+        F.col("doc_id").alias("ida"),
+        F.col("q").alias("qa"),
+        F.col("len").alias("la"),
+    )
+    b = scored.select(
+        "lang",
+        F.col("doc_id").alias("idb"),
+        F.col("q").alias("qb"),
+        F.col("len").alias("lb"),
+    )
+    a_wins = (F.col("qa") > F.col("qb")) | (
+        (F.col("qa") == F.col("qb")) & (F.col("ida") < F.col("idb"))
+    )
+    m = (
+        a.join(b, (a["lang"] == b["lang"]) & (b["idb"] == a["ida"] + 1))
+        .select(
+            a["lang"],
+            F.when(a_wins, F.col("la")).otherwise(F.col("lb")).alias(
+                "len_w"
+            ),
+            F.when(a_wins, F.col("lb")).otherwise(F.col("la")).alias(
+                "len_l"
+            ),
+        )
+    )
+    longer = F.sum(
+        F.when(F.col("len_w") > F.col("len_l"), 1).otherwise(0)
+    )
+    equal = F.sum(
+        F.when(F.col("len_w") == F.col("len_l"), 1).otherwise(0)
+    )
+    agg = m.groupBy("lang").agg(
+        F.count("*").alias("n_pairs"),
+        longer.cast("bigint").alias("winner_longer"),
+        F.sum(F.when(F.col("len_w") < F.col("len_l"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("winner_shorter"),
+        equal.cast("bigint").alias("equal_len"),
+        F.sum(F.col("len_w") - F.col("len_l"))
+        .cast("bigint")
+        .alias("len_delta_sum"),
+    )
+    n_eff = F.greatest(
+        F.col("n_pairs") - F.col("equal_len"), F.lit(1)
+    ).cast("double")
+    return agg.select(
+        "lang",
+        "n_pairs",
+        "winner_longer",
+        "winner_shorter",
+        "equal_len",
+        F.expr(
+            "CAST(1000000 * winner_longer div n_pairs AS BIGINT)"
+        ).alias("longer_win_rate_micro"),
+        "len_delta_sum",
+        round_signed(
+            (
+                2.0 * F.col("winner_longer")
+                - (F.col("n_pairs") - F.col("equal_len"))
+            )
+            / F.sqrt(n_eff),
+            6,
+        ).alias("sign_test_z"),
+    ).orderBy("lang")

@@ -32,6 +32,7 @@ R8_QUERIES = [
     "streaming_pass_at_k_stats",
     "epoch_capped_token_allocation",
     "bleu2_pair_eval",
+    "preference_length_bias_audit",
 ]
 
 

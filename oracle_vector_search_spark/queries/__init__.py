@@ -106,23 +106,18 @@ def load_all_modules() -> None:
 #   streaming_topk_trending, streaming_psi_drift_monitor,
 #   zipf_slope_fit) — all were verified green by the r7 judge's local
 #   oracle run; only the driver-side record is pending.
-#   r9 rotation TODO: 26 candidates for the 42 slots — the 7 rolled
-#   names above plus the 19 r8 additions that landed after the window
-#   froze (in registration order: preference_pairs_dpo,
-#   bradley_terry_mm_step, preference_agreement_kappa,
-#   reward_calibration_ece, best_of_n_selection_lift,
-#   unigram_viterbi_tokenize_top30, image_png_decode_parity,
-#   streaming_preference_bt_stats, domain_mixture_mw_step,
-#   truncation_loss_audit, qdigest_quantile_audit,
-#   sft_turn_alternation_audit, sft_loss_mask_accounting,
-#   pass_at_k_per_task, grpo_group_advantage,
-#   streaming_pass_at_k_stats,
-#   epoch_capped_token_allocation, bleu2_pair_eval,
-#   preference_length_bias_audit). All 26 are
-#   local-gate green; with 16 spare
-#   slots r9 can ALSO re-check any query whose implementation changed
-#   (this round: ann_recall_vs_exact_clustered fast path,
-#   bm25/tfidf/term-doc postings refactor — all re-verified locally).
+#   r9 (this file) = 8 sentinels + ALL 26 never-driver-checked names
+#   (the 7 r6-era names the r8 window rolled + the 19 round-8
+#   additions — every one verified green by the r8 judge's local
+#   oracle run) + 16 re-check slots spent on implementations that
+#   changed in r8 or change in r9: the CLAHE-chain parity query
+#   (true pure-numpy CLAHE replaces the equalize stand-in this
+#   round), the two video queries (fixture synthesis moved to
+#   one-time at-rest writes this round), the r8
+#   ann_recall_vs_exact_clustered fast path, the bm25/tfidf/term-doc
+#   postings refactor family, the r8 bootstrap/admission/audio
+#   speedups, and the new r9 registrations. After this window every
+#   registered query has a driver-side CORRECTNESS row.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",
@@ -133,51 +128,52 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_cosine_top5_gemm",
     "exact_dedup_groups",
     "streaming_upsert_snapshot",
-    # --- new round-8 queries (VERDICT r7 #3 and #6) ---
-    "reference_crops_clahe_chain_profile",
-    "video_keyframe_knn",
-    # --- round-7 additions, never driver-checked (10) ---
-    "ann_recall_vs_exact_clustered",
-    "audio_wav_feature_parity",
-    "wordpiece_greedy_tokenize_top30",
-    "video_mjpeg_frame_parity",
-    "audio_vad_silence_segments",
-    "image_dhash_dup_groups",
-    "streaming_audio_vad_admission",
-    "l_diversity_audit",
-    "dp_noisy_counts_deterministic",
-    "mutual_information_features",
-    # --- round-6-era additions, never driver-checked (oldest 30) ---
-    "binary_quantization_recall",
-    "prf_rocchio_requery",
-    "temporal_holdout_split",
-    "session_hot_hour_overlap",
-    "kaplan_meier_user_survival",
-    "events_burstiness_fano",
-    "doc_ngram_novelty",
-    "vocab_coverage_curve",
-    "doc_readability_scores",
-    "lang_id_confusion_matrix",
-    "minhash_estimate_error_audit",
-    "dedup_soft_sample_weights",
-    "psi_value_drift",
-    "sprt_ab_sequential_test",
-    "split_conformal_intervals",
-    "did_estimator",
-    "mann_whitney_u_test",
-    "spearman_value_time_corr",
-    "qq_deciles_by_arm",
-    "ab_power_analysis",
-    "two_pass_exact_median",
-    "join_size_estimate_audit",
-    "item_cf_similar_parts_top3",
-    "als_rank1_user_step",
-    "association_rules_pairs",
-    "embedding_components_single_linkage",
-    "dbscan_embedding_clusters",
-    "hits_event_transitions",
-    "kcore_embedding_graph",
-    "graph_degree_assortativity",
+    # --- r6-era additions rolled from the r8 window (7) ---
+    "local_clustering_coefficients",
+    "graph_edges_incremental_merge",
+    "graph_ann_greedy_walk_recall",
+    "kcenter_coreset_seeds",
+    "streaming_topk_trending",
+    "streaming_psi_drift_monitor",
+    "zipf_slope_fit",
+    # --- round-8 additions, never driver-checked (19) ---
+    "preference_pairs_dpo",
+    "bradley_terry_mm_step",
+    "preference_agreement_kappa",
+    "reward_calibration_ece",
+    "best_of_n_selection_lift",
+    "unigram_viterbi_tokenize_top30",
+    "image_png_decode_parity",
+    "streaming_preference_bt_stats",
+    "domain_mixture_mw_step",
+    "truncation_loss_audit",
+    "qdigest_quantile_audit",
+    "sft_turn_alternation_audit",
+    "sft_loss_mask_accounting",
+    "pass_at_k_per_task",
+    "grpo_group_advantage",
+    "streaming_pass_at_k_stats",
+    "epoch_capped_token_allocation",
+    "bleu2_pair_eval",
+    "preference_length_bias_audit",
+    # --- re-check slots: implementations changed in r8/r9 (16) ---
+    "reference_crops_clahe_chain_profile",  # r9: true numpy CLAHE
+    "video_keyframe_knn",  # r9: at-rest clip corpus
+    "video_mjpeg_frame_parity",  # r9: at-rest clip corpus
+    "ann_recall_vs_exact_clustered",  # r8 fast path
+    "bm25_retrieval_top10",  # r8 postings refactor
+    "tfidf_cosine_top5",  # r8 postings refactor
+    "repeated_span_doc_stats",  # r8 postings refactor
+    "phrase_retrieval_top20",  # r8 postings refactor
+    "boolean_and_retrieval_top20",  # r8 postings refactor
+    "bootstrap_mean_ci_deterministic",  # r8 speedup (caf472c)
+    "incremental_corpus_admission",  # r8 speedup
+    "audio_wav_feature_parity",  # r8 speedup
+    # --- new r9 registrations (swapped in as they land) ---
+    "lsh_ann_topk",  # placeholder re-check; swap for r9 query
+    "minhash_near_dup_pairs",  # placeholder re-check; swap for r9 query
+    "bigram_lm_fluency",  # placeholder re-check; swap for r9 query
+    "wordpiece_greedy_tokenize_top30",  # placeholder; swap for r9 query
 )
 
 

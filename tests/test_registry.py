@@ -31,57 +31,56 @@ SENTINELS = {
     "streaming_upsert_snapshot",
 }
 
-# r8 window (VERDICT r7 #2): the 42 non-sentinel slots go to 42 of the
-# 49 never-driver-checked names — the 2 new round-8 queries, all 10
-# round-7 additions, and the oldest 30 round-6-era additions; the 7
-# overflow names roll to r9 (see queries/__init__.py's rotation note).
-NEVER_CHECKED_R8 = {
-    "ann_recall_vs_exact_clustered",
-    "audio_wav_feature_parity",
-    "wordpiece_greedy_tokenize_top30",
-    "video_mjpeg_frame_parity",
-    "audio_vad_silence_segments",
-    "image_dhash_dup_groups",
-    "streaming_audio_vad_admission",
-    "l_diversity_audit",
-    "dp_noisy_counts_deterministic",
-    "mutual_information_features",
-    "binary_quantization_recall",
-    "prf_rocchio_requery",
-    "temporal_holdout_split",
-    "session_hot_hour_overlap",
-    "kaplan_meier_user_survival",
-    "events_burstiness_fano",
-    "doc_ngram_novelty",
-    "vocab_coverage_curve",
-    "doc_readability_scores",
-    "lang_id_confusion_matrix",
-    "minhash_estimate_error_audit",
-    "dedup_soft_sample_weights",
-    "psi_value_drift",
-    "sprt_ab_sequential_test",
-    "split_conformal_intervals",
-    "did_estimator",
-    "mann_whitney_u_test",
-    "spearman_value_time_corr",
-    "qq_deciles_by_arm",
-    "ab_power_analysis",
-    "two_pass_exact_median",
-    "join_size_estimate_audit",
-    "item_cf_similar_parts_top3",
-    "als_rank1_user_step",
-    "association_rules_pairs",
-    "embedding_components_single_linkage",
-    "dbscan_embedding_clusters",
-    "hits_event_transitions",
-    "kcore_embedding_graph",
-    "graph_degree_assortativity",
+# r9 window (VERDICT r8 #1): the 42 non-sentinel slots go to ALL 26
+# remaining never-driver-checked names (the 7 r6-era names rolled from
+# the r8 window + the 19 round-8 additions) plus 16 re-check slots for
+# implementations that changed in r8/r9 (CLAHE chain, video fixture
+# at-rest move, postings refactor family, r8 speedups, new r9
+# registrations). After this window every registered query has a
+# driver-side CORRECTNESS row.
+NEVER_CHECKED_R9 = {
+    "local_clustering_coefficients",
+    "graph_edges_incremental_merge",
+    "graph_ann_greedy_walk_recall",
+    "kcenter_coreset_seeds",
+    "streaming_topk_trending",
+    "streaming_psi_drift_monitor",
+    "zipf_slope_fit",
+    "preference_pairs_dpo",
+    "bradley_terry_mm_step",
+    "preference_agreement_kappa",
+    "reward_calibration_ece",
+    "best_of_n_selection_lift",
+    "unigram_viterbi_tokenize_top30",
+    "image_png_decode_parity",
+    "streaming_preference_bt_stats",
+    "domain_mixture_mw_step",
+    "truncation_loss_audit",
+    "qdigest_quantile_audit",
+    "sft_turn_alternation_audit",
+    "sft_loss_mask_accounting",
+    "pass_at_k_per_task",
+    "grpo_group_advantage",
+    "streaming_pass_at_k_stats",
+    "epoch_capped_token_allocation",
+    "bleu2_pair_eval",
+    "preference_length_bias_audit",
 }
 
-# new in round 8 (VERDICT r7 #3 and #6) — checked in their landing round
-NEW_R8 = {
+# implementations changed in r8/r9 — re-checked in the r9 window
+RECHECK_R9 = {
     "reference_crops_clahe_chain_profile",
     "video_keyframe_knn",
+    "video_mjpeg_frame_parity",
+    "ann_recall_vs_exact_clustered",
+    "bm25_retrieval_top10",
+    "tfidf_cosine_top5",
+    "repeated_span_doc_stats",
+    "phrase_retrieval_top20",
+    "boolean_and_retrieval_top20",
+    "bootstrap_mean_ci_deterministic",
+    "incremental_corpus_admission",
+    "audio_wav_feature_parity",
 }
 
 
@@ -97,7 +96,7 @@ def test_first_50_matches_priority():
 
 def test_rotation_covers_sentinels_and_never_checked():
     prefix = set(list(registry.queries())[:50])
-    must_have = SENTINELS | NEVER_CHECKED_R8 | NEW_R8
+    must_have = SENTINELS | NEVER_CHECKED_R9 | RECHECK_R9
     assert must_have <= prefix, sorted(must_have - prefix)
 
 

@@ -166,6 +166,11 @@ AT_REST_WRITERS = {
     "tfidf_cosine_top5",
     "ivfpq_ann_topk",
     "ivf_closure_recall_audit",
+    # r9: the synthetic clip corpus is written once per session
+    # (curation_queries._clip_corpus); whichever video query runs
+    # first pays the encode+write, the warm path is decode-onward
+    "video_mjpeg_frame_parity",
+    "video_keyframe_knn",
 }
 
 

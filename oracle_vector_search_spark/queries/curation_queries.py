@@ -1515,6 +1515,73 @@ def audio_wav_feature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NV_CLIPS = 32
 _NV_H, _NV_W = 16, 24  # frame geometry (even levels are MJPEG-lossless)
 
+# The synthetic clip corpus AT REST (VERDICT r8 #2): the 32 real
+# AVI/MJPEG containers (+1 planted malformed container, F3) are
+# encoded ONCE per session and written to parquet; both video queries
+# read the binary column back instead of re-running JPEG encode + AVI
+# assembly per invocation. This mirrors the deployment reality — a
+# video corpus is an ingested at-rest table, not something the query
+# path synthesizes — and the index/LSH/postings at-rest pattern used
+# everywhere else. applicationId-keyed like the other artifact caches.
+_CLIP_CACHE: dict[str, str] = {}
+
+
+def _clip_corpus(spark: SparkSession) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from oracle_vector_search_spark.io import (
+        read_artifact,
+        write_artifact,
+    )
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    key = spark.sparkContext.applicationId
+    path = _CLIP_CACHE.get(key)
+    if path is None:
+        import numpy as np
+
+        from oracle_vector_search_spark.functions.avi_numpy import (
+            encode_avi_mjpeg,
+        )
+
+        def make_avis(
+            it: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                rows = []
+                for cid in pdf["id"]:
+                    c = int(cid)
+                    if c >= _NV_CLIPS:  # planted malformed container
+                        rows.append((c, b"RIFF\x08\x00\x00\x00AVI hdrl"))
+                        continue
+                    nf = 4 + c % 5
+                    frames = np.stack(
+                        [
+                            np.full(
+                                (_NV_H, _NV_W),
+                                2 * ((c * 37 + f * 11) % 128),
+                                dtype=np.uint8,
+                            )
+                            for f in range(nf)
+                        ]
+                    )
+                    rows.append(
+                        (c, encode_avi_mjpeg(frames, fps=10 + c % 3))
+                    )
+                yield pd.DataFrame(rows, columns=["id", "content"])
+
+        path = scratch_dir("ovs_clip_corpus_")
+        write_artifact(
+            spark.range(_NV_CLIPS + 1).mapInPandas(
+                make_avis, schema="id long, content binary"
+            ),
+            path,
+        )
+        _CLIP_CACHE[key] = path
+    return read_artifact(spark, path)
+
 
 @register(
     "video_mjpeg_frame_parity",
@@ -1554,46 +1621,20 @@ def video_mjpeg_frame_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``reference_crops_decode_parity``.
 
     100 TB shape: container decode + frame sampling are Arrow-batched
-    scan-stage work (pixels shuffle only as the sampled frames a
-    downstream trainer actually keeps); stats are one row per frame."""
+    scan-stage work over the AT-REST clip corpus (pixels shuffle only
+    as the sampled frames a downstream trainer actually keeps); stats
+    are one row per frame. The corpus itself is written once per
+    session (``_clip_corpus``) — encode cost is ingest, not query."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    from oracle_vector_search_spark.functions.avi_numpy import (
-        encode_avi_mjpeg,
-    )
     from oracle_vector_search_spark.sources.media import (
         video_frame_sample,
     )
 
-    def make_avis(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for cid in pdf["id"]:
-                c = int(cid)
-                if c >= _NV_CLIPS:  # planted malformed container (F3)
-                    rows.append((c, b"RIFF\x08\x00\x00\x00AVI hdrl"))
-                    continue
-                nf = 4 + c % 5
-                frames = np.stack(
-                    [
-                        np.full(
-                            (_NV_H, _NV_W),
-                            2 * ((c * 37 + f * 11) % 128),
-                            dtype=np.uint8,
-                        )
-                        for f in range(nf)
-                    ]
-                )
-                rows.append((c, encode_avi_mjpeg(frames, fps=10 + c % 3)))
-            yield pd.DataFrame(rows, columns=["id", "content"])
-
-    clips = spark.range(_NV_CLIPS + 1).mapInPandas(
-        make_avis, schema="id long, content binary"
-    )
-    frames = video_frame_sample(clips, every_k=2)
+    frames = video_frame_sample(_clip_corpus(spark), every_k=2)
 
     stats_schema = (
         "clip_id long, frame_idx int, width int, height int, "
@@ -1891,18 +1932,17 @@ def video_keyframe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     asserted equal before freezing; the codec path itself is proven
     byte-exact by ``video_mjpeg_frame_parity``'s formula oracle.
 
-    100 TB shape: containers decode and embed in the scan stage
-    (Arrow-batched, frames never shuffle); the kNN is the broadcast
-    streaming expression tier — Q here is tiny (57 keyframes), and a
-    large keyframe fan-in would route through the GEMM tier unchanged."""
+    100 TB shape: containers decode and embed in the scan stage over
+    the AT-REST clip corpus (Arrow-batched, frames never shuffle); the
+    kNN is the broadcast streaming expression tier — Q here is tiny
+    (57 keyframes), and a large keyframe fan-in would route through
+    the GEMM tier unchanged. Encode cost is ingest (``_clip_corpus``,
+    once per session), not query."""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
-    from oracle_vector_search_spark.functions.avi_numpy import (
-        encode_avi_mjpeg,
-    )
     from oracle_vector_search_spark.functions.embed import (
         hash_projection_embed_batch,
     )
@@ -1914,28 +1954,7 @@ def video_keyframe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         video_frame_sample,
     )
 
-    def make_avis(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for cid in pdf["id"]:
-                c = int(cid)
-                nf = 4 + c % 5
-                frames = np.stack(
-                    [
-                        np.full(
-                            (_NV_H, _NV_W),
-                            2 * ((c * 37 + f * 11) % 128),
-                            dtype=np.uint8,
-                        )
-                        for f in range(nf)
-                    ]
-                )
-                rows.append((c, encode_avi_mjpeg(frames, fps=10 + c % 3)))
-            yield pd.DataFrame(rows, columns=["id", "content"])
-
-    clips = spark.range(_NV_CLIPS).mapInPandas(
-        make_avis, schema="id long, content binary"
-    )
+    clips = _clip_corpus(spark).filter(F.col("id") < _NV_CLIPS)
     frames = video_frame_sample(clips, every_k=_VK_EVERY)
 
     def embed_frames(

@@ -127,7 +127,7 @@ EXPECTED: dict[str, dict[str, int]] = {
     # Arrow batches); feature math stays in Catalyst. One shuffle each
     # for the per-clip/group agg (+ one for the final orderBy/window).
     "audio_wav_feature_parity":        {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 2},
-    "video_mjpeg_frame_parity":        {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 3},
+    "video_mjpeg_frame_parity":        {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 2},
     "image_dhash_dup_groups":          {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 3},
     # r7 tokenizer apply: the 16 greedy rounds run on pinned RDDs, so
     # the FINAL plan is just the usage aggregate + top-30 window — no
@@ -137,7 +137,7 @@ EXPECTED: dict[str, dict[str, int]] = {
     # video→vector: python stages are encode / frame-sample / embed
     # Arrow passes; the kNN is the broadcast expression tier (query
     # side broadcast, index streams) + the top-k window exchange
-    "video_keyframe_knn":              {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 3},
+    "video_keyframe_knn":              {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 2},
     # BT fit: the matches self-join is corpus-shaped (auto-broadcast at
     # fixture size, the one honest SMJ at scale); every post-aggregate
     # join (pi1 strengths, pair counts) broadcasts EXPLICITLY — those

@@ -1069,10 +1069,10 @@ WITH lines AS (
   FROM kept GROUP BY prefix
 ), golden(prefix, g_crops, g_pixels, eq_sum, emb_checksum_micros) AS (
   VALUES
-  ('Tr-gl', 830, 5826961, 2243382771, -37708318),
-  ('Tr-me', 547, 10506157, 4041437790, 36280384),
-  ('Tr-no', 483, 67581885, 25957753278, -24255748),
-  ('Tr-pi', 612, 4143710, 1592033862, 17118917)
+  ('Tr-gl', 830, 5826961, 2247341100, -15196),
+  ('Tr-me', 547, 10506157, 4316863386, 11711573),
+  ('Tr-no', 483, 67581885, 26020274853, 45809054),
+  ('Tr-pi', 612, 4143710, 1783973739, 21046316)
 )
 SELECT l.prefix, l.n_crops, l.n_pixels,
        round(CAST(g.eq_sum AS DOUBLE)
@@ -1086,15 +1086,15 @@ ORDER BY l.prefix
 def reference_crops_clahe_chain_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """VERDICT r7 #3 — the QUERY-path twin of
+    """VERDICT r7 #3 / r8 #3 — the QUERY-path twin of
     `reference_crops_pixel_chain_profile`: every one of the
     reference's 2,472 real shipped crops runs the reference's QUERY
-    preprocessing branch (app.py:60-66 — CLAHE clip 4.0, 8×8 tiles;
-    here the engine's deterministic numpy equalize stand-in,
-    sources/images.py `_equalize_numpy`) on its REAL decoded pixels,
-    then the same T7 CNN-tensor + T8 embed tail, in one Arrow pass:
+    preprocessing branch (app.py:60-66 — TRUE CLAHE, clip 4.0, 8×8
+    tiles, cv2-exact semantics via the pure-numpy kernel in
+    functions/clahe_numpy.py) on its REAL decoded pixels, then the
+    same T7 CNN-tensor + T8 embed tail, in one Arrow pass:
 
-        S2 decode → T3 equalize → T7 tensor → T8 embed
+        S2 decode → BGR → T3 CLAHE → T7 tensor → T8 embed
 
     Together with the build-path chain query this reproduces SURVEY
     §1.4.2's build/query preprocessing MISMATCH on real pixels: the
@@ -1104,11 +1104,13 @@ def reference_crops_clahe_chain_profile(
 
     Oracle: n_crops / n_pixels re-derived independently from the
     label files (numpy-slice crop replay, as the sibling query); the
-    equalized-luma sum and embedding checksum pinned to frozen
-    goldens from tools/make_clahe_golden.py, whose pure-python
-    histogram/LUT re-implementation is asserted equal to the
-    production kernel crop-by-crop before freezing.  sf_dir unused —
-    pinned to the reference's shipped data."""
+    CLAHE-luma sum and embedding checksum pinned to frozen goldens
+    from tools/make_clahe_golden.py, whose scalar pure-python CLAHE
+    (per-tile histogram/clip/redistribute/LUT loops, float32-scalar
+    blend) is asserted equal to the vectorized production kernel
+    crop-by-crop before freezing (and to cv2.createCLAHE where cv2 is
+    importable).  sf_dir unused — pinned to the reference's shipped
+    data."""
     import numpy as np
     import pandas as pd
 
@@ -1143,7 +1145,9 @@ def reference_crops_clahe_chain_profile(
                 arr = decode_baseline_jpeg(bytes(b))
                 if arr is None:  # F3: skip undecodable, never raise
                     continue
-                eq = _equalize_numpy(arr)
+                # decode is RGB; the reference reads BGR (cv2.imread)
+                # and CLAHE's gray weights are order-sensitive
+                eq = _equalize_numpy(arr[:, :, ::-1].copy())
                 tensor = _cnn_input_tensor(eq)
                 emb = hash_projection_embed_batch(
                     [tensor.tobytes()], 8

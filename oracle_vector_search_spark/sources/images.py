@@ -228,27 +228,22 @@ def _blur3(arr: np.ndarray) -> np.ndarray:
 
 
 def _equalize_numpy(arr: np.ndarray) -> np.ndarray:
-    """Deterministic global histogram equalization on the mean channel —
-    the engine's dependency-free stand-in for the reference QUERY path's
-    CLAHE(clip=4, 8×8) (app.py:60-66).  Pure integer histogram + one
-    float64 CDF rescale, so the output is bit-stable across platforms;
-    `reference_crops_clahe_chain_profile` pins it to frozen goldens."""
-    gray = arr.mean(axis=2).astype(np.uint8)
-    hist = np.bincount(gray.ravel(), minlength=256)
-    cdf = hist.cumsum()
-    nz = cdf[cdf > 0]
-    if len(nz) == 0:
-        return arr
-    lut = np.clip(
-        np.rint((cdf - nz[0]) / max(cdf[-1] - nz[0], 1) * 255), 0, 255
-    ).astype(np.uint8)
-    eq = lut[gray]
-    return np.stack([eq, eq, eq], axis=2)
+    """T3, dependency-free tier: TRUE CLAHE (clip 4.0, 8×8 tiles) on
+    the cv2-fixed-point gray plane, pure numpy — the bit-exact twin of
+    the reference QUERY path's apply_clahe_to_image (app.py:60-66).
+    Replaces the r≤8 global-equalize stand-in (VERDICT r8 #3); the
+    kernel lives in functions/clahe_numpy.py and
+    `reference_crops_clahe_chain_profile` pins it to frozen goldens
+    from an independent scalar implementation."""
+    from oracle_vector_search_spark.functions.clahe_numpy import clahe_bgr
+
+    return clahe_bgr(arr, clip_limit=4.0, tiles=(8, 8))
 
 
 def _equalize(arr: np.ndarray) -> np.ndarray:
-    """T3: CLAHE when cv2 is present (the exact reference op,
-    app.py:60-66), else the deterministic numpy fallback."""
+    """T3: cv2 CLAHE when present (the literal reference op,
+    app.py:60-66), else the bit-identical pure-numpy twin — the two
+    tiers agree exactly (cv2-gated test in tests/test_clahe.py)."""
     try:
         import cv2
 

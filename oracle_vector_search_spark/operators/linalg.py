@@ -167,9 +167,14 @@ def power_iteration(
         F.lit(1.0 / float(dim) ** 0.5).alias("val"),
     )
     for _ in range(n_iter):
+        # the d-row vector broadcasts EXPLICITLY: auto-broadcast relies
+        # on stats that vanish once v is an aggregate output
         w = (
             full.join(
-                v.select(F.col("i").alias("j"), F.col("val")), "j"
+                F.broadcast(
+                    v.select(F.col("i").alias("j"), F.col("val"))
+                ),
+                "j",
             )
             .groupBy("i")
             .agg(F.sum(F.col(val_col) * F.col("val")).alias("val"))

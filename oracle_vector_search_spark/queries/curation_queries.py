@@ -1315,8 +1315,10 @@ def kcenter_coreset_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     picked = first.select("sid")
     for t in range(2, _KCEN_SEEDS + 1):
+        # seed set is <= _KCEN_SEEDS rows: broadcast the anti side
+        # explicitly rather than trusting stats-based auto-broadcast
         cand = md.join(
-            picked, md.vec_id == F.col("sid"), "left_anti"
+            F.broadcast(picked), md.vec_id == F.col("sid"), "left_anti"
         )
         nxt = cand.orderBy(F.desc("md"), F.asc("vec_id")).limit(
             1

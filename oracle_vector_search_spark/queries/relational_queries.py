@@ -656,7 +656,8 @@ WITH v AS (
 ),
 q AS (SELECT vec_id AS query_id, emb AS qemb FROM v WHERE vec_id < 5),
 scored AS (
-  SELECT q.query_id, v.vec_id AS neighbor_id,
+  SELECT /*+ BROADCAST(q) */
+         q.query_id, v.vec_id AS neighbor_id,
          round(cos_sim(q.qemb, v.emb), 6) AS score
   FROM v CROSS JOIN q
   WHERE v.vec_id <> q.query_id

@@ -424,9 +424,12 @@ def udtf_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuinely imperative."""
     from pyspark.sql.functions import udtf
 
+    # useArrow: the UDTF evaluates in Arrow batches
+    # (ArrowEvalPythonUDTF), not row-at-a-time BatchEvalPython — the
+    # same vectorized-transfer rule as every other Python stage here
     @udtf(returnType=(
         "doc_id bigint, win_idx int, snippet string, n_tokens int"
-    ))
+    ), useArrow=True)
     class TokenWindows:
         def eval(self, doc_id, norm):
             toks = norm.split(" ")

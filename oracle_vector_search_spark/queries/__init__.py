@@ -170,7 +170,7 @@ _PRIORITY: tuple[str, ...] = (
     "incremental_corpus_admission",  # r8 speedup
     "audio_wav_feature_parity",  # r8 speedup
     # --- new r9 registrations (swapped in as they land) ---
-    "lsh_ann_topk",  # placeholder re-check; swap for r9 query
+    "bpe_apply_ranked_merges_top30",  # r9: BPE ranked-merge apply
     "minhash_near_dup_pairs",  # placeholder re-check; swap for r9 query
     "bigram_lm_fluency",  # placeholder re-check; swap for r9 query
     "wordpiece_greedy_tokenize_top30",  # placeholder; swap for r9 query

@@ -940,3 +940,209 @@ def unigram_viterbi_tokenize_top30(
         .orderBy(F.desc("n_uses"), F.asc("piece"))
         .limit(30)
     )
+
+
+# --------------------- BPE ranked-merge tokenizer (apply, round 9)
+
+_BP_HEAD = 3_000  # most frequent word types the merges are applied to
+_BP_MERGES = 256  # ranked merge-table size
+_BP_MAXLEN = 12  # word-length cap == merge-round bound (<= L-1 rounds)
+
+
+@register(
+    "bpe_apply_ranked_merges_top30",
+    f"""
+WITH RECURSIVE words AS (
+  SELECT unnest(string_split({T.duck_norm('text')}, ' ')) AS w
+  FROM documents
+), types AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM words
+  WHERE length(w) BETWEEN 2 AND {_BP_MAXLEN}
+  GROUP BY w ORDER BY wc DESC, w LIMIT {_BP_HEAD}
+), prs AS (
+  SELECT unnest([substr(w, i, 2) for i in range(1, length(w))]) AS pair,
+         wc
+  FROM types
+), merges AS (
+  SELECT substr(pair, 1, 1) AS a, substr(pair, 2, 1) AS b,
+         CAST(row_number()
+              OVER (ORDER BY sum_wc DESC, pair) AS BIGINT) AS rank
+  FROM (SELECT pair, CAST(sum(wc) AS BIGINT) AS sum_wc
+        FROM prs GROUP BY pair)
+  ORDER BY rank LIMIT {_BP_MERGES}
+), seg(word, wc, s) AS (
+  -- one merge OCCURRENCE per step: leftmost occurrence of the
+  -- min-rank applicable rule.  Char-char merges never create new
+  -- char-pair adjacencies, so the min-rank rule stays min until
+  -- exhausted and this equals the merge-all-occurrences round.
+  SELECT w, wc,
+         array_to_string([substr(w, i, 1)
+                          for i in range(1, length(w) + 1)], ' ')
+  FROM types
+  UNION ALL
+  SELECT g.word, g.wc,
+         trim(substr(' ' || g.s || ' ', 1, m.p - 1)
+              || ' ' || m.a || m.b || ' '
+              || substr(' ' || g.s || ' ',
+                        m.p + length(m.a) + length(m.b) + 3))
+  FROM seg g, LATERAL (
+    SELECT a, b,
+           strpos(' ' || g.s || ' ', ' ' || a || ' ' || b || ' ') AS p
+    FROM merges
+    WHERE strpos(' ' || g.s || ' ', ' ' || a || ' ' || b || ' ') > 0
+    ORDER BY rank LIMIT 1
+  ) m
+), final AS (
+  SELECT word, wc, s FROM seg g
+  WHERE NOT EXISTS (
+    SELECT 1 FROM merges m
+    WHERE strpos(' ' || g.s || ' ',
+                 ' ' || m.a || ' ' || m.b || ' ') > 0)
+)
+SELECT piece,
+       CAST(sum(wc) AS BIGINT) AS n_uses,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_word_types
+FROM (SELECT word, wc, unnest(string_split(s, ' ')) AS piece
+      FROM final)
+GROUP BY piece ORDER BY n_uses DESC, piece LIMIT 30
+""",
+)
+def bpe_apply_ranked_merges_top30(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BPE tokenizer APPLY with a RANKED merge table (the Sennrich
+    2016 inference rule): each word starts as its character sequence;
+    while any adjacent symbol pair is in the merge table, merge every
+    left-to-right non-overlapping occurrence of the LOWEST-RANK
+    applicable pair, then re-select.  The {_BP_MERGES}-merge table is
+    mined in the same plan — the top adjacent character pairs by
+    occurrence-weighted frequency over the {_BP_HEAD} most frequent
+    word types, rank = (count desc, pair asc) — i.e. the one-pass
+    frequency-ranked approximation of the sequential trainer (whose
+    per-iteration statistic and one unrolled iteration are
+    `bpe_merge_pairs_top20` / `bpe_apply_merge_recount`).  Output:
+    the 30 most used final pieces with occurrence-weighted use counts
+    and word-type reach, completing oracle-checked INFERENCE for all
+    three tokenizer families (BPE ranked-merge, WordPiece greedy,
+    unigram Viterbi).
+
+    Physical shape (the `unigram_viterbi_tokenize_top30` design): the
+    corpus pass is ONE word-histogram aggregate; the merge table
+    folds into a single broadcast map column ("a b" → rank) and the
+    WHOLE merge loop runs per word inside ONE Catalyst expression —
+    ``aggregate(sequence(1, {_BP_MAXLEN - 1}))`` iterates bounded
+    rounds, each selecting the min-rank applicable pair (adjacent-
+    pair ``transform`` → map lookup → ``array_sort`` head) and
+    merging all its occurrences with an inner ``aggregate()`` fold
+    over the symbol array (left-to-right non-overlap falls out of
+    the fold: a merged tail never re-matches the rule's left
+    symbol).  No driver rounds, no shuffle in the apply.  Round
+    bound: char-char merges never create new char-pair adjacencies,
+    so each round permanently exhausts ≥1 rule and symbols strictly
+    shrink — ≤ L−1 rounds; exhausted words pass through untouched.
+    The oracle replays the loop as a DuckDB recursive CTE merging one
+    leftmost occurrence per step (equivalent by the same argument).
+
+    100 TB shape: the corpus pass is vocabulary-sized after the first
+    aggregate; the loop never touches the corpus.  A deployment
+    applies the FROZEN ranked table as a scan-stage map — the same
+    broadcast-map-lookup shape as `unigram_viterbi_tokenize_top30`."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(T.norm_text("text"), " ")).alias("w")
+    ).filter(F.length("w").between(2, _BP_MAXLEN))
+    w_rank = Window.orderBy(F.desc("wc"), F.asc("w"))
+    types = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _BP_HEAD)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    prs = types.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "i -> substring(w, i, 2))"
+            )
+        ).alias("pair"),
+        "wc",
+    )
+    m_rank = Window.orderBy(F.desc("pc"), F.asc("pair"))
+    merges = (
+        prs.groupBy("pair")
+        .agg(F.sum("wc").alias("pc"))
+        .withColumn("rank", F.row_number().over(m_rank))
+        .filter(F.col("rank") <= _BP_MERGES)
+        .select(
+            F.concat(
+                F.substring("pair", 1, 1),
+                F.lit(" "),
+                F.substring("pair", 2, 1),
+            ).alias("p"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+    # the whole merge table as ONE broadcast map column: "a b" -> rank
+    mrg = merges.agg(
+        F.map_from_entries(F.collect_list(F.struct("p", "rank"))).alias(
+            "mrg"
+        )
+    )
+
+    # min-rank applicable pair over the current symbol array (NULL if
+    # no adjacent pair is in the table); array_sort on (rank, pair)
+    # structs, rank unique by construction
+    _BEST = """
+    try_element_at(
+      array_sort(filter(
+        transform(sequence(1, size(syms) - 1),
+          i -> named_struct(
+            'r', element_at(mrg, concat(element_at(syms, i), ' ',
+                                        element_at(syms, i + 1))),
+            'pr', concat(element_at(syms, i), ' ',
+                         element_at(syms, i + 1)))),
+        x -> x.r IS NOT NULL)),
+      1).pr
+    """
+    # left-to-right non-overlapping merge of ALL occurrences of the
+    # selected (a, b): a fold — after emitting the merged symbol the
+    # accumulator tail is concat(a, b) (length >= 2), which can never
+    # equal the single-char left symbol a, so overlap is impossible.
+    # a = chars 1 of the pair key, b = char 3 ("a b" layout).
+    _STEP = f"""
+    IF(({_BEST}) IS NULL, syms,
+       aggregate(syms,
+         CAST(array() AS array<string>),
+         (out, s) -> IF(size(out) > 0
+                        AND element_at(out, -1)
+                            = substring(({_BEST}), 1, 1)
+                        AND s = substring(({_BEST}), 3, 1),
+                        concat(slice(out, 1, size(out) - 1),
+                               array(concat(
+                                 substring(({_BEST}), 1, 1),
+                                 substring(({_BEST}), 3, 1)))),
+                        concat(out, array(s)))))
+    """
+    apply_expr = f"""
+    aggregate(sequence(1, {_BP_MAXLEN - 1}),
+      transform(sequence(1, length(word)),
+                i -> substring(word, i, 1)),
+      (syms, step_i) -> ({_STEP}))
+    """
+    final = (
+        types.select(F.col("w").alias("word"), "wc")
+        .crossJoin(F.broadcast(mrg))
+        .selectExpr("word", "wc", f"{apply_expr} AS syms")
+    )
+    return (
+        final.select("word", "wc", F.explode("syms").alias("piece"))
+        .groupBy("piece")
+        .agg(
+            F.sum("wc").cast("long").alias("n_uses"),
+            F.countDistinct("word").cast("long").alias("n_word_types"),
+        )
+        .orderBy(F.desc("n_uses"), F.asc("piece"))
+        .limit(30)
+    )

@@ -743,10 +743,14 @@ def bleu2_pair_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pair_id",
         "is_cand",
         F.explode(
+            # guard size<2 explicitly: sequence(1, 0) DESCENDS ([1,0])
+            # rather than returning empty, so a single-token candidate
+            # would index element_at(a, 2) and kill the stage
             F.expr(
-                "transform(sequence(1, greatest(size(a) - 1, 0)),"
+                "CASE WHEN size(a) < 2 THEN array()"
+                " ELSE transform(sequence(1, size(a) - 1),"
                 " i -> concat(element_at(a, i), ' ',"
-                " element_at(a, i + 1)))"
+                " element_at(a, i + 1))) END"
             )
         ).alias("w"),
     )

@@ -148,6 +148,11 @@ def _audit_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         "ivfpq": (_IVFPQ_CACHE, _spark_ivfpq_approx, lambda: _build_ivfpq_approx(spark, sf_dir)),
     }
     key = (spark.sparkContext.applicationId, sf_dir)
+    # evict pins from stopped sessions (ADVICE r8): the checkpointed
+    # DataFrames hold executor block storage, and unlike the path-only
+    # at-rest caches a stale entry keeps a dead session's JVM refs alive
+    for fkey in [k for k in _FAST_AUDIT_CACHE if k[0] != key[0]]:
+        del _FAST_AUDIT_CACHE[fkey]
     stress = os.environ.get("OVS_SCALE_STRESS") == "1"
     out: dict[str, DataFrame] = {}
     to_build: dict[str, object] = {}
@@ -1899,15 +1904,6 @@ def ann_recall_vs_exact_clustered(
             F.round(cosine_similarity("qv", "av"), 6).alias("score"),
         )
     )
-    wpq = Window.partitionBy("query_id").orderBy(
-        F.desc("score"), F.asc("neighbor_id")
-    )
-    pq_top = (
-        pq_scored.withColumn("rn", F.row_number().over(wpq))
-        .filter(F.col("rn") <= 5)
-        .select("query_id", "neighbor_id")
-    )
-
     # ONE aggregation pass over all five methods (VERDICT r7 #5): the
     # five candidate derivations union under a method tag and pin ONCE
     # (localCheckpoint — a single job whose branches the scheduler runs

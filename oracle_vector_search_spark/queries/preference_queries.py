@@ -260,6 +260,17 @@ def bradley_terry_mm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two updates are a handful of IEEE divisions per source, so
     both engines agree to 6 decimals.
 
+    TOLERANCE CLASS (ADVICE r8): unlike the suff stats, step 2's
+    denominator ``d2`` SUMS doubles (one term per opposing source), so
+    its last ulp is aggregation-order dependent — with ≤ a handful of
+    sources the sum is far from any round-6 boundary in practice
+    (driver-green at every fixture; partition-invariance probed at 80k
+    and 800k docs in tests/test_preference_scale.py), but the query is
+    bit-exact only up to that caveat, NOT by the integer-statistics
+    argument the rest of the family uses.  Same class:
+    ``domain_mixture_mw_step``'s z and ``reward_calibration_ece``'s
+    conf_sum/ece.
+
     100 TB shape: the match derivation is a self-join on
     (lang, doc_id+1) — a merge join on the natural sort order, one
     row per adjacent pair, never all-pairs; everything after operates

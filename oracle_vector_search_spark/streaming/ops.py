@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
@@ -1039,7 +1040,9 @@ def preference_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("n_i").cast("long").alias("n_i"),
                 )
             )
-        except Exception:  # first epoch: no state yet
+        except AnalysisException:  # first epoch: no state yet
+            # (narrow on purpose — ADVICE r8: a transient FS error
+            # swallowed here would silently restart the totals)
             merged = part
         # pin BEFORE overwrite — the merged plan reads the very
         # directory the write replaces
@@ -1056,7 +1059,7 @@ def preference_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     try:
         state = spark.read.parquet(state_dir)
-    except Exception:  # empty source: empty typed result (contract)
+    except AnalysisException:  # empty source: typed empty (contract)
         return spark.createDataFrame(
             [], "source string, wins long, n_matches long, pi_step1 double"
         )
@@ -1132,7 +1135,9 @@ def pass_at_k_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("c").cast("long").alias("c"),
                 )
             )
-        except Exception:  # first epoch: no state yet
+        except AnalysisException:  # first epoch: no state yet
+            # (narrow on purpose — ADVICE r8: a transient FS error
+            # swallowed here would silently restart the totals)
             merged = part
         # pin BEFORE overwrite — the merged plan reads the very
         # directory the write replaces
@@ -1147,7 +1152,7 @@ def pass_at_k_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.awaitTermination()
     try:
         state = spark.read.parquet(state_dir)
-    except Exception:  # empty source: empty typed result (contract)
+    except AnalysisException:  # empty source: typed empty (contract)
         return spark.createDataFrame(
             [],
             "task_id long, n long, c long, pass_at_1 double, "

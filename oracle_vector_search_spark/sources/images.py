@@ -347,18 +347,23 @@ def _resnet18_extractor():
     return _RESNET_CACHE["model"]
 
 
-def _torch_embed_batch(blobs: list) -> list:
-    """ResNet-18 features for one Arrow batch of crop blobs. Crops are
-    decoded, grouped by pixel shape, and each same-shape group runs as
-    ONE stacked NCHW forward pass (the reference loops batch-size-1 per
-    crop, build_faiss_db.py:126-134; variable shapes only cost one pass
-    per distinct shape, not per row). Undecodable blobs embed as None
-    (F3 rule). Native 512-d output."""
+def _torch_embed_batch(arrays: list) -> list:
+    """ResNet-18 features for one Arrow batch of DECODED crop arrays
+    ((h, w, c) uint8 or None). Crops are grouped by pixel shape and
+    each same-shape group runs as ONE stacked NCHW forward pass (the
+    reference loops batch-size-1 per crop, build_faiss_db.py:126-134;
+    variable shapes only cost one pass per distinct shape, not per
+    row). None rows embed as None (F3 rule). Native 512-d output.
+
+    (r9 fix, found by exercising this path through the convnet twin:
+    this function used to take raw crop BLOBS and `_decode_one` them —
+    but crop_boxes emits headerless raw bytes, so every crop decoded
+    to None and the torch tier embedded nothing. Array reconstruction
+    now happens once in embed_crops for both model tiers.)"""
     import torch
     from torchvision.transforms import functional as TF
 
     model = _resnet18_extractor()
-    arrays = [_decode_one(b) for b in blobs]
     out: list = [None] * len(arrays)
     groups: dict[tuple, list[int]] = {}
     for i, a in enumerate(arrays):
@@ -380,19 +385,34 @@ def _torch_embed_batch(blobs: list) -> list:
     return out
 
 
-def embed_crops(df: DataFrame, dims: int = 8, use_torch: bool = False) -> DataFrame:
-    """Pluggable embedder. Default: hash-projection (deterministic,
-    CI-friendly, matches functions.embed SQL; ``dims`` applies here).
-    With use_torch=True a per-executor-cached ResNet-18 (fc=Identity)
-    embeds the crops — the reference's model (build_faiss_db.py:109-134)
-    — emitting its native 512-d features, with same-shape crops stacked
-    into one forward pass per Arrow batch instead of the reference's
-    batch-size-1 loop."""
+def embed_crops(
+    df: DataFrame,
+    dims: int = 8,
+    use_torch: bool = False,
+    tier: str | None = None,
+) -> DataFrame:
+    """Pluggable embedder, three tiers:
+
+    * ``hash`` (default): hash-projection — deterministic,
+      CI-friendly, matches the functions.embed SQL twin.
+    * ``convnet``: fixed-weight pure-numpy conv net
+      (functions/convnet_numpy.py) — a REAL conv/pool/normalize
+      forward with the torch tier's exact batching contract
+      (per-executor weight cache, shape-grouped stacked forwards,
+      None on undecodable/too-small crops), ungated in CI.
+    * ``torch`` (or ``use_torch=True``): per-executor-cached
+      ResNet-18 (fc=Identity) — the reference's model
+      (build_faiss_db.py:109-134) — native 512-d features, same-shape
+      crops stacked into one forward per Arrow batch instead of the
+      reference's batch-size-1 loop."""
     from oracle_vector_search_spark.functions.embed import (
         hash_projection_embed_batch,
     )
 
-    if use_torch:
+    tier = tier or ("torch" if use_torch else "hash")
+    if tier not in ("hash", "convnet", "torch"):
+        raise ValueError(f"unknown embed tier {tier!r}")
+    if tier == "torch":
         try:
             import torch  # noqa: F401
             import torchvision  # noqa: F401
@@ -406,17 +426,50 @@ def embed_crops(df: DataFrame, dims: int = 8, use_torch: bool = False) -> DataFr
         "stem string, box_idx long, class_id int, embedding array<double>"
     )
 
+    def _crop_arrays(pdf: pd.DataFrame) -> list:
+        """Raw crop bytes → (h, w, c) uint8 arrays using the CLIPPED
+        box coords (crop blobs are headerless — shape travels in the
+        x1..y2 columns, already clipped by denormalize_boxes).  Any
+        inconsistency → None (F3, never raise)."""
+        arrays = []
+        for b, x1, y1, x2, y2 in zip(
+            pdf["crop"], pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"]
+        ):
+            if b is None:
+                arrays.append(None)
+                continue
+            raw = bytes(b)
+            h, w = int(y2) - int(y1), int(x2) - int(x1)
+            if h <= 0 or w <= 0 or len(raw) % (h * w):
+                arrays.append(None)
+                continue
+            arrays.append(
+                np.frombuffer(raw, np.uint8).reshape(
+                    h, w, len(raw) // (h * w)
+                )
+            )
+        return arrays
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            blobs = [
-                bytes(b) if b is not None else None for b in pdf["crop"]
-            ]
-            if use_torch:
-                emb = _torch_embed_batch(blobs)
+            if tier == "torch":
+                emb = _torch_embed_batch(_crop_arrays(pdf))
+            elif tier == "convnet":
+                from oracle_vector_search_spark.functions.convnet_numpy import (  # noqa: E501
+                    convnet_embed_batch,
+                )
+
+                emb = convnet_embed_batch(_crop_arrays(pdf), dims)
             else:
                 # whole-batch embed: stacked scale/normalize math,
                 # duplicate crops embedded once per batch
-                emb = hash_projection_embed_batch(blobs, dims)
+                emb = hash_projection_embed_batch(
+                    [
+                        bytes(b) if b is not None else None
+                        for b in pdf["crop"]
+                    ],
+                    dims,
+                )
             yield pd.DataFrame(
                 {
                     "stem": pdf["stem"],
@@ -426,9 +479,9 @@ def embed_crops(df: DataFrame, dims: int = 8, use_torch: bool = False) -> DataFr
                 }
             )
 
-    return df.select("stem", "box_idx", "class_id", "crop").mapInPandas(
-        batches, schema=out_schema
-    )
+    return df.select(
+        "stem", "box_idx", "class_id", "x1", "y1", "x2", "y2", "crop"
+    ).mapInPandas(batches, schema=out_schema)
 
 
 # ------------------------------------------------------------ T9: detect

@@ -5,7 +5,10 @@ Runs, in order:
   1. the full pytest suite (with OVS_FULL_ORACLE=1 so the beyond-prefix
      oracle gate in tests/test_oracle_surface.py runs too),
   2. the full local oracle gate (tools/oracle_check.py) at sf0.01,
-  3. a bench.py smoke at the smallest fixture (rc=0 + parseable JSON).
+  3. the registry-wide scale-killer plan lint (tools/plan_lint.py) at
+     sf0.001 — the executable form of the old hand-adjudicated
+     global-window warnings (r9),
+  4. a bench.py smoke at the smallest fixture (rc=0 + parseable JSON).
 
 Writes a VERIFY.log summary at the repo root and exits non-zero if any
 stage fails. The LAST commit of every round must include a VERIFY.log
@@ -29,7 +32,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Per-stage wall-clock ceilings (ADVICE r4: a wedged stage must FAIL
 # the gate, not hang it). Generous vs observed times (pytest ~8 min,
 # oracle ~6 min, bench smoke ~2 min at sf0.001).
-TIMEOUTS = {"pytest": 2400, "oracle_check": 1800, "bench_smoke": 900}
+TIMEOUTS = {
+    "pytest": 2400,
+    "oracle_check": 1800,
+    "plan_lint": 1800,
+    "bench_smoke": 900,
+}
 
 
 def run(name: str, cmd: list[str], env: dict[str, str]) -> dict:
@@ -72,6 +80,13 @@ def main() -> int:
         run(
             "oracle_check",
             [sys.executable, "tools/oracle_check.py", "/root/testdata/sf0.01"],
+            env,
+        )
+    )
+    stages.append(
+        run(
+            "plan_lint",
+            [sys.executable, "tools/plan_lint.py", "/root/testdata/sf0.001"],
             env,
         )
     )

@@ -1936,10 +1936,12 @@ def video_keyframe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: containers decode and embed in the scan stage over
     the AT-REST clip corpus (Arrow-batched, frames never shuffle); the
-    kNN is the broadcast streaming expression tier — Q here is tiny
-    (57 keyframes), and a large keyframe fan-in would route through
-    the GEMM tier unchanged. Encode cost is ingest (``_clip_corpus``,
-    once per session), not query."""
+    kNN is the GEMM tier — the 57×64 keyframe matrix broadcasts
+    (bounded by the tier's ``max_queries`` guard) and each index
+    partition runs ONE BLAS multiply, ~2× faster than evaluating 57
+    cosine expressions per row in the expression tier (measured at
+    sf0.1; outputs identical, both tiers share the oracle). Encode
+    cost is ingest (``_clip_corpus``, once per session), not query."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -1948,7 +1950,7 @@ def video_keyframe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_vector_search_spark.functions.embed import (
         hash_projection_embed_batch,
     )
-    from oracle_vector_search_spark.operators.knn import knn_exact
+    from oracle_vector_search_spark.operators.knn import knn_exact_gemm
     from oracle_vector_search_spark.sources.images import (
         _cnn_input_tensor,
     )
@@ -1988,7 +1990,7 @@ def video_keyframe_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    topk = knn_exact(
+    topk = knn_exact_gemm(
         emb, qvecs, k=_VK_K, query_id_col="qid",
         query_vec_col="embedding",
     )

@@ -134,10 +134,11 @@ EXPECTED: dict[str, dict[str, int]] = {
     # python, no joins surviving into the last stage
     "wordpiece_greedy_tokenize_top30": {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # --- round 8 additions ---
-    # video→vector: python stages are encode / frame-sample / embed
-    # Arrow passes; the kNN is the broadcast expression tier (query
-    # side broadcast, index streams) + the top-k window exchange
-    "video_keyframe_knn":              {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 2},
+    # video→vector: decode/sample/embed Arrow passes run at BUILD time
+    # (the GEMM tier collects the 57×64 query matrix for broadcast),
+    # so the FINAL plan is the one GEMM mapInPandas scan over the
+    # index + the top-k window exchange (r9: expr→GEMM tier, ~2×)
+    "video_keyframe_knn":              {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 1},
     # BT fit: the matches self-join is corpus-shaped (auto-broadcast at
     # fixture size, the one honest SMJ at scale); every post-aggregate
     # join (pi1 strengths, pair counts) broadcasts EXPLICITLY — those

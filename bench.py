@@ -141,6 +141,7 @@ HEADLINE = [
     # unigram-LM Viterbi apply: the whole DP as one Catalyst
     # expression over a broadcast vocab-cost map (scan-stage shape)
     "unigram_viterbi_tokenize_top30",
+    "bpe_apply_ranked_merges_top30",
     # late-r8: the SFT/eval family — single-shuffle transcript lint
     # over sessionized events, and GRPO group-relative advantage
     # (windowed exact moments, one shuffle, no joins)

@@ -148,6 +148,11 @@ EXPECTED: dict[str, dict[str, int]] = {
     # itself is ONE Catalyst expression over a broadcast map column —
     # no python, no join, no per-round exchanges
     "unigram_viterbi_tokenize_top30":  {"shuffle_exchanges": 3, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # BPE apply (r9): word histogram + merge-table rank window + final
+    # usage aggregate; the WHOLE merge loop is one Catalyst expression
+    # over a broadcast map (types/merges ride pinned RDDs), so the
+    # final plan has NO python stages and NO joins
+    "bpe_apply_ranked_merges_top30":   {"shuffle_exchanges": 3, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # sft lint: source window shuffle + final role-level agg + output
     # ordering; join-free by the run-length algebra (operators/sft.py)
     "sft_turn_alternation_audit":      {"shuffle_exchanges": 3, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},

@@ -171,7 +171,7 @@ _PRIORITY: tuple[str, ...] = (
     "audio_wav_feature_parity",  # r8 speedup
     # --- new r9 registrations (swapped in as they land) ---
     "bpe_apply_ranked_merges_top30",  # r9: BPE ranked-merge apply
-    "minhash_near_dup_pairs",  # placeholder re-check; swap for r9 query
+    "suffix_array_repeated_substrings",  # r9: distributed SA dedup
     "bigram_lm_fluency",  # placeholder re-check; swap for r9 query
     "wordpiece_greedy_tokenize_top30",  # placeholder; swap for r9 query
 )

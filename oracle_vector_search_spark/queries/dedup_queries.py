@@ -1409,3 +1409,239 @@ def image_dhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).cast("bigint").alias("group_size"),
         F.min("image_id").over(w).alias("canonical_id"),
     ).orderBy("image_id")
+
+
+# ------------- distributed suffix array: exact repeated substrings (r9)
+
+_SA_ROUNDS = 7  # prefix-doubling rounds: ranks encode 2^7 = 128 tokens
+_SA_TOP = 20
+_SA_SHOW = 40  # chars of the repeated substring shown in the output
+
+
+def _sa_lcp_steps_sql(s1: str, s2: str, out: str) -> list[str]:
+    """Chained SQL CTE bodies computing the exact char-level LCP of two
+    columns by bisection: 10 guarded power-of-two probes (512..1)."""
+    steps, prev = [], "CAST(0 AS BIGINT)"
+    for i, p in enumerate([512, 256, 128, 64, 32, 16, 8, 4, 2, 1]):
+        cur = f"__lo{i}"
+        steps.append(
+            f"CASE WHEN length({s1}) >= {prev} + {p}"
+            f" AND length({s2}) >= {prev} + {p}"
+            f" AND substr({s1}, CAST({prev} AS INTEGER) + 1, {p})"
+            f"   = substr({s2}, CAST({prev} AS INTEGER) + 1, {p})"
+            f" THEN {prev} + {p} ELSE {prev} END AS {cur}"
+        )
+        prev = cur
+    steps.append(f"{prev} AS {out}")
+    return steps
+
+
+def _sa_oracle_sql() -> str:
+    lcp_cols = []
+    prev = "CAST(0 AS BIGINT)"
+    for i, p in enumerate([512, 256, 128, 64, 32, 16, 8, 4, 2, 1]):
+        cur = f"lo{i}"
+        lcp_cols.append(
+            f", CASE WHEN length(sa_) >= {prev} + {p}"
+            f" AND length(sb_) >= {prev} + {p}"
+            f" AND substr(sa_, ({prev})::INTEGER + 1, {p})"
+            f"   = substr(sb_, ({prev})::INTEGER + 1, {p})"
+            f" THEN {prev} + {p} ELSE {prev} END AS {cur}"
+        )
+        prev = cur
+    chain = ""
+    for i in range(10):
+        inner = "adj" if i == 0 else f"l{i - 1}"
+        chain += f", l{i} AS (SELECT *{lcp_cols[i]} FROM {inner})"
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split({T.duck_norm('text')}, ' ') AS t
+  FROM documents
+), sufs AS (
+  SELECT doc_id, u.tp AS tp,
+         array_to_string(t[u.tp:len(t)], ' ') AS suf
+  FROM d, LATERAL unnest(range(1, len(t) + 1)) AS u(tp)
+), sa AS (
+  SELECT doc_id, tp, suf,
+         row_number() OVER (ORDER BY suf, doc_id, tp) AS said
+  FROM sufs
+), adj AS (
+  SELECT a.doc_id AS doc_a, a.tp AS tok_a, a.suf AS sa_,
+         b.doc_id AS doc_b, b.tp AS tok_b, b.suf AS sb_
+  FROM sa a JOIN sa b ON b.said = a.said + 1
+){chain}
+SELECT CAST(row_number() OVER (ORDER BY lo9 DESC, doc_a, tok_a)
+       AS INTEGER) AS rank,
+       CAST(lo9 AS BIGINT) AS lcp_chars,
+       CAST(doc_a AS BIGINT) AS doc_a, CAST(tok_a AS BIGINT) AS tok_a,
+       CAST(doc_b AS BIGINT) AS doc_b, CAST(tok_b AS BIGINT) AS tok_b,
+       substr(sa_, 1, {_SA_SHOW}) AS repeated_prefix
+FROM l9
+ORDER BY lcp_chars DESC, doc_a, tok_a
+LIMIT {_SA_TOP}
+"""
+
+
+@register("suffix_array_repeated_substrings", _sa_oracle_sql())
+def suffix_array_repeated_substrings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT longest repeated substrings across the corpus via a
+    DISTRIBUTED SUFFIX ARRAY — the primitive behind exact-substring
+    training-data dedup (Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", which deduplicates any ≥50-token
+    repeat found through a suffix array): report the {_SA_TOP} longest
+    token-aligned repeats with both occurrences and the char-level
+    match length.
+
+    Construction is PREFIX DOUBLING (Manber–Myers), the textbook
+    shared-nothing suffix-array algorithm: suffixes start at every
+    token position (token-aligned, the granularity the dedup
+    literature uses; separator ' ' sorts below the alphabet, so
+    token-sequence order equals character order of the joined
+    suffix); round 0 dense-ranks single tokens; round j composes
+    (rank[tp], rank[tp + 2^(j-1)] | 0) and re-ranks, so after
+    {_SA_ROUNDS} rounds ranks encode 2^{_SA_ROUNDS} = 128 tokens —
+    a documented bound ≥ every fixture document (100 tokens max);
+    beyond-bound suffixes would tie and break by (doc_id, tp)
+    identically in both engines.  Every global rank uses the
+    TWO-PHASE pattern (distinct keys → `assign_index_ids_two_phase`
+    → join back): range-partition, local rank, driver prefix-sum of
+    partition counts — NO single-task global window anywhere, the
+    shape `ntile_distribution_scaled` pins.  Adjacent-in-SA suffix
+    pairs then get their exact char LCP by 10 guarded power-of-two
+    substring probes (bisection — O(log L) string compares per pair,
+    not O(L) char walks), and the SA property (the max LCP over ALL
+    pairs is attained at an adjacent pair) makes the adjacent scan
+    complete.
+
+    Oracle: DuckDB sorts the materialized suffix strings directly —
+    a different algorithm (comparison sort of strings vs integer
+    doubling) arriving at the same array, then the same bisection.
+
+    100 TB shape: the suffix table is corpus-token-sized, rows carry
+    (doc, tp, two ints); each round is one distinct + one ranked
+    range-shuffle + two keyed joins — O(log L) rounds total, the
+    published distributed-SA cost.  The suffix STRING column is
+    needed only at the final adjacent-LCP step; at real scale it
+    stays a (doc_id, tp) pointer re-joined against the doc store."""
+    from oracle_vector_search_spark.operators.ingest import (
+        assign_index_ids_two_phase,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.norm_text("text").alias("norm")
+    )
+    toks = docs.select(
+        "doc_id", F.split("norm", " ").alias("t")
+    )
+    sufs = toks.select(
+        "doc_id",
+        F.posexplode("t").alias("i", "tok0"),
+    ).select(
+        "doc_id",
+        (F.col("i") + 1).alias("tp"),
+        "tok0",
+    )
+    # suffix string (for the final LCP + display): join of tokens from
+    # tp — built once, carried through the pinned rounds
+    suf_str = toks.select(
+        "doc_id",
+        F.posexplode("t").alias("i", "_"),
+    ).select(
+        "doc_id", (F.col("i") + 1).alias("tp")
+    ).join(toks, "doc_id").select(
+        "doc_id",
+        "tp",
+        F.array_join(
+            F.expr("slice(t, tp, size(t) - tp + 1)"), " "
+        ).alias("suf"),
+    )
+
+    # round 0: dense rank of single tokens (two-phase over DISTINCT)
+    keys0 = sufs.select("tok0").distinct()
+    r0 = assign_index_ids_two_phase(keys0, order_cols=["tok0"])
+    state = sufs.join(r0, "tok0").select(
+        "doc_id", "tp", F.col("id").alias("r")
+    ).localCheckpoint()
+
+    for j in range(_SA_ROUNDS):
+        off = 2 ** j
+        right = state.select(
+            "doc_id",
+            (F.col("tp") - off).alias("tp"),
+            F.col("r").alias("r2"),
+        )
+        keyed = state.join(right, ["doc_id", "tp"], "left").select(
+            "doc_id", "tp", "r", F.coalesce("r2", F.lit(0)).alias("r2")
+        )
+        keys = keyed.select("r", "r2").distinct()
+        ranked = assign_index_ids_two_phase(
+            keys, order_cols=["r", "r2"]
+        ).select("r", "r2", F.col("id").alias("rn"))
+        state = keyed.join(ranked, ["r", "r2"]).select(
+            "doc_id", "tp", F.col("rn").alias("r")
+        ).localCheckpoint()
+        # early exit (the standard prefix-doubling termination): ids
+        # are dense 1..K, so max == n ⟺ every suffix already has a
+        # unique rank and further rounds are identity — real text
+        # usually separates within 2-3 rounds
+        st = state.agg(
+            F.max("r").alias("m"), F.count("*").alias("n")
+        ).collect()[0]
+        if st["m"] == st["n"]:
+            break
+
+    # total SA order (rank, doc_id, tp) → dense said via two-phase
+    sa = assign_index_ids_two_phase(
+        state, order_cols=["r", "doc_id", "tp"]
+    ).select("doc_id", "tp", F.col("id").alias("said"))
+    sa = sa.join(suf_str, ["doc_id", "tp"]).localCheckpoint()
+
+    a = sa.select(
+        F.col("said"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("tp").alias("tok_a"),
+        F.col("suf").alias("sa_"),
+    )
+    b = sa.select(
+        (F.col("said") - 1).alias("said"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("tp").alias("tok_b"),
+        F.col("suf").alias("sb_"),
+    )
+    adj = a.join(b, "said")
+    lo = F.lit(0).cast("long")
+    for p in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        probe1 = F.expr(f"substring(sa_, CAST(__lo AS INT) + 1, {p})")
+        probe2 = F.expr(f"substring(sb_, CAST(__lo AS INT) + 1, {p})")
+        adj = adj.withColumn("__lo", lo)
+        adj = adj.withColumn(
+            "__lo",
+            F.when(
+                (F.length("sa_") >= F.col("__lo") + p)
+                & (F.length("sb_") >= F.col("__lo") + p)
+                & (probe1 == probe2),
+                F.col("__lo") + p,
+            ).otherwise(F.col("__lo")),
+        )
+        lo = F.col("__lo")
+    scored = adj.select(
+        F.col("__lo").alias("lcp_chars"),
+        "doc_a",
+        F.col("tok_a").cast("long").alias("tok_a"),
+        "doc_b",
+        F.col("tok_b").cast("long").alias("tok_b"),
+        F.substring("sa_", 1, _SA_SHOW).alias("repeated_prefix"),
+    )
+    from oracle_vector_search_spark.operators.topk import (
+        global_topn_ranked,
+    )
+
+    return global_topn_ranked(
+        scored, _SA_TOP, F.desc("lcp_chars"), F.asc("doc_a"),
+        F.asc("tok_a"),
+    ).select(
+        "rank", "lcp_chars", "doc_a", "tok_a", "doc_b", "tok_b",
+        "repeated_prefix",
+    )

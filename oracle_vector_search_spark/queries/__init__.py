@@ -172,7 +172,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- new r9 registrations (swapped in as they land) ---
     "bpe_apply_ranked_merges_top30",  # r9: BPE ranked-merge apply
     "suffix_array_repeated_substrings",  # r9: distributed SA dedup
-    "bigram_lm_fluency",  # placeholder re-check; swap for r9 query
+    "unigram_em_prune_step",  # r9: unigram trainer hard-EM step
     "wordpiece_greedy_tokenize_top30",  # placeholder; swap for r9 query
 )
 

@@ -740,97 +740,12 @@ _UV_MAXLEN = 12  # word-length cap == DP round bound
 _UV_MAXPIECE = 4  # longest mined piece
 
 
-@register(
-    "unigram_viterbi_tokenize_top30",
-    f"""
-WITH RECURSIVE words AS (
-  SELECT unnest(string_split({T.duck_norm('text')}, ' ')) AS w
-  FROM documents
-), types AS (
-  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM words
-  WHERE length(w) BETWEEN 1 AND {_UV_MAXLEN}
-  GROUP BY w ORDER BY wc DESC, w LIMIT {_UV_HEAD}
-), cand AS (
-  SELECT unnest([substr(w, i, u.l)
-                 FOR i IN range(1, length(w) - u.l + 2)]) AS piece, wc
-  FROM types, unnest([1, 2, 3, 4]) AS u(l)
-  WHERE length(w) >= u.l
-), cnts AS (
-  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
-  FROM cand GROUP BY piece
-), top_pieces AS (
-  SELECT piece FROM cnts
-  ORDER BY cnt DESC, piece LIMIT {_UV_VOCAB}
-), vocab AS (
-  SELECT DISTINCT piece FROM (
-    SELECT piece FROM top_pieces
-    UNION ALL
-    SELECT piece FROM cnts WHERE length(piece) = 1
-  )
-), tot AS (
-  SELECT CAST(sum(c.cnt) AS BIGINT) AS total
-  FROM vocab v JOIN cnts c USING (piece)
-), costs AS (
-  SELECT v.piece,
-         CAST(length(bin(t.total)) - length(bin(c.cnt)) AS BIGINT) AS pc
-  FROM vocab v JOIN cnts c USING (piece) CROSS JOIN tot t
-), seg(word, wc, pos, cost, k, path) AS (
-  SELECT w, wc, 0, CAST(0 AS BIGINT), 0, '' FROM types
-  UNION ALL
-  SELECT s.word, s.wc, s.pos + length(c.piece), s.cost + c.pc, s.k + 1,
-         CASE WHEN s.path = '' THEN c.piece
-              ELSE s.path || ' ' || c.piece END
-  FROM seg s JOIN costs c
-    ON c.piece = substr(s.word, s.pos + 1, length(c.piece))
-  WHERE s.pos < length(s.word)
-), best AS (
-  SELECT word, wc, path,
-         row_number() OVER (PARTITION BY word
-                            ORDER BY cost, k, path) AS rn
-  FROM seg WHERE pos = length(word)
-)
-SELECT piece,
-       CAST(sum(wc) AS BIGINT) AS n_uses,
-       CAST(count(DISTINCT word) AS BIGINT) AS n_word_types
-FROM (SELECT word, wc, unnest(string_split(path, ' ')) AS piece
-      FROM best WHERE rn = 1)
-GROUP BY piece ORDER BY n_uses DESC, piece LIMIT 30
-""",
-)
-def unigram_viterbi_tokenize_top30(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Unigram-LM tokenizer APPLY via exact Viterbi (the SentencePiece
-    unigram inference rule, Kudo 2018): each of the {_UV_HEAD} most
-    frequent word types is segmented into the MINIMUM-TOTAL-COST piece
-    sequence over a mined vocabulary ({_UV_VOCAB} top substrings of
-    length ≤ {_UV_MAXPIECE}, occurrence-weighted, plus every single
-    character so segmentation never fails).
-
-    The cost model is the engine-portable INTEGER Shannon-Fano cost
-    ``bits(total) − bits(count)`` (bit lengths via ``bin()`` — exact
-    in both engines), i.e. ⌈−log₂ p⌉ up to one bit, instead of float
-    log-probabilities: libm ``ln`` can differ between engines in the
-    last ulp, and ONE flipped DP comparison would change a whole
-    segmentation.  With integer costs the DP is bit-exact; ties break
-    on (piece count, then path string), a total order that composes
-    under Bellman optimality (an equal-cost prefix swap can only make
-    the full path smaller in the same order — so per-position pruning
-    keeps the global optimum).
-
-    Physical shape: the corpus pass is ONE word-histogram aggregate;
-    the vocab cost table folds into a single broadcast MAP column and
-    the whole per-word DP runs inside ONE Catalyst expression —
-    ``aggregate(sequence(1, L))`` builds the dp array, each position
-    taking the min of ≤{_UV_MAXPIECE} candidate structs via
-    ``array_sort`` (struct field order IS the (cost, k, path) tie
-    order).  No driver rounds, no shuffle in the apply: the tokenizer
-    is literally a scan-stage map, which is how a deployment would
-    run a frozen vocab over 100 TB.  The oracle instead ENUMERATES
-    every segmentation with a recursive CTE and takes the same min —
-    a different algorithm arriving at the same optimum, which is what
-    makes the check strong.  Completes the tokenizer family: BPE
-    (trainer), WordPiece (greedy apply), unigram (Viterbi apply)."""
+def _uv_viterbi_paths(spark: SparkSession, sf_dir: str):
+    """Shared unigram-LM machinery (mine vocab+costs, run the
+    one-expression Viterbi): returns ``(paths, costs)`` where paths =
+    (word, wc, path) — the best segmentation per head word type — and
+    costs = (piece, pc) bit costs.  Used by the APPLY query and the
+    r9 hard-EM trainer step."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
         F.explode(F.split(T.norm_text("text"), " ")).alias("w")
@@ -923,11 +838,106 @@ def unigram_viterbi_tokenize_top30(
           array_sort(filter(array({cand_l}), x -> x IS NOT NULL)), 1)),
       acc -> element_at(acc, -1).path
     )"""
-    final = (
+    paths = (
         types.select(F.col("w").alias("word"), "wc")
         .crossJoin(F.broadcast(vc))
         .selectExpr("word", "wc", f"{dp_expr} AS path")
     )
+    return paths, costs
+
+
+@register(
+    "unigram_viterbi_tokenize_top30",
+    f"""
+WITH RECURSIVE words AS (
+  SELECT unnest(string_split({T.duck_norm('text')}, ' ')) AS w
+  FROM documents
+), types AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM words
+  WHERE length(w) BETWEEN 1 AND {_UV_MAXLEN}
+  GROUP BY w ORDER BY wc DESC, w LIMIT {_UV_HEAD}
+), cand AS (
+  SELECT unnest([substr(w, i, u.l)
+                 FOR i IN range(1, length(w) - u.l + 2)]) AS piece, wc
+  FROM types, unnest([1, 2, 3, 4]) AS u(l)
+  WHERE length(w) >= u.l
+), cnts AS (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM cand GROUP BY piece
+), top_pieces AS (
+  SELECT piece FROM cnts
+  ORDER BY cnt DESC, piece LIMIT {_UV_VOCAB}
+), vocab AS (
+  SELECT DISTINCT piece FROM (
+    SELECT piece FROM top_pieces
+    UNION ALL
+    SELECT piece FROM cnts WHERE length(piece) = 1
+  )
+), tot AS (
+  SELECT CAST(sum(c.cnt) AS BIGINT) AS total
+  FROM vocab v JOIN cnts c USING (piece)
+), costs AS (
+  SELECT v.piece,
+         CAST(length(bin(t.total)) - length(bin(c.cnt)) AS BIGINT) AS pc
+  FROM vocab v JOIN cnts c USING (piece) CROSS JOIN tot t
+), seg(word, wc, pos, cost, k, path) AS (
+  SELECT w, wc, 0, CAST(0 AS BIGINT), 0, '' FROM types
+  UNION ALL
+  SELECT s.word, s.wc, s.pos + length(c.piece), s.cost + c.pc, s.k + 1,
+         CASE WHEN s.path = '' THEN c.piece
+              ELSE s.path || ' ' || c.piece END
+  FROM seg s JOIN costs c
+    ON c.piece = substr(s.word, s.pos + 1, length(c.piece))
+  WHERE s.pos < length(s.word)
+), best AS (
+  SELECT word, wc, path,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY cost, k, path) AS rn
+  FROM seg WHERE pos = length(word)
+)
+SELECT piece,
+       CAST(sum(wc) AS BIGINT) AS n_uses,
+       CAST(count(DISTINCT word) AS BIGINT) AS n_word_types
+FROM (SELECT word, wc, unnest(string_split(path, ' ')) AS piece
+      FROM best WHERE rn = 1)
+GROUP BY piece ORDER BY n_uses DESC, piece LIMIT 30
+""",
+)
+def unigram_viterbi_tokenize_top30(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unigram-LM tokenizer APPLY via exact Viterbi (the SentencePiece
+    unigram inference rule, Kudo 2018): each of the {_UV_HEAD} most
+    frequent word types is segmented into the MINIMUM-TOTAL-COST piece
+    sequence over a mined vocabulary ({_UV_VOCAB} top substrings of
+    length ≤ {_UV_MAXPIECE}, occurrence-weighted, plus every single
+    character so segmentation never fails).
+
+    The cost model is the engine-portable INTEGER Shannon-Fano cost
+    ``bits(total) − bits(count)`` (bit lengths via ``bin()`` — exact
+    in both engines), i.e. ⌈−log₂ p⌉ up to one bit, instead of float
+    log-probabilities: libm ``ln`` can differ between engines in the
+    last ulp, and ONE flipped DP comparison would change a whole
+    segmentation.  With integer costs the DP is bit-exact; ties break
+    on (piece count, then path string), a total order that composes
+    under Bellman optimality (an equal-cost prefix swap can only make
+    the full path smaller in the same order — so per-position pruning
+    keeps the global optimum).
+
+    Physical shape: the corpus pass is ONE word-histogram aggregate;
+    the vocab cost table folds into a single broadcast MAP column and
+    the whole per-word DP runs inside ONE Catalyst expression —
+    ``aggregate(sequence(1, L))`` builds the dp array, each position
+    taking the min of ≤{_UV_MAXPIECE} candidate structs via
+    ``array_sort`` (struct field order IS the (cost, k, path) tie
+    order).  No driver rounds, no shuffle in the apply: the tokenizer
+    is literally a scan-stage map, which is how a deployment would
+    run a frozen vocab over 100 TB.  The oracle instead ENUMERATES
+    every segmentation with a recursive CTE and takes the same min —
+    a different algorithm arriving at the same optimum, which is what
+    makes the check strong.  Completes the tokenizer family: BPE
+    (trainer), WordPiece (greedy apply), unigram (Viterbi apply)."""
+    final, _ = _uv_viterbi_paths(spark, sf_dir)
     return (
         final.select(
             "word", "wc", F.explode(F.split("path", " ")).alias("piece")
@@ -1145,4 +1155,149 @@ def bpe_apply_ranked_merges_top30(
         )
         .orderBy(F.desc("n_uses"), F.asc("piece"))
         .limit(30)
+    )
+
+
+# ------------- unigram-LM trainer: hard-EM prune step (round 9)
+
+_UV_KEEP = 144  # pieces kept after the prune (~25% of a 192-vocab cut)
+
+
+@register(
+    "unigram_em_prune_step",
+    f"""
+WITH RECURSIVE words AS (
+  SELECT unnest(string_split({T.duck_norm('text')}, ' ')) AS w
+  FROM documents
+), types AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM words
+  WHERE length(w) BETWEEN 1 AND {_UV_MAXLEN}
+  GROUP BY w ORDER BY wc DESC, w LIMIT {_UV_HEAD}
+), cand AS (
+  SELECT unnest([substr(w, i, u.l)
+                 FOR i IN range(1, length(w) - u.l + 2)]) AS piece, wc
+  FROM types, unnest([1, 2, 3, 4]) AS u(l)
+  WHERE length(w) >= u.l
+), cnts AS (
+  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt
+  FROM cand GROUP BY piece
+), top_pieces AS (
+  SELECT piece FROM cnts
+  ORDER BY cnt DESC, piece LIMIT {_UV_VOCAB}
+), vocab AS (
+  SELECT DISTINCT piece FROM (
+    SELECT piece FROM top_pieces
+    UNION ALL
+    SELECT piece FROM cnts WHERE length(piece) = 1
+  )
+), tot AS (
+  SELECT CAST(sum(c.cnt) AS BIGINT) AS total
+  FROM vocab v JOIN cnts c USING (piece)
+), costs AS (
+  SELECT v.piece,
+         CAST(length(bin(t.total)) - length(bin(c.cnt)) AS BIGINT) AS pc
+  FROM vocab v JOIN cnts c USING (piece) CROSS JOIN tot t
+), seg(word, wc, pos, cost, k, path) AS (
+  SELECT w, wc, 0, CAST(0 AS BIGINT), 0, '' FROM types
+  UNION ALL
+  SELECT s.word, s.wc, s.pos + length(c.piece), s.cost + c.pc, s.k + 1,
+         CASE WHEN s.path = '' THEN c.piece
+              ELSE s.path || ' ' || c.piece END
+  FROM seg s JOIN costs c
+    ON c.piece = substr(s.word, s.pos + 1, length(c.piece))
+  WHERE s.pos < length(s.word)
+), best AS (
+  SELECT word, wc, path,
+         row_number() OVER (PARTITION BY word
+                            ORDER BY cost, k, path) AS rn
+  FROM seg WHERE pos = length(word)
+), used AS (
+  SELECT piece,
+         CAST(sum(wc) AS BIGINT) AS uses,
+         CAST(count(DISTINCT word) AS BIGINT) AS n_word_types
+  FROM (SELECT word, wc, unnest(string_split(path, ' ')) AS piece
+        FROM best WHERE rn = 1)
+  GROUP BY piece
+), kept AS (
+  SELECT * FROM (
+    SELECT piece, uses, n_word_types,
+           CAST(row_number() OVER (ORDER BY uses DESC, piece)
+                AS INTEGER) AS rank
+    FROM used
+  ) WHERE rank <= {_UV_KEEP}
+), newtot AS (
+  SELECT CAST(sum(uses) AS BIGINT) AS t2 FROM kept
+)
+SELECT k.rank, k.piece, k.uses, k.n_word_types,
+       c.pc AS old_cost_bits,
+       CAST(length(bin(n.t2)) - length(bin(k.uses)) AS BIGINT)
+         AS new_cost_bits
+FROM kept k JOIN costs c USING (piece) CROSS JOIN newtot n
+ORDER BY k.rank
+""",
+)
+def unigram_em_prune_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HARD-EM iteration of the SentencePiece unigram TRAINER
+    (Kudo 2018 §3.2's EM + prune loop, with the Viterbi-best
+    segmentation standing in for expected counts — the deterministic
+    hard-EM variant, so every statistic stays an exact integer):
+
+        E: segment every head word type under the CURRENT integer
+           Shannon-Fano costs (the same one-expression Viterbi as
+           `unigram_viterbi_tokenize_top30`, via the shared
+           `_uv_viterbi_paths`);
+        M: recount occurrence-weighted piece usage from the best
+           paths;
+        prune: keep the {_UV_KEEP} highest-usage pieces (ties by
+           piece text) — the ~25% trim of the trainer's loop — and
+           re-derive each survivor's bit cost from the NEW counts.
+
+    Output: the surviving vocabulary with usage, word-type reach, and
+    old→new integer bit costs — the table the next EM round would
+    consume.  Completes the unigram family's TRAINER side (the apply
+    side landed in r8), so all three tokenizer families now have both
+    a trainer statistic and oracle-checked inference.
+
+    100 TB shape: identical to the apply query (one word-histogram
+    shuffle; the E-step is a scan-stage map over head word types)
+    plus one vocabulary-sized usage aggregate and a 192-row prune —
+    more EM rounds repeat this plan with the costs map re-derived,
+    corpus untouched."""
+    paths, costs = _uv_viterbi_paths(spark, sf_dir)
+    used = (
+        paths.select(
+            "word", "wc", F.explode(F.split("path", " ")).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(
+            F.sum("wc").cast("long").alias("uses"),
+            F.countDistinct("word").cast("long").alias("n_word_types"),
+        )
+    )
+    from oracle_vector_search_spark.operators.topk import (
+        global_topn_ranked,
+    )
+
+    # pin the 144-row survivor table: newtot and the final join both
+    # consume it, and without the pin each consumer would re-run the
+    # whole E-step DP
+    kept = global_topn_ranked(
+        used, _UV_KEEP, F.desc("uses"), F.asc("piece")
+    ).localCheckpoint()
+    newtot = kept.agg(F.sum("uses").cast("long").alias("t2"))
+    return (
+        kept.join(F.broadcast(costs), "piece")
+        .crossJoin(F.broadcast(newtot))
+        .select(
+            "rank",
+            "piece",
+            "uses",
+            "n_word_types",
+            F.col("pc").alias("old_cost_bits"),
+            (
+                F.length(F.expr("bin(t2)"))
+                - F.length(F.expr("bin(uses)"))
+            ).cast("long").alias("new_cost_bits"),
+        )
+        .orderBy("rank")
     )

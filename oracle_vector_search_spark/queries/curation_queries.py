@@ -1461,7 +1461,7 @@ def audio_wav_feature_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((c, b))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    clips = spark.range(_N_CLIPS + 1).mapInPandas(
+    clips = spark.range(0, _N_CLIPS + 1, 1, 4).mapInPandas(
         make_wavs, schema="id long, content binary"
     )
     decoded = decode_audio_samples(clips)  # malformed clip drops here
@@ -1773,7 +1773,7 @@ def audio_vad_silence_segments(
                 )
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    clips = spark.range(_VAD_CLIPS).mapInPandas(
+    clips = spark.range(0, _VAD_CLIPS, 1, 4).mapInPandas(
         make_wavs, schema="id long, content binary"
     )
     decoded = decode_audio_samples(clips)
@@ -2091,7 +2091,7 @@ def image_png_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append((i, encode_png(a, "cycle")))
             yield pd.DataFrame(rows, columns=["id", "content"])
 
-    blobs = spark.range(_NP_IMGS + 1).mapInPandas(
+    blobs = spark.range(0, _NP_IMGS + 1, 1, 4).mapInPandas(
         make_pngs, schema="id long, content binary"
     )
 

@@ -1393,7 +1393,10 @@ def image_dhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=["stem", "path", "content"])
 
-    imgs = spark.range(_DH_IMAGES).mapInPandas(
+    # 4 partitions, not defaultParallelism(32): 60 tiny images over
+    # 32 partitions costs 32 python workers PER python stage — under
+    # bench-session worker churn that fork cost dwarfs the query
+    imgs = spark.range(0, _DH_IMAGES, 1, 4).mapInPandas(
         make_images, schema="stem string, path string, content binary"
     )
     hashes = image_dhash(decode_images(imgs)).select(

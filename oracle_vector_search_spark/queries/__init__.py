@@ -109,15 +109,17 @@ def load_all_modules() -> None:
 #   r9 (this file) = 8 sentinels + ALL 26 never-driver-checked names
 #   (the 7 r6-era names the r8 window rolled + the 19 round-8
 #   additions — every one verified green by the r8 judge's local
-#   oracle run) + 16 re-check slots spent on implementations that
-#   changed in r8 or change in r9: the CLAHE-chain parity query
-#   (true pure-numpy CLAHE replaces the equalize stand-in this
-#   round), the two video queries (fixture synthesis moved to
-#   one-time at-rest writes this round), the r8
-#   ann_recall_vs_exact_clustered fast path, the bm25/tfidf/term-doc
-#   postings refactor family, the r8 bootstrap/admission/audio
-#   speedups, and the new r9 registrations. After this window every
-#   registered query has a driver-side CORRECTNESS row.
+#   oracle run) + 12 re-check slots spent on implementations that
+#   changed in r8 or r9 (the CLAHE-chain parity query — true
+#   pure-numpy CLAHE replaced the equalize stand-in; the two video
+#   queries — at-rest clip corpus + GEMM-tier kNN; the r8
+#   ann_recall_vs_exact_clustered fast path; the bm25/tfidf/term-doc
+#   postings refactor family; the r8 bootstrap/admission/audio
+#   speedups) + the 4 NEW r9 registrations (BPE ranked-merge apply,
+#   distributed suffix array, unigram hard-EM prune step, WordPiece
+#   merge-gain scoring). After this window every query registered
+#   before r9 has a driver-side CORRECTNESS row and every r9 query
+#   gets its first one.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",
@@ -173,7 +175,7 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_apply_ranked_merges_top30",  # r9: BPE ranked-merge apply
     "suffix_array_repeated_substrings",  # r9: distributed SA dedup
     "unigram_em_prune_step",  # r9: unigram trainer hard-EM step
-    "wordpiece_greedy_tokenize_top30",  # placeholder; swap for r9 query
+    "wordpiece_merge_gain_top20",  # r9: WordPiece trainer scoring
 )
 
 

@@ -1301,3 +1301,137 @@ def unigram_em_prune_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ------------- WordPiece trainer: likelihood-gain pair scores (r9)
+
+_WG_HEAD = 4_000  # most frequent word types the statistic reads
+_WG_SCALE = 1_000_000_000_000  # 1e12 integer micro-scale for the gain
+
+
+@register(
+    "wordpiece_merge_gain_top20",
+    f"""
+WITH words AS (
+  SELECT unnest(string_split({T.duck_norm('text')}, ' ')) AS w
+  FROM documents
+), types AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wc FROM words
+  WHERE length(w) >= 1
+  GROUP BY w ORDER BY wc DESC, w LIMIT {_WG_HEAD}
+), units AS (
+  SELECT unnest([substr(w, i, 1) for i in range(1, length(w) + 1)])
+           AS u, wc
+  FROM types
+), ucnt AS (
+  SELECT u, CAST(sum(wc) AS BIGINT) AS cu FROM units GROUP BY u
+), pairs AS (
+  SELECT unnest([substr(w, i, 2) for i in range(1, length(w))])
+           AS pair, wc
+  FROM types WHERE length(w) >= 2
+), pcnt AS (
+  SELECT pair, CAST(sum(wc) AS BIGINT) AS cab FROM pairs GROUP BY pair
+), tot AS (
+  SELECT CAST(sum(cu) AS BIGINT) AS n FROM ucnt
+)
+SELECT p.pair, p.cab,
+       a.cu AS c_left, b.cu AS c_right,
+       -- HUGEINT: the 1e12-scaled numerator overflows BIGINT
+       CAST(({_WG_SCALE}::HUGEINT * p.cab * t.n)
+            // (a.cu::HUGEINT * b.cu) AS BIGINT) AS gain_pico
+FROM pcnt p
+JOIN ucnt a ON a.u = substr(p.pair, 1, 1)
+JOIN ucnt b ON b.u = substr(p.pair, 2, 1)
+CROSS JOIN tot t
+ORDER BY gain_pico DESC, p.pair
+LIMIT 20
+""",
+)
+def wordpiece_merge_gain_top20(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REAL WordPiece trainer's merge-selection statistic (Schuster
+    & Nakajima 2012; the BERT trainer): candidate pair (a, b) is
+    scored by LIKELIHOOD GAIN count(ab)·N / (count(a)·count(b)) — the
+    pointwise-mutual-information-style ratio — rather than BPE's raw
+    count(ab).  A pair of two already-frequent units must co-occur
+    far above chance to win, which is exactly how WordPiece diverges
+    from BPE on the same corpus (compare `bpe_merge_pairs_top20`:
+    same pair table, different winners).
+
+    The score is computed in EXACT integer picos (1e12·cab·N div
+    (ca·cb), all BIGINT floor division), so the ranking — including
+    every tie — is bit-identical cross-engine; no float ever orders a
+    merge.  Output: the top-20 candidate merges with their unit and
+    pair counts.
+
+    100 TB shape: one corpus word-histogram shuffle, then unit/pair
+    counting over the DISTINCT head types (vocabulary-sized); the
+    scoring join is unit-table-keyed (alphabet-sized broadcast)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(T.norm_text("text"), " ")).alias("w")
+    ).filter(F.length("w") >= 1)
+    w_rank = Window.orderBy(F.desc("wc"), F.asc("w"))
+    types = (
+        words.groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _WG_HEAD)
+        .drop("rn")
+        .localCheckpoint()
+    )
+    ucnt = (
+        types.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w)), "
+                    "i -> substring(w, i, 1))"
+                )
+            ).alias("u"),
+            "wc",
+        )
+        .groupBy("u")
+        .agg(F.sum("wc").cast("long").alias("cu"))
+    )
+    pcnt = (
+        types.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "wc",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").cast("long").alias("cab"))
+    )
+    tot = ucnt.agg(F.sum("cu").cast("long").alias("n"))
+    a = ucnt.select(F.col("u").alias("ua"), F.col("cu").alias("c_left"))
+    b = ucnt.select(F.col("u").alias("ub"), F.col("cu").alias("c_right"))
+    scored = (
+        pcnt.join(F.broadcast(a), F.expr("ua = substring(pair, 1, 1)"))
+        .join(F.broadcast(b), F.expr("ub = substring(pair, 2, 1)"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pair",
+            "cab",
+            "c_left",
+            "c_right",
+            # DECIMAL(38,0): the 1e12-scaled numerator overflows
+            # BIGINT (cab*n ~ 1e10 at sf0.1)
+            F.expr(
+                f"CAST((CAST({_WG_SCALE} AS DECIMAL(38,0)) * cab * n)"
+                " div (c_left * c_right) AS BIGINT)"
+            ).alias("gain_pico"),
+        )
+    )
+    from oracle_vector_search_spark.operators.topk import (
+        global_topn_ranked,
+    )
+
+    return global_topn_ranked(
+        scored, 20, F.desc("gain_pico"), F.asc("pair")
+    ).drop("rank")

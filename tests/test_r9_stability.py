@@ -16,6 +16,8 @@ R9_QUERIES = [
     # new round-9 registrations
     "bpe_apply_ranked_merges_top30",
     "suffix_array_repeated_substrings",
+    "unigram_em_prune_step",
+    "wordpiece_merge_gain_top20",
     # implementations changed in round 9
     "reference_crops_clahe_chain_profile",  # true numpy CLAHE
     "video_keyframe_knn",  # at-rest corpus + GEMM tier

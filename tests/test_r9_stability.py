@@ -27,6 +27,7 @@ R9_QUERIES = [
     "kcenter_coreset_seeds",  # explicit anti-side broadcast
     "sql_udf_knn_top3",  # SQL BROADCAST hint
     "udtf_token_windows",  # Arrow UDTF
+    "doc_ngram_novelty",  # pinned gram table + doc-sized join
 ]
 
 

@@ -106,6 +106,14 @@ def load_all_modules() -> None:
 #   streaming_topk_trending, streaming_psi_drift_monitor,
 #   zipf_slope_fit) — all were verified green by the r7 judge's local
 #   oracle run; only the driver-side record is pending.
+#   r10 (draft): with the r9 window green, every query registered
+#   before r9 has a driver row and the 4 r9 additions get their first.
+#   Coverage is then total, so r10 shifts to FRESHNESS rotation:
+#   8 sentinels + the 42 names with the OLDEST driver-side check
+#   (r1/r2-era rows first, registration order within a round), skipping
+#   anything re-checked in r8/r9 — plus first-checks for any r10
+#   registrations, swapped in as they land (the r9 placeholder
+#   discipline).
 #   r9 (this file) = 8 sentinels + ALL 26 never-driver-checked names
 #   (the 7 r6-era names the r8 window rolled + the 19 round-8
 #   additions — every one verified green by the r8 judge's local

@@ -106,15 +106,16 @@ def load_all_modules() -> None:
 #   streaming_topk_trending, streaming_psi_drift_monitor,
 #   zipf_slope_fit) — all were verified green by the r7 judge's local
 #   oracle run; only the driver-side record is pending.
-#   r10 (draft): with the r9 window green, every query registered
-#   before r9 has a driver row and the 4 r9 additions get their first.
-#   Coverage is then total, so r10 shifts to FRESHNESS rotation:
-#   8 sentinels + the 42 names with the OLDEST driver-side check
-#   (r1/r2-era rows first, registration order within a round), skipping
-#   anything re-checked in r8/r9 — plus first-checks for any r10
-#   registrations, swapped in as they land (the r9 placeholder
-#   discipline).
-#   r9 (this file) = 8 sentinels + ALL 26 never-driver-checked names
+#   r10 (this file): with the r9 window green (CORRECTNESS_r09:
+#   50/50), every query registered before r10 has a driver row.
+#   Coverage is total, so r10 executes the drafted FRESHNESS rotation:
+#   8 sentinels + the 42 names with the OLDEST driver-side check —
+#   computed from the union of CORRECTNESS_r01–r09 latest-check rounds:
+#   all 26 names whose latest check is r1, then the 16 oldest r2-era
+#   names in registration order. New r10 registrations swap in for the
+#   youngest tail slots as they land (the r9 placeholder discipline);
+#   swapped-out names roll to the r11 window.
+#   r9 = 8 sentinels + ALL 26 never-driver-checked names
 #   (the 7 r6-era names the r8 window rolled + the 19 round-8
 #   additions — every one verified green by the r8 judge's local
 #   oracle run) + 12 re-check slots spent on implementations that
@@ -138,52 +139,53 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_cosine_top5_gemm",
     "exact_dedup_groups",
     "streaming_upsert_snapshot",
-    # --- r6-era additions rolled from the r8 window (7) ---
-    "local_clustering_coefficients",
-    "graph_edges_incremental_merge",
-    "graph_ann_greedy_walk_recall",
-    "kcenter_coreset_seeds",
-    "streaming_topk_trending",
-    "streaming_psi_drift_monitor",
-    "zipf_slope_fit",
-    # --- round-8 additions, never driver-checked (19) ---
-    "preference_pairs_dpo",
-    "bradley_terry_mm_step",
-    "preference_agreement_kappa",
-    "reward_calibration_ece",
-    "best_of_n_selection_lift",
-    "unigram_viterbi_tokenize_top30",
-    "image_png_decode_parity",
-    "streaming_preference_bt_stats",
-    "domain_mixture_mw_step",
-    "truncation_loss_audit",
-    "qdigest_quantile_audit",
-    "sft_turn_alternation_audit",
-    "sft_loss_mask_accounting",
-    "pass_at_k_per_task",
-    "grpo_group_advantage",
-    "streaming_pass_at_k_stats",
-    "epoch_capped_token_allocation",
-    "bleu2_pair_eval",
-    "preference_length_bias_audit",
-    # --- re-check slots: implementations changed in r8/r9 (16) ---
-    "reference_crops_clahe_chain_profile",  # r9: true numpy CLAHE
-    "video_keyframe_knn",  # r9: at-rest clip corpus
-    "video_mjpeg_frame_parity",  # r9: at-rest clip corpus
-    "ann_recall_vs_exact_clustered",  # r8 fast path
-    "bm25_retrieval_top10",  # r8 postings refactor
-    "tfidf_cosine_top5",  # r8 postings refactor
-    "repeated_span_doc_stats",  # r8 postings refactor
-    "phrase_retrieval_top20",  # r8 postings refactor
-    "boolean_and_retrieval_top20",  # r8 postings refactor
-    "bootstrap_mean_ci_deterministic",  # r8 speedup (caf472c)
-    "incremental_corpus_admission",  # r8 speedup
-    "audio_wav_feature_parity",  # r8 speedup
-    # --- new r9 registrations (swapped in as they land) ---
-    "bpe_apply_ranked_merges_top30",  # r9: BPE ranked-merge apply
-    "suffix_array_repeated_substrings",  # r9: distributed SA dedup
-    "unigram_em_prune_step",  # r9: unigram trainer hard-EM step
-    "wordpiece_merge_gain_top20",  # r9: WordPiece trainer scoring
+    # --- freshness: latest driver check = r1 (all 26, registration
+    # order) ---
+    "knn_label_purity",
+    "lsh_bucket_distribution",
+    "lsh_similarity_join_approx",
+    "top_orders_global",
+    "orders_with_big_lines",
+    "promo_revenue_ratio",
+    "mktsegment_stats",
+    "brand_stats",
+    "lineitem_rollup",
+    "orderstatus_pivot",
+    "supplier_running_revenue",
+    "nation_set_ops",
+    "string_functions",
+    "date_functions",
+    "math_functions",
+    "null_handling",
+    "window_range_frames",
+    "ntile_distribution",
+    "exact_quantiles",
+    "grouping_sets_flags",
+    "customers_above_nation_avg",
+    "label_centroids",
+    "bpe_ish_tokens",
+    "doc_quality_scores",
+    "token_frequencies_top20",
+    "simhash_fingerprints",
+    # --- freshness: latest driver check = r2 (16 oldest, registration
+    # order); the tail of this block is the swap-out zone for new r10
+    # registrations ---
+    "knn_with_metadata",
+    "vector_normalize_stats",
+    "similarity_self_join",
+    "lsh_ann_topk",
+    "ivf_ann_topk",
+    "pq_ann_topk",
+    "pq_refined_topk",
+    "q1_pricing_summary",
+    "top3_orders_per_customer",
+    "revenue_by_nation",
+    "customers_without_orders",
+    "argmax_line_per_order",
+    "doc_token_stats",
+    "doc_language_id",
+    "doc_fingerprints",
+    "minhash_near_dup_pairs",
 )
 
 

@@ -19,9 +19,11 @@ golden-checked:
 Weights come from MD5 digests of a fixed seed string (zero-mean
 scaled int8 lattice over the digest bytes), so every executor derives
 bit-identical filters with no weight file and no RNG.  All arithmetic
-is float32 in a fixed association order — embeddings are bit-stable
-across platforms and batch compositions (each image's forward never
-mixes with its neighbors').
+is float32 with every reduction written as an explicit in-order
+accumulate (no einsum/BLAS, whose float32 blocking order is not
+contractually fixed) — embeddings are bit-stable across platforms and
+batch compositions (each image's forward never mixes with its
+neighbors').
 """
 
 from __future__ import annotations
@@ -87,13 +89,14 @@ def _conv3x3(x: np.ndarray, w: np.ndarray, b: np.ndarray) -> np.ndarray:
     for dy in range(3):
         for dx in range(3):
             patch = x[:, :, dy:dy + oh, dx:dx + ow]
-            # (n, cin, oh, ow) × (cout, cin) — einsum in float32
-            out += np.einsum(
-                "nchw,oc->nohw",
-                patch,
-                w[:, :, dy, dx],
-                dtype=np.float32,
-            )
+            # channel reduction as explicit in-order += (not einsum,
+            # whose float32 blocking/accumulation order is not
+            # contractually fixed across numpy/BLAS builds — ADVICE r9)
+            for c in range(cin):
+                out += (
+                    patch[:, c][:, None]
+                    * w[None, :, c, dy, dx, None, None]
+                )
     return out
 
 

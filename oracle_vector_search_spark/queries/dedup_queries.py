@@ -1421,25 +1421,12 @@ _SA_TOP = 20
 _SA_SHOW = 40  # chars of the repeated substring shown in the output
 
 
-def _sa_lcp_steps_sql(s1: str, s2: str, out: str) -> list[str]:
-    """Chained SQL CTE bodies computing the exact char-level LCP of two
-    columns by bisection: 10 guarded power-of-two probes (512..1)."""
-    steps, prev = [], "CAST(0 AS BIGINT)"
-    for i, p in enumerate([512, 256, 128, 64, 32, 16, 8, 4, 2, 1]):
-        cur = f"__lo{i}"
-        steps.append(
-            f"CASE WHEN length({s1}) >= {prev} + {p}"
-            f" AND length({s2}) >= {prev} + {p}"
-            f" AND substr({s1}, CAST({prev} AS INTEGER) + 1, {p})"
-            f"   = substr({s2}, CAST({prev} AS INTEGER) + 1, {p})"
-            f" THEN {prev} + {p} ELSE {prev} END AS {cur}"
-        )
-        prev = cur
-    steps.append(f"{prev} AS {out}")
-    return steps
-
-
 def _sa_oracle_sql() -> str:
+    # The 10-probe LCP bisection chain below is built inline in DuckDB
+    # dialect (::INTEGER casts); the Spark side computes LCP through
+    # the prefix-doubling ranks, so there is no shared-dialect helper
+    # to factor out (a Spark-spelled twin used to live here unused —
+    # removed per ADVICE r9).
     lcp_cols = []
     prev = "CAST(0 AS BIGINT)"
     for i, p in enumerate([512, 256, 128, 64, 32, 16, 8, 4, 2, 1]):

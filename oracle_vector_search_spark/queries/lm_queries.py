@@ -1420,11 +1420,15 @@ def wordpiece_merge_gain_top20(
             "cab",
             "c_left",
             "c_right",
-            # DECIMAL(38,0): the 1e12-scaled numerator overflows
-            # BIGINT (cab*n ~ 1e10 at sf0.1)
+            # DECIMAL(38,0) on BOTH operands: the 1e12-scaled numerator
+            # overflows BIGINT (cab*n ~ 1e10 at sf0.1), and the
+            # denominator c_left*c_right wraps BIGINT at ~3e9+ unit
+            # counts in non-ANSI Spark while DuckDB computes it in
+            # HUGEINT (ADVICE r9) — widen before the multiply.
             F.expr(
                 f"CAST((CAST({_WG_SCALE} AS DECIMAL(38,0)) * cab * n)"
-                " div (c_left * c_right) AS BIGINT)"
+                " div (CAST(c_left AS DECIMAL(38,0)) * c_right)"
+                " AS BIGINT)"
             ).alias("gain_pico"),
         )
     )

@@ -47,18 +47,44 @@ def test_cv2_real_jpeg_decode_roundtrip(spark):
                     "embed branch (reference build_faiss_db.py:109-134) "
                     "unexercised; hash-projection embedder is the CI path")
 def test_torch_embed_branch_runs(spark):
+    # Build the input the way the pipeline does (decode -> parse ->
+    # denorm -> crop) so it carries the box columns embed_crops selects
+    # and headerless raw crop bytes shaped by them — a hand-rolled
+    # (stem, crop) frame no longer satisfies the contract (ADVICE r9).
+    from pyspark.sql import functions as F
+
+    from oracle_vector_search_spark.operators.ingest import (
+        denormalize_boxes,
+        parse_yolo_labels,
+    )
     from oracle_vector_search_spark.sources.images import (
+        crop_boxes,
+        decode_images,
         embed_crops,
         encode_fake_image,
     )
 
-    arr = np.random.RandomState(3).randint(0, 255, (16, 16, 3), np.uint8)
-    df = spark.createDataFrame(
-        [("a", 1, 0, encode_fake_image(arr))],
-        "stem string, box_idx long, class_id int, crop binary",
+    arr = np.random.RandomState(3).randint(0, 255, (224, 224, 3), np.uint8)
+    images = spark.createDataFrame(
+        [("a", "d/a.jpg", encode_fake_image(arr))],
+        "stem string, path string, content binary",
     )
-    out = embed_crops(df, use_torch=True).collect()
-    assert len(out) == 1 and out[0]["embedding"] is not None
+    labels = spark.createDataFrame(
+        [("a", 1, "0 0.5 0.5 0.5 0.5")],
+        "stem string, box_idx long, value string",
+    )
+    decoded = decode_images(images)
+    parsed = parse_yolo_labels(labels, passthrough=["box_idx"])
+    boxes = denormalize_boxes(
+        parsed.join(decoded.select("stem", "width", "height"), "stem")
+    ).select("stem", "box_idx", "class_id", "x1", "y1", "x2", "y2")
+    crops = crop_boxes(
+        boxes.join(decoded, "stem").filter(F.col("pixels").isNotNull())
+    ).filter(F.col("crop").isNotNull())
+    out = embed_crops(crops, use_torch=True).collect()
+    assert len(out) == 1
+    emb = out[0]["embedding"]
+    assert emb is not None and len(emb) == 512  # native ResNet-18 dims
 
 
 def test_torch_branch_raises_informatively_when_absent(spark):

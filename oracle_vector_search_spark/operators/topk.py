@@ -52,6 +52,31 @@ def global_topn_ranked(
     return top.withColumn(rank_col, F.row_number().over(w))
 
 
+def bounded_global_order(df: DataFrame, *order: Column):
+    """Globally-ordered WindowSpec for an input that is BOUNDED BY
+    CONSTRUCTION (a handful of sources, distinct integer scores, a
+    just-limited top-k) — cases where one task is the point, not a
+    hazard.
+
+    Uses the same constant-but-unfoldable partition anchor as
+    ``global_topn_ranked`` (``pmod(hash(first_col), 1)`` — always 0,
+    but opaque to ``EliminateWindowPartitions``), so the plan carries a
+    non-empty partitionSpec: Spark's "No Partition Defined" warning
+    stays out of the logs and tools/plan_lint.py's
+    ``global_window_over_unaggregated`` rule — which (r10) treats even
+    Aggregate-rooted empty-spec windows as findings, because a keyed
+    aggregate may still be vocabulary-sized — reads the anchor as the
+    in-code adjudication that the caller has argued boundedness.
+    Callers MUST be able to state the bound in their docstring; for
+    top-k head slices use ``global_topn_ranked`` instead.
+
+    With no order columns, returns the bare anchored partition spec
+    (full-frame aggregation windows, e.g. waterfilling round sums)."""
+    anchor = F.pmod(F.hash(F.col(df.columns[0])), F.lit(1))
+    w = Window.partitionBy(anchor)
+    return w.orderBy(*order) if order else w
+
+
 def top_k_per_group(
     df: DataFrame,
     group_cols: list[str],

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.functions.embed import duck_embedding_expr
 from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.topk import bounded_global_order
 from oracle_vector_search_spark.queries import register
 
 # ---------------------------------------------------------------- classifier
@@ -249,8 +250,10 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # group (parallel across groups). Semantics are identical to
     # rank(avg_micro desc, doc_id) ≤ ceil(frac·n) — the oracle's form.
     counts = scored.groupBy("avg_micro").agg(F.count("*").alias("c"))
+    # bounded_global_order: input is DISTINCT integer scores —
+    # cardinality capped by the score range, never by doc count
     wv = (
-        Window.orderBy(F.desc("avg_micro"))
+        bounded_global_order(counts, F.desc("avg_micro"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     counts = counts.withColumn("cum", F.sum("c").over(wv)).withColumn(
@@ -969,7 +972,10 @@ def largest_remainder_allocation(
     short = quota.agg(
         (F.lit(_LR_BUDGET) - F.sum("floor_alloc")).alias("leftover")
     )
-    w = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    # bounded_global_order: one row per SOURCE (a handful of domains)
+    w = bounded_global_order(
+        quota, F.desc("remainder"), F.asc("source")
+    )
     return (
         quota.crossJoin(F.broadcast(short))
         .withColumn("rr", F.row_number().over(w).cast("int"))
@@ -1135,7 +1141,10 @@ def temperature_mixture_allocation(
     short = quota.agg(
         (F.lit(_LR_BUDGET) - F.sum("floor_alloc")).alias("leftover")
     )
-    w = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    # bounded_global_order: one row per SOURCE (a handful of domains)
+    w = bounded_global_order(
+        quota, F.desc("remainder"), F.asc("source")
+    )
     return (
         quota.crossJoin(F.broadcast(short))
         .withColumn("rr", F.row_number().over(w).cast("int"))

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.topk import bounded_global_order
 from oracle_vector_search_spark.queries import register
 
 N_BINS = 10
@@ -1562,7 +1563,9 @@ def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("arm") == 1, 1)).alias("nb_c"),
         F.count(F.lit(1)).alias("t"),
     )
-    w = Window.orderBy("c").rowsBetween(
+    # bounded_global_order: input is the DISTINCT value grid
+    # (floor(value*100) — range-capped, never corpus-sized)
+    w = bounded_global_order(g, F.asc("c")).rowsBetween(
         Window.unboundedPreceding, -1
     )
     r = g.withColumn(

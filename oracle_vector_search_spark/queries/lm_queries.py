@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.topk import global_topn_ranked
 from oracle_vector_search_spark.queries import register
 
 # integer micro-probability scale for the bigram LM
@@ -527,8 +528,10 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy (sum order differences are ~1e-16 against a 1e-6 rounding).
 
     Scale shape: the corpus collapses to the (token, count) vocabulary
-    in one shuffle; the rank window and the 5-sum fit are
-    vocabulary-sized.
+    in one shuffle; ranks are assigned by the two-phase range-partition
+    operator (every type gets a rank, so a head-slice TakeOrdered can't
+    express it and a global window would funnel 10^8+ types through
+    one task — VERDICT r9 #1); the 5-sum fit is a scalar aggregate.
     """
     doc = load_table(spark, sf_dir, "documents").withColumn(
         "norm", T.norm_text("text")
@@ -538,11 +541,15 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.orderBy(F.desc("n"), F.asc("token"))
-    ranked = freq.select(
-        F.log(
-            F.row_number().over(w).cast("double")
-        ).alias("x"),
+    from oracle_vector_search_spark.operators.ingest import (
+        assign_index_ids_two_phase,
+    )
+
+    ranked = assign_index_ids_two_phase(
+        freq.withColumn("negn", -F.col("n")),
+        order_cols=["negn", "token"],
+    ).select(
+        F.log(F.col("id").cast("double")).alias("x"),
         F.log(F.col("n").cast("double")).alias("y"),
     )
     m = ranked.agg(
@@ -648,13 +655,15 @@ def wordpiece_greedy_tokenize_top30(
     words = docs.select(
         F.explode(F.split(T.norm_text("text"), " ")).alias("w")
     ).filter(F.length("w").between(1, _WP_MAXLEN))
-    w_rank = Window.orderBy(F.desc("wc"), F.asc("w"))
+    # head slice via TakeOrderedAndProject (per-partition partial
+    # top-k), not a global single-task window — a web-scale word
+    # histogram is 10^8+ types (VERDICT r9 #1)
     types = (
-        words.groupBy("w")
-        .agg(F.count("*").alias("wc"))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= _WP_HEAD)
-        .drop("rn")
+        global_topn_ranked(
+            words.groupBy("w").agg(F.count("*").alias("wc")),
+            _WP_HEAD, F.desc("wc"), F.asc("w"),
+        )
+        .drop("rank")
         .localCheckpoint()  # reused by mining AND as the loop seed
     )
     cand = (
@@ -676,14 +685,10 @@ def wordpiece_greedy_tokenize_top30(
             "wc",
         )
     )
-    p_rank = Window.orderBy(F.desc("cnt"), F.asc("piece"))
-    top_pieces = (
-        cand.groupBy("piece")
-        .agg(F.sum("wc").alias("cnt"))
-        .withColumn("rn", F.row_number().over(p_rank))
-        .filter(F.col("rn") <= _WP_VOCAB)
-        .select("piece")
-    )
+    top_pieces = global_topn_ranked(
+        cand.groupBy("piece").agg(F.sum("wc").alias("cnt")),
+        _WP_VOCAB, F.desc("cnt"), F.asc("piece"),
+    ).select("piece")
     chars = cand.filter(F.length("piece") == 1).select("piece").distinct()
     vocab = top_pieces.union(chars).distinct().localCheckpoint()
 
@@ -750,13 +755,12 @@ def _uv_viterbi_paths(spark: SparkSession, sf_dir: str):
     words = docs.select(
         F.explode(F.split(T.norm_text("text"), " ")).alias("w")
     ).filter(F.length("w").between(1, _UV_MAXLEN))
-    w_rank = Window.orderBy(F.desc("wc"), F.asc("w"))
     types = (
-        words.groupBy("w")
-        .agg(F.count("*").alias("wc"))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= _UV_HEAD)
-        .drop("rn")
+        global_topn_ranked(
+            words.groupBy("w").agg(F.count("*").alias("wc")),
+            _UV_HEAD, F.desc("wc"), F.asc("w"),
+        )
+        .drop("rank")
         .localCheckpoint()
     )
     cand = (
@@ -781,12 +785,9 @@ def _uv_viterbi_paths(spark: SparkSession, sf_dir: str):
     cnts = cand.groupBy("piece").agg(
         F.sum("wc").cast("long").alias("cnt")
     )
-    p_rank = Window.orderBy(F.desc("cnt"), F.asc("piece"))
-    top_pieces = (
-        cnts.withColumn("rn", F.row_number().over(p_rank))
-        .filter(F.col("rn") <= _UV_VOCAB)
-        .select("piece")
-    )
+    top_pieces = global_topn_ranked(
+        cnts, _UV_VOCAB, F.desc("cnt"), F.asc("piece")
+    ).select("piece")
     chars = cnts.filter(F.length("piece") == 1).select("piece")
     vocab = top_pieces.union(chars).distinct()
     with_cnt = vocab.join(cnts, "piece")
@@ -1061,13 +1062,12 @@ def bpe_apply_ranked_merges_top30(
     words = docs.select(
         F.explode(F.split(T.norm_text("text"), " ")).alias("w")
     ).filter(F.length("w").between(2, _BP_MAXLEN))
-    w_rank = Window.orderBy(F.desc("wc"), F.asc("w"))
     types = (
-        words.groupBy("w")
-        .agg(F.count("*").alias("wc"))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= _BP_HEAD)
-        .drop("rn")
+        global_topn_ranked(
+            words.groupBy("w").agg(F.count("*").alias("wc")),
+            _BP_HEAD, F.desc("wc"), F.asc("w"),
+        )
+        .drop("rank")
         .localCheckpoint()
     )
     prs = types.select(
@@ -1079,12 +1079,11 @@ def bpe_apply_ranked_merges_top30(
         ).alias("pair"),
         "wc",
     )
-    m_rank = Window.orderBy(F.desc("pc"), F.asc("pair"))
     merges = (
-        prs.groupBy("pair")
-        .agg(F.sum("wc").alias("pc"))
-        .withColumn("rank", F.row_number().over(m_rank))
-        .filter(F.col("rank") <= _BP_MERGES)
+        global_topn_ranked(
+            prs.groupBy("pair").agg(F.sum("wc").alias("pc")),
+            _BP_MERGES, F.desc("pc"), F.asc("pair"),
+        )
         .select(
             F.concat(
                 F.substring("pair", 1, 1),
@@ -1274,10 +1273,6 @@ def unigram_em_prune_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("word").cast("long").alias("n_word_types"),
         )
     )
-    from oracle_vector_search_spark.operators.topk import (
-        global_topn_ranked,
-    )
-
     # pin the 144-row survivor table: newtot and the final join both
     # consume it, and without the pin each consumer would re-run the
     # whole E-step DP
@@ -1372,13 +1367,12 @@ def wordpiece_merge_gain_top20(
     words = docs.select(
         F.explode(F.split(T.norm_text("text"), " ")).alias("w")
     ).filter(F.length("w") >= 1)
-    w_rank = Window.orderBy(F.desc("wc"), F.asc("w"))
     types = (
-        words.groupBy("w")
-        .agg(F.count("*").alias("wc"))
-        .withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") <= _WG_HEAD)
-        .drop("rn")
+        global_topn_ranked(
+            words.groupBy("w").agg(F.count("*").alias("wc")),
+            _WG_HEAD, F.desc("wc"), F.asc("w"),
+        )
+        .drop("rank")
         .localCheckpoint()
     )
     ucnt = (
@@ -1432,10 +1426,6 @@ def wordpiece_merge_gain_top20(
             ).alias("gain_pico"),
         )
     )
-    from oracle_vector_search_spark.operators.topk import (
-        global_topn_ranked,
-    )
-
     return global_topn_ranked(
         scored, 20, F.desc("gain_pico"), F.asc("pair")
     ).drop("rank")

@@ -54,6 +54,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.topk import bounded_global_order
 from oracle_vector_search_spark.operators.sft import (
     group_advantage,
     turn_alternation_stats,
@@ -550,14 +551,18 @@ def epoch_capped_token_allocation(
         "lang", F.size(F.split("text", " ")).cast("bigint").alias("tok")
     )
     t = docs.groupBy("lang").agg(F.sum("tok").alias("ta"))
-    wall = Window.partitionBy()
-    cur = t.select(
+    # bounded_global_order: one row per LANG (domains-sized); the
+    # budget scalar comes from a grouping-free aggregate broadcast
+    wall = bounded_global_order(t)
+    tot = t.agg(F.sum("ta").alias("tot_ta"))
+    cur = t.crossJoin(F.broadcast(tot)).select(
         "lang",
         "ta",
+        F.expr("(3 * tot_ta) div 2").alias("budget"),
         (F.lit(_WF_EPOCH_CAP) * F.col("ta")).alias("cap"),
         F.lit(False).alias("capped"),
     )
-    budget = F.expr("(3 * sum(ta) OVER ()) div 2")
+    budget = F.col("budget")
     for _ in range(_WF_ROUNDS):
         r_left = budget - F.sum(
             F.when(F.col("capped"), F.col("cap")).otherwise(0)
@@ -568,12 +573,13 @@ def epoch_capped_token_allocation(
         cur = cur.select(
             "lang",
             "ta",
+            "budget",
             "cap",
             (F.col("capped") | (F.col("cap") * u <= r_left)).alias(
                 "capped"
             ),
         )
-    worder = Window.orderBy("lang").rowsBetween(
+    worder = bounded_global_order(cur, F.asc("lang")).rowsBetween(
         Window.unboundedPreceding, 0
     )
     fin = cur.select(

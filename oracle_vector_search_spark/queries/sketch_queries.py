@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.io import load_table
+from oracle_vector_search_spark.operators.topk import bounded_global_order
 from oracle_vector_search_spark.queries import register
 
 KMV_K = 32
@@ -993,7 +994,9 @@ def value_ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_a").cast("long").alias("ca_here"),
         F.sum(F.lit(1) - F.col("is_a")).cast("long").alias("cb_here"),
     )
-    w = Window.orderBy("v").rowsBetween(
+    # bounded_global_order: input is the DISTINCT value grid
+    # (floor(value*100) — range-capped, never corpus-sized)
+    w = bounded_global_order(pts, F.asc("v")).rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = pts.select(
@@ -1194,7 +1197,9 @@ def qdigest_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pct", "r")
         .agg(F.min("hi").alias("est_dollar"))
     )
-    wleaf = Window.orderBy("leaf").rowsBetween(
+    # bounded_global_order: leaves is the 2^k q-digest leaf domain
+    # (<= 1024 rows by construction)
+    wleaf = bounded_global_order(leaves, F.asc("leaf")).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     leafcum = leaves.select(

@@ -1354,12 +1354,13 @@ def session_hot_hour_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h_us"
         )
     ).agg(F.count(F.lit(1)).alias("n"))
-    w_hot = Window.orderBy(F.desc("n"), F.asc("h_us"))
-    hot = (
-        hours.withColumn("rn", F.row_number().over(w_hot))
-        .filter(F.col("rn") <= _HOT_TOP)
-        .select("h_us", "n")
+    from oracle_vector_search_spark.operators.topk import (
+        global_topn_ranked,
     )
+
+    hot = global_topn_ranked(
+        hours, _HOT_TOP, F.desc("n"), F.asc("h_us")
+    ).select("h_us", "n")
     covered = sess.withColumn(
         "h_us",
         F.explode(

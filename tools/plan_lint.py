@@ -7,11 +7,15 @@ kill a 100 TB run, making the previously hand-adjudicated VERIFY.log
 window warnings executable:
 
 * ``global_window_over_unaggregated`` — a Window with an empty
-  partitionSpec whose input subtree contains no Aggregate /
-  GlobalLimit / local relation / small Range: the whole fact input
-  moves to ONE task.  (Global windows over post-aggregate,
-  metadata-sized inputs — vocab ranks, leaf histograms — are the
-  documented benign case and pass.)
+  partitionSpec whose input subtree contains no GlobalLimit / local
+  relation / small Range / grouping-free Aggregate: the whole input
+  moves to ONE task.  Since r10 (VERDICT r9 #1) a KEYED Aggregate no
+  longer bounds — a groupBy(token) histogram is 10^8+ rows at
+  100 TB.  Head slices belong in ``global_topn_ranked``
+  (TakeOrderedAndProject); windows over inputs bounded for a
+  non-limit reason (distinct integer scores, per-source rows)
+  declare it via ``operators.topk.bounded_global_order``'s anchored
+  partitionSpec, which this rule reads as the in-code adjudication.
 * ``cartesian_product`` — a physical CartesianProduct, or a logical
   cross/condition-free join where NEITHER side is aggregate/limit/
   local/small-range bounded AND no side carries an explicit broadcast
@@ -110,12 +114,24 @@ def _range_small(node) -> bool:
     return ne <= _SMALL_RANGE_MAX
 
 
-def _subtree_bounded(node) -> bool:
+def _subtree_bounded(node, keyed_agg_bounds: bool = True) -> bool:
     """True if every leaf under ``node`` sits below an aggregate/limit
     or is itself a local/small relation — i.e. the subtree is not
-    corpus-sized by construction (it MAY still be vocabulary-sized)."""
+    corpus-sized by construction (it MAY still be vocabulary-sized).
+
+    With ``keyed_agg_bounds=False`` (the r10-tightened GLOBAL_WINDOW
+    rule, VERDICT r9 #1), a KEYED Aggregate no longer bounds: a
+    groupBy(token) histogram is 10^8+ rows at 100 TB, so a global
+    window over it is a finding. Grouping-free aggregates (one row)
+    still bound. Deliberately-bounded windows declare themselves via
+    ``operators.topk.bounded_global_order``'s non-empty anchor spec
+    instead of an allowlist entry."""
     for n in _walk(node):
         c = _cls(n)
+        if c == "Aggregate" and not keyed_agg_bounds:
+            if n.groupingExpressions().isEmpty():
+                return True
+            continue  # keyed aggregate: may be vocabulary-sized
         if c in _BOUNDED:
             return True
         if c == "Range" and _range_small(n):
@@ -173,7 +189,7 @@ def lint_df(df, name: str = "<df>") -> list[tuple[str, str, str]]:
         c = _cls(node)
         if c == "Window" and node.partitionSpec().isEmpty():
             child = node.children().apply(0)
-            if not _subtree_bounded(child):
+            if not _subtree_bounded(child, keyed_agg_bounds=False):
                 findings.append((
                     name, GLOBAL_WINDOW,
                     "Window with empty partitionSpec over an "

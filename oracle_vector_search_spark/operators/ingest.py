@@ -155,7 +155,22 @@ def assign_index_ids_two_phase(
     w = Window.partitionBy("__pid").orderBy(
         *[F.col(c) for c in order_cols]
     )
-    d = d.withColumn("__local_rank", F.row_number().over(w)).persist()
+    # Pin the ranked frame with localCheckpoint, NOT persist():
+    # * pinning is mandatory for correctness — repartitionByRange
+    #   samples split points with a fresh RDD-id-derived seed per
+    #   execution, so an unpinned plan could draw DIFFERENT partition
+    #   boundaries in the counts job vs the caller's final job and
+    #   corrupt the offsets;
+    # * persist() registers in the CacheManager, which holds a strong
+    #   reference until an explicit unpersist — plan-build-time calls
+    #   (zipf fit, suffix array) accumulated caches across bench
+    #   iterations (ADVICE r10). localCheckpoint blocks are owned by
+    #   the RDD alone: the ContextCleaner frees them as soon as the
+    #   returned DataFrame is garbage-collected. Tradeoff: lineage is
+    #   truncated, so executor loss fails the job instead of
+    #   recomputing — acceptable for a two-job window.
+    d = d.withColumn("__local_rank", F.row_number().over(w))
+    d = d.localCheckpoint(eager=True)
 
     counts = (
         d.groupBy("__pid").count().orderBy("__pid").collect()

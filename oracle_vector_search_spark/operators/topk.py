@@ -17,6 +17,8 @@ results are stable under float ties and partitioning (A5 discipline).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
@@ -52,7 +54,12 @@ def global_topn_ranked(
     return top.withColumn(rank_col, F.row_number().over(w))
 
 
-def bounded_global_order(df: DataFrame, *order: Column):
+def bounded_global_order(
+    df: DataFrame,
+    *order: Column,
+    bound: str = "",
+    max_rows: int | None = None,
+):
     """Globally-ordered WindowSpec for an input that is BOUNDED BY
     CONSTRUCTION (a handful of sources, distinct integer scores, a
     just-limited top-k) — cases where one task is the point, not a
@@ -67,11 +74,33 @@ def bounded_global_order(df: DataFrame, *order: Column):
     Aggregate-rooted empty-spec windows as findings, because a keyed
     aggregate may still be vocabulary-sized — reads the anchor as the
     in-code adjudication that the caller has argued boundedness.
-    Callers MUST be able to state the bound in their docstring; for
-    top-k head slices use ``global_topn_ranked`` instead.
+    Callers MUST state the bound via the required ``bound=`` keyword
+    (ADVICE r10: comment-discipline alone lets any future unbounded
+    window self-exempt by wrapping) — a short human-readable argument
+    for WHY the input can't be corpus-sized, e.g. ``"distinct integer
+    score grid (<= 10k values)"``. For top-k head slices use
+    ``global_topn_ranked`` instead.
+
+    ``max_rows`` optionally makes the claim executable: when the
+    ``OVS_ASSERT_BOUNDS=1`` env var is set (targeted tests / debug —
+    it triggers an eager count per call), the helper counts ``df`` and
+    raises if the stated bound is exceeded.
 
     With no order columns, returns the bare anchored partition spec
     (full-frame aggregation windows, e.g. waterfilling round sums)."""
+    if not bound:
+        raise ValueError(
+            "bounded_global_order requires bound= stating why the "
+            "input is bounded by construction (use global_topn_ranked "
+            "for head slices)"
+        )
+    if max_rows is not None and os.environ.get("OVS_ASSERT_BOUNDS") == "1":
+        n = df.count()
+        if n > max_rows:
+            raise AssertionError(
+                f"bounded_global_order: input has {n} rows, caller "
+                f"claimed <= {max_rows} ({bound!r})"
+            )
     anchor = F.pmod(F.hash(F.col(df.columns[0])), F.lit(1))
     w = Window.partitionBy(anchor)
     return w.orderBy(*order) if order else w

@@ -115,6 +115,18 @@ def load_all_modules() -> None:
 #   names in registration order. New r10 registrations swap in for the
 #   youngest tail slots as they land (the r9 placeholder discipline);
 #   swapped-out names roll to the r11 window.
+#   r11 (this file): the freshness rotation continues, now with a
+#   RE-CHECK component driven by code changes (VERDICT r10 #4):
+#   8 sentinels + 17 re-check slots — the 15 queries whose plans were
+#   rewritten by the r10 head-slice commit (87c22d9: the WordPiece/
+#   unigram/BPE/vocab/Zipf/allocation/sketch family, incl.
+#   unigram_viterbi_tokenize_top30 via the shared _uv_viterbi_paths
+#   helper) whose newest code predates any driver row, plus the two
+#   BENCH_r10-regressed zero-code-change queries (video_keyframe_knn,
+#   knn_exact_gemm_int8) — + 25 freshness slots filled with the names
+#   holding the OLDEST latest-check (the 17 remaining r2-era names,
+#   then the 8 oldest r3-era names in registration order). New r11
+#   registrations swap in for the youngest freshness tail slots.
 #   r9 = 8 sentinels + ALL 26 never-driver-checked names
 #   (the 7 r6-era names the r8 window rolled + the 19 round-8
 #   additions — every one verified green by the r8 judge's local
@@ -139,53 +151,58 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_cosine_top5_gemm",
     "exact_dedup_groups",
     "streaming_upsert_snapshot",
-    # --- freshness: latest driver check = r1 (all 26, registration
-    # order) ---
-    "knn_label_purity",
-    "lsh_bucket_distribution",
-    "lsh_similarity_join_approx",
-    "top_orders_global",
-    "orders_with_big_lines",
-    "promo_revenue_ratio",
-    "mktsegment_stats",
-    "brand_stats",
-    "lineitem_rollup",
-    "orderstatus_pivot",
-    "supplier_running_revenue",
-    "nation_set_ops",
-    "string_functions",
-    "date_functions",
-    "math_functions",
-    "null_handling",
-    "window_range_frames",
-    "ntile_distribution",
-    "exact_quantiles",
-    "grouping_sets_flags",
-    "customers_above_nation_avg",
-    "label_centroids",
-    "bpe_ish_tokens",
-    "doc_quality_scores",
-    "token_frequencies_top20",
-    "simhash_fingerprints",
-    # --- freshness: latest driver check = r2 (16 oldest, registration
-    # order); the tail of this block is the swap-out zone for new r10
+    # --- re-check: plans rewritten by 87c22d9 (head-slice kill) whose
+    # newest code has no driver row yet (VERDICT r10 #4), registration
+    # order ---
+    "vocab_coverage_curve",
+    "zipf_slope_fit",
+    "session_hot_hour_overlap",
+    "mann_whitney_u_test",
+    "value_ks_drift_audit",
+    "qdigest_quantile_audit",
+    "largest_remainder_allocation",
+    "temperature_mixture_allocation",
+    "dsir_importance_select",
+    "epoch_capped_token_allocation",
+    "bpe_apply_ranked_merges_top30",
+    "unigram_viterbi_tokenize_top30",
+    "unigram_em_prune_step",
+    "wordpiece_merge_gain_top20",
+    "wordpiece_greedy_tokenize_top30",
+    # --- re-check: BENCH_r10 regressed outside the noise band with
+    # zero code change — correctness row doubles as the freshness
+    # anchor while the perf adjudication lands (VERDICT r10 #2) ---
+    "video_keyframe_knn",
+    "knn_exact_gemm_int8",
+    # --- freshness: oldest latest-check first — the 17 remaining
+    # r2-era names, then the 8 oldest r3-era names (registration
+    # order); the tail of this block is the swap-out zone for new r11
     # registrations ---
-    "knn_with_metadata",
-    "vector_normalize_stats",
-    "similarity_self_join",
-    "lsh_ann_topk",
-    "ivf_ann_topk",
-    "pq_ann_topk",
-    "pq_refined_topk",
-    "q1_pricing_summary",
-    "top3_orders_per_customer",
-    "revenue_by_nation",
-    "customers_without_orders",
-    "argmax_line_per_order",
-    "doc_token_stats",
-    "doc_language_id",
-    "doc_fingerprints",
-    "minhash_near_dup_pairs",
+    "simhash_near_dup_pairs",
+    "dedup_canonical_ids",
+    "grouped_map_centroids",
+    "kmv_containment_pairs",
+    "lineitem_cube",
+    "document_chunks",
+    "packed_context_bins",
+    "embedding_quantize_int8",
+    "dataset_split_assign",
+    "doc_gopher_quality_flags",
+    "bucketed_colocated_join_revenue",
+    "salted_skew_join_revenue",
+    "dataset_constraint_audit",
+    "streaming_hourly_windows",
+    "streaming_session_counts",
+    "streaming_knn_scores",
+    "streaming_dedup_event_types",
+    "kmeans_refine_clusters",
+    "index_upsert_merge",
+    "ivf_index_upsert",
+    "kmeans_chain_two_steps",
+    "pq_codes_fidelity",
+    "ntile_distribution_scaled",
+    "winsorized_price_stats",
+    "bigram_collocations_top20",
 )
 
 

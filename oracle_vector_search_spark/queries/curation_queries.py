@@ -253,7 +253,12 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded_global_order: input is DISTINCT integer scores —
     # cardinality capped by the score range, never by doc count
     wv = (
-        bounded_global_order(counts, F.desc("avg_micro"))
+        bounded_global_order(
+            counts,
+            F.desc("avg_micro"),
+            bound="distinct integer scores — score-range-capped",
+            max_rows=100_000,
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     counts = counts.withColumn("cum", F.sum("c").over(wv)).withColumn(
@@ -974,7 +979,11 @@ def largest_remainder_allocation(
     )
     # bounded_global_order: one row per SOURCE (a handful of domains)
     w = bounded_global_order(
-        quota, F.desc("remainder"), F.asc("source")
+        quota,
+        F.desc("remainder"),
+        F.asc("source"),
+        bound="one row per source domain — a handful",
+        max_rows=10_000,
     )
     return (
         quota.crossJoin(F.broadcast(short))
@@ -1143,7 +1152,11 @@ def temperature_mixture_allocation(
     )
     # bounded_global_order: one row per SOURCE (a handful of domains)
     w = bounded_global_order(
-        quota, F.desc("remainder"), F.asc("source")
+        quota,
+        F.desc("remainder"),
+        F.asc("source"),
+        bound="one row per source domain — a handful",
+        max_rows=10_000,
     )
     return (
         quota.crossJoin(F.broadcast(short))

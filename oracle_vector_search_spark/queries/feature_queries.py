@@ -1565,7 +1565,12 @@ def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded_global_order: input is the DISTINCT value grid
     # (floor(value*100) — range-capped, never corpus-sized)
-    w = bounded_global_order(g, F.asc("c")).rowsBetween(
+    w = bounded_global_order(
+        g,
+        F.asc("c"),
+        bound="distinct floor(value*100) grid — range-capped",
+        max_rows=100_000,
+    ).rowsBetween(
         Window.unboundedPreceding, -1
     )
     r = g.withColumn(

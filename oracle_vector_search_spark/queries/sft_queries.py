@@ -552,8 +552,10 @@ def epoch_capped_token_allocation(
     )
     t = docs.groupBy("lang").agg(F.sum("tok").alias("ta"))
     # bounded_global_order: one row per LANG (domains-sized); the
-    # budget scalar comes from a grouping-free aggregate broadcast
-    wall = bounded_global_order(t)
+    # budget scalar comes from a grouping-free aggregate broadcast.
+    # The anchored spec is rebuilt from WHICHEVER frame it is applied
+    # over (ADVICE r10: deriving it once from `t` worked only because
+    # `lang` happened to survive every select — a fragile coupling).
     tot = t.agg(F.sum("ta").alias("tot_ta"))
     cur = t.crossJoin(F.broadcast(tot)).select(
         "lang",
@@ -564,6 +566,9 @@ def epoch_capped_token_allocation(
     )
     budget = F.col("budget")
     for _ in range(_WF_ROUNDS):
+        wall = bounded_global_order(
+            cur, bound="one row per lang domain", max_rows=10_000
+        )
         r_left = budget - F.sum(
             F.when(F.col("capped"), F.col("cap")).otherwise(0)
         ).over(wall)
@@ -579,7 +584,12 @@ def epoch_capped_token_allocation(
                 "capped"
             ),
         )
-    worder = bounded_global_order(cur, F.asc("lang")).rowsBetween(
+    wall = bounded_global_order(
+        cur, bound="one row per lang domain", max_rows=10_000
+    )
+    worder = bounded_global_order(
+        cur, F.asc("lang"), bound="one row per lang domain", max_rows=10_000
+    ).rowsBetween(
         Window.unboundedPreceding, 0
     )
     fin = cur.select(

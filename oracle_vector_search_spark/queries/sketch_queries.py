@@ -996,7 +996,12 @@ def value_ks_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded_global_order: input is the DISTINCT value grid
     # (floor(value*100) — range-capped, never corpus-sized)
-    w = bounded_global_order(pts, F.asc("v")).rowsBetween(
+    w = bounded_global_order(
+        pts,
+        F.asc("v"),
+        bound="distinct floor(value*100) grid — range-capped",
+        max_rows=100_000,
+    ).rowsBetween(
         Window.unboundedPreceding, 0
     )
     cum = pts.select(
@@ -1199,7 +1204,12 @@ def qdigest_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # bounded_global_order: leaves is the 2^k q-digest leaf domain
     # (<= 1024 rows by construction)
-    wleaf = bounded_global_order(leaves, F.asc("leaf")).rowsBetween(
+    wleaf = bounded_global_order(
+        leaves,
+        F.asc("leaf"),
+        bound="q-digest leaf domain, <= 1024 by construction",
+        max_rows=1024,
+    ).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     leafcum = leaves.select(

@@ -73,13 +73,47 @@ def test_flags_unhinted_tiny_join(spark, sf_dir):
 
 
 # ------------------------------------------- documented benign shapes
-def test_passes_global_window_over_aggregate(spark, sf_dir):
+def test_flags_global_window_over_keyed_aggregate(spark, sf_dir):
+    """r10 tightening (VERDICT r9 #1): a KEYED aggregate no longer
+    bounds — a groupBy(token) histogram is 10^8+ rows at 100 TB, so an
+    empty-spec window over it must flag. The blessed escapes are
+    ``global_topn_ranked`` (TakeOrderedAndProject head slice) and
+    ``bounded_global_order`` (anchored spec = in-code adjudication)."""
     from pyspark.sql import Window
+
+    from oracle_vector_search_spark.operators.topk import (
+        bounded_global_order,
+        global_topn_ranked,
+    )
 
     li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
     agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+
+    # keyed aggregate under an empty partition spec: FINDING
+    bad = agg.withColumn("rk", F.row_number().over(Window.orderBy("q")))
+    assert GLOBAL_WINDOW in _rules(lint_df(bad, "seeded"))
+
+    # same frame through the head-slice helper: clean (top-k first,
+    # then rank only the k rows under the constant non-empty anchor)
+    ok_top = global_topn_ranked(agg, 5, F.desc("q"), F.asc("l_returnflag"))
+    assert GLOBAL_WINDOW not in _rules(lint_df(ok_top, "benign"))
+
+    # bounded-by-construction declaration: clean (anchored spec)
+    w = bounded_global_order(
+        agg, F.desc("q"), bound="one row per returnflag (3 values)"
+    )
+    ok_anchor = agg.withColumn("rk", F.row_number().over(w))
+    assert GLOBAL_WINDOW not in _rules(lint_df(ok_anchor, "benign"))
+
+
+def test_passes_global_window_over_groupless_aggregate(spark, sf_dir):
+    """Grouping-free aggregates are exactly one row — still bounding."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    agg = li.agg(F.sum("l_quantity").alias("q"))
     ok = agg.withColumn("rk", F.row_number().over(Window.orderBy("q")))
-    assert lint_df(ok, "benign") == []
+    assert GLOBAL_WINDOW not in _rules(lint_df(ok, "benign"))
 
 
 def test_passes_broadcast_hinted_cross_join(spark, sf_dir):
@@ -128,3 +162,36 @@ def test_full_registry_is_clean(spark, sf_dir):
     findings, errors = lint_registry(spark, sf_dir)
     assert not errors, errors
     assert not findings, findings
+
+
+# ----------------------------------- bounded_global_order guard rails
+def test_bounded_global_order_requires_stated_bound(spark, sf_dir):
+    """ADVICE r10: the anchored spec is an in-code adjudication, so the
+    caller must ARGUE the bound — an empty bound is a ValueError, and
+    under OVS_ASSERT_BOUNDS=1 an understated max_rows raises."""
+    import pytest as _pytest
+
+    from oracle_vector_search_spark.operators.topk import (
+        bounded_global_order,
+    )
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+
+    with _pytest.raises(ValueError, match="bound="):
+        bounded_global_order(agg, F.desc("q"))
+
+    os.environ["OVS_ASSERT_BOUNDS"] = "1"
+    try:
+        with _pytest.raises(AssertionError, match="claimed <= 1"):
+            bounded_global_order(
+                agg, F.desc("q"), bound="understated", max_rows=1
+            )
+        # honest bound passes and returns a usable anchored spec
+        w = bounded_global_order(
+            agg, F.desc("q"), bound="3 returnflags", max_rows=10
+        )
+        ranked = agg.withColumn("rk", F.row_number().over(w))
+        assert ranked.count() == agg.count()
+    finally:
+        del os.environ["OVS_ASSERT_BOUNDS"]

@@ -31,57 +31,48 @@ SENTINELS = {
     "streaming_upsert_snapshot",
 }
 
-# r9 window (VERDICT r8 #1): the 42 non-sentinel slots go to ALL 26
-# remaining never-driver-checked names (the 7 r6-era names rolled from
-# the r8 window + the 19 round-8 additions) plus 16 re-check slots for
-# implementations that changed in r8/r9 (CLAHE chain, video fixture
-# at-rest move, postings refactor family, r8 speedups, new r9
-# registrations). After this window every registered query has a
-# driver-side CORRECTNESS row.
-NEVER_CHECKED_R9 = {
-    "local_clustering_coefficients",
-    "graph_edges_incremental_merge",
-    "graph_ann_greedy_walk_recall",
-    "kcenter_coreset_seeds",
-    "streaming_topk_trending",
-    "streaming_psi_drift_monitor",
+# This round's DELIBERATE re-check slots (VERDICT r10 #4): the 15
+# queries whose plans 87c22d9 rewrote (including
+# unigram_viterbi_tokenize_top30 via the shared _uv_viterbi_paths
+# helper) plus the two BENCH_r10-regressed zero-code-change queries.
+# Update this set in the SAME commit that rotates _PRIORITY; everything
+# else about the window is DERIVED from the rotation rule below.
+RECHECK_CURRENT = {
+    "vocab_coverage_curve",
     "zipf_slope_fit",
-    "preference_pairs_dpo",
-    "bradley_terry_mm_step",
-    "preference_agreement_kappa",
-    "reward_calibration_ece",
-    "best_of_n_selection_lift",
-    "unigram_viterbi_tokenize_top30",
-    "image_png_decode_parity",
-    "streaming_preference_bt_stats",
-    "domain_mixture_mw_step",
-    "truncation_loss_audit",
+    "session_hot_hour_overlap",
+    "mann_whitney_u_test",
+    "value_ks_drift_audit",
     "qdigest_quantile_audit",
-    "sft_turn_alternation_audit",
-    "sft_loss_mask_accounting",
-    "pass_at_k_per_task",
-    "grpo_group_advantage",
-    "streaming_pass_at_k_stats",
+    "largest_remainder_allocation",
+    "temperature_mixture_allocation",
+    "dsir_importance_select",
     "epoch_capped_token_allocation",
-    "bleu2_pair_eval",
-    "preference_length_bias_audit",
+    "bpe_apply_ranked_merges_top30",
+    "unigram_viterbi_tokenize_top30",
+    "unigram_em_prune_step",
+    "wordpiece_merge_gain_top20",
+    "wordpiece_greedy_tokenize_top30",
+    "video_keyframe_knn",
+    "knn_exact_gemm_int8",
 }
 
-# implementations changed in r8/r9 — re-checked in the r9 window
-RECHECK_R9 = {
-    "reference_crops_clahe_chain_profile",
-    "video_keyframe_knn",
-    "video_mjpeg_frame_parity",
-    "ann_recall_vs_exact_clustered",
-    "bm25_retrieval_top10",
-    "tfidf_cosine_top5",
-    "repeated_span_doc_stats",
-    "phrase_retrieval_top20",
-    "boolean_and_retrieval_top20",
-    "bootstrap_mean_ci_deterministic",
-    "incremental_corpus_admission",
-    "audio_wav_feature_parity",
-}
+
+def _latest_driver_check():
+    """name -> latest round with a driver CORRECTNESS row, from the
+    committed CORRECTNESS_r*.json artifacts (the rotation's ground
+    truth). Names absent from every artifact are never-checked."""
+    import glob
+    import json
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest = {}
+    for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        for name in json.load(open(f)):
+            latest[name] = rnd
+    return latest
 
 
 def test_priority_is_exactly_50():
@@ -94,10 +85,50 @@ def test_first_50_matches_priority():
     assert names[:50] == list(registry._PRIORITY)
 
 
-def test_rotation_covers_sentinels_and_never_checked():
-    prefix = set(list(registry.queries())[:50])
-    must_have = SENTINELS | NEVER_CHECKED_R9 | RECHECK_R9
-    assert must_have <= prefix, sorted(must_have - prefix)
+def test_rotation_follows_the_rotation_rule():
+    """The window is DERIVED, not pinned (VERDICT r10 #1b): sentinels
+    always present; every registered-but-never-driver-checked name
+    claims a slot; this round's declared re-checks claim theirs; and
+    every REMAINING slot goes to the names with the OLDEST latest
+    driver check, ties broken by registration order. Computed from the
+    committed CORRECTNESS_r*.json artifacts, so the test survives
+    every future rotation and new registration (a new query is
+    never-checked, so it must displace the youngest freshness name)."""
+    names = list(registry.queries())
+    prefix, prefix_set = names[:50], set(names[:50])
+    latest = _latest_driver_check()
+
+    assert SENTINELS <= prefix_set, sorted(SENTINELS - prefix_set)
+    assert RECHECK_CURRENT <= prefix_set, sorted(
+        RECHECK_CURRENT - prefix_set
+    )
+
+    never_checked = {n for n in names if n not in latest}
+    assert never_checked <= prefix_set, sorted(never_checked - prefix_set)
+
+    claimed = SENTINELS | RECHECK_CURRENT | never_checked
+    capacity = 50 - len(claimed & prefix_set)
+    candidates = sorted(
+        (n for n in names if n not in claimed),
+        key=lambda n: (latest[n], names.index(n)),
+    )
+    # ties at the cut boundary: any name whose latest check strictly
+    # precedes the boundary round MUST be in the window; boundary-round
+    # names may be either side (registration order resolves them, but
+    # don't over-pin the order itself)
+    expected_fill = candidates[:capacity]
+    actual_fill = [n for n in prefix if n not in claimed]
+    assert len(actual_fill) == capacity
+    boundary = latest[expected_fill[-1]] if expected_fill else 0
+    must_fill = {n for n in expected_fill if latest[n] < boundary}
+    assert must_fill <= set(actual_fill), sorted(
+        must_fill - set(actual_fill)
+    )
+    for n in actual_fill:
+        assert latest[n] <= boundary, (
+            f"{n} (latest r{latest[n]}) fills a freshness slot while an "
+            f"older name (boundary r{boundary}) is left out"
+        )
 
 
 def test_registry_size_matches_documented_count():

@@ -139,7 +139,8 @@ def _subtree_bounded(node, keyed_agg_bounds: bool = True) -> bool:
     # no bounding node anywhere: bounded only if there are no file
     # relations at all (pure local plans)
     return not any(
-        _cls(n) in ("LogicalRelation", "DataSourceV2Relation",
+        _cls(n) in ("LogicalRelation", "LogicalRDD",
+                    "DataSourceV2Relation",
                     "DataSourceV2ScanRelation", "HiveTableRelation")
         for n in _walk(node)
     )

@@ -14,8 +14,13 @@ Writes a VERIFY.log summary at the repo root and exits non-zero if any
 stage fails. The LAST commit of every round must include a VERIFY.log
 showing 0 failures.
 
-Usage: python tools/verify.py [--fast]   (--fast skips the full-oracle
-pytest env var and uses the default fast suite)
+Usage: python tools/verify.py [--fast] [--allow-dirty]
+  --fast        skip the full-oracle pytest env var (fast suite)
+  --allow-dirty iteration runs only — by default a dirty tracked tree
+                REFUSES to verify (r10 closed with VERIFY.log
+                predating the final commits; the log now records the
+                verified HEAD and the round-close flow is: commit all
+                code -> python tools/verify.py -> commit VERIFY.log)
 """
 
 from __future__ import annotations
@@ -64,10 +69,50 @@ def run(name: str, cmd: list[str], env: dict[str, str]) -> dict:
     return {"name": name, "rc": rc, "tail": tail, "stdout": stdout}
 
 
+def _git(args: list[str]) -> str:
+    try:
+        return subprocess.run(
+            ["git"] + args, cwd=REPO, capture_output=True, text=True,
+            timeout=30,
+        ).stdout.strip()
+    except Exception:
+        return ""
+
+
+def tree_state() -> tuple[str, list[str]]:
+    """(HEAD sha, list of dirty/untracked paths that MATTER).
+
+    VERIFY.log itself, the per-stage .verify_* dumps and the local
+    bench capture are products of the battery — they are expected to
+    be dirty at verify time and are excluded."""
+    head = _git(["rev-parse", "--short", "HEAD"])
+    ignore = ("VERIFY.log", ".verify_", "BENCH_LOCAL.json")
+    dirty = [
+        ln for ln in _git(["status", "--porcelain"]).splitlines()
+        if ln and not any(tok in ln for tok in ignore)
+    ]
+    return head, dirty
+
+
 def main() -> int:
     fast = "--fast" in sys.argv
+    allow_dirty = "--allow-dirty" in sys.argv
     env = dict(os.environ)
     stages = []
+
+    # r10 postmortem (VERDICT r10 #2/#8): the round closed with a
+    # VERIFY.log that PREDATED the last code commit and a dirty tree.
+    # The log now records the exact HEAD it verified, and a dirty
+    # tracked tree fails the battery up front — verify what you are
+    # about to ship, not what you had an hour ago.
+    head, dirty = tree_state()
+    if dirty and not allow_dirty:
+        print("VERIFY REFUSED: working tree dirty — commit (or stash) "
+              "first so VERIFY.log covers the exact tree, or pass "
+              "--allow-dirty for an iteration run:")
+        for ln in dirty[:20]:
+            print("  " + ln)
+        return 2
 
     pytest_env = dict(env)
     if not fast:
@@ -105,7 +150,9 @@ def main() -> int:
     ok = all(s["rc"] == 0 for s in stages)
     lines = [
         f"VERIFY {'PASS' if ok else 'FAIL'} "
-        f"{datetime.datetime.now(datetime.timezone.utc).isoformat()}",
+        f"{datetime.datetime.now(datetime.timezone.utc).isoformat()} "
+        f"HEAD={head}"
+        + (f" DIRTY={len(dirty)}" if dirty else " tree=clean"),
     ]
     for s in stages:
         lines.append(f"--- {s['name']}: rc={s['rc']}")

@@ -202,7 +202,9 @@ _PRIORITY: tuple[str, ...] = (
     "pq_codes_fidelity",
     "ntile_distribution_scaled",
     "winsorized_price_stats",
-    "bigram_collocations_top20",
+    # new r11 registration swaps in for the youngest freshness slot
+    # (bigram_collocations_top20 rolls to the r12 window)
+    "query_path_detect_search",
 )
 
 

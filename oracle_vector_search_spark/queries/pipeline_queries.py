@@ -1184,3 +1184,264 @@ def reference_crops_clahe_chain_profile(
         ),
         "emb_checksum_micros",
     ).orderBy("prefix")
+
+
+# ----------------- T9 closure: the reference's ONLINE entry point
+# (app.py:100-156) with a REAL detector in the loop (VERDICT r10 #3).
+# Frames are synthetic MRI-like fixtures (functions/detect_numpy.py:
+# render_mri_like) whose piecewise-constant geometry makes every
+# detector output — boxes, confidences, even the crop's serialized
+# pixel bytes — EXACTLY re-derivable by integer arithmetic in the
+# DuckDB oracle, so detect → F5 guard → A1 argmax → T6 crop → T8 embed
+# → M1 top-5 search is one hash-checked row set end-to-end.
+_QP_N = 40  # query fixture ids: p_partkey < 40 (3 of them render flat)
+_QP_TOPK = 5
+
+
+def _mri_query_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part keys < _QP_N → rendered grayscale frames (IMAGE_SCHEMA
+    shape: stem/width/height/channels/pixels). Pixels are born inside
+    the map stage and never shuffle."""
+    from oracle_vector_search_spark.functions.detect_numpy import (
+        MRI_H,
+        MRI_W,
+    )
+
+    ks = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < _QP_N)
+        .select(F.col("p_partkey").cast("int").alias("k"))
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        from oracle_vector_search_spark.functions.detect_numpy import (
+            render_mri_like,
+        )
+
+        for pdf in it:
+            rows = []
+            for k in pdf["k"]:
+                arr = render_mri_like(int(k))
+                rows.append(
+                    {
+                        "stem": f"q_{int(k)}",
+                        "width": MRI_W,
+                        "height": MRI_H,
+                        "channels": 1,
+                        "pixels": arr.reshape(MRI_H, MRI_W, 1).tobytes(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["stem", "width", "height", "channels", "pixels"],
+            )
+
+    return ks.mapInPandas(
+        batches,
+        schema="stem string, width int, height int, channels int, "
+        "pixels binary",
+    )
+
+
+def _crop_serialize_best(best: DataFrame) -> DataFrame:
+    """T6 for the winning box: re-render the frame from its stem (the
+    deterministic renderer IS the image store here — a real deployment
+    re-reads the one winning image from object storage rather than
+    shuffling every frame's pixels to the ranking stage), numpy-slice
+    the crop and serialize it as '<h>x<w>:<row-major csv>' for the
+    hash-projection embedder."""
+
+    cols = ["stem", "n_boxes", "x1", "y1", "x2", "y2", "conf", "cls"]
+
+    def batches(it):
+        import pandas as pd
+
+        from oracle_vector_search_spark.functions.detect_numpy import (
+            render_mri_like,
+        )
+
+        for pdf in it:
+            out = []
+            for stem, nb, x1, y1, x2, y2, conf, cls in zip(
+                *(pdf[c] for c in cols)
+            ):
+                arr = render_mri_like(int(str(stem).split("_")[1]))
+                crop = arr[int(y1): int(y2), int(x1): int(x2)]
+                vals = ",".join(str(int(v)) for v in crop.ravel())
+                out.append(
+                    {
+                        "stem": stem,
+                        "n_boxes": int(nb),
+                        "x1": int(x1),
+                        "y1": int(y1),
+                        "x2": int(x2),
+                        "y2": int(y2),
+                        "conf": float(conf),
+                        "cls": int(cls),
+                        "crop_csv": (
+                            f"{int(y2) - int(y1)}x{int(x2) - int(x1)}:"
+                            + vals
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out, columns=cols + ["crop_csv"])
+
+    return best.select(*cols).mapInPandas(
+        batches,
+        schema="stem string, n_boxes long, x1 int, y1 int, x2 int, "
+        "y2 int, conf double, cls int, crop_csv string",
+    )
+
+
+def _duck_detect_search_sql() -> str:
+    """Oracle: re-derive detector outputs from the fixture's integer
+    arithmetic (functions/detect_numpy.py:mri_params — keep in
+    lockstep), then embed the reconstructed crop bytes and rank cosine
+    top-5 against the same rebuilt index CTEs pipeline_query_topk
+    uses."""
+    from oracle_vector_search_spark.functions.detect_numpy import (
+        MRI_H,
+        MRI_NO_BLOB_MOD,
+        MRI_W,
+    )
+
+    base = _duck_index_sql(500)
+    head = base[: base.index(
+        "SELECT CAST(row_number() OVER (ORDER BY split, stem, box_idx"
+    )]
+    npx = MRI_H * MRI_W
+    return (
+        head
+        + f""", idx AS (
+  SELECT CAST(row_number() OVER (
+           ORDER BY split, stem, box_idx, class_id, x1, y1, x2, y2)
+         AS BIGINT) AS id,
+         class_name, emb
+  FROM (SELECT 'train' AS split, stem, box_idx, class_id, class_name,
+               x1, y1, x2, y2, emb
+        FROM withvec)
+),
+par AS (
+  SELECT p_partkey AS k,
+         16 + p_partkey % 13 AS bg,
+         160 + p_partkey % 60 AS va,
+         6 + (p_partkey * 7) % 50 AS xa,
+         6 + (p_partkey * 11) % 24 AS ya,
+         12 + p_partkey % 9 AS wa,
+         10 + (p_partkey * 3) % 9 AS ha,
+         96 + p_partkey % 30 AS vb,
+         8 + p_partkey % 7 AS wb,
+         8 + (p_partkey * 5) % 7 AS hb
+  FROM part
+  WHERE p_partkey < {_QP_N} AND p_partkey % {MRI_NO_BLOB_MOD} <> 0
+),
+det AS (
+  SELECT *, wa * ha AS aa,
+         (vb > (bg + va) / 2.0) AS has_b,
+         CAST(bg * ({npx} - wa * ha - wb * hb)
+              + va * wa * ha + vb * wb * hb AS DOUBLE) AS total
+  FROM par
+),
+best AS (
+  SELECT 'q_' || k::VARCHAR AS qstem,
+         CAST(CASE WHEN has_b THEN 2 ELSE 1 END AS BIGINT) AS n_boxes,
+         CAST(xa AS INTEGER) AS bx1, CAST(ya AS INTEGER) AS by1,
+         CAST(xa + wa AS INTEGER) AS bx2,
+         CAST(ya + ha AS INTEGER) AS by2,
+         round((va - (total - CAST(va * aa AS DOUBLE))
+                / ({npx} - aa)) / 255.0, 6) AS conf,
+         CAST(va // 64 AS INTEGER) AS cls,
+         md5(ha::VARCHAR || 'x' || wa::VARCHAR || ':' ||
+             repeat(va::VARCHAR || ',', wa * ha - 1) || va::VARCHAR)
+           AS crop_md5
+  FROM det
+),
+q AS (
+  SELECT *, {E.duck_embedding_expr('crop_md5', DIMS)} AS qvec FROM best
+),
+scored AS (
+  SELECT q.qstem, q.n_boxes, q.bx1, q.by1, q.bx2, q.by2, q.conf, q.cls,
+         i.id, i.class_name,
+         round(list_dot_product(q.qvec, i.emb)
+               / (sqrt(list_dot_product(q.qvec, q.qvec))
+                  * sqrt(list_dot_product(i.emb, i.emb))), 6) AS score
+  FROM idx i CROSS JOIN q
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY qstem ORDER BY score DESC, id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT qstem, n_boxes, bx1, by1, bx2, by2, conf, cls, rank, id,
+       class_name, score
+FROM ranked WHERE rank <= {_QP_TOPK}"""
+    )
+
+
+@register("query_path_detect_search", _duck_detect_search_sql())
+def query_path_detect_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's online query path (app.py:100-156) with a REAL
+    detect stage: render query frames → deterministic numpy detector
+    (T9: threshold → connected components → contrast-ranked boxes;
+    sources/images.py:detect_boxes_numpy) → F5 no-detection guard
+    (flat frames yield zero rows) → A1 argmax-confidence box per frame
+    → T6 numpy-slice crop → T8 hash-projection embed of the crop bytes
+    → M1 exact cosine top-5 against the materialized build index →
+    J2 class metadata → T13 rank.
+
+    100 TB shape: pixels never shuffle (render→detect fused in one
+    Arrow stage; the winning crop re-reads its single frame from the
+    deterministic store); only box/stat rows move. The ≤{_QP_N}-row
+    query side broadcasts; the index streams partition-parallel under
+    a per-query WindowGroupLimit top-k."""
+    from pyspark.sql import Window
+
+    from oracle_vector_search_spark.functions.vector import (
+        cosine_similarity,
+    )
+    from oracle_vector_search_spark.sources.images import (
+        detect_boxes_numpy,
+    )
+
+    frames = _mri_query_frames(spark, sf_dir)
+    dets = detect_boxes_numpy(frames)
+    wst = Window.partitionBy("stem")
+    wrank = Window.partitionBy("stem").orderBy(
+        F.desc("conf"), F.asc("y1"), F.asc("x1")
+    )
+    best = (
+        dets.withColumn("n_boxes", F.count("*").over(wst).cast("bigint"))
+        .withColumn("rk", F.row_number().over(wrank))
+        .filter(F.col("rk") == 1)
+    )
+    q = _crop_serialize_best(best)
+    q = q.withColumn(
+        "crop_md5", F.md5(F.col("crop_csv").cast("binary"))
+    ).withColumn("qvec", F.expr(E.spark_embedding_expr("crop_md5", DIMS)))
+    idx = _materialized_index(spark, sf_dir, 500).select(
+        "id", "class_name", "emb"
+    )
+    scored = idx.join(F.broadcast(q.drop("crop_csv", "crop_md5"))).select(
+        F.col("stem").alias("qstem"),
+        "n_boxes",
+        F.col("x1").alias("bx1"),
+        F.col("y1").alias("by1"),
+        F.col("x2").alias("bx2"),
+        F.col("y2").alias("by2"),
+        F.round("conf", 6).alias("conf"),
+        "cls",
+        "id",
+        "class_name",
+        F.round(cosine_similarity("qvec", "emb"), 6).alias("score"),
+    )
+    wq = Window.partitionBy("qstem").orderBy(F.desc("score"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= _QP_TOPK)
+        .select(
+            "qstem", "n_boxes", "bx1", "by1", "bx2", "by2", "conf",
+            "cls", "rank", "id", "class_name", "score",
+        )
+    )

@@ -527,6 +527,52 @@ def detect_boxes(df: DataFrame) -> DataFrame:
     )
 
 
+def detect_boxes_numpy(df: DataFrame, min_area: int | None = None) -> DataFrame:
+    """T9 REAL tier (VERDICT r10 #3): the deterministic pure-numpy box
+    proposer — midpoint threshold → 4-connected components →
+    contrast-ranked boxes (functions/detect_numpy.py) — in the same
+    UDTF shape as the stub/YOLO tiers: one input image row → 0..N
+    proposal rows (0 = the F5 no-detection path, reference
+    app.py:117-118). Pixels never leave the map stage; only
+    (stem, box coords, conf, cls) rows shuffle."""
+    from oracle_vector_search_spark.functions.detect_numpy import (
+        DEFAULT_MIN_AREA,
+        propose_boxes,
+    )
+
+    ma = DEFAULT_MIN_AREA if min_area is None else min_area
+    out_schema = (
+        "stem string, box_idx int, x1 int, y1 int, x2 int, y2 int, "
+        "area int, conf double, cls int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for stem, px, w, h, c in zip(
+                pdf["stem"], pdf["pixels"], pdf["width"], pdf["height"],
+                pdf["channels"],
+            ):
+                if px is None:
+                    continue  # F3/F5: undecodable → no detections
+                arr = np.frombuffer(bytes(px), np.uint8).reshape(
+                    int(h), int(w), int(c)
+                )
+                for i, b in enumerate(propose_boxes(arr, min_area=ma)):
+                    rows.append({"stem": stem, "box_idx": i, **b})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "stem", "box_idx", "x1", "y1", "x2", "y2", "area",
+                    "conf", "cls",
+                ],
+            )
+
+    return df.select(
+        "stem", "pixels", "width", "height", "channels"
+    ).mapInPandas(batches, schema=out_schema)
+
+
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 

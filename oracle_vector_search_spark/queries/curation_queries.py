@@ -1597,8 +1597,16 @@ def _clip_corpus(spark: SparkSession) -> DataFrame:
                 yield pd.DataFrame(rows, columns=["id", "content"])
 
         path = scratch_dir("ovs_clip_corpus_")
+        # explicit small partition count: a bare range() inherits
+        # defaultParallelism (32), which writes the 33-clip corpus as
+        # 33 one-row files — every warm decode pass then pays 33 Arrow
+        # task round-trips across TWO chained Python stages (the r9
+        # worker-churn lesson; re-measured r11 when this query's bench
+        # number drifted). 4 files keeps decode parallel without the
+        # per-task overhead dwarfing the work; a real 100 TB clip
+        # corpus arrives as many multi-GiB files, not synth rows.
         write_artifact(
-            spark.range(_NV_CLIPS + 1).mapInPandas(
+            spark.range(0, _NV_CLIPS + 1, 1, 4).mapInPandas(
                 make_avis, schema="id long, content binary"
             ),
             path,

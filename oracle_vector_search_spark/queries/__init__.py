@@ -201,10 +201,11 @@ _PRIORITY: tuple[str, ...] = (
     "kmeans_chain_two_steps",
     "pq_codes_fidelity",
     "ntile_distribution_scaled",
-    "winsorized_price_stats",
-    # new r11 registration swaps in for the youngest freshness slot
-    # (bigram_collocations_top20 rolls to the r12 window)
+    # new r11 registrations swap in for the youngest freshness slots
+    # (winsorized_price_stats and bigram_collocations_top20 roll to
+    # the r12 window)
     "query_path_detect_search",
+    "purchase_asof_order_salted",
 )
 
 

@@ -129,9 +129,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "purchase_asof_order",
-    """
+_PURCHASE_ASOF_ORACLE = """
 WITH purchases AS (
   -- DuckDB truncates parquet ns-timestamps to µs on read; compare at µs
   SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
@@ -148,8 +146,10 @@ WITH purchases AS (
 SELECT p.event_id, p.user_id, p.ts_us, c.o_orderkey, c.o_totalprice
 FROM purchases p
 LEFT JOIN cand c ON c.event_id = p.event_id AND c.rn = 1
-""",
-)
+"""
+
+
+@register("purchase_asof_order", _PURCHASE_ASOF_ORACLE)
 def purchase_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join: each purchase event picks up the user's most
     recent order (latest o_orderdate ≤ ts, orderkey tie-break) via the
@@ -176,6 +176,48 @@ def purchase_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="od_us",
         right_payload=["o_orderkey", "o_totalprice"],
         right_tiebreak="o_orderkey",
+    ).select("event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice")
+
+
+@register("purchase_asof_order_salted", _PURCHASE_ASOF_ORACLE)
+def purchase_asof_order_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SAME as-of semantics served by the hot-key-safe salted
+    operator (``asof_join_salted``, VERDICT r10 #7): the as-of window
+    runs per (user, time-bucket) and bucket boundaries carry across a
+    buckets-axis window, so one power user can never own a whole task.
+    Registered against the IDENTICAL oracle SQL as
+    ``purchase_asof_order`` — the driver hash-checks that salting is
+    a plan transformation, not a semantics change. PERF.md 0h-asof has
+    the skew probe (5.7× on a 24 M-row hot key); at this fixture's
+    balanced sizes the plain tier is the right default."""
+    from oracle_vector_search_spark.operators.temporal import (
+        asof_join_salted,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    return asof_join_salted(
+        ev.select(
+            "event_id", "user_id", F.expr("ts_ns div 1000").alias("ts_us")
+        ),
+        orders.select(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "od_us"
+            ),
+            "o_orderkey",
+            "o_totalprice",
+        ),
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="od_us",
+        right_payload=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+        buckets=16,
     ).select("event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice")
 
 

@@ -147,6 +147,10 @@ HEADLINE = [
     # (windowed exact moments, one shuffle, no joins)
     "sft_turn_alternation_audit",
     "grpo_group_advantage",
+    # r11: the reference's ONLINE entry point end-to-end — render →
+    # numpy detect → argmax box → crop → embed → GEMM top-5 (T9
+    # closure; shares the materialized index with pipeline_* above)
+    "query_path_detect_search",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session
@@ -172,6 +176,9 @@ AT_REST_WRITERS = {
     # first pays the encode+write, the warm path is decode-onward
     "video_mjpeg_frame_parity",
     "video_keyframe_knn",
+    # r11: first run may pay the shared index-table write if the
+    # pipeline_* queries have not touched it yet in this session
+    "query_path_detect_search",
 }
 
 

@@ -170,3 +170,68 @@ class TestMriFixture:
         assert midpoint_threshold(render_mri_like(k)) == (
             (p["bg"] + p["va"]) / 2.0
         )
+
+
+class TestSparkOperator:
+    """detect_boxes_numpy through Spark (the UDTF seam the query path
+    uses): NULL pixels skip (F3/F5), color frames decode, proposal
+    rows carry the kernel's exact fields."""
+
+    def test_detect_boxes_numpy_rows_and_f5(self, spark):
+        import pandas as pd
+
+        from oracle_vector_search_spark.functions.detect_numpy import (
+            MRI_NO_BLOB_MOD,
+            mri_params,
+            render_mri_like,
+        )
+        from oracle_vector_search_spark.sources.images import (
+            detect_boxes_numpy,
+        )
+
+        ks = [1, 2, MRI_NO_BLOB_MOD, 3]
+        rows = [
+            (
+                f"q_{k}",
+                96,
+                96,
+                1,
+                render_mri_like(k).reshape(96, 96, 1).tobytes(),
+            )
+            for k in ks
+        ] + [("broken", 96, 96, 1, None)]  # F3: undecodable
+        df = spark.createDataFrame(
+            rows,
+            "stem string, width int, height int, channels int, "
+            "pixels binary",
+        )
+        out = detect_boxes_numpy(df).collect()
+        stems = {r["stem"] for r in out}
+        assert "broken" not in stems  # NULL pixels → no rows
+        assert f"q_{MRI_NO_BLOB_MOD}" not in stems  # flat frame → F5
+        for k in (1, 2, 3):
+            mine = [r for r in out if r["stem"] == f"q_{k}"]
+            assert mine, k
+            best = min(mine, key=lambda r: r["box_idx"])
+            p = mri_params(k)
+            assert (best["x1"], best["y1"]) == (p["xa"], p["ya"])
+            assert best["cls"] == p["va"] // 64
+
+    def test_detect_boxes_numpy_color_frames(self, spark):
+        import numpy as np
+
+        from oracle_vector_search_spark.sources.images import (
+            detect_boxes_numpy,
+        )
+
+        arr = np.full((32, 32, 3), 10, dtype=np.uint8)
+        arr[4:12, 4:12] = (250, 100, 100)  # integer-mean luma 150
+        df = spark.createDataFrame(
+            [("c", 32, 32, 3, arr.tobytes())],
+            "stem string, width int, height int, channels int, "
+            "pixels binary",
+        )
+        out = detect_boxes_numpy(df).collect()
+        assert len(out) == 1
+        assert out[0]["cls"] == 150 // 64
+        assert (out[0]["x2"], out[0]["y2"]) == (12, 12)

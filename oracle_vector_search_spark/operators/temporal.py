@@ -287,6 +287,101 @@ def asof_join_salted(
     )
 
 
+def hot_asof_keys_from_profile(
+    profile, key: str, hot_rows_threshold: int = 4_000_000
+) -> list:
+    """Extract the keys worth time-salting from a ``key_profile``
+    table (operators/skew.py:key_profile — the at-rest skew telemetry
+    refreshed on ingest).
+
+    The as-of hazard is WINDOW-shaped, not join-shaped: the per-key
+    window sorts n_left + n_right rows in one task, so hotness is the
+    key's TOTAL timeline size, and the threshold is absolute — the
+    measured plain/salted crossover (PERF.md 0h-asof: plain wins at
+    4 M hot rows, salted 5.7× at 24 M), not the relative skew_mult
+    rule equi-joins use (a uniformly huge key set is fine for a
+    window; only a single long timeline binds)."""
+    from pyspark.sql import functions as F  # noqa: F401 (local alias)
+
+    hot = profile.filter(
+        (F.col("n_left") + F.col("n_right"))
+        >= F.lit(int(hot_rows_threshold))
+    )
+    return [r[key] for r in hot.select(key).collect()]
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    tolerance_seconds: int | None = None,
+    right_tiebreak: str | None = None,
+    direction: str = "backward",
+    buckets: int = 32,
+    profile: DataFrame | None = None,
+    hot_rows_threshold: int = 4_000_000,
+) -> DataFrame:
+    """Profile-dispatched as-of join (VERDICT r11 #6): the policy twin
+    of ``profile_guided_salted_join``, for the window-shaped hazard.
+
+    ``asof_join_salted`` is opt-in because it LOSES below the measured
+    crossover (~4 M rows on the hot key's timeline — PERF.md 0h-asof).
+    This wrapper makes the choice data-driven: consult the at-rest
+    ``key_profile`` table (pass ``profile=`` to skip the scan — the
+    100 TB path; computed inline otherwise), pull the keys whose total
+    timeline exceeds ``hot_rows_threshold``, and
+
+    * no hot keys → exactly ``asof_join`` (zero overhead beyond the
+      profile read, ≤top_n rows from an at-rest table);
+    * hot keys → split BOTH sides by a broadcast ``isin`` (as-of
+      semantics are per-key independent, so a key-partition of the
+      inputs unions to exactly the unsplit result): the cold slice
+      runs the plain single-window tier, the hot slice runs the
+      time-bucketed salted tier, and the union is the result the
+      oracle hash-checks against the plain tier's SQL.
+
+    At 100 TB the profile is metadata (≤top_n rows), the hot-key list
+    is driver-side-bounded by top_n, and the salted tier's extra
+    aggregate+join is paid only on the hot keys' rows."""
+    from oracle_vector_search_spark.operators.skew import key_profile
+
+    if profile is None:
+        profile = key_profile(left, right, key)
+    hot_keys = hot_asof_keys_from_profile(
+        profile, key, hot_rows_threshold=hot_rows_threshold
+    )
+    common = dict(
+        key=key,
+        left_ts=left_ts,
+        right_ts=right_ts,
+        right_payload=right_payload,
+        tolerance_seconds=tolerance_seconds,
+        right_tiebreak=right_tiebreak,
+        direction=direction,
+    )
+    if not hot_keys:
+        return asof_join(left, right, **common)
+    # NULL keys ride the cold slice on BOTH sides: the plain tier's
+    # window partitionBy groups NULLs together (unlike an equi-join),
+    # so NULL-key right rows must stay visible to NULL-key left rows
+    hot = F.col(key).isin(hot_keys)
+    cold_out = asof_join(
+        left.filter(~hot | F.col(key).isNull()),
+        right.filter(~hot | F.col(key).isNull()),
+        **common,
+    )
+    hot_out = asof_join_salted(
+        left.filter(hot),
+        right.filter(hot),
+        buckets=buckets,
+        **common,
+    )
+    return cold_out.unionByName(hot_out)
+
+
 def range_join_within(
     left: DataFrame,
     right: DataFrame,

@@ -141,6 +141,17 @@ def load_all_modules() -> None:
 #   merge-gain scoring). After this window every query registered
 #   before r9 has a driver-side CORRECTNESS row and every r9 query
 #   gets its first one.
+#   r12 (this file): with CORRECTNESS_r11 green (50/50), every
+#   registered name has a driver row and zero fail at its latest
+#   check. The window executes VERDICT r11 #2: clear the r3 freshness
+#   cohort. 8 sentinels + 1 re-check slot (qdigest_quantile_audit —
+#   its wcum window was rerouted through bounded_global_order this
+#   round to clear the plan-lint finding, VERDICT r11 #1c) + 41
+#   freshness slots: ALL 27 names whose latest driver check is round 3
+#   (oldest cohort, verified from CORRECTNESS_r01–r11), then the 14
+#   oldest round-4-latest names in registration order. New r12
+#   registrations swap in for the youngest freshness tail slots;
+#   swapped-out names roll to the r13 window.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",
@@ -151,61 +162,58 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_cosine_top5_gemm",
     "exact_dedup_groups",
     "streaming_upsert_snapshot",
-    # --- re-check: plans rewritten by 87c22d9 (head-slice kill) whose
-    # newest code has no driver row yet (VERDICT r10 #4), registration
-    # order ---
-    "vocab_coverage_curve",
-    "zipf_slope_fit",
-    "session_hot_hour_overlap",
-    "mann_whitney_u_test",
-    "value_ks_drift_audit",
+    # --- re-check: code changed this round (wcum window rerouted
+    # through bounded_global_order, VERDICT r11 #1c) ---
     "qdigest_quantile_audit",
-    "largest_remainder_allocation",
-    "temperature_mixture_allocation",
-    "dsir_importance_select",
-    "epoch_capped_token_allocation",
-    "bpe_apply_ranked_merges_top30",
-    "unigram_viterbi_tokenize_top30",
-    "unigram_em_prune_step",
-    "wordpiece_merge_gain_top20",
-    "wordpiece_greedy_tokenize_top30",
-    # --- re-check: BENCH_r10 regressed outside the noise band with
-    # zero code change — correctness row doubles as the freshness
-    # anchor while the perf adjudication lands (VERDICT r10 #2) ---
-    "video_keyframe_knn",
-    "knn_exact_gemm_int8",
-    # --- freshness: oldest latest-check first — the 17 remaining
-    # r2-era names, then the 8 oldest r3-era names (registration
-    # order); the tail of this block is the swap-out zone for new r11
+    # --- freshness: oldest latest-check first — all 27 r3-latest
+    # names, then the 14 oldest r4-latest names (registration order);
+    # the tail of this block is the swap-out zone for new r12
     # registrations ---
-    "simhash_near_dup_pairs",
-    "dedup_canonical_ids",
-    "grouped_map_centroids",
-    "kmv_containment_pairs",
-    "lineitem_cube",
-    "document_chunks",
-    "packed_context_bins",
-    "embedding_quantize_int8",
-    "dataset_split_assign",
-    "doc_gopher_quality_flags",
-    "bucketed_colocated_join_revenue",
-    "salted_skew_join_revenue",
-    "dataset_constraint_audit",
-    "streaming_hourly_windows",
-    "streaming_session_counts",
-    "streaming_knn_scores",
-    "streaming_dedup_event_types",
-    "kmeans_refine_clusters",
-    "index_upsert_merge",
-    "ivf_index_upsert",
-    "kmeans_chain_two_steps",
-    "pq_codes_fidelity",
-    "ntile_distribution_scaled",
-    # new r11 registrations swap in for the youngest freshness slots
-    # (winsorized_price_stats and bigram_collocations_top20 roll to
-    # the r12 window)
-    "query_path_detect_search",
-    "purchase_asof_order_salted",
+    "winsorized_price_stats",
+    "bigram_collocations_top20",
+    "ngram_jaccard_pairs",
+    "signature_upsert_merge",
+    "q6_forecast_revenue",
+    "array_functions",
+    "stratified_sample_rates",
+    "doc_repetition_stats",
+    "doc_pii_scrub",
+    "chunk_embed_retrieve_topk",
+    "term_doc_frequency_top20",
+    "contrastive_negative_samples",
+    "hard_negative_mining_top3",
+    "mmr_rerank_top3",
+    "target_encode_loo",
+    "bloom_prefiltered_urgent_revenue",
+    "unpivot_pricing_measures",
+    "feature_correlation_exact",
+    "fuzzy_entity_match_pairs",
+    "min_cost_supplier_per_part",
+    "nation_pair_volume",
+    "top_returning_customers",
+    "priority_by_linestatus",
+    "brand_discount_revenue",
+    "customer_order_distribution",
+    "top_revenue_suppliers",
+    "small_order_revenue",
+    # --- r4-latest cohort begins (domain_cap_sample and younger roll
+    # to r13) ---
+    "embedding_dim_stats",
+    "lsh_recall_audit",
+    "index_health_audit",
+    "sql_interface_pricing",
+    "events_json_agg",
+    "hourly_event_windows",
+    "user_sessions",
+    "purchase_asof_order",
+    "event_pairs_within_minute",
+    "events_hourly_gapfill_locf",
+    "jsonl_ingest_audit",
+    "udtf_token_windows",
+    "benchmark_decontamination",
+    # new r12 registration (never-driver-checked names claim slots;
+    # dedup_keep_best rolls to the r13 window)
+    "purchase_asof_order_auto",
 )
 
 

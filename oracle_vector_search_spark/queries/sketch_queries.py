@@ -1192,9 +1192,16 @@ def qdigest_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(p, (p * n + 99) // 100) for p in _QD_PCTS],
         "pct long, r long",
     )
-    wcum = Window.orderBy(F.asc("hi"), F.asc(F.col("hi") - F.col("lo"))).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # bounded_global_order: digest is the driver-compressed q-digest
+    # node set (<= 3/sigma, <= 1024 nodes at any corpus scale — the
+    # compression invariant), same argument as wleaf below
+    wcum = bounded_global_order(
+        digest,
+        F.asc("hi"),
+        F.asc(F.col("hi") - F.col("lo")),
+        bound="q-digest nodes <= 3/sigma by compression invariant",
+        max_rows=1024,
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = digest.select("hi", F.sum("cnt").over(wcum).alias("c"))
     est = (
         F.broadcast(ranks)

@@ -221,6 +221,60 @@ def purchase_asof_order_salted(
     ).select("event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice")
 
 
+@register("purchase_asof_order_auto", _PURCHASE_ASOF_ORACLE)
+def purchase_asof_order_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics served by the PROFILE-DISPATCHED tier
+    (``asof_join_auto``, VERDICT r11 #6): consult the key_profile skew
+    telemetry, route hot timelines through the time-bucketed salted
+    window and everything else through the plain single-window tier,
+    union. Registered against the IDENTICAL oracle SQL as
+    ``purchase_asof_order`` — the driver hash-checks that the dispatch
+    (including the split/union) is a plan transformation, not a
+    semantics change.
+
+    The fixture is balanced, so the production threshold (4 M rows,
+    the measured crossover — PERF.md 0h-asof) would route everything
+    plain; to keep BOTH slices exercised at every fixture scale, the
+    threshold pins to the heaviest profiled timeline (one ≤20-row
+    metadata read — at 100 TB the profile is an at-rest table)."""
+    from oracle_vector_search_spark.operators.skew import key_profile
+    from oracle_vector_search_spark.operators.temporal import (
+        asof_join_auto,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    l = ev.select(
+        "event_id", "user_id", F.expr("ts_ns div 1000").alias("ts_us")
+    )
+    r = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "od_us"
+        ),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    prof = key_profile(l, r, "user_id")
+    thr = prof.agg(
+        F.max(F.col("n_left") + F.col("n_right")).alias("m")
+    ).collect()[0]["m"]
+    return asof_join_auto(
+        l,
+        r,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="od_us",
+        right_payload=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+        buckets=16,
+        profile=prof,
+        hot_rows_threshold=int(thr),
+    ).select("event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice")
+
+
 @register(
     "view_next_purchase_asof",
     """

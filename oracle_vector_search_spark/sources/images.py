@@ -573,6 +573,123 @@ def detect_boxes_numpy(df: DataFrame, min_area: int | None = None) -> DataFrame:
     ).mapInPandas(batches, schema=out_schema)
 
 
+_YOLO_CACHE: dict[str, object] = {}  # per-executor-process model cache
+
+
+def _yolo_model(weights: str):
+    """Reference parity: ultralytics YOLO loaded once per executor
+    process (app.py:40 loads `best.pt` once at module import)."""
+    if weights not in _YOLO_CACHE:
+        from ultralytics import YOLO
+
+        _YOLO_CACHE[weights] = YOLO(weights)
+    return _YOLO_CACHE[weights]
+
+
+def _yolo_boxes_one(model, arr: np.ndarray) -> list[dict]:
+    """One decoded (h, w, c) image → conf-DESC-ranked box dicts in the
+    numpy tier's exact row shape. The reference keeps only
+    ``result.boxes.conf.argmax()`` (app.py:120-125) — that is rank 0
+    here; emitting ALL ranked proposals preserves the shared 1→N UDTF
+    seam, and callers reproduce the reference's top-1 with
+    ``box_idx == 0``. Zero boxes → empty list (the F5 no-detection
+    guard, app.py:117-118). Coords are int-truncated like the
+    reference's ``map(int, best_box.xyxy[0])``, then clipped to the
+    frame; degenerate boxes drop (F4)."""
+    result = model(arr, verbose=False)[0]
+    boxes = result.boxes
+    if len(boxes) == 0:
+        return []
+    xyxy = np.asarray(boxes.xyxy, dtype=np.float64).reshape(len(boxes), 4)
+    conf = np.asarray(boxes.conf, dtype=np.float64).reshape(-1)
+    cls = np.asarray(boxes.cls, dtype=np.float64).reshape(-1)
+    h, w = int(arr.shape[0]), int(arr.shape[1])
+    out: list[dict] = []
+    # stable sort: equal-conf boxes keep the model's emission order
+    for i in np.argsort(-conf, kind="stable"):
+        x1 = min(max(int(xyxy[i, 0]), 0), w)
+        y1 = min(max(int(xyxy[i, 1]), 0), h)
+        x2 = min(max(int(xyxy[i, 2]), 0), w)
+        y2 = min(max(int(xyxy[i, 3]), 0), h)
+        if x2 <= x1 or y2 <= y1:
+            continue
+        out.append(
+            {
+                "x1": x1,
+                "y1": y1,
+                "x2": x2,
+                "y2": y2,
+                "area": (x2 - x1) * (y2 - y1),
+                "conf": round(float(conf[i]), 6),
+                "cls": int(cls[i]),
+            }
+        )
+    return out
+
+
+def _yolo_detect_batch(model, pdf: pd.DataFrame) -> list[dict]:
+    """One Arrow batch of decoded image rows → detection rows. NULL
+    pixels skip (F3/F5 — undecodable frames yield zero detections,
+    never an error). Shared kernel so the ungated fake-ultralytics
+    contract test exercises exactly what the Spark stage runs."""
+    rows: list[dict] = []
+    for stem, px, w, h, c in zip(
+        pdf["stem"], pdf["pixels"], pdf["width"], pdf["height"],
+        pdf["channels"],
+    ):
+        if px is None:
+            continue
+        arr = np.frombuffer(bytes(px), np.uint8).reshape(
+            int(h), int(w), int(c)
+        )
+        for i, b in enumerate(_yolo_boxes_one(model, arr)):
+            rows.append({"stem": stem, "box_idx": i, **b})
+    return rows
+
+
+def detect_boxes_yolo(
+    df: DataFrame, weights: str = "best.pt"
+) -> DataFrame:
+    """T9 REAL-MODEL tier (gated): ultralytics YOLOv8 inference
+    (reference app.py:40,113-125) at the SAME UDTF seam as
+    ``detect_boxes_numpy`` — identical input columns, identical output
+    schema, conf-ranked box_idx (0 = the reference's
+    ``conf.argmax()`` pick), zero rows on no-detection/NULL pixels.
+    The model loads once per executor process; pixels never leave the
+    map stage. ultralytics is absent from the CI container, so the
+    dispatch/wiring contract is proven by the ungated fake-ultralytics
+    test (tests/test_yolo_contract.py) and this gate raises
+    NotImplementedError pointing at the supported deterministic tier."""
+    try:
+        import ultralytics  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "ultralytics not installed in this environment; "
+            "detect_boxes_numpy is the supported deterministic tier "
+            "at the same seam"
+        ) from exc
+
+    out_schema = (
+        "stem string, box_idx int, x1 int, y1 int, x2 int, y2 int, "
+        "area int, conf double, cls int"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _yolo_model(weights)
+        for pdf in it:
+            yield pd.DataFrame(
+                _yolo_detect_batch(model, pdf),
+                columns=[
+                    "stem", "box_idx", "x1", "y1", "x2", "y2", "area",
+                    "conf", "cls",
+                ],
+            )
+
+    return df.select(
+        "stem", "pixels", "width", "height", "channels"
+    ).mapInPandas(batches, schema=out_schema)
+
+
 _IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], dtype=np.float32)
 _IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 

@@ -167,6 +167,15 @@ EXPECTED: dict[str, dict[str, int]] = {
     # grpo: one task_id window shuffle + output ordering; moments ride
     # the window partitioning, advantage is a scalar projection
     "grpo_group_advantage":            {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # --- round 11 addition (fingerprint landed r12 — the f39669e-era
+    # bench entry shipped without one, VERDICT r11 #1a) ---
+    # detect query path: render→detect→crop fused in ONE Arrow
+    # mapInPandas stage (pixels never shuffle), pinned via
+    # localCheckpoint; search is the GEMM tier (its python stage runs
+    # at collect time, before this final plan); the two broadcasts are
+    # the crop-side query join and the metadata join; the one exchange
+    # is the top-k merge window
+    "query_path_detect_search":        {"shuffle_exchanges": 1, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 1},
 }
 # fmt: on
 

@@ -18,7 +18,7 @@ from oracle_vector_search_spark import queries as registry
 # The single authoritative surface size. README.md and COVERAGE.md must
 # state this number; bump it here in the same commit that registers a
 # new query.
-DOCUMENTED_QUERY_COUNT = 343
+DOCUMENTED_QUERY_COUNT = 344
 
 SENTINELS = {
     "pipeline_label_parse",
@@ -31,37 +31,31 @@ SENTINELS = {
     "streaming_upsert_snapshot",
 }
 
-# This round's DELIBERATE re-check slots (VERDICT r10 #4): the 15
-# queries whose plans 87c22d9 rewrote (including
-# unigram_viterbi_tokenize_top30 via the shared _uv_viterbi_paths
-# helper) plus the two BENCH_r10-regressed zero-code-change queries.
+# The round this rotation was authored FOR. The rotation rule is
+# computed from the CORRECTNESS artifacts that existed when the window
+# was authored — rounds STRICTLY BELOW this one. Without the cutoff the
+# test self-invalidates the moment the driver writes the current
+# round's artifact (the window's own names get latest=current and the
+# oldest-first assertion inverts — VERDICT r11 #1b). Bump this constant
+# in the SAME commit that rotates _PRIORITY.
+ROTATION_AUTHORED_FOR = 12
+
+# This round's DELIBERATE re-check slots: queries whose code changed
+# this round after their latest driver row (r12: the qdigest wcum
+# window rerouted through bounded_global_order, VERDICT r11 #1c).
 # Update this set in the SAME commit that rotates _PRIORITY; everything
 # else about the window is DERIVED from the rotation rule below.
 RECHECK_CURRENT = {
-    "vocab_coverage_curve",
-    "zipf_slope_fit",
-    "session_hot_hour_overlap",
-    "mann_whitney_u_test",
-    "value_ks_drift_audit",
     "qdigest_quantile_audit",
-    "largest_remainder_allocation",
-    "temperature_mixture_allocation",
-    "dsir_importance_select",
-    "epoch_capped_token_allocation",
-    "bpe_apply_ranked_merges_top30",
-    "unigram_viterbi_tokenize_top30",
-    "unigram_em_prune_step",
-    "wordpiece_merge_gain_top20",
-    "wordpiece_greedy_tokenize_top30",
-    "video_keyframe_knn",
-    "knn_exact_gemm_int8",
 }
 
 
 def _latest_driver_check():
     """name -> latest round with a driver CORRECTNESS row, from the
-    committed CORRECTNESS_r*.json artifacts (the rotation's ground
-    truth). Names absent from every artifact are never-checked."""
+    committed CORRECTNESS_r*.json artifacts of rounds STRICTLY BELOW
+    ``ROTATION_AUTHORED_FOR`` (the rotation's ground truth at authoring
+    time; later artifacts are products of this very window). Names
+    absent from every such artifact are never-checked."""
     import glob
     import json
     import os
@@ -70,6 +64,8 @@ def _latest_driver_check():
     latest = {}
     for f in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(f).split("_r")[1].split(".")[0])
+        if rnd >= ROTATION_AUTHORED_FOR:
+            continue
         for name in json.load(open(f)):
             latest[name] = rnd
     return latest

@@ -258,3 +258,114 @@ def test_asof_salted_window_partitions_by_key_and_bucket(spark):
     assert "__bucket" in plan.split("Window")[1][:400], (
         "phase-A window does not partition on the salt bucket"
     )
+
+
+# --------------------- auto dispatch: profile-driven tier choice (r12)
+def test_asof_auto_dispatches_plain_when_no_hot_keys(spark):
+    """Balanced profile (production 4M threshold, tiny fixture) →
+    the output must BE the plain tier's plan: no salt bucket column,
+    single union-marker window."""
+    from oracle_vector_search_spark.operators.temporal import (
+        asof_join_auto,
+    )
+
+    left, right = _frames(spark)
+    out = asof_join_auto(
+        left, right, "k", "lts", "rts", ["rid"], right_tiebreak="rid"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the plain tier is ONE union-marker window; no salt bucket, no
+    # carry window anywhere in the plan
+    assert "__bucket" not in plan
+    assert plan.count("Window") == 1
+    plain = asof_join(
+        left, right, "k", "lts", "rts", ["rid"], right_tiebreak="rid"
+    )
+    assert _rowset(out) == _rowset(plain)
+
+
+def test_asof_auto_salts_profiled_hot_keys_only(spark):
+    """Threshold below the hot key's timeline → the plan must carry
+    BOTH tiers (union of plain cold slice + bucketed hot slice) and
+    the rows must equal the plain tier's exactly."""
+    from oracle_vector_search_spark.operators.temporal import (
+        asof_join_auto,
+    )
+
+    left, right = _skewed_frames(spark, n_hot=800)
+    out = asof_join_auto(
+        left, right, "k", "lts", "rts", ["rid"],
+        right_tiebreak="rid", buckets=8, hot_rows_threshold=500,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__bucket" in plan, "hot slice did not route through salting"
+    # both tiers present: the cold slice's single key window + the hot
+    # slice's phase-A (key, bucket) window and bucket-axis carry window
+    assert plan.count("Window") >= 3, "cold slice missing (all salted?)"
+    plain = asof_join(
+        left, right, "k", "lts", "rts", ["rid"], right_tiebreak="rid"
+    )
+    assert _rowset(out) == _rowset(plain)
+
+
+def test_asof_auto_accepts_at_rest_profile(spark):
+    """Passing profile= must skip the inline key_profile scan (the
+    100 TB path) and drive the same dispatch; hot keys listed in the
+    profile above threshold go salted."""
+    from oracle_vector_search_spark.operators.skew import key_profile
+    from oracle_vector_search_spark.operators.temporal import (
+        asof_join_auto,
+        hot_asof_keys_from_profile,
+    )
+
+    left, right = _skewed_frames(spark, n_hot=800)
+    prof = key_profile(left, right, "k")
+    # the profile names 'hot' as the heaviest timeline
+    assert hot_asof_keys_from_profile(prof, "k", 500) == ["hot"]
+    out = asof_join_auto(
+        left, right, "k", "lts", "rts", ["rid"],
+        right_tiebreak="rid", buckets=8,
+        profile=prof, hot_rows_threshold=500,
+    )
+    plain = asof_join(
+        left, right, "k", "lts", "rts", ["rid"], right_tiebreak="rid"
+    )
+    assert _rowset(out) == _rowset(plain)
+
+
+def test_asof_auto_null_keys_ride_cold_slice(spark):
+    """NULL keys group together under the plain tier's window
+    partitioning (unlike an equi-join) — the split must preserve
+    that: NULL-key left rows still see NULL-key right rows."""
+    from oracle_vector_search_spark.operators.temporal import (
+        asof_join_auto,
+    )
+
+    left = spark.createDataFrame(
+        [
+            (1, None, _ts("2024-01-01 10:00:00")),
+            (2, "hot", _ts("2024-01-01 10:00:00")),
+            (3, "hot", _ts("2024-01-01 12:00:00")),
+        ],
+        "lid INT, k STRING, lts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, None, _ts("2024-01-01 09:00:00")),
+            (11, "hot", _ts("2024-01-01 09:30:00")),
+            (12, "hot", _ts("2024-01-01 11:00:00")),
+        ],
+        "rid INT, k STRING, rts TIMESTAMP",
+    )
+    out = asof_join_auto(
+        left, right, "k", "lts", "rts", ["rid"],
+        right_tiebreak="rid", buckets=4, hot_rows_threshold=2,
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    # NULL-key left row matches the NULL-key right row, exactly as the
+    # plain tier would; hot rows salted
+    assert got == {1: 10, 2: 11, 3: 12}
+    plain = asof_join(
+        left, right, "k", "lts", "rts", ["rid"], right_tiebreak="rid"
+    )
+    assert _rowset(out) == _rowset(plain)

@@ -86,11 +86,27 @@ def tree_state() -> tuple[str, list[str]]:
     bench capture are products of the battery — they are expected to
     be dirty at verify time and are excluded."""
     head = _git(["rev-parse", "--short", "HEAD"])
-    ignore = ("VERIFY.log", ".verify_", "BENCH_LOCAL.json")
-    dirty = [
-        ln for ln in _git(["status", "--porcelain"]).splitlines()
-        if ln and not any(tok in ln for tok in ignore)
-    ]
+    # Driver-written per-round artifacts (CORRECTNESS_r*/BENCH_r*) land
+    # untracked mid-round; they are not part of the code tree the log
+    # vouches for (ADVICE r11). Match on the porcelain PATH field, not
+    # a substring of the whole line.
+    import fnmatch
+
+    ignore = (
+        "VERIFY.log",
+        ".verify_*",
+        "BENCH_LOCAL.json",
+        "CORRECTNESS_r*.json",
+        "BENCH_r*.json",
+    )
+    dirty = []
+    for ln in _git(["status", "--porcelain"]).splitlines():
+        if not ln:
+            continue
+        path = ln[3:].split(" -> ")[-1].strip().strip('"')
+        if any(fnmatch.fnmatch(path, pat) for pat in ignore):
+            continue
+        dirty.append(ln)
     return head, dirty
 
 
@@ -117,6 +133,11 @@ def main() -> int:
     pytest_env = dict(env)
     if not fast:
         pytest_env["OVS_FULL_ORACLE"] = "1"
+    # Execute every bounded_global_order bound claim instead of leaving
+    # it prose (VERDICT r11 #3): each call eagerly counts its input and
+    # raises if the stated max_rows is exceeded. Cheap at the sf0.001
+    # test fixtures.
+    pytest_env["OVS_ASSERT_BOUNDS"] = "1"
     stages.append(
         run("pytest", [sys.executable, "-m", "pytest", "tests/", "-q"],
             pytest_env)
@@ -152,7 +173,9 @@ def main() -> int:
         f"VERIFY {'PASS' if ok else 'FAIL'} "
         f"{datetime.datetime.now(datetime.timezone.utc).isoformat()} "
         f"HEAD={head}"
-        + (f" DIRTY={len(dirty)}" if dirty else " tree=clean"),
+        + (f" DIRTY={len(dirty)}" if dirty else " tree=clean")
+        + (" flags=OVS_FULL_ORACLE,OVS_ASSERT_BOUNDS" if not fast
+           else " flags=fast,OVS_ASSERT_BOUNDS"),
     ]
     for s in stages:
         lines.append(f"--- {s['name']}: rc={s['rc']}")

@@ -80,14 +80,17 @@ def connected_components(mask: np.ndarray) -> tuple[np.ndarray, int]:
         if np.array_equal(nxt, lab):
             break
         lab = nxt
-    # renumber to 1..n in first-pixel order
-    ids = np.unique(lab)
-    ids = ids[ids > 0]
-    remap = {int(v): i + 1 for i, v in enumerate(ids)}
-    out = np.zeros_like(lab)
-    for v, i in remap.items():
-        out[lab == v] = i
-    return out, len(ids)
+    # renumber to 1..n in first-pixel order: component labels are the
+    # min seed id, and seed ids are assigned row-major, so the sorted
+    # unique order IS first-pixel order. One vectorized pass via
+    # return_inverse (ADVICE r11: the old per-component `out[lab == v]`
+    # scan was O(n_components × H × W))
+    ids, inv = np.unique(lab, return_inverse=True)
+    out = inv.reshape(lab.shape).astype(np.int64)
+    if ids[0] != 0:  # no background pixel: shift components to 1..n
+        out += 1
+        return out, int(ids.size)
+    return out, int(ids.size - 1)
 
 
 def propose_boxes(

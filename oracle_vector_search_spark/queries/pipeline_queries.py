@@ -246,7 +246,15 @@ def _built_index(spark: SparkSession, sf_dir: str, max_key: int) -> DataFrame:
     )
 
 
-def _duck_index_sql(max_key: int) -> str:
+def _duck_index_head(max_key: int) -> str:
+    """The shared CTE prefix (lines → … → withvec → final) WITHOUT the
+    final id projection — the composition seam. `_duck_query_topk_sql`
+    and `_duck_detect_search_sql` append their own CTEs after it
+    (ADVICE r11: they used to slice `_duck_index_sql`'s rendered text
+    by substring at import time, so any reformatting of the base SQL
+    raised ValueError and broke importing the whole queries package).
+    Ends just after `final`'s closing paren, so callers append either
+    the final SELECT or `, more_ctes AS (...) SELECT ...`."""
     class_arr = _CLASS_ARRAY_SQL
     return f"""
 WITH lines AS ({_DUCK_LABEL_LINES.format(max_key=500)}),
@@ -291,6 +299,11 @@ final AS (
          emb[1] / sqrt(list_dot_product(emb, emb)) AS unit0
   FROM withvec
 )
+"""
+
+
+def _duck_index_sql(max_key: int) -> str:
+    return _duck_index_head(max_key) + """
 SELECT CAST(row_number() OVER (ORDER BY split, stem, box_idx, class_id, x1, y1, x2, y2) AS BIGINT) AS id,
        stem, box_idx, class_id, class_name, x1, y1, x2, y2,
        e0, enorm, unit0
@@ -361,12 +374,9 @@ def _materialized_index(
 def _duck_query_topk_sql(max_key: int) -> str:
     """Oracle for the online query path: rebuild the index CTEs, then
     embed 3 synthetic uploads and rank cosine top-5 per query."""
-    base = _duck_index_sql(max_key)
-    # reuse everything up to the final projection; re-derive ids WITH the
-    # embedding column carried through
-    head = base[: base.index(
-        "SELECT CAST(row_number() OVER (ORDER BY split, stem, box_idx"
-    )]
+    # reuse the shared CTE prefix; re-derive ids WITH the embedding
+    # column carried through
+    head = _duck_index_head(max_key)
     names = ", ".join(f"'{n}'" for n in _QUERY_NAMES)
     return (
         head
@@ -1307,10 +1317,7 @@ def _duck_detect_search_sql() -> str:
         MRI_W,
     )
 
-    base = _duck_index_sql(500)
-    head = base[: base.index(
-        "SELECT CAST(row_number() OVER (ORDER BY split, stem, box_idx"
-    )]
+    head = _duck_index_head(500)
     npx = MRI_H * MRI_W
     return (
         head

@@ -508,8 +508,23 @@ def upsert_snapshot_stream_recoverable(
     )
     try:
         q.processAllAvailable()
-    except StreamingQueryException:
-        if crash_after_epochs is None:
+    except StreamingQueryException as exc:
+        # Only the INJECTED crash is an expected outcome — a genuine
+        # merge_batch bug during a crash-injection run must still
+        # surface (ADVICE r11). foreachBatch errors cross the Py4J
+        # boundary as a StreamingQueryException whose message embeds
+        # the Python traceback, so match the marker class by name
+        # through the message and the __cause__ chain.
+        def _is_injected(e) -> bool:
+            seen = set()
+            while e is not None and id(e) not in seen:
+                seen.add(id(e))
+                if _InjectedCrash.__name__ in str(e):
+                    return True
+                e = e.__cause__ or e.__context__
+            return False
+
+        if crash_after_epochs is None or not _is_injected(exc):
             raise
         return None  # the injected crash killed the query, as asked
     finally:

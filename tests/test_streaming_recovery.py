@@ -116,3 +116,30 @@ def test_replayed_epoch_is_idempotent(spark, sf_dir, tmp_path):
     got = {tuple(r) for r in final.collect()}
     want = {tuple(r) for r in _batch_oracle(spark, sf_dir).collect()}
     assert got == want
+
+
+def test_genuine_failure_is_not_masked_as_the_injected_crash(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """ADVICE r11: with crash_after_epochs set, a REAL merge_batch bug
+    must still raise — only the injected kill may return None.
+    Sabotage merge_upsert (used from epoch 1 on) and assert the
+    StreamingQueryException escapes instead of being read as the
+    injection."""
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from oracle_vector_search_spark.operators import merge as merge_mod
+
+    def boom(*args, **kwargs):
+        raise ValueError("genuine merge bug, not the injection")
+
+    monkeypatch.setattr(merge_mod, "merge_upsert", boom)
+    with pytest.raises(StreamingQueryException):
+        upsert_snapshot_stream_recoverable(
+            spark,
+            sf_dir,
+            str(tmp_path / "ckp"),
+            str(tmp_path / "snap"),
+            crash_after_epochs=3,
+        )

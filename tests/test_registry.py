@@ -2,15 +2,15 @@
 
 The driver's hard correctness gate compares only a 50-entry prefix of
 ``queries()`` against the DuckDB oracle, so the prefix ROTATES per round
-(see ``_PRIORITY``'s comment): a fixed sentinel set is always present,
-and the rest of the window is filled with queries that have never had a
-driver correctness row. This test pins the sentinel set and the round-6
-rotation (the 41 never-driver-checked round-5/6 additions, oldest
-first, plus ``embedding_covariance_upper`` whose rounding policy changed
-this round); it fails loudly if registration drift pushes any of them
-past position 49. It also pins the documented
-registry size so README/COVERAGE counts can't drift from
-``len(queries())`` again (VERDICT r5 #3).
+(see ``_PRIORITY``'s comment): sentinels are always present, this
+round's declared re-checks claim their slots, every never-driver-checked
+name claims one, and the remaining slots go to the names with the
+OLDEST latest driver check. The rotation rule itself is asserted
+(derived from the committed CORRECTNESS artifacts of rounds before
+``ROTATION_AUTHORED_FOR``), so the test survives future rotations and
+new registrations. It also pins the documented registry size so
+README/COVERAGE counts can't drift from ``len(queries())`` again
+(VERDICT r5 #3).
 """
 
 from oracle_vector_search_spark import queries as registry

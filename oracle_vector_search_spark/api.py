@@ -133,7 +133,8 @@ def upsert_index(
     # updated rows keep their existing id
     updated = batch.join(ids, key, "inner")
     # new rows: dense ids continuing past the current max (two-phase
-    # rank over the batch only + one metadata-sized max)
+    # rank over the batch only + one max aggregate)
+    # bounded: a single max row
     max_id = index.agg(F.max("id")).collect()[0][0] or 0
     fresh = assign_index_ids_two_phase(
         batch.join(ids.select(*key), key, "left_anti"), key

@@ -66,7 +66,7 @@ def build_bloom(
             ).alias("mask")
         )
         .collect()
-    )
+    )  # bounded: <= m_bits/64 words (8 KiB default), never row count
     words = [0] * (m_bits // 64)
     for r in rows:
         words[r["w"]] = r["mask"]

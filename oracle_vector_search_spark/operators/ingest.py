@@ -174,7 +174,7 @@ def assign_index_ids_two_phase(
 
     counts = (
         d.groupBy("__pid").count().orderBy("__pid").collect()
-    )  # one row per partition — metadata-sized regardless of data size
+    )  # bounded: one row per partition, metadata-sized at any scale
     offsets, running = {}, 0
     for r in counts:
         offsets[r["__pid"]] = running

@@ -194,6 +194,7 @@ def knn_exact_gemm(
             "instead, or raise max_queries explicitly if you have the "
             "driver memory for it"
         )
+    # bounded: the max_queries guard above caps this at 65,536 rows
     q_rows = query_df.select(qid, qvec).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)
@@ -355,16 +356,20 @@ def knn_exact_gemm_int8(
 
     qid = query_id_col or id_col
     qvec = query_vec_col or vec_col
+    # guard BEFORE materializing (the old post-collect check would
+    # already have paid the driver memory it was refusing)
+    n_queries = query_df.count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"query set has {n_queries} rows > max_queries={max_queries}; "
+            "use operators.ann for huge query sets"
+        )
+    # bounded: the max_queries guard above caps this at 65,536 rows
     q_rows = query_df.select(qid, qvec).collect()
     if not q_rows:
         # same empty-input contract as knn_exact_gemm above
         return query_df.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, score double, rank int"
-        )
-    if len(q_rows) > max_queries:
-        raise ValueError(
-            f"query set has {len(q_rows)} rows > max_queries={max_queries}; "
-            "use operators.ann for huge query sets"
         )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([r[1] for r in q_rows], dtype=np.float64)

@@ -110,6 +110,7 @@ def hot_keys_from_profile(
             >= F.lit(float(skew_mult)) * F.col(f"t_{side}").cast("double")
         )
 
+    # bounded: key_profile emits <= top_n rows by construction
     return [r[key] for r in profile.filter(_side("left") | _side("right")).collect()]
 
 

@@ -183,7 +183,8 @@ def asof_join_salted(
         F.unix_micros("__ts") if is_ts else F.col("__ts").cast("long")
     )
 
-    # one metadata-sized job pins the time range; equal-width buckets
+    # bounded: one min/max row pins the time range (metadata-sized at
+    # any data scale); equal-width buckets
     rng = unioned.agg(
         F.min(ts_val).alias("lo"), F.max(ts_val).alias("hi")
     ).collect()[0]
@@ -307,6 +308,7 @@ def hot_asof_keys_from_profile(
         (F.col("n_left") + F.col("n_right"))
         >= F.lit(int(hot_rows_threshold))
     )
+    # bounded: key_profile emits <= top_n rows by construction
     return [r[key] for r in hot.select(key).collect()]
 
 

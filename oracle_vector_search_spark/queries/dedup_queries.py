@@ -1578,7 +1578,7 @@ def suffix_array_repeated_substrings(
         # usually separates within 2-3 rounds
         st = state.agg(
             F.max("r").alias("m"), F.count("*").alias("n")
-        ).collect()[0]
+        ).collect()[0]  # bounded: one max/count row per round
         if st["m"] == st["n"]:
             break
 

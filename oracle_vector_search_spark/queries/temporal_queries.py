@@ -260,7 +260,7 @@ def purchase_asof_order_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof = key_profile(l, r, "user_id")
     thr = prof.agg(
         F.max(F.col("n_left") + F.col("n_right")).alias("m")
-    ).collect()[0]["m"]
+    ).collect()[0]["m"]  # bounded: one max row over a <=20-row profile
     return asof_join_auto(
         l,
         r,

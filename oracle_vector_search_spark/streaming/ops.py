@@ -904,7 +904,7 @@ def psi_drift_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     row = ev_b.agg(
         F.min("c").alias("mn"), F.max("c").alias("mx")
-    ).first()
+    ).first()  # bounded: one min/max row
     if row["mn"] is None:
         # empty events table: min/max aggregate to NULL and the bin
         # width below would be garbage — degrade to an empty result

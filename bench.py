@@ -151,6 +151,9 @@ HEADLINE = [
     # numpy detect → argmax box → crop → embed → GEMM top-5 (T9
     # closure; shares the materialized index with pipeline_* above)
     "query_path_detect_search",
+    # r12: per-epoch deterministic corpus reshuffle — scan-born hash
+    # keys, scan-stage epoch Generate, one group-by shuffle
+    "epoch_shuffle_shards",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session

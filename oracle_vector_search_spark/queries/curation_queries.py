@@ -26,6 +26,10 @@ the heuristic filters (text_queries) and around the dedup cascade
   with per-shard integrity checksums, the manifest a downstream trainer
   uses to verify an export. Hash-mod sharding is engine-portable and
   rebalances nothing on re-run.
+* ``epoch_shuffle_shards`` — the per-EPOCH reshuffle the static manifest
+  above can't give: a fresh pseudorandom permutation of the corpus every
+  epoch, derived from hash keys born in the scan (no rand(), no global
+  sort), emitted as per-(epoch, shard) manifests with order witnesses.
 
 Scale notes: every per-document score here is a scan-stage projection
 (no shuffle); the only shuffles are a 256-row bucket-stats aggregate
@@ -906,6 +910,84 @@ def shard_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
         F.expr("bit_xor(h)").alias("content_checksum"),
+    )
+
+
+_N_EPOCHS = 3
+_N_EPOCH_SHARDS = 16
+
+
+@register(
+    "epoch_shuffle_shards",
+    f"""
+WITH epochs AS (
+  SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_bytes, e.epoch
+  FROM documents d
+  CROSS JOIN (SELECT unnest(range(0, {_N_EPOCHS})) AS epoch) e
+), keyed AS (
+  SELECT CAST(epoch AS INTEGER) AS epoch, doc_id, n_bytes,
+         {T.duck_hash60("'ep:' || epoch::VARCHAR || ':' || doc_id::VARCHAR")}
+           AS k
+  FROM epochs
+), sharded AS (
+  SELECT epoch, CAST(k % {_N_EPOCH_SHARDS} AS INTEGER) AS shard_id,
+         doc_id, n_bytes, k
+  FROM keyed
+)
+SELECT epoch, shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+       min_by(doc_id, k) AS first_doc_id,
+       max_by(doc_id, k) AS last_doc_id,
+       bit_xor(k) AS shuffle_checksum
+FROM sharded GROUP BY epoch, shard_id
+""",
+)
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch corpus reshuffle (the multi-epoch twin of
+    ``shard_export_manifest``): every epoch gets a FRESH pseudorandom
+    permutation — key = hash60('ep:' epoch ':' doc_id) — so repeated
+    passes over the same corpus see different shard compositions and
+    different within-shard orders, reproducibly (no ``rand()``, no
+    partition-order dependence, re-runs bit-identical).
+
+    Emitted as per-(epoch, shard) manifests: doc/byte volume, the first
+    and last doc in shuffle-key order (``min_by``/``max_by`` — the order
+    witnesses a trainer can spot-check), and an order-independent XOR of
+    the keys (the checksum that proves two exports saw the same
+    permutation without comparing row order).
+
+    Scale: the key is born in the scan projection; the epoch explode is
+    a scan-stage ``Generate`` (rows × n_epochs never materializes at
+    rest); the ONLY shuffle is the (epoch, shard) group-by, and partial
+    aggregation collapses each task to ≤ epochs × shards rows before it
+    moves. At 100 TB the same key expression is the writer's
+    ``repartition(epoch, shard_id)`` + ``sortWithinPartitions(k)`` and
+    this query is its audit — no global sort anywhere.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    e = d.select(
+        "doc_id", F.length("text").cast("bigint").alias("n_bytes")
+    ).withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), F.lit(_N_EPOCHS - 1)))
+    )
+    keyed = e.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        "doc_id",
+        "n_bytes",
+        F.expr(
+            T.hash60_sql(
+                "concat('ep:', cast(epoch as string), ':', "
+                "cast(doc_id as string))"
+            )
+        ).alias("k"),
+    ).withColumn("shard_id", (F.col("k") % _N_EPOCH_SHARDS).cast("int"))
+    return keyed.groupBy("epoch", "shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.expr("min_by(doc_id, k)").alias("first_doc_id"),
+        F.expr("max_by(doc_id, k)").alias("last_doc_id"),
+        F.expr("bit_xor(k)").alias("shuffle_checksum"),
     )
 
 

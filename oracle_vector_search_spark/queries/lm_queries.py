@@ -17,6 +17,10 @@ are the standard anomaly gate on telemetry-style inputs):
   bit-for-bit — the same no-float-accumulation discipline as the rest
   of the text family). Rare-bigram counts double as a "weird text"
   gate (KenLM-style fluency filtering without a float log anywhere).
+* ``tokenizer_fertility_by_lang`` — pieces-per-word fertility by
+  (lang, source) under a full-coverage greedy max-4-char subword vocab:
+  the per-language tokenizer-efficiency eval (integer piece counts as
+  scan-stage higher-order aggregates; one group-by shuffle).
 * ``seasonal_hour_anomalies`` — per (event_type, day-of-week, hour)
   seasonal baseline over ``events.value``; a row is anomalous when it
   exceeds 3x its seasonal-slot mean, decided by integer
@@ -1429,3 +1433,81 @@ def wordpiece_merge_gain_top20(
     return global_topn_ranked(
         scored, 20, F.desc("gain_pico"), F.asc("pair")
     ).drop("rank")
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    f"""
+WITH words AS (
+  SELECT lang, source, string_split({T.duck_norm('text')}, ' ') AS toks
+  FROM documents
+), tok AS (
+  SELECT lang, source,
+         CAST(list_sum([(length(t) + 3) // 4 for t in toks]) AS BIGINT)
+           AS n_pieces,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(list_sum([length(t) for t in toks]) AS BIGINT) AS n_chars
+  FROM words
+)
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_pieces) AS BIGINT) AS total_pieces,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       round(sum(n_pieces) * 1.0 / sum(n_words), 6) AS fertility,
+       round(sum(n_chars) * 1.0 / sum(n_pieces), 6) AS chars_per_piece
+FROM tok GROUP BY lang, source
+""",
+)
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility (pieces per word) by (lang, source) — the
+    standard per-language tokenizer-efficiency eval run before fixing a
+    vocab for multilingual pre-training: a language whose fertility is
+    high pays more sequence length per word, so its token budget buys
+    fewer effective words.
+
+    The segmenter is a full-coverage greedy max-4-char subword vocab,
+    so a word of length L costs exactly ``(L + 3) div 4`` pieces —
+    integer math both engines reproduce bit-for-bit (the real-BPE apply
+    path is ``bpe_apply_ranked_merges_top30``; this query is the
+    corpus-level EVAL aggregate, which only needs the piece count, not
+    the pieces). Fertility and chars-per-piece divide once per GROUP at
+    6 decimals — no float accumulation.
+
+    Scale: per-doc piece/word/char counts are scan-stage higher-order
+    aggregates over the split array (never an exploded token table);
+    the only shuffle carries one integer triple per document to the
+    (lang, source) groups, and partial aggregation collapses that to
+    ≤ |langs|×|sources| rows per task before it moves.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    norm_toks = (
+        "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+    )
+    tok = docs.select(
+        "lang",
+        "source",
+        F.expr(
+            f"aggregate({norm_toks}, cast(0 as bigint), "
+            "(a, t) -> a + (length(t) + 3) div 4)"
+        ).alias("n_pieces"),
+        F.size(F.split(T.norm_text("text"), " "))
+        .cast("bigint")
+        .alias("n_words"),
+        F.expr(
+            f"aggregate({norm_toks}, cast(0 as bigint), "
+            "(a, t) -> a + length(t))"
+        ).alias("n_chars"),
+    )
+    return tok.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_pieces").alias("total_pieces"),
+        F.sum("n_words").alias("total_words"),
+        F.round(F.sum("n_pieces") * 1.0 / F.sum("n_words"), 6).alias(
+            "fertility"
+        ),
+        F.round(F.sum("n_chars") * 1.0 / F.sum("n_pieces"), 6).alias(
+            "chars_per_piece"
+        ),
+    )

@@ -176,6 +176,8 @@ EXPECTED: dict[str, dict[str, int]] = {
     # the crop-side query join and the metadata join; the one exchange
     # is the top-k merge window
     "query_path_detect_search":        {"shuffle_exchanges": 1, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 1},
+    # r12: epoch explode + hash key are scan-stage; one group-by shuffle
+    "epoch_shuffle_shards":            {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

@@ -1477,27 +1477,27 @@ def tokenizer_fertility_by_lang(
 
     Scale: per-doc piece/word/char counts are scan-stage higher-order
     aggregates over the split array (never an exploded token table);
-    the only shuffle carries one integer triple per document to the
-    (lang, source) groups, and partial aggregation collapses that to
-    ≤ |langs|×|sources| rows per task before it moves.
+    the array is NAMED in its own projection so the normalize+split
+    runs exactly once per document regardless of codegen
+    subexpression-elimination. The only shuffle carries one integer
+    triple per document to the (lang, source) groups, and partial
+    aggregation collapses that to ≤ |langs|×|sources| rows per task
+    before it moves.
     """
     docs = load_table(spark, sf_dir, "documents")
-    norm_toks = (
-        "split(trim(regexp_replace(lower(text), '\\\\s+', ' ')), ' ')"
+    words = docs.select(
+        "lang", "source", F.split(T.norm_text("text"), " ").alias("toks")
     )
-    tok = docs.select(
+    tok = words.select(
         "lang",
         "source",
         F.expr(
-            f"aggregate({norm_toks}, cast(0 as bigint), "
+            "aggregate(toks, cast(0 as bigint), "
             "(a, t) -> a + (length(t) + 3) div 4)"
         ).alias("n_pieces"),
-        F.size(F.split(T.norm_text("text"), " "))
-        .cast("bigint")
-        .alias("n_words"),
+        F.size("toks").cast("bigint").alias("n_words"),
         F.expr(
-            f"aggregate({norm_toks}, cast(0 as bigint), "
-            "(a, t) -> a + length(t))"
+            "aggregate(toks, cast(0 as bigint), (a, t) -> a + length(t))"
         ).alias("n_chars"),
     )
     return tok.groupBy("lang", "source").agg(

@@ -146,11 +146,11 @@ def load_all_modules() -> None:
 #   check. The window executes VERDICT r11 #2: clear the r3 freshness
 #   cohort. 8 sentinels + 1 re-check slot (qdigest_quantile_audit —
 #   its wcum window was rerouted through bounded_global_order this
-#   round to clear the plan-lint finding, VERDICT r11 #1c) + 38
-#   freshness slots: ALL 27 names whose latest driver check is round 3
-#   (oldest cohort, verified from CORRECTNESS_r01–r11), then the 11
-#   oldest round-4-latest names in registration order + 3 new r12
-#   registrations (never-driver-checked names claim slots; the
+#   round to clear the plan-lint finding, VERDICT r11 #1c) + 41
+#   freshness/new slots: ALL 27 names whose latest driver check is
+#   round 3 (oldest cohort, verified from CORRECTNESS_r01–r11), then
+#   the 10 oldest round-4-latest names in registration order + 4 new
+#   r12 registrations (never-driver-checked names claim slots; the
 #   displaced boundary-round names roll to the r13 window).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
@@ -208,14 +208,14 @@ _PRIORITY: tuple[str, ...] = (
     "purchase_asof_order",
     "event_pairs_within_minute",
     "events_hourly_gapfill_locf",
-    "jsonl_ingest_audit",
     # new r12 registrations (never-driver-checked names claim slots;
-    # the displaced boundary-round names — udtf_token_windows,
-    # benchmark_decontamination — and dedup_keep_best roll to the r13
-    # window)
+    # the displaced boundary-round names — jsonl_ingest_audit,
+    # udtf_token_windows, benchmark_decontamination — and
+    # dedup_keep_best roll to the r13 window)
     "purchase_asof_order_auto",
     "epoch_shuffle_shards",
     "tokenizer_fertility_by_lang",
+    "split_leakage_audit",
 )
 
 

@@ -1,5 +1,6 @@
 """Training-data pipeline operators beyond the reference surface:
-scalar quantization of embeddings, deterministic dataset splits,
+scalar quantization of embeddings, deterministic dataset splits (plus
+the group-leakage audit contrasting row-hash vs group-hash splitting),
 stratified sampling, Gopher-style quality gates, and repetition
 analysis. All pure column projections / single-shuffle aggregates with
 portable arithmetic, so every query is DuckDB-oracle-checked.
@@ -155,6 +156,111 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("min_doc_id"),
         )
+    )
+
+
+_GSPLIT_HASH = T.hash28_sql("concat('gsplit:', cast(user_id as string))")
+_RSPLIT_HASH = T.hash28_sql("concat('rsplit:', cast(event_id as string))")
+_DUCK_GSPLIT = T.duck_hash28("'gsplit:' || user_id::VARCHAR")
+_DUCK_RSPLIT = T.duck_hash28("'rsplit:' || event_id::VARCHAR")
+
+
+@register(
+    "split_leakage_audit",
+    f"""
+WITH tagged AS (
+  SELECT user_id,
+         ({_DUCK_GSPLIT}) % 10 AS su,
+         ({_DUCK_RSPLIT}) % 10 AS sr
+  FROM events
+), sizes AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_events,
+         CAST(count(*) FILTER (su < 8) AS BIGINT) AS user_hash_train,
+         CAST(count(*) FILTER (su = 8) AS BIGINT) AS user_hash_val,
+         CAST(count(*) FILTER (su = 9) AS BIGINT) AS user_hash_test,
+         CAST(count(*) FILTER (sr < 8) AS BIGINT) AS row_hash_train,
+         CAST(count(*) FILTER (sr = 8) AS BIGINT) AS row_hash_val,
+         CAST(count(*) FILTER (sr = 9) AS BIGINT) AS row_hash_test
+  FROM tagged
+), per_user AS (
+  SELECT user_id,
+         CAST(min(su) <> max(su) AS BIGINT) AS u_leak,
+         CAST(min(sr) <> max(sr) AS BIGINT) AS r_leak
+  FROM tagged GROUP BY user_id
+), leaks AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(u_leak) AS BIGINT) AS user_hash_leaked_users,
+         CAST(sum(r_leak) AS BIGINT) AS row_hash_leaked_users
+  FROM per_user
+)
+SELECT n_events, n_users,
+       user_hash_train, user_hash_val, user_hash_test,
+       row_hash_train, row_hash_val, row_hash_test,
+       user_hash_leaked_users, row_hash_leaked_users,
+       round(row_hash_leaked_users * 1.0 / n_users, 6)
+         AS row_hash_leaked_pct
+FROM sizes CROSS JOIN leaks
+""",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-leakage split audit (the GroupKFold concern): comparing a
+    ROW-hashed 80/10/10 split (hash of event_id — the naive scheme)
+    against a GROUP-hashed one (hash of user_id) over the same events.
+    A user whose rows span more than one split leaks supervised signal
+    from train into eval; the group-hashed scheme leaks ZERO users by
+    construction (every row of a user hashes to the same split) while
+    the row-hashed scheme leaks essentially every multi-event user —
+    both counted in one result so the audit DEMONSTRATES the failure
+    mode and its fix side by side.
+
+    Scale: both split tags are scan-stage hash projections; the leak
+    count is one user-keyed shuffle (partial aggregation collapses each
+    task to its distinct users) and the split sizes ride a single
+    global conditional aggregate; the two 1-row frames cross-join for
+    free. No distinct on the corpus, no window, no explode — at 100 TB
+    this is one pass over events plus a users-sized aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.selectExpr(
+        "user_id",
+        f"pmod({_GSPLIT_HASH}, 10) AS su",
+        f"pmod({_RSPLIT_HASH}, 10) AS sr",
+    )
+    sizes = tagged.agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("su") < 8).cast("long")).alias("user_hash_train"),
+        F.sum((F.col("su") == 8).cast("long")).alias("user_hash_val"),
+        F.sum((F.col("su") == 9).cast("long")).alias("user_hash_test"),
+        F.sum((F.col("sr") < 8).cast("long")).alias("row_hash_train"),
+        F.sum((F.col("sr") == 8).cast("long")).alias("row_hash_val"),
+        F.sum((F.col("sr") == 9).cast("long")).alias("row_hash_test"),
+    )
+    # "spans >1 split" == min != max — a plain min/max aggregate with
+    # map-side combine, instead of two countDistinct columns (which
+    # Catalyst plans as an Expand + an extra shuffle)
+    per_user = tagged.groupBy("user_id").agg(
+        (F.min("su") != F.max("su")).cast("long").alias("u_leak"),
+        (F.min("sr") != F.max("sr")).cast("long").alias("r_leak"),
+    )
+    leaks = per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum("u_leak").alias("user_hash_leaked_users"),
+        F.sum("r_leak").alias("row_hash_leaked_users"),
+    )
+    return sizes.crossJoin(leaks).select(
+        "n_events",
+        "n_users",
+        "user_hash_train",
+        "user_hash_val",
+        "user_hash_test",
+        "row_hash_train",
+        "row_hash_val",
+        "row_hash_test",
+        "user_hash_leaked_users",
+        "row_hash_leaked_users",
+        F.round(
+            F.col("row_hash_leaked_users") * 1.0 / F.col("n_users"), 6
+        ).alias("row_hash_leaked_pct"),
     )
 
 

@@ -79,3 +79,31 @@ def test_fertility_invariants_and_plan(spark, sf_dir):
         assert r["total_pieces"] >= r["total_words"] > 0
         assert r["fertility"] >= 1.0
         assert 1.0 <= r["chars_per_piece"] <= 4.0
+
+
+# ------------------------------------------------ split_leakage_audit
+
+
+def test_split_leakage_construction_invariants(spark, sf_dir):
+    """Group-hashed splitting leaks ZERO users by construction; the
+    row-hashed scheme must leak on this fixture (every user has many
+    events); both schemes' split sizes partition the event count."""
+    q = registry_queries()["split_leakage_audit"]
+    r = q(spark, sf_dir).collect()[0]
+    assert r["user_hash_leaked_users"] == 0
+    assert r["row_hash_leaked_users"] > 0
+    for scheme in ("user_hash", "row_hash"):
+        total = sum(r[f"{scheme}_{s}"] for s in ("train", "val", "test"))
+        assert total == r["n_events"], (scheme, total, r["n_events"])
+    assert 0.0 < r["row_hash_leaked_pct"] <= 1.0
+
+
+def test_split_leakage_plan_shape(spark, sf_dir):
+    """One user-keyed shuffle + one global aggregate; the 1-row frames
+    cross-join via broadcast. No corpus window, explode, or Python."""
+    q = registry_queries()["split_leakage_audit"]
+    plan = _plan(q(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Generate" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "Window" not in plan, plan

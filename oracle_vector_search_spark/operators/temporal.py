@@ -301,12 +301,25 @@ def hot_asof_keys_from_profile(
     measured plain/salted crossover (PERF.md 0h-asof: plain wins at
     4 M hot rows, salted 5.7× at 24 M), not the relative skew_mult
     rule equi-joins use (a uniformly huge key set is fine for a
-    window; only a single long timeline binds)."""
-    from pyspark.sql import functions as F  # noqa: F401 (local alias)
+    window; only a single long timeline binds).
 
+    NULL keys are NEVER returned as hot — by policy the NULL timeline
+    rides the plain tier (see ``asof_join_auto``). This is also a
+    correctness requirement: a ``None`` inside an ``isin`` list makes
+    the predicate NULL for every non-matching key (SQL three-valued
+    IN), which would silently drop ALL cold rows from the dispatch
+    split. Note too that ``key_profile``'s join-keyed aggregation
+    cannot total a NULL timeline anyway: its full-outer join never
+    matches NULL keys, so a NULL key's n_left and n_right land on two
+    separate profile rows — a hot NULL timeline stays on the plain
+    tier and is a documented dispatch limitation, not a silent row
+    drop."""
     hot = profile.filter(
-        (F.col("n_left") + F.col("n_right"))
-        >= F.lit(int(hot_rows_threshold))
+        F.col(key).isNotNull()
+        & (
+            (F.col("n_left") + F.col("n_right"))
+            >= F.lit(int(hot_rows_threshold))
+        )
     )
     # bounded: key_profile emits <= top_n rows by construction
     return [r[key] for r in hot.select(key).collect()]

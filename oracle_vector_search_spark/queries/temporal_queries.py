@@ -257,10 +257,26 @@ def purchase_asof_order_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_totalprice",
     )
-    prof = key_profile(l, r, "user_id")
-    thr = prof.agg(
-        F.max(F.col("n_left") + F.col("n_right")).alias("m")
-    ).collect()[0]["m"]  # bounded: one max row over a <=20-row profile
+    # Collect the profile ONCE and derive both the threshold and the
+    # dispatcher's input from the collected rows — the profile plan is
+    # two table scans + aggregations, and handing the live DataFrame
+    # to asof_join_auto would execute it a second time (r12 review).
+    prof_rows = key_profile(
+        l, r, "user_id"
+    ).collect()  # bounded: key_profile emits <= 20 rows
+    sizes = [
+        (row["n_left"] or 0) + (row["n_right"] or 0) for row in prof_rows
+    ]
+    # empty profile (degenerate fixture) → any threshold; no hot keys
+    # exist, so the dispatcher degrades to the plain tier
+    thr = max(sizes) if sizes else 1
+    prof = spark.createDataFrame(
+        [
+            (row["user_id"], row["n_left"], row["n_right"])
+            for row in prof_rows
+        ],
+        schema="user_id long, n_left long, n_right long",
+    )
     return asof_join_auto(
         l,
         r,

@@ -464,7 +464,7 @@ def upsert_snapshot_stream_recoverable(
             _json.dump({str(k): v for k, v in led.items()}, fh)
         os.replace(tmp, ledger_path)  # atomic on POSIX
 
-    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+    def _merge_batch_impl(batch_df: DataFrame, epoch_id: int) -> None:
         led = _read_ledger()
         done = [e for e in led if e < epoch_id]
         if (
@@ -496,6 +496,23 @@ def upsert_snapshot_stream_recoverable(
         led[int(epoch_id)] = out
         _write_ledger(led)
 
+    # foreachBatch runs DRIVER-side in this Python process, so the
+    # injected-vs-genuine decision is a closure flag set at the raise
+    # site — not message/chain parsing, which misclassifies a genuine
+    # error raised while the injected crash is in flight (its message
+    # and __context__ both reach the injection marker).
+    flags: dict[str, object] = {}
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        try:
+            _merge_batch_impl(batch_df, epoch_id)
+        except _InjectedCrash:
+            flags["injected"] = True
+            raise
+        except BaseException as err:
+            flags["genuine"] = repr(err)
+            raise
+
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
@@ -508,23 +525,18 @@ def upsert_snapshot_stream_recoverable(
     )
     try:
         q.processAllAvailable()
-    except StreamingQueryException as exc:
+    except StreamingQueryException:
         # Only the INJECTED crash is an expected outcome — a genuine
         # merge_batch bug during a crash-injection run must still
-        # surface (ADVICE r11). foreachBatch errors cross the Py4J
-        # boundary as a StreamingQueryException whose message embeds
-        # the Python traceback, so match the marker class by name
-        # through the message and the __cause__ chain.
-        def _is_injected(e) -> bool:
-            seen = set()
-            while e is not None and id(e) not in seen:
-                seen.add(id(e))
-                if _InjectedCrash.__name__ in str(e):
-                    return True
-                e = e.__cause__ or e.__context__
-            return False
-
-        if crash_after_epochs is None or not _is_injected(exc):
+        # surface (ADVICE r11). The closure flags were set at the
+        # Python raise site, so the classification is exact: any
+        # genuine error (even one raised while the injection was in
+        # flight) re-raises.
+        if (
+            crash_after_epochs is None
+            or "genuine" in flags
+            or "injected" not in flags
+        ):
             raise
         return None  # the injected crash killed the query, as asked
     finally:

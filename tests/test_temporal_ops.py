@@ -369,3 +369,50 @@ def test_asof_auto_null_keys_ride_cold_slice(spark):
         left, right, "k", "lts", "rts", ["rid"], right_tiebreak="rid"
     )
     assert _rowset(out) == _rowset(plain)
+
+
+def test_asof_auto_hot_null_timeline_never_poisons_the_split(spark):
+    """r12 review regression: when the NULL-key timeline alone exceeds
+    the threshold, a None in the hot-key list would make the isin
+    predicate NULL for every non-matching key (three-valued IN) and
+    the cold filter would silently DROP all cold non-NULL rows. NULL
+    must never be returned as hot; the NULL timeline rides the plain
+    tier and every cold key survives."""
+    from oracle_vector_search_spark.operators.skew import key_profile
+    from oracle_vector_search_spark.operators.temporal import (
+        asof_join_auto,
+        hot_asof_keys_from_profile,
+    )
+
+    left = spark.createDataFrame(
+        [(i, None, _ts("2024-01-01 10:00:00")) for i in range(1, 6)]
+        + [
+            (6, "a", _ts("2024-01-01 10:00:00")),
+            (7, "b", _ts("2024-01-01 12:00:00")),
+        ],
+        "lid INT, k STRING, lts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, None, _ts("2024-01-01 09:00:00")),
+            (11, "a", _ts("2024-01-01 09:30:00")),
+            (12, "b", _ts("2024-01-01 11:00:00")),
+        ],
+        "rid INT, k STRING, rts TIMESTAMP",
+    )
+    # the NULL key's left-side profile row (5 rows) is the only one at
+    # or above the threshold — it must NOT appear in the hot list
+    prof = key_profile(left, right, "k")
+    hot = hot_asof_keys_from_profile(prof, "k", hot_rows_threshold=4)
+    assert None not in hot
+    out = asof_join_auto(
+        left, right, "k", "lts", "rts", ["rid"],
+        right_tiebreak="rid", buckets=4, hot_rows_threshold=4,
+    )
+    plain = asof_join(
+        left, right, "k", "lts", "rts", ["rid"], right_tiebreak="rid"
+    )
+    # 7 left rows in, 7 rows out — the cold keys 'a'/'b' survive and
+    # match exactly what the plain tier produces
+    assert out.count() == left.count()
+    assert _rowset(out) == _rowset(plain)

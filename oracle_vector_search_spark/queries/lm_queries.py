@@ -1476,13 +1476,15 @@ def tokenizer_fertility_by_lang(
     6 decimals — no float accumulation.
 
     Scale: per-doc piece/word/char counts are scan-stage higher-order
-    aggregates over the split array (never an exploded token table);
-    the array is NAMED in its own projection so the normalize+split
-    runs exactly once per document regardless of codegen
-    subexpression-elimination. The only shuffle carries one integer
-    triple per document to the (lang, source) groups, and partial
-    aggregation collapses that to ≤ |langs|×|sources| rows per task
-    before it moves.
+    aggregates over the split array (never an exploded token table).
+    Note Catalyst's CollapseProject merges the named ``toks``
+    projection into its consumers, so single evaluation of the
+    normalize+split relies on codegen subexpression elimination (which
+    does fire for these deterministic expressions), not on the
+    projection boundary; the naming is for readability. The only
+    shuffle carries one integer triple per document to the
+    (lang, source) groups, and partial aggregation collapses that to
+    ≤ |langs|×|sources| rows per task before it moves.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(

@@ -197,7 +197,7 @@ SELECT n_events, n_users,
        user_hash_train, user_hash_val, user_hash_test,
        row_hash_train, row_hash_val, row_hash_test,
        user_hash_leaked_users, row_hash_leaked_users,
-       round(row_hash_leaked_users * 1.0 / n_users, 6)
+       round(row_hash_leaked_users * 1.0 / nullif(n_users, 0), 6)
          AS row_hash_leaked_pct
 FROM sizes CROSS JOIN leaks
 """,
@@ -259,7 +259,10 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_hash_leaked_users",
         "row_hash_leaked_users",
         F.round(
-            F.col("row_hash_leaked_users") * 1.0 / F.col("n_users"), 6
+            F.col("row_hash_leaked_users")
+            * 1.0
+            / F.expr("nullif(n_users, 0)"),
+            6,
         ).alias("row_hash_leaked_pct"),
     )
 

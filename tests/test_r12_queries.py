@@ -73,6 +73,21 @@ def test_fertility_invariants_and_plan(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
     assert "Python" not in plan, plan
     assert "Generate" not in plan, plan  # never explodes tokens
+    # The >= 1 bounds below assume no empty-normalized documents: an
+    # empty doc normalizes to '' which splits to [''] (1 word, 0
+    # pieces, 0 chars) and can drag a group's fertility below 1. Pin
+    # that fixture property explicitly so a future fixture regen that
+    # plants empty docs fails HERE, not in the bound (ADVICE r12).
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.functions import text as T
+    import pyspark.sql.functions as F
+
+    n_empty = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.length(T.norm_text("text")) == 0)
+        .count()
+    )
+    assert n_empty == 0, f"fixture has {n_empty} empty-normalized docs"
     rows = df.collect()
     assert rows
     for r in rows:

@@ -268,8 +268,11 @@ def search(
     # the decode→preprocess→detect→embed pipeline feeds both the top-k
     # scan and the metadata name join — pin it so it runs once
     # (ADVICE r6 low: q was re-executed per consumer).
-    q = _query_embeddings(query_images, preprocess, dims).localCheckpoint(
-        eager=False
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    q = keyed_local_checkpoint(
+        _query_embeddings(query_images, preprocess, dims),
+        key="api.search:q",
     )
     if tier == "ann":
         # no dispatch count needed — the tier is already decided
@@ -320,8 +323,11 @@ def search_radius(
 
     # pinned for the same reason as in search(): one pipeline run
     # feeds both the radius scan and the metadata join.
-    q = _query_embeddings(query_images, preprocess, dims).localCheckpoint(
-        eager=False
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    q = keyed_local_checkpoint(
+        _query_embeddings(query_images, preprocess, dims),
+        key="api.radius_search:q",
     )
     hits = radius_search(
         index,

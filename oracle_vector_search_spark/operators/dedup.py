@@ -539,9 +539,14 @@ def dedup_clusters_fixpoint(
         .distinct()
         .persist()
     )
-    labels = all_ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("canonical_id")
-    ).localCheckpoint()
+    from oracle_vector_search_spark.plans.ckpt import RoundScope
+
+    scope = RoundScope(all_ids.sparkSession)
+    labels = scope.checkpoint(
+        all_ids.select(
+            F.col(id_col).alias("node"), F.col(id_col).alias("canonical_id")
+        )
+    )
     changed = -1
     for _ in range(max_iterations):
         neighbor_min = (
@@ -555,11 +560,10 @@ def dedup_clusters_fixpoint(
             .groupBy("src")
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        new_labels = (
+        new_labels = scope.checkpoint(  # truncate lineage: flat plan
             labels.join(
                 neighbor_min, labels.node == neighbor_min.src, "left"
-            )
-            .select(
+            ).select(
                 "node",
                 F.col("canonical_id").alias("old_label"),
                 F.least(
@@ -567,8 +571,11 @@ def dedup_clusters_fixpoint(
                     F.coalesce(F.col("nbr_min"), F.col("canonical_id")),
                 ).alias("canonical_id"),
             )
-            .localCheckpoint()  # truncate lineage: flat plan per round
         )
+        # the new round is materialized (eager checkpoint): the prior
+        # round's blocks have no remaining consumer — release them now
+        # instead of waiting for ContextCleaner GC (VERDICT r12 #2)
+        scope.release_superseded()
         changed = new_labels.filter(
             F.col("canonical_id") != F.col("old_label")
         ).count()
@@ -576,6 +583,9 @@ def dedup_clusters_fixpoint(
         if changed == 0:
             break
     edges.unpersist()
+    # the loop's final frame keeps its blocks (the caller consumes it);
+    # the NEXT invocation of this operator releases them via the key
+    scope.transfer_to_key("dedup_clusters_fixpoint")
     if changed != 0:
         import warnings
 

@@ -80,9 +80,14 @@ def incremental_overwrite(
     # checkpoint holds only batch + affected-partition rows, never the
     # corpus; a transactional table format (Iceberg/Delta) would make
     # this staging step implicit.
-    rows = (
-        merged.join(F.broadcast(affected), on=part_cols, how="semi")
-        .localCheckpoint()
+    from oracle_vector_search_spark.plans.ckpt import (
+        keyed_local_checkpoint,
+        release_key,
+    )
+
+    rows = keyed_local_checkpoint(
+        merged.join(F.broadcast(affected), on=part_cols, how="semi"),
+        key=f"incremental_overwrite:{path}",
     )
     old_mode = spark.conf.get(
         "spark.sql.sources.partitionOverwriteMode", "static"
@@ -95,6 +100,10 @@ def incremental_overwrite(
             .partitionBy(*part_cols)
             .parquet(path)
         )
+        # the overwrite was the checkpoint's only consumer — release
+        # the staged blocks now (on failure the next invocation's
+        # keyed checkpoint releases them instead)
+        release_key(spark, f"incremental_overwrite:{path}")
     finally:
         spark.conf.set(
             "spark.sql.sources.partitionOverwriteMode", old_mode

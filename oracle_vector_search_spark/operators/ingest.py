@@ -130,6 +130,7 @@ def assign_index_ids_two_phase(
     df: DataFrame,
     order_cols: list[str] = ("split", "stem", "box_idx"),
     num_partitions: int | None = None,
+    ckpt_key: str | None = None,
 ) -> DataFrame:
     """A5 at scale: the same dense ids as ``assign_index_ids`` with no
     single-task global sort.
@@ -169,8 +170,20 @@ def assign_index_ids_two_phase(
     #   returned DataFrame is garbage-collected. Tradeoff: lineage is
     #   truncated, so executor loss fails the job instead of
     #   recomputing — acceptable for a two-job window.
+    # ``ckpt_key`` hands the pin to the keyed owner (plans/ckpt.py):
+    # the next call under the same key releases the superseded blocks
+    # deterministically — pass it from every per-invocation/looped
+    # call site (VERDICT r12 #2); None keeps the GC-owned behavior for
+    # build-once callers.
     d = d.withColumn("__local_rank", F.row_number().over(w))
-    d = d.localCheckpoint(eager=True)
+    if ckpt_key is not None:
+        from oracle_vector_search_spark.plans.ckpt import (
+            keyed_local_checkpoint,
+        )
+
+        d = keyed_local_checkpoint(d, key=ckpt_key)
+    else:
+        d = d.localCheckpoint(eager=True)
 
     counts = (
         d.groupBy("__pid").count().orderBy("__pid").collect()

@@ -52,10 +52,13 @@ def kcore_peel(
     keeps the plan flat at any round count (the dedup-fixpoint
     discipline, operators/dedup.py:511).
     """
+    from oracle_vector_search_spark.plans.ckpt import RoundScope
+
+    scope = RoundScope(nodes.sparkSession)
     all_nodes = nodes.select(F.col(node_col).alias("node"))
     alive = all_nodes
     for _ in range(rounds):
-        alive = (
+        alive = scope.checkpoint(
             edges.join(
                 alive.select(F.col("node").alias("s")),
                 edges.src == F.col("s"),
@@ -68,8 +71,10 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("k"))
             .filter(F.col("k") >= k)
             .select("node")
-            .localCheckpoint()
         )
+        # new round materialized → prior round's blocks are dead
+        scope.release_superseded()
+    scope.transfer_to_key("k_core_alive")
     return all_nodes.join(
         alive.select(F.col("node").alias("_a")),
         all_nodes.node == F.col("_a"),
@@ -149,6 +154,13 @@ def hits_l1(
     1-row broadcast normalizer; scores are localCheckpoint-pinned per
     half-step so the plan stays flat at any iteration count (round
     cost is edge-sized, never corpus-sized)."""
+    from oracle_vector_search_spark.plans.ckpt import RoundScope
+
+    # two owners: this round's `a` is still live when the new `h`
+    # checkpoints (hraw derives from it, the return join reads the
+    # final one) — a single newest-wins scope would free it too early
+    scope_a = RoundScope(nodes.sparkSession)
+    scope_h = RoundScope(nodes.sparkSession)
     h = nodes.select("node", F.lit(1.0).alias("h"))
     a = None
     for _ in range(iters):
@@ -164,11 +176,12 @@ def hits_l1(
             .select("node", F.coalesce("a", F.lit(0.0)).alias("a"))
         )
         asum = araw.agg(F.sum("a").alias("s"))
-        a = (
-            araw.crossJoin(F.broadcast(asum))
-            .select("node", (F.col("a") / F.col("s")).alias("a"))
-            .localCheckpoint()  # flat plan across half-steps
+        a = scope_a.checkpoint(  # flat plan across half-steps
+            araw.crossJoin(F.broadcast(asum)).select(
+                "node", (F.col("a") / F.col("s")).alias("a")
+            )
         )
+        scope_a.release_superseded()  # prior a: no remaining consumer
         hraw = (
             nodes.join(
                 a.select(F.col("node").alias("adst"), "a")
@@ -181,11 +194,14 @@ def hits_l1(
             .select("node", F.coalesce("h", F.lit(0.0)).alias("h"))
         )
         hsum = hraw.agg(F.sum("h").alias("s"))
-        h = (
-            hraw.crossJoin(F.broadcast(hsum))
-            .select("node", (F.col("h") / F.col("s")).alias("h"))
-            .localCheckpoint()  # flat plan across half-steps
+        h = scope_h.checkpoint(  # flat plan across half-steps
+            hraw.crossJoin(F.broadcast(hsum)).select(
+                "node", (F.col("h") / F.col("s")).alias("h")
+            )
         )
+        scope_h.release_superseded()  # prior h: no remaining consumer
+    scope_a.transfer_to_key("hits_l1_a")
+    scope_h.transfer_to_key("hits_l1_h")
     return h.join(
         a.select(F.col("node").alias("an"), "a"), h.node == F.col("an")
     ).select("node", "h", "a")

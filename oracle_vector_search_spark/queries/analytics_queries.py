@@ -667,13 +667,15 @@ def item_cf_similar_parts_top3(
     """
     # pin the distinct projection: the self-join reads it twice and the
     # support table a third time
-    lp = (
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    lp = keyed_local_checkpoint(
         load_table(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        key=f"event_type_value_mode:lp:{sf_dir}",
     )
     supp = lp.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
     a = lp.select("ok", F.col("pk").alias("pa"))
@@ -865,13 +867,15 @@ def association_rules_pairs(
     pair shuffle, supports broadcast back; the support floor does the
     pruning a-priori style (a pair below floor never joins).
     """
-    lp = (
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    lp = keyed_local_checkpoint(
         load_table(spark, sf_dir, "lineitem")
         .select(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        key=f"association_rules_pairs:lp:{sf_dir}",
     )
     nb = lp.select("ok").distinct().count()
     supp = lp.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))

@@ -20,6 +20,10 @@ from oracle_vector_search_spark.io import (
     write_artifact,
 )
 from oracle_vector_search_spark.operators import ann
+from oracle_vector_search_spark.plans.ckpt import (
+    keyed_local_checkpoint,
+    release_key,
+)
 from oracle_vector_search_spark.queries import register
 
 DIMS = 64  # embeddings fixture dimensionality (FIXTURES.md)
@@ -167,6 +171,11 @@ def _audit_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         else:
             out[name] = df
     if to_build:
+        # deliberately a RAW localCheckpoint (the repo-wide keyed
+        # release discipline diffs persistent-RDD ids around the call,
+        # which is racy under this thread pool): the pins are
+        # session-cached above — one per (app, sf, name), evicted when
+        # the session changes — so the residue is already bounded
         with ThreadPoolExecutor(max_workers=len(to_build)) as ex:
             futs = {
                 n: ex.submit(lambda f=f: f().localCheckpoint())
@@ -259,9 +268,12 @@ def lsh_similarity_join_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        return ann.lsh_similarity_join(
-            emb, threshold=0.3, dims=DIMS, buckets=buckets
-        ).localCheckpoint()
+        return keyed_local_checkpoint(
+            ann.lsh_similarity_join(
+                emb, threshold=0.3, dims=DIMS, buckets=buckets
+            ),
+            key=f"lsh_similarity_join_approx:{sf_dir}",
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
@@ -308,14 +320,17 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        return ann.lsh_ann_topk(
-            emb,
-            queries,
-            k=5,
-            dims=DIMS,
-            index_buckets=ibuckets,
-            query_buckets=qbuckets,
-        ).localCheckpoint()
+        return keyed_local_checkpoint(
+            ann.lsh_ann_topk(
+                emb,
+                queries,
+                k=5,
+                dims=DIMS,
+                index_buckets=ibuckets,
+                query_buckets=qbuckets,
+            ),
+            key=f"lsh_ann_topk:{sf_dir}",
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
@@ -605,9 +620,10 @@ def _upserted_lsh_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             old = read_artifact(spark, path)
             # checkpoint the batch signatures once: reused by the merge
             # AND the affected-partition scan (batch-sized rows)
-            fresh = ann.lsh_bucket_table(
-                _upsert_batch(emb), dims=DIMS
-            ).localCheckpoint()
+            fresh = keyed_local_checkpoint(
+                ann.lsh_bucket_table(_upsert_batch(emb), dims=DIMS),
+                key="_upserted_lsh_table:fresh",
+            )
             merged = index_maint.merge_index_rows(old, fresh)
             affected = index_maint.affected_partitions(
                 old, fresh, ["band", "bucket"]
@@ -615,6 +631,8 @@ def _upserted_lsh_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             index_maint.incremental_overwrite(
                 spark, merged, affected, path, ["band", "bucket"]
             )
+            # the write was the last consumer — release the pin now
+            release_key(spark, "_upserted_lsh_table:fresh")
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         _UPSERT_LSH_CACHE[key] = path
@@ -677,9 +695,10 @@ def _upserted_ivf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 partition_by=["cluster_id"],
             )
             old = read_artifact(spark, path)
-            fresh = ann.ivf_assign(
-                _upsert_batch(emb), seeds=seeds
-            ).localCheckpoint()
+            fresh = keyed_local_checkpoint(
+                ann.ivf_assign(_upsert_batch(emb), seeds=seeds),
+                key="_upserted_ivf_table:fresh",
+            )
             merged = index_maint.merge_index_rows(old, fresh)
             affected = index_maint.affected_partitions(
                 old, fresh, ["cluster_id"]
@@ -687,6 +706,8 @@ def _upserted_ivf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             index_maint.incremental_overwrite(
                 spark, merged, affected, path, ["cluster_id"]
             )
+            # the write was the last consumer — release the pin now
+            release_key(spark, "_upserted_ivf_table:fresh")
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         _UPSERT_IVF_CACHE[key] = path
@@ -860,8 +881,16 @@ def kmeans_chain_two_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     old_sp = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        it1 = _lloyd_step(vecs, assigned).localCheckpoint()
-        it2 = _lloyd_step(vecs, it1).localCheckpoint()
+        # BOTH rounds feed the final stats (f1/f2/st join them), so
+        # each gets its own key — neither is superseded within a run
+        it1 = keyed_local_checkpoint(
+            _lloyd_step(vecs, assigned),
+            key=f"kmeans_chain_two_steps:it1:{sf_dir}",
+        )
+        it2 = keyed_local_checkpoint(
+            _lloyd_step(vecs, it1),
+            key=f"kmeans_chain_two_steps:it2:{sf_dir}",
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     seeds = vecs.filter(F.col("vec_id") % ann.SEED_STRIDE == 0).select(
@@ -1210,14 +1239,17 @@ def lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        return ann.lsh_ann_topk(
-            emb,
-            queries,
-            k=5,
-            dims=DIMS,
-            index_buckets=ibuckets,
-            query_buckets=qprobes,
-        ).localCheckpoint()
+        return keyed_local_checkpoint(
+            ann.lsh_ann_topk(
+                emb,
+                queries,
+                k=5,
+                dims=DIMS,
+                index_buckets=ibuckets,
+                query_buckets=qprobes,
+            ),
+            key=f"lsh_multiprobe_topk:{sf_dir}",
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
@@ -1918,7 +1950,11 @@ def ann_recall_vs_exact_clustered(
         .unionByName(tagged("ivf_single", ivf_s_cand))
         .unionByName(tagged("ivf_closure", ivf_c_cand))
         .unionByName(tagged("ivfpq_adc", pq_scored, with_score=True))
-        .localCheckpoint()  # eager pin: one job, every consumer reuses it
+    )
+    # eager pin: one job, every consumer reuses it (keyed: re-runs
+    # release the superseded pin — VERDICT r12 #2)
+    cand_all = keyed_local_checkpoint(
+        cand_all, key=f"ann_recall_vs_exact_clustered:cand:{sf_dir}"
     )
     # retrieved = candidates for the exact-rerank tiers; the ADC top-5
     # for ivfpq (the only tier whose ranking is approximate)

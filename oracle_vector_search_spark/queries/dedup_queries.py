@@ -168,11 +168,18 @@ def minhash_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "16")
     try:
-        return minhash_near_dup(
-            docs,
-            threshold=MINHASH_THRESHOLD,
-            sigs=_minhash_sig_table(spark, sf_dir),
-        ).localCheckpoint()
+        from oracle_vector_search_spark.plans.ckpt import (
+            keyed_local_checkpoint,
+        )
+
+        return keyed_local_checkpoint(
+            minhash_near_dup(
+                docs,
+                threshold=MINHASH_THRESHOLD,
+                sigs=_minhash_sig_table(spark, sf_dir),
+            ),
+            key=f"minhash_near_dup_pairs:{sf_dir}",
+        )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
@@ -1112,14 +1119,15 @@ def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # the edge list feeds all three join legs — materialize it once
     # (localCheckpoint) instead of re-running band-join + verify 3×
-    pairs = (
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    pairs = keyed_local_checkpoint(
         minhash_near_dup(
             docs,
             threshold=MINHASH_THRESHOLD,
             sigs=_minhash_sig_table(spark, sf_dir),
-        )
-        .select("left_id", "right_id")
-        .localCheckpoint()
+        ).select("left_id", "right_id"),
+        key=f"dedup_graph_triangles:pairs:{sf_dir}",
     )
     e1 = pairs.select(
         F.col("left_id").alias("a"), F.col("right_id").alias("b")
@@ -1550,10 +1558,19 @@ def suffix_array_repeated_substrings(
 
     # round 0: dense rank of single tokens (two-phase over DISTINCT)
     keys0 = sufs.select("tok0").distinct()
-    r0 = assign_index_ids_two_phase(keys0, order_cols=["tok0"])
-    state = sufs.join(r0, "tok0").select(
-        "doc_id", "tp", F.col("id").alias("r")
-    ).localCheckpoint()
+    r0 = assign_index_ids_two_phase(
+        keys0,
+        order_cols=["tok0"],
+        ckpt_key=f"suffix_array:ranked:{sf_dir}",
+    )
+    from oracle_vector_search_spark.plans.ckpt import RoundScope
+
+    scope = RoundScope(spark)
+    state = scope.checkpoint(
+        sufs.join(r0, "tok0").select(
+            "doc_id", "tp", F.col("id").alias("r")
+        )
+    )
 
     for j in range(_SA_ROUNDS):
         off = 2 ** j
@@ -1566,12 +1583,21 @@ def suffix_array_repeated_substrings(
             "doc_id", "tp", "r", F.coalesce("r2", F.lit(0)).alias("r2")
         )
         keys = keyed.select("r", "r2").distinct()
+        # same key every round: each call releases the PREVIOUS
+        # round's rank pin (already consumed into the state checkpoint)
         ranked = assign_index_ids_two_phase(
-            keys, order_cols=["r", "r2"]
+            keys,
+            order_cols=["r", "r2"],
+            ckpt_key=f"suffix_array:ranked:{sf_dir}",
         ).select("r", "r2", F.col("id").alias("rn"))
-        state = keyed.join(ranked, ["r", "r2"]).select(
-            "doc_id", "tp", F.col("rn").alias("r")
-        ).localCheckpoint()
+        state = scope.checkpoint(
+            keyed.join(ranked, ["r", "r2"]).select(
+                "doc_id", "tp", F.col("rn").alias("r")
+            )
+        )
+        # the new round is materialized: the prior round's pinned
+        # blocks have no remaining consumer (VERDICT r12 #2)
+        scope.release_superseded()
         # early exit (the standard prefix-doubling termination): ids
         # are dense 1..K, so max == n ⟺ every suffix already has a
         # unique rank and further rounds are identity — real text
@@ -1584,9 +1610,14 @@ def suffix_array_repeated_substrings(
 
     # total SA order (rank, doc_id, tp) → dense said via two-phase
     sa = assign_index_ids_two_phase(
-        state, order_cols=["r", "doc_id", "tp"]
+        state,
+        order_cols=["r", "doc_id", "tp"],
+        ckpt_key=f"suffix_array:ranked:{sf_dir}",
     ).select("doc_id", "tp", F.col("id").alias("said"))
-    sa = sa.join(suf_str, ["doc_id", "tp"]).localCheckpoint()
+    sa = scope.checkpoint(sa.join(suf_str, ["doc_id", "tp"]))
+    # sa supersedes the last rank round; the NEXT invocation frees sa
+    scope.release_superseded()
+    scope.transfer_to_key(f"suffix_array_repeated_substrings:{sf_dir}")
 
     a = sa.select(
         F.col("said"),

@@ -1076,15 +1076,17 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per consumer and the corpus is scanned 6× (measured 16-scan,
     # 23-exchange plan); with it the events table is read exactly
     # twice (midpoint agg + grouped counts).
-    g = (
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    g = keyed_local_checkpoint(
         ev.crossJoin(F.broadcast(mid))
         .groupBy(
             "event_type",
             (F.col("ts_us") > F.col("m")).alias("is_cur"),
             "c",
         )
-        .agg(F.count(F.lit(1)).alias("k"))
-        .localCheckpoint()
+        .agg(F.count(F.lit(1)).alias("k")),
+        key=f"psi_value_drift:{sf_dir}",
     )
     gref = g.filter(~F.col("is_cur"))
     gcur = g.filter(F.col("is_cur"))

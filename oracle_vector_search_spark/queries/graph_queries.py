@@ -30,6 +30,10 @@ from oracle_vector_search_spark.io import (
     write_artifact,
 )
 from oracle_vector_search_spark.queries import register
+from oracle_vector_search_spark.plans.ckpt import (
+    RoundScope,
+    keyed_local_checkpoint,
+)
 
 _DAMPING = 0.85
 _N_ITER = 3
@@ -281,24 +285,27 @@ def knn_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pin the graph: the vote loop references edges once per round and
     # nodes three times — without this the kNN build (a full index scan
     # + GEMM) re-executes per round (measured 9-scan plan at 2 rounds)
-    edges = (
+    edges = keyed_local_checkpoint(
         cand.withColumn("rn2", F.row_number().over(w_rank))
         .filter(F.col("rn2") <= _LP_K)
         .select(
             F.col("query_id").alias("src"),
             F.col("neighbor_id").alias("dst"),
-        )
-        .localCheckpoint()
+        ),
+        key=f"knn_label_propagation:edges:{sf_dir}",
     )
     from oracle_vector_search_spark.operators.propagation import (
         propagate_labels,
     )
 
-    nodes = d.select(
-        F.col("vec_id").alias("node"),
-        "label",
-        (F.col("vec_id") % _LP_SEED_MOD == 0).alias("is_seed"),
-    ).localCheckpoint()
+    nodes = keyed_local_checkpoint(
+        d.select(
+            F.col("vec_id").alias("node"),
+            "label",
+            (F.col("vec_id") % _LP_SEED_MOD == 0).alias("is_seed"),
+        ),
+        key=f"knn_label_propagation:nodes:{sf_dir}",
+    )
     prop = propagate_labels(nodes, edges, _LP_ITERS)
     truth = d.select(
         F.col("vec_id").alias("tnode"), F.col("label").alias("label_true")
@@ -380,22 +387,25 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    nodes = li.select(F.col("pk").alias("node")).distinct().localCheckpoint()
+    nodes = keyed_local_checkpoint(
+        li.select(F.col("pk").alias("node")).distinct(),
+        key=f"copurchase_bfs_hops:nodes:{sf_dir}",
+    )
     seed = nodes.agg(F.min("node").alias("s"))
     a = li.select("ok", F.col("pk").alias("src"))
     b = li.select(F.col("ok").alias("ok2"), F.col("pk").alias("dst"))
     # pin the graph: three relaxation rounds reference edges/dist
     # repeatedly — unpinned, the lineitem scan + self-join re-executes
     # per reference (measured 30-scan plan)
-    edges = (
+    edges = keyed_local_checkpoint(
         a.join(
             b,
             (F.col("ok") == F.col("ok2"))
             & (F.col("src") != F.col("dst")),
         )
         .select("src", "dst")
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        key=f"copurchase_bfs_hops:edges:{sf_dir}",
     )
     dist = nodes.crossJoin(F.broadcast(seed)).select(
         "node",
@@ -578,10 +588,11 @@ def dbscan_embedding_clusters(
     )
     # pin the quadratic pair build: edges/deg/core/border all re-derive
     # it otherwise (measured 15-scan plan)
-    pairs = (
-        similarity_join(emb, emb, threshold=_CC_THRESHOLD)
-        .select("left_id", "right_id")
-        .localCheckpoint()
+    pairs = keyed_local_checkpoint(
+        similarity_join(emb, emb, threshold=_CC_THRESHOLD).select(
+            "left_id", "right_id"
+        ),
+        key=f"dbscan_embedding_clusters:pairs:{sf_dir}",
     )
     return dbscan_from_edges(
         pairs, emb, min_pts=_DB_MINPTS, id_col="vec_id"
@@ -759,7 +770,10 @@ def kcore_embedding_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("left_id").alias("dst"),
             )
         )
-        .localCheckpoint()  # reused every peel round
+    )
+    # reused every peel round; keyed so re-runs release the old pin
+    edges = keyed_local_checkpoint(
+        edges, key=f"kcore_embedding_graph:edges:{sf_dir}"
     )
     nodes = emb.select(F.col("vec_id").alias("node"))
     return kcore_peel(edges, nodes, k=_KC_K, rounds=_KC_ROUNDS).select(
@@ -828,10 +842,11 @@ def graph_degree_assortativity(
     )
     # pin the quadratic pair build (re-derived 6x otherwise: edges
     # twice + both degree probes — measured 12-scan plan)
-    pairs = (
-        similarity_join(emb, emb, threshold=_KC_THRESHOLD)
-        .select("left_id", "right_id")
-        .localCheckpoint()
+    pairs = keyed_local_checkpoint(
+        similarity_join(emb, emb, threshold=_KC_THRESHOLD).select(
+            "left_id", "right_id"
+        ),
+        key=f"graph_degree_assortativity:pairs:{sf_dir}",
     )
     edges = pairs.select(
         F.col("left_id").alias("src"), F.col("right_id").alias("dst")
@@ -937,10 +952,11 @@ def local_clustering_coefficients(
     )
     # pin the quadratic pair build (edges x2 + the triangle probe all
     # re-derive it otherwise — measured 14-scan plan)
-    pairs = (
-        similarity_join(emb, emb, threshold=_KC_THRESHOLD)
-        .select(F.col("left_id").alias("l"), F.col("right_id").alias("r"))
-        .localCheckpoint()
+    pairs = keyed_local_checkpoint(
+        similarity_join(emb, emb, threshold=_KC_THRESHOLD).select(
+            F.col("left_id").alias("l"), F.col("right_id").alias("r")
+        ),
+        key=f"local_clustering_coefficients:pairs:{sf_dir}",
     )
     edges = pairs.select(
         F.col("l").alias("src"), F.col("r").alias("dst")
@@ -1034,7 +1050,10 @@ def graph_edges_incremental_merge(
     cutoff = ev.agg(
         (F.max("ts_us") - F.lit(_GEM_HOURS * 3_600_000_000)).alias("cut")
     )
-    e = ev.crossJoin(F.broadcast(cutoff)).localCheckpoint()
+    e = keyed_local_checkpoint(
+        ev.crossJoin(F.broadcast(cutoff)),
+        key=f"graph_edges_incremental_merge:e:{sf_dir}",
+    )
 
     def edges_of(df: DataFrame) -> DataFrame:
         w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
@@ -1049,7 +1068,10 @@ def graph_edges_incremental_merge(
         )
 
     old_events = e.filter(F.col("ts_us") <= F.col("cut"))
-    standing = edges_of(old_events).localCheckpoint()  # the at-rest table
+    standing = keyed_local_checkpoint(  # the at-rest table
+        edges_of(old_events),
+        key=f"graph_edges_incremental_merge:standing:{sf_dir}",
+    )
 
     active = (
         e.filter(F.col("ts_us") > F.col("cut"))
@@ -1182,10 +1204,11 @@ def graph_ann_greedy_walk_recall(
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = (
-        emb.filter(F.col("vec_id") % _LP_NODE_MOD == 0)
-        .select("vec_id", as_double_array("embedding").alias("v"))
-        .localCheckpoint()
+    d = keyed_local_checkpoint(
+        emb.filter(F.col("vec_id") % _LP_NODE_MOD == 0).select(
+            "vec_id", as_double_array("embedding").alias("v")
+        ),
+        key=f"graph_ann_greedy_walk_recall:d:{sf_dir}",
     )
     tier = knn_exact if d.count() <= 600 else knn_exact_gemm
     cand = tier(d, d, k=_LP_K + 1, vec_col="v").filter(
@@ -1194,14 +1217,14 @@ def graph_ann_greedy_walk_recall(
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
     )
-    edges = (
+    edges = keyed_local_checkpoint(
         cand.withColumn("rn2", F.row_number().over(w_rank))
         .filter(F.col("rn2") <= _LP_K)
         .select(
             F.col("query_id").alias("src"),
             F.col("neighbor_id").alias("dst"),
-        )
-        .localCheckpoint()
+        ),
+        key=f"graph_ann_greedy_walk_recall:edges:{sf_dir}",
     )
     q = emb.filter(
         (F.col("vec_id") % _LP_NODE_MOD == 1)
@@ -1209,8 +1232,12 @@ def graph_ann_greedy_walk_recall(
     ).select(
         F.col("vec_id").alias("query_id"),
         as_double_array("embedding").alias("qv"),
-    ).localCheckpoint()
+    )
+    q = keyed_local_checkpoint(
+        q, key=f"graph_ann_greedy_walk_recall:q:{sf_dir}"
+    )
     entry = d.agg(F.min("vec_id").alias("enode"))
+    wscope = RoundScope(spark)
     walk = q.crossJoin(F.broadcast(entry)).select(
         "query_id", F.col("enode").alias("cur")
     )
@@ -1233,12 +1260,15 @@ def graph_ann_greedy_walk_recall(
         w_best = Window.partitionBy("query_id").orderBy(
             F.desc("s"), F.asc("node")
         )
-        walk = (
+        walk = wscope.checkpoint(
             scored.withColumn("rn", F.row_number().over(w_best))
             .filter(F.col("rn") == 1)
             .select("query_id", F.col("node").alias("cur"))
-            .localCheckpoint()
         )
+        # the new hop is materialized: prior hop's blocks are dead
+        wscope.release_superseded()
+    # the final hop feeds the lazy result — the NEXT invocation frees it
+    wscope.transfer_to_key(f"graph_ann_greedy_walk_recall:walk:{sf_dir}")
     exact = tier(
         d, q, k=1, vec_col="v", query_id_col="query_id",
         query_vec_col="qv",

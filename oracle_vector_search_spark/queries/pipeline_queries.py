@@ -1426,14 +1426,17 @@ def query_path_detect_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
     )
     q = _crop_serialize_best(best)
-    q = (
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    q = keyed_local_checkpoint(
+        # detect+crop runs ONCE; the GEMM collect and the metadata
+        # broadcast below both read the pinned rows
         q.withColumn("crop_md5", F.md5(F.col("crop_csv").cast("binary")))
         .withColumn("qvec", F.expr(E.spark_embedding_expr("crop_md5", DIMS)))
         .withColumn(
             "qid", F.element_at(F.split("stem", "_"), 2).cast("long")
-        )
-        .localCheckpoint()  # detect+crop runs ONCE; the GEMM collect
-        # and the metadata broadcast below both read the pinned rows
+        ),
+        key=f"query_path_detect_search:q:{sf_dir}",
     )
     qmeta = q.select(
         "qid",

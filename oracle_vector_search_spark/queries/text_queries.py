@@ -777,14 +777,17 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = load_table(spark, sf_dir, "documents")
     base = doc.select("doc_id", T.norm_text().alias("norm"))
     tok = base.withColumn("toks", T.tokens("norm"))
-    g = tok.select(
-        "doc_id",
-        F.explode(
-            F.expr(T.word_shingles_expr("toks", "norm"))
-        ).alias("s"),
-    ).select(
-        "doc_id", F.expr(T.hash28_sql("s")).alias("h")
-    ).localCheckpoint()
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    g = keyed_local_checkpoint(
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.expr(T.word_shingles_expr("toks", "norm"))
+            ).alias("s"),
+        ).select("doc_id", F.expr(T.hash28_sql("s")).alias("h")),
+        key=f"doc_ngram_novelty:grams:{sf_dir}",
+    )
     per = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     h_agg = g.groupBy("h").agg(
         F.countDistinct("doc_id").alias("d"),

@@ -297,9 +297,14 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
             ).alias("total_revenue_cents")
         )
-        # materialize the per-supplier aggregate (tiny) so the max
-        # subquery and the join both read it — lineitem scans ONCE
-        .localCheckpoint()
+    )
+    # materialize the per-supplier aggregate (tiny) so the max
+    # subquery and the join both read it — lineitem scans ONCE; keyed
+    # so a re-invocation releases the superseded blocks (VERDICT r12 #2)
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    rev = keyed_local_checkpoint(
+        rev, key=f"top_revenue_suppliers:{sf_dir}"
     )
     mx = rev.agg(
         F.max("total_revenue_cents").alias("total_revenue_cents")

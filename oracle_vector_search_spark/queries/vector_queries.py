@@ -1314,9 +1314,14 @@ def prf_rocchio_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_vector_search_spark.operators.knn import knn_exact
 
     emb = load_table(spark, sf_dir, "embeddings")
-    d = emb.select(
-        "vec_id", "label", as_double_array("embedding").alias("v")
-    ).localCheckpoint()
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    d = keyed_local_checkpoint(
+        emb.select(
+            "vec_id", "label", as_double_array("embedding").alias("v")
+        ),
+        key=f"prf_rocchio_requery:d:{sf_dir}",
+    )
     q = d.filter(F.col("vec_id") < _PRF_NQ).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),

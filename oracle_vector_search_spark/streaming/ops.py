@@ -1213,10 +1213,17 @@ def preference_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # swallowed here would silently restart the totals)
             merged = part
         # pin BEFORE overwrite — the merged plan reads the very
-        # directory the write replaces
-        merged.localCheckpoint().write.mode("overwrite").parquet(
-            state_dir
+        # directory the write replaces; released right after (the
+        # write is the only consumer — VERDICT r12 #2)
+        from oracle_vector_search_spark.plans.ckpt import (
+            keyed_local_checkpoint,
+            release_key,
         )
+
+        keyed_local_checkpoint(
+            merged, key=f"stream_state:{state_dir}"
+        ).write.mode("overwrite").parquet(state_dir)
+        release_key(merged.sparkSession, f"stream_state:{state_dir}")
 
     q = (
         stream.writeStream.foreachBatch(upd)
@@ -1308,8 +1315,17 @@ def pass_at_k_stats_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             # swallowed here would silently restart the totals)
             merged = part
         # pin BEFORE overwrite — the merged plan reads the very
-        # directory the write replaces
-        merged.localCheckpoint().write.mode("overwrite").parquet(state_dir)
+        # directory the write replaces; released right after (the
+        # write is the only consumer — VERDICT r12 #2)
+        from oracle_vector_search_spark.plans.ckpt import (
+            keyed_local_checkpoint,
+            release_key,
+        )
+
+        keyed_local_checkpoint(
+            merged, key=f"stream_state:{state_dir}"
+        ).write.mode("overwrite").parquet(state_dir)
+        release_key(merged.sparkSession, f"stream_state:{state_dir}")
 
     q = (
         stream.writeStream.foreachBatch(upd)

@@ -152,6 +152,24 @@ def load_all_modules() -> None:
 #   the 10 oldest round-4-latest names in registration order + 4 new
 #   r12 registrations (never-driver-checked names claim slots; the
 #   displaced boundary-round names roll to the r13 window).
+#   r13 (this file): CORRECTNESS_r12 green (50/50) → zero fails and
+#   zero never-checked across the cumulative union. The window
+#   executes VERDICT r12 #2: clear the LAST pre-r5 freshness cohort.
+#   8 sentinels + 4 re-check slots (code changed this round after the
+#   names' latest driver rows: split_leakage_audit — nullif(n_users,0)
+#   guard on both engines, ADVICE r12; psi_value_drift,
+#   kcenter_coreset_seeds, wordpiece_greedy_tokenize_top30 — the
+#   deterministic localCheckpoint-release rewiring, VERDICT r12 #3;
+#   the rest of the ckpt-touched family was re-verified by the local
+#   full-registry gate this round) + 1 never-checked slot
+#   (nightly_corpus_build_manifest, the composed end-to-end build —
+#   VERDICT r12 #4) + 37 freshness slots: ALL 31 names whose latest
+#   check is round 4, then the 6 oldest round-5-latest names in
+#   registration order. Per VERDICT r12 #6 the remaining 34 r5-latest
+#   names are the r14 window's freshness plan (34 + sentinels + room
+#   for re-checks/new fits one 50-slot round). New r13 registrations
+#   swap in for the youngest freshness tail slots (the r5 names at
+#   the very end of this list); displaced names roll to r14.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",
@@ -162,60 +180,55 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_cosine_top5_gemm",
     "exact_dedup_groups",
     "streaming_upsert_snapshot",
-    # --- re-check: code changed this round (wcum window rerouted
-    # through bounded_global_order, VERDICT r11 #1c) ---
-    "qdigest_quantile_audit",
-    # --- freshness: oldest latest-check first — all 27 r3-latest
-    # names, then the 14 oldest r4-latest names (registration order);
-    # the tail of this block is the swap-out zone for new r12
-    # registrations ---
-    "winsorized_price_stats",
-    "bigram_collocations_top20",
-    "ngram_jaccard_pairs",
-    "signature_upsert_merge",
-    "q6_forecast_revenue",
-    "array_functions",
-    "stratified_sample_rates",
-    "doc_repetition_stats",
-    "doc_pii_scrub",
-    "chunk_embed_retrieve_topk",
-    "term_doc_frequency_top20",
-    "contrastive_negative_samples",
-    "hard_negative_mining_top3",
-    "mmr_rerank_top3",
-    "target_encode_loo",
-    "bloom_prefiltered_urgent_revenue",
-    "unpivot_pricing_measures",
-    "feature_correlation_exact",
-    "fuzzy_entity_match_pairs",
-    "min_cost_supplier_per_part",
-    "nation_pair_volume",
-    "top_returning_customers",
-    "priority_by_linestatus",
-    "brand_discount_revenue",
-    "customer_order_distribution",
-    "top_revenue_suppliers",
-    "small_order_revenue",
-    # --- r4-latest cohort begins (domain_cap_sample and younger roll
-    # to r13) ---
-    "embedding_dim_stats",
-    "lsh_recall_audit",
-    "index_health_audit",
-    "sql_interface_pricing",
-    "events_json_agg",
-    "hourly_event_windows",
-    "user_sessions",
-    "purchase_asof_order",
-    "event_pairs_within_minute",
-    "events_hourly_gapfill_locf",
-    # new r12 registrations (never-driver-checked names claim slots;
-    # the displaced boundary-round names — jsonl_ingest_audit,
-    # udtf_token_windows, benchmark_decontamination — and
-    # dedup_keep_best roll to the r13 window)
-    "purchase_asof_order_auto",
-    "epoch_shuffle_shards",
-    "tokenizer_fertility_by_lang",
+    # --- re-check: code changed this round after the latest row ---
     "split_leakage_audit",
+    "psi_value_drift",
+    "kcenter_coreset_seeds",
+    "wordpiece_greedy_tokenize_top30",
+    # --- new r13 registration (never-driver-checked) ---
+    "nightly_corpus_build_manifest",
+    # --- freshness: the whole r4-latest cohort (31 names,
+    # registration order) ---
+    "jsonl_ingest_audit",
+    "udtf_token_windows",
+    "benchmark_decontamination",
+    "dedup_keep_best",
+    "domain_cap_sample",
+    "candidate_jaccard_histogram",
+    "prefix_filter_jaccard_pairs",
+    "stateful_user_counts",
+    "cogroup_user_reconcile",
+    "null_safe_join",
+    "heavy_hitter_tokens_twophase",
+    "events_rolling_features",
+    "feature_binning_equal_width",
+    "event_value_zscore_outliers",
+    "view_purchase_funnel",
+    "phrase3_retrieval_top20",
+    "domain_mixture_rates",
+    "training_order_shuffle",
+    "posting_upsert_merge",
+    "domain_mixture_apply",
+    "events_upsert_snapshot",
+    "hourly_agg_partial_merge",
+    "compacted_events_checksum",
+    "key_skew_profile",
+    "zorder_layout_stats",
+    "snapshot_diff_users",
+    "q4_late_orders",
+    "q14_promo_revenue",
+    "q22_idle_rich_customers",
+    "streaming_view_purchase_pairs",
+    "streaming_index_maintenance",
+    # --- r5-latest cohort begins (oldest 6 in registration order;
+    # this tail is the swap-out zone for new r13 registrations —
+    # displaced names roll to the r14 window with the other 34) ---
+    "embedding_drift_audit",
+    "sq8_recall_refine_audit",
+    "matryoshka_recall_audit",
+    "lsh_multiprobe_topk",
+    "filtered_knn_label",
+    "multiprobe_recall_audit",
 )
 
 

@@ -48,6 +48,40 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def ambient_probe() -> dict:
+    """Fixed-work CPU probe + load average, so a capture carries its
+    own contention evidence (VERDICT r12 #1: the driver's BENCH_r12
+    read 90 s vs the committed same-HEAD idle capture's 30.5 s and the
+    artifact could not prove which to believe). The GEMM is constant
+    work on constant data — its wall time moves ONLY with ambient host
+    load — and /proc/loadavg records what else was running."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((1024, 1024)).astype(np.float64)
+    b = rng.standard_normal((1024, 1024)).astype(np.float64)
+    # warm untimed for >=0.25 s: one matmul is not enough to ramp an
+    # idle CPU out of its low-power frequency state, and a cold-start
+    # probe would false-flag `contended` on a genuinely idle host
+    t0 = time.time()
+    while time.time() - t0 < 0.25:
+        a @ b
+    reps = []
+    for _ in range(3):
+        t0 = time.time()
+        a @ b
+        reps.append(time.time() - t0)
+    try:
+        with open("/proc/loadavg") as fh:
+            load = [float(x) for x in fh.read().split()[:3]]
+    except (OSError, ValueError):
+        load = None
+    return {
+        "gemm_1024_median_sec": round(statistics.median(reps), 4),
+        "loadavg": load,
+    }
+
+
 RUNS = 4  # 1 cold + 3 warm; medians are over the warm runs
 # sub-second queries get this many EXTRA warm runs (VERDICT r6 #3:
 # ≥7 total runs for queries under 1 s) — relative noise is largest
@@ -64,6 +98,10 @@ HEADLINE = [
     "hourly_event_windows",
     "user_sessions",
     "purchase_asof_order",
+    # r13: the profile-dispatched twin — tracks the dispatch premium
+    # (at-rest key-profile consult + plan choice) against the plain
+    # tier it sits beside (VERDICT r12 #5)
+    "purchase_asof_order_auto",
     "events_json_agg",
     "exact_dedup_groups",
     "minhash_near_dup_pairs",
@@ -193,6 +231,8 @@ def main() -> None:
     except ValueError:
         sf_val = sf
 
+    ambient_start = ambient_probe()
+
     from oracle_vector_search_spark.session import get_spark
     import __spark_entry__ as entry
 
@@ -232,10 +272,27 @@ def main() -> None:
         if name in AT_REST_WRITERS:
             one_time[name] = round(max(runs[0] - warm, 0.0), 3)
 
+    ambient_end = ambient_probe()
+
     total = round(sum(medians.values()), 3)
     min_total = round(sum(mins.values()), 3)
     max_total = round(sum(maxs.values()), 3)
     noise_band = round(max_total / min_total, 3) if min_total else None
+    # contention verdict carried BY the artifact: the GEMM is constant
+    # work, so probe drift or a 1-minute load already above the suite's
+    # own worker count at start means another workload shared the host
+    g0 = ambient_start["gemm_1024_median_sec"]
+    g1 = ambient_end["gemm_1024_median_sec"]
+    probe_drift = round(max(g0, g1) / min(g0, g1), 3) if min(g0, g1) else None
+    # only the START load is a contention signal — the END 1-minute
+    # average legitimately carries the suite's own just-finished work
+    start_load1 = (ambient_start["loadavg"] or [0.0])[0]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    contended = bool(
+        (probe_drift is not None and probe_drift > 1.5)
+        or (noise_band is not None and noise_band > 2.5)
+        or start_load1 > 0.5 * cpus
+    )
     # Output discipline (VERDICT r5 #2): the driver captures the TAIL of
     # stdout and parses the final JSON line. At 38 queries the old
     # everything-in-one-line emission outgrew that capture and r5 lost
@@ -258,6 +315,10 @@ def main() -> None:
         "runs_per_query": RUNS,
         "extra_runs_below_1s": EXTRA_FAST_RUNS,
         "sf": sf_val,
+        "ambient_start": ambient_start,
+        "ambient_end": ambient_end,
+        "cpu_probe_drift": probe_drift,
+        "contended": contended,
     }
     try:
         local_path = os.path.join(
@@ -281,6 +342,15 @@ def main() -> None:
                 "noise_band": noise_band,
                 "runs_per_query": RUNS,
                 "sf": sf_val,
+                # ambient evidence rides the DRIVER-RECORDED line so a
+                # contaminated capture indicts itself (VERDICT r12 #1)
+                "gemm_probe_sec": [
+                    ambient_start["gemm_1024_median_sec"],
+                    ambient_end["gemm_1024_median_sec"],
+                ],
+                "load1_start": start_load1,
+                "cpu_probe_drift": probe_drift,
+                "contended": contended,
             }
         )
     )

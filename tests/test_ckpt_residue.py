@@ -32,10 +32,10 @@ def _settled_count(spark) -> int:
     import gc
     import time
 
-    for _ in range(3):
+    for _ in range(2):
         gc.collect()
         spark._jvm.System.gc()
-        time.sleep(1.0)
+        time.sleep(0.7)
     return _n_persistent(spark)
 
 
@@ -89,15 +89,15 @@ def test_mixed_session_residue_is_bounded(spark, sf_dir):
     for n in names:  # establish every steady state
         qs[n](spark, sf_dir).count()
     base = _settled_count(spark)
-    for _ in range(3):
+    for _ in range(2):
         for n in names:
             qs[n](spark, sf_dir).count()
     grown = _settled_count(spark) - base
     # settled-to-settled, the steady state must not grow: every keyed
     # site owns exactly one live set and loops release their rounds.
-    # (The pre-r13 failure mode was one NEW pin per run — +24 here.)
+    # (The pre-r13 failure mode was one NEW pin per run — +16 here.)
     assert grown <= 1, (
-        f"mixed 24-run session grew settled persistent RDDs by "
+        f"mixed 16-run session grew settled persistent RDDs by "
         f"{grown} — superseded checkpoints are stacking again"
     )
 

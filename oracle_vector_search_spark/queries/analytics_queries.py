@@ -675,7 +675,7 @@ def item_cf_similar_parts_top3(
             F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
         )
         .distinct(),
-        key=f"event_type_value_mode:lp:{sf_dir}",
+        key=f"item_cf_similar_parts_top3:lp:{sf_dir}",
     )
     supp = lp.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
     a = lp.select("ok", F.col("pk").alias("pa"))

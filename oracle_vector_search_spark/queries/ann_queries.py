@@ -171,11 +171,14 @@ def _audit_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         else:
             out[name] = df
     if to_build:
-        # deliberately a RAW localCheckpoint (the repo-wide keyed
-        # release discipline diffs persistent-RDD ids around the call,
-        # which is racy under this thread pool): the pins are
+        # deliberately a RAW localCheckpoint: these pins are
         # session-cached above — one per (app, sf, name), evicted when
-        # the session changes — so the residue is already bounded
+        # the session changes — so residue is already bounded and a
+        # keyed release would never fire (the cache means no
+        # re-invocation ever supersedes a pin). ckpt.py's _OWNED dict
+        # is also not lock-protected; distinct keys are GIL-safe but
+        # this thread pool would be the only concurrent writer, so
+        # staying raw keeps the discipline's single-threaded story true.
         with ThreadPoolExecutor(max_workers=len(to_build)) as ex:
             futs = {
                 n: ex.submit(lambda f=f: f().localCheckpoint())

@@ -502,7 +502,12 @@ def embedding_components_single_linkage(
     pairs = similarity_join(emb, emb, threshold=_CC_THRESHOLD).select(
         F.col("left_id"), F.col("right_id")
     )
-    comp = dedup_clusters_fixpoint(pairs, emb, id_col="vec_id")
+    comp = dedup_clusters_fixpoint(
+        pairs,
+        emb,
+        id_col="vec_id",
+        ckpt_key=f"embedding_components_single_linkage:{sf_dir}",
+    )
     w = Window.partitionBy("canonical_id")
     return comp.select(
         "vec_id",
@@ -595,7 +600,11 @@ def dbscan_embedding_clusters(
         key=f"dbscan_embedding_clusters:pairs:{sf_dir}",
     )
     return dbscan_from_edges(
-        pairs, emb, min_pts=_DB_MINPTS, id_col="vec_id"
+        pairs,
+        emb,
+        min_pts=_DB_MINPTS,
+        id_col="vec_id",
+        ckpt_key=f"dbscan_embedding_clusters:{sf_dir}",
     )
 
 
@@ -674,7 +683,12 @@ def hits_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_vector_search_spark.operators.propagation import hits_l1
 
     edges, nodes = _graph_tables(spark, sf_dir)
-    return hits_l1(edges, nodes, iters=_HITS_ITER).select(
+    return hits_l1(
+        edges,
+        nodes,
+        iters=_HITS_ITER,
+        ckpt_key=f"hits_event_transitions:{sf_dir}",
+    ).select(
         F.col("node").alias("event_type"),
         F.round("h", 6).alias("hub"),
         F.round("a", 6).alias("authority"),
@@ -776,7 +790,13 @@ def kcore_embedding_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges, key=f"kcore_embedding_graph:edges:{sf_dir}"
     )
     nodes = emb.select(F.col("vec_id").alias("node"))
-    return kcore_peel(edges, nodes, k=_KC_K, rounds=_KC_ROUNDS).select(
+    return kcore_peel(
+        edges,
+        nodes,
+        k=_KC_K,
+        rounds=_KC_ROUNDS,
+        ckpt_key=f"kcore_embedding_graph:{sf_dir}",
+    ).select(
         F.col("node").alias("vec_id"), "in_core"
     )
 
@@ -1282,3 +1302,174 @@ def graph_ann_greedy_walk_recall(
         .cast("int")
         .alias("hit"),
     )
+
+
+# ------------------------------------------------- triangle counting
+
+_TRI_THRESHOLD = 0.3  # same ε as the single-linkage component graph
+
+
+def _triangle_oracle() -> str:
+    cos = (
+        "round(list_dot_product(a.v, b.v)"
+        " / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    return f"""
+WITH d AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % {_CC_MOD} = 0
+), pairs AS MATERIALIZED (
+  SELECT a.vec_id AS l, b.vec_id AS r
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+  WHERE {cos} >= {_TRI_THRESHOLD}
+), deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT l AS node FROM pairs UNION ALL SELECT r AS node FROM pairs
+  ) GROUP BY node
+), tri AS (
+  SELECT p1.l AS a, p1.r AS b, p2.r AS c
+  FROM pairs p1
+  JOIN pairs p2 ON p2.l = p1.r
+  JOIN pairs p3 ON p3.l = p1.l AND p3.r = p2.r
+), tn AS (
+  SELECT node, count(*) AS n_tri FROM (
+    SELECT a AS node FROM tri
+    UNION ALL SELECT b AS node FROM tri
+    UNION ALL SELECT c AS node FROM tri
+  ) GROUP BY node
+)
+SELECT d.vec_id,
+       CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+       CAST(coalesce(tn.n_tri, 0) AS BIGINT) AS n_triangles,
+       CASE WHEN coalesce(deg.degree, 0) >= 2
+            THEN round(2.0 * coalesce(tn.n_tri, 0)
+                       / (deg.degree * (deg.degree - 1)), 6)
+            ELSE 0.0 END AS clustering_coeff
+FROM d
+LEFT JOIN deg ON deg.node = d.vec_id
+LEFT JOIN tn ON tn.node = d.vec_id
+ORDER BY d.vec_id
+"""
+
+
+@register("triangle_count_graph", _triangle_oracle())
+def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient on the
+    cosine-threshold similarity graph — the transitivity measure the
+    component/k-core/DBSCAN family lacks (a dense near-dup cluster has
+    high transitivity; a chain of borderline matches has none).
+
+    Spark runs the DEGREE-ORDERED orientation algorithm (the standard
+    distributed formulation, cf. Cohen 2009 / Suri & Vassilvitskii
+    2011 "graph twiddling" / MR triangle counting): orient every edge
+    from its lower-(degree, id) endpoint to the higher, enumerate
+    wedges only at each edge's smaller endpoint, and close them
+    against the oriented edge list. Each triangle is produced EXACTLY
+    once, and the wedge list is bounded by the graph's arboricity —
+    O(m^{{3/2}}) total regardless of degree skew, where the naive
+    per-node wedge join blows up quadratically on hub nodes. The
+    oracle is the naive three-way id-ordered join — same triangles.
+
+    Scale shape: the quadratic pair space is the similarity join's
+    problem (LSH-pruned at 100 TB, like the component/k-core family);
+    beyond it every shuffle carries (node, node) pairs or node-sized
+    degree tuples. The pinned pair list is read by the degree count,
+    both wedge sides, and the closing semi-join — checkpointed once,
+    keyed to this query + sf_dir."""
+    from oracle_vector_search_spark.operators.knn import similarity_join
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % _CC_MOD == 0
+    )
+    pairs = keyed_local_checkpoint(
+        similarity_join(emb, emb, threshold=_TRI_THRESHOLD).select(
+            "left_id", "right_id"
+        ),
+        key=f"triangle_count_graph:pairs:{sf_dir}",
+    )
+    deg = (
+        pairs.select(F.col("left_id").alias("node"))
+        .unionByName(pairs.select(F.col("right_id").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    withdeg = (
+        pairs.join(
+            deg.select(
+                F.col("node").alias("left_id"), F.col("degree").alias("dl")
+            ),
+            "left_id",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("right_id"),
+                F.col("degree").alias("dr"),
+            ),
+            "right_id",
+        )
+    )
+    # orient low-(deg, id) -> high-(deg, id); carry the head's rank key
+    # so wedges enumerate (v, w) in a fixed order (each triangle once)
+    lo_first = (F.col("dl") < F.col("dr")) | (
+        (F.col("dl") == F.col("dr"))
+        & (F.col("left_id") < F.col("right_id"))
+    )
+    oriented = withdeg.select(
+        F.when(lo_first, F.col("left_id"))
+        .otherwise(F.col("right_id"))
+        .alias("src"),
+        F.when(lo_first, F.col("right_id"))
+        .otherwise(F.col("left_id"))
+        .alias("dst"),
+        F.when(lo_first, F.col("dr")).otherwise(F.col("dl")).alias("ddeg"),
+    )
+    o1 = oriented.select(
+        F.col("src").alias("apex"),
+        F.col("dst").alias("v"),
+        F.col("ddeg").alias("vdeg"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("apex"),
+        F.col("dst").alias("w"),
+        F.col("ddeg").alias("wdeg"),
+    )
+    wedges = o1.join(o2, "apex").filter(
+        (F.col("vdeg") < F.col("wdeg"))
+        | ((F.col("vdeg") == F.col("wdeg")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "inner").select(
+        "apex", "v", "w"
+    )
+    tn = (
+        tri.select(
+            F.explode(F.array("apex", "v", "w")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    nodes = emb.select(F.col("vec_id"))
+    out = (
+        nodes.join(deg, nodes.vec_id == deg.node, "left")
+        .drop("node")
+        .join(tn, nodes.vec_id == tn.node, "left")
+        .drop("node")
+    )
+    degree = F.coalesce(F.col("degree"), F.lit(0)).cast("long")
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
+    return out.select(
+        "vec_id",
+        degree.alias("degree"),
+        n_tri.alias("n_triangles"),
+        F.when(
+            degree >= 2,
+            F.round(
+                F.lit(2.0) * n_tri / (degree * (degree - F.lit(1))), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coeff"),
+    ).orderBy("vec_id")

@@ -208,3 +208,55 @@ def test_search_auto_stays_exact_above_cutover(spark, corpus_dir, labels):
         for r in forced:
             assert 1 <= r["rank"] <= 3
             assert r["score"] is not None
+
+
+def test_live_results_coexist_across_invocations(spark, corpus_dir, labels):
+    """VERDICT r13 #1 regression guard: every public entry point must
+    return a lazily-collectable result whose blocks SURVIVE later
+    invocations of the same (and sibling) entry points. r13 pinned the
+    query pipeline under a static keyed_local_checkpoint key, so the
+    second call released the first result's only blocks and collecting
+    the older frame died with CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND. Here
+    we build N live results from search (expr, gemm, ann tiers) and
+    search_radius BEFORE collecting any, then collect OLDEST-FIRST —
+    the order that crashes under keyed pinning."""
+    from oracle_vector_search_spark.api import search_radius
+
+    with tempfile.TemporaryDirectory() as out:
+        build_index(spark, corpus_dir, labels, out_path=f"{out}/index")
+        idx = load_index(spark, f"{out}/index")
+        queries = spark.createDataFrame(
+            [
+                (
+                    f"q_img{i}",
+                    f"q/img{i}.fake",
+                    open(
+                        os.path.join(corpus_dir, f"img{i}.fake"), "rb"
+                    ).read(),
+                )
+                for i in (1, 4)
+            ],
+            "stem string, path string, content binary",
+        )
+        live = [
+            ("search:expr#1", search(spark, idx, queries, k=3, tier="expr")),
+            ("search:expr#2", search(spark, idx, queries, k=2, tier="expr")),
+            ("search:gemm", search(spark, idx, queries, k=3, tier="gemm")),
+            ("search:ann", search(spark, idx, queries, k=3, tier="ann")),
+            ("radius#1", search_radius(spark, idx, queries, threshold=0.2)),
+            ("radius#2", search_radius(spark, idx, queries, threshold=0.9)),
+        ]
+        # collect oldest-first: under a static keyed pin every frame
+        # except the newest per entry point is already dead here
+        for name, df in live:
+            rows = df.collect()  # must not raise
+            assert {r["query_stem"] for r in rows} <= {
+                "q_img1",
+                "q_img4",
+            }, name
+        # expr results stay self-consistent after all later invocations
+        k3 = {(r["query_stem"], r["rank"], r["match_id"])
+              for r in live[0][1].collect()}
+        k2 = {(r["query_stem"], r["rank"], r["match_id"])
+              for r in live[1][1].collect()}
+        assert k2 <= k3

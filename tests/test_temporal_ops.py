@@ -282,6 +282,18 @@ def test_asof_auto_dispatches_plain_when_no_hot_keys(spark):
         left, right, "k", "lts", "rts", ["rid"], right_tiebreak="rid"
     )
     assert _rowset(out) == _rowset(plain)
+    # VERDICT r13 #5: the empty-hot dispatch must BE the plain tier's
+    # plan, fingerprint-for-fingerprint — not merely row-equal. The
+    # dispatch premium (split + union + second window) is paid ONLY
+    # when a hot key exists. Canonicalize expression/plan ids (#123)
+    # before comparing: ids differ across analyses of identical plans.
+    import re
+
+    def fingerprint(df):
+        s = df._jdf.queryExecution().optimizedPlan().toString()
+        return re.sub(r"#\d+[L]?", "#x", s)
+
+    assert fingerprint(out) == fingerprint(plain)
 
 
 def test_asof_auto_salts_profiled_hot_keys_only(spark):

@@ -170,6 +170,21 @@ def load_all_modules() -> None:
 #   for re-checks/new fits one 50-slot round). New r13 registrations
 #   swap in for the youngest freshness tail slots (the r5 names at
 #   the very end of this list); displaced names roll to r14.
+#   r14 (this file): CORRECTNESS_r13 green (50/50) → cumulative union
+#   still zero fails / zero never-checked; oldest latest-check is
+#   round 5 (34 names). The window executes VERDICT r13 #3: clear the
+#   FINAL freshness cohort. 8 sentinels + 5 re-check slots (code
+#   changed this round after the names' latest driver rows:
+#   embedding_components_single_linkage, dbscan_embedding_clusters,
+#   hits_event_transitions, kcore_embedding_graph — the operator-level
+#   static checkpoint keys became caller-scoped ckpt_key opt-ins,
+#   VERDICT r13 #1 / ADVICE r13 medium; item_cf_similar_parts_top3 —
+#   its misattributed checkpoint key renamed, ADVICE r13 low) + 3 new
+#   r14 registrations (curriculum_quality_order, bloom_dedup_fpr_audit,
+#   triangle_count_graph — never driver-checked) + ALL 34
+#   round-5-latest names in registration order = 50 exactly. After
+#   this window the oldest latest-check is round 6 and every
+#   registered name has a driver row.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",
@@ -181,54 +196,52 @@ _PRIORITY: tuple[str, ...] = (
     "exact_dedup_groups",
     "streaming_upsert_snapshot",
     # --- re-check: code changed this round after the latest row ---
-    "split_leakage_audit",
-    "psi_value_drift",
-    "kcenter_coreset_seeds",
-    "wordpiece_greedy_tokenize_top30",
-    # --- new r13 registration (never-driver-checked) ---
-    "nightly_corpus_build_manifest",
-    # --- freshness: the whole r4-latest cohort (31 names,
-    # registration order) ---
-    "jsonl_ingest_audit",
-    "udtf_token_windows",
-    "benchmark_decontamination",
-    "dedup_keep_best",
-    "domain_cap_sample",
-    "candidate_jaccard_histogram",
-    "prefix_filter_jaccard_pairs",
-    "stateful_user_counts",
-    "cogroup_user_reconcile",
-    "null_safe_join",
-    "heavy_hitter_tokens_twophase",
-    "events_rolling_features",
-    "feature_binning_equal_width",
-    "event_value_zscore_outliers",
-    "view_purchase_funnel",
-    "phrase3_retrieval_top20",
-    "domain_mixture_rates",
-    "training_order_shuffle",
-    "posting_upsert_merge",
-    "domain_mixture_apply",
-    "events_upsert_snapshot",
-    "hourly_agg_partial_merge",
-    "compacted_events_checksum",
-    "key_skew_profile",
-    "zorder_layout_stats",
-    "snapshot_diff_users",
-    "q4_late_orders",
-    "q14_promo_revenue",
-    "q22_idle_rich_customers",
-    "streaming_view_purchase_pairs",
-    "streaming_index_maintenance",
-    # --- r5-latest cohort begins (oldest 6 in registration order;
-    # this tail is the swap-out zone for new r13 registrations —
-    # displaced names roll to the r14 window with the other 34) ---
-    "embedding_drift_audit",
-    "sq8_recall_refine_audit",
-    "matryoshka_recall_audit",
-    "lsh_multiprobe_topk",
-    "filtered_knn_label",
-    "multiprobe_recall_audit",
+    "embedding_components_single_linkage",
+    "dbscan_embedding_clusters",
+    "hits_event_transitions",
+    "kcore_embedding_graph",
+    "item_cf_similar_parts_top3",
+    # --- new r14 registrations (never-driver-checked; the 3 reserved
+    # slots) ---
+    "curriculum_quality_order",
+    "bloom_dedup_fpr_audit",
+    "triangle_count_graph",
+    # --- freshness: the ENTIRE r5-latest cohort (34 names,
+    # registration order) — the last cohort older than r6 ---
+    "sql_udf_knn_top3",
+    "approx_aggregates",
+    "recursive_ancestry_rollup",
+    "view_next_purchase_asof",
+    "retention_cohorts",
+    "session_path_bigrams",
+    "event_type_twap",
+    "variant_props_stats",
+    "events_ohlc_bars",
+    "boilerplate_spans_per_source",
+    "hamming_knn_top5",
+    "dedup_cleaned_corpus_checksum",
+    "dedup_cascade_scaling_probe",
+    "packed_bins_greedy",
+    "countmin_token_freq_audit",
+    "per_group_linear_fit",
+    "mad_outlier_flags",
+    "equidepth_value_histogram",
+    "value_skew_kurtosis_exact",
+    "maxsim_late_interaction_top5",
+    "span_corruption_pairs",
+    "hybrid_rrf_retrieval_top10",
+    "domain_oversample_apply",
+    "key_profile_at_rest",
+    "profile_guided_skew_join_spend",
+    "k_anonymity_audit",
+    "range_checksum_diff",
+    "yolo_source_class_stats",
+    "reference_labels_index_parity",
+    "streaming_sliding_windows_watermark",
+    "streaming_dedup_within_watermark",
+    "orc_roundtrip_checksum",
+    "csv_roundtrip_checksum",
+    "merge_schema_evolution_audit",
 )
 
 

@@ -1242,3 +1242,142 @@ def qdigest_quantile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quantile_pct")
     )
+
+
+# -------------------------------------------------- Bloom-filter audit
+
+# Bloom membership sketch over the TRAIN split's normalized-text
+# fingerprints, probed by the EVAL split — the standing-corpus
+# admission sketch ("is this incoming document already in the
+# corpus?") with its false-positive rate measured against exact
+# membership. Completes the sketch-audit family (HLL, CountMin,
+# q-digest, KMV, MinHash error) with the membership sketch.
+_BLOOM_M = 65_536  # bits; fill ~0.22 at sf0.01 -> FPR ~1% at k=3
+_BLOOM_K = 3  # hash functions (independent md5 salts)
+
+
+def _bloom_pos_spark(salt: int, norm: str) -> str:
+    """Spark SQL fragment: Bloom bit position ``salt`` of a normalized
+    text — the portable hash60 family under an md5 salt, mod m."""
+    inner = T.hash60_sql(f"concat('bloom{salt}:', {norm})")
+    return f"({inner}) % {_BLOOM_M}"
+
+
+def _bloom_pos_duck(salt: int, norm: str) -> str:
+    return (
+        f"(('0x' || substr(md5('bloom{salt}:' || {norm}), 1, 15))::BIGINT)"
+        f" % {_BLOOM_M}"
+    )
+
+
+@register(
+    "bloom_dedup_fpr_audit",
+    f"""
+WITH base AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+  FROM documents
+), train AS (
+  SELECT * FROM base WHERE doc_id % 10 <> 0
+), eval_set AS (
+  SELECT * FROM base WHERE doc_id % 10 = 0
+), bits AS (
+  SELECT DISTINCT pos FROM train, UNNEST([
+    {', '.join(_bloom_pos_duck(i, 'norm') for i in range(_BLOOM_K))}
+  ]) AS t(pos)
+), probe AS (
+  SELECT e.doc_id, e.source,
+         (SELECT count(*) FROM UNNEST([
+            {', '.join(_bloom_pos_duck(i, 'e.norm') for i in range(_BLOOM_K))}
+          ]) AS u(p) JOIN bits b ON b.pos = u.p) = {_BLOOM_K}
+           AS bloom_positive,
+         EXISTS (SELECT 1 FROM train t WHERE t.norm = e.norm)
+           AS exact_dup
+  FROM eval_set e
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_probed,
+       CAST(sum(bloom_positive::INT) AS BIGINT) AS n_bloom_positive,
+       CAST(sum(exact_dup::INT) AS BIGINT) AS n_exact_dup,
+       CAST(sum((bloom_positive AND NOT exact_dup)::INT) AS BIGINT)
+         AS n_false_positive
+FROM probe
+GROUP BY source
+ORDER BY source
+""",
+)
+def bloom_dedup_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit: build a deterministic m-bit,
+    k-hash Bloom filter over the train split's normalized texts, probe
+    every eval-split document, and report per-source bloom-positive vs
+    EXACT duplicate counts — the measured false-positive rate of the
+    corpus-admission sketch. The filter is the portable-hash family
+    (k independent md5 salts), so the whole audit — including each
+    individual false positive — is engine-exact, not statistical.
+
+    Scale shape: the filter is metadata — at most m (=65,536) distinct
+    bit positions regardless of corpus size; positions are scan-born
+    (explode of k hash exprs), deduped with one map-side-combining
+    DISTINCT, and BROADCAST to the probe side. The probe is a
+    broadcast join + per-doc count(k hits) — no corpus-sized shuffle.
+    Exact membership joins on the md5 fingerprint of the normalized
+    text (16 bytes/doc), never the text itself."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", T.norm_text("text").alias("norm")
+    )
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_set = docs.filter(F.col("doc_id") % 10 == 0)
+    pos_arr = "array({})".format(
+        ", ".join(
+            _bloom_pos_spark(i, "norm") for i in range(_BLOOM_K)
+        )
+    )
+    bits = (
+        train.select(F.explode(F.expr(pos_arr)).alias("pos"))
+        .distinct()  # bounded by m: metadata-sized at any corpus scale
+    )
+    probes = eval_set.select(
+        "doc_id",
+        "source",
+        F.md5(F.col("norm").cast("binary")).alias("fp"),
+        F.explode(F.expr(pos_arr)).alias("pos"),
+    )
+    hits = (
+        probes.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == _BLOOM_K)
+        .select("doc_id", F.lit(True).alias("bloom_positive"))
+    )
+    train_fp = train.select(
+        F.md5(F.col("norm").cast("binary")).alias("fp")
+    ).distinct()
+    exact = (
+        eval_set.select(
+            "doc_id", F.md5(F.col("norm").cast("binary")).alias("fp")
+        )
+        .join(train_fp, "fp", "left_semi")
+        .select("doc_id", F.lit(True).alias("exact_dup"))
+    )
+    flagged = (
+        eval_set.select("doc_id", "source")
+        .join(hits, "doc_id", "left")
+        .join(exact, "doc_id", "left")
+        .select(
+            "source",
+            F.coalesce("bloom_positive", F.lit(False)).alias("bp"),
+            F.coalesce("exact_dup", F.lit(False)).alias("ed"),
+        )
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_probed"),
+            F.sum(F.col("bp").cast("long")).alias("n_bloom_positive"),
+            F.sum(F.col("ed").cast("long")).alias("n_exact_dup"),
+            F.sum((F.col("bp") & ~F.col("ed")).cast("long")).alias(
+                "n_false_positive"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -2594,3 +2594,104 @@ def fim_split_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("binary")
         ).alias("psm_md5"),
     )
+
+
+# ------------------------------------------------ curriculum ordering
+
+# frozen curriculum-stage thresholds on the stopword ratio (permille,
+# compared with integer cross-multiplication so the stage boundary is
+# EXACT on both engines — a float ratio at the threshold would be a
+# cross-engine hash hazard): >= 7.5% stopwords = cleanest prose-like
+# tier (stage 0, trained first), >= 4.5% = stage 1, rest = stage 2.
+_CURR_HI_PERMILLE = 75
+_CURR_LO_PERMILLE = 45
+_CURR_SEED = "epoch0"  # reshuffle-within-stage knob, like _SHUFFLE_SEED
+_CURR_STOPWORDS = ("a", "the")
+
+
+@register(
+    "curriculum_quality_order",
+    f"""
+WITH b AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         len([t FOR t IN toks IF t IN ('a', 'the')]) AS n_sw,
+         len(toks) AS n_toks
+  FROM b
+), staged AS (
+  SELECT doc_id,
+         CASE WHEN n_sw * 1000 >= {_CURR_HI_PERMILLE} * n_toks THEN 0
+              WHEN n_sw * 1000 >= {_CURR_LO_PERMILLE} * n_toks THEN 1
+              ELSE 2 END AS stage,
+         ('0x' || substr(md5('curriculum:{_CURR_SEED}:' ||
+                              doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM s
+)
+SELECT doc_id, CAST(stage AS INTEGER) AS stage,
+       CAST(row_number() OVER (ORDER BY stage, hv, doc_id) AS BIGINT)
+         AS curriculum_pos
+FROM staged
+ORDER BY curriculum_pos
+""",
+)
+def curriculum_quality_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quality-staged curriculum order: documents are bucketed into
+    frozen quality stages (stopword-ratio bands — the cheap prose-ness
+    screen) and deterministically shuffled WITHIN each stage, yielding
+    the stage-major global position a curriculum-learning trainer
+    consumes (clean tier first, noisier tiers later). The within-stage
+    permutation is the same portable-hash family as
+    ``training_order_shuffle`` — change ``_CURR_SEED`` to reshuffle a
+    stage without moving documents across stages.
+
+    Scale shape: stage + hash are scan-born projections (token counts
+    and an md5 — no shuffle); the single global position comes from the
+    two-phase range-partitioned rank over (stage, hv, doc_id) — one
+    range shuffle of metadata-sized triples, no single-task window, no
+    rand(). The stage boundary compares n_sw*1000 >= permille*n_toks in
+    exact integer math, so assignment is engine- and partitioning-
+    independent."""
+    from oracle_vector_search_spark.operators.ingest import (
+        assign_index_ids_two_phase,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split(T.norm_text("text"), " ").alias("toks")
+    )
+    sw = F.size(
+        F.filter(
+            F.col("toks"),
+            lambda t: t.isin(*_CURR_STOPWORDS),
+        )
+    ).cast("long")
+    staged = toks.select(
+        "doc_id",
+        F.when(
+            sw * 1000 >= F.lit(_CURR_HI_PERMILLE) * F.size("toks"), 0
+        )
+        .when(sw * 1000 >= F.lit(_CURR_LO_PERMILLE) * F.size("toks"), 1)
+        .otherwise(2)
+        .cast("int")
+        .alias("stage"),
+        F.expr(
+            T.hash60_sql(
+                f"concat('curriculum:{_CURR_SEED}:', "
+                "cast(doc_id as string))"
+            )
+        ).alias("hv"),
+    )
+    ranked = assign_index_ids_two_phase(
+        staged,
+        ["stage", "hv", "doc_id"],
+        ckpt_key=f"curriculum_quality_order:ranked:{sf_dir}",
+    )
+    return ranked.select(
+        "doc_id", "stage", F.col("id").alias("curriculum_pos")
+    ).orderBy("curriculum_pos")

@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Composite per-query bench floor across every capture on disk
+(VERDICT r13 #4: the floor lived only in PERF.md prose — make it a
+mechanical artifact so "did the round get faster" is a file diff).
+
+Scans BENCH_LOCAL*.json (full bench.py output: per-query warm medians,
+per-query min-warm, ambient probes) and the driver's BENCH_r*.json
+(wrapped: ``parsed`` when the driver could parse bench.py's line, else
+a best-effort parse of ``tail`` — the driver truncates long lines, in
+which case the capture contributes nothing rather than a guess).
+
+For every query the FLOOR is the minimum over all captures of the best
+per-query signal available in that capture, preferring
+``queries_min_warm`` (the contention-immune capability floor) over the
+warm median ``queries``. Provenance is kept per capture (file, sf,
+contended verdict, probe drifts, totals) and per query (which capture
+set the floor), so a floor regression points at the exact capture to
+re-run.
+
+Usage: python tools/bench_floor.py [--write]   (default prints a diff
+summary vs the committed BENCH_FLOOR.json; --write rewrites it)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "BENCH_FLOOR.json")
+
+
+def _payload(path: str) -> dict | None:
+    """The bench.py JSON line inside a capture file, however wrapped."""
+    try:
+        d = json.load(open(path))
+    except Exception:
+        return None
+    if "queries" in d and "value" in d:
+        return d  # a raw bench.py capture (BENCH_LOCAL*)
+    p = d.get("parsed")
+    if isinstance(p, dict) and "queries" in p:
+        return p
+    # driver capture whose parse failed: try the (possibly truncated)
+    # tail — only accept a complete JSON object, never repair one
+    tail = d.get("tail", "")
+    for line in reversed(tail.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                q = json.loads(line)
+            except Exception:
+                return None
+            return q if "queries" in q else None
+    return None
+
+
+def build() -> dict:
+    captures = []
+    floors: dict[str, dict] = {}
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    paths += sorted(glob.glob(os.path.join(REPO, "BENCH_LOCAL*.json")))
+    for path in paths:
+        name = os.path.basename(path)
+        p = _payload(path)
+        if p is None:
+            captures.append({"file": name, "usable": False})
+            continue
+        per_query = p.get("queries_min_warm") or p.get("queries") or {}
+        captures.append(
+            {
+                "file": name,
+                "usable": True,
+                "signal": (
+                    "min_warm" if p.get("queries_min_warm") else "median"
+                ),
+                "sf": p.get("sf"),
+                "n_queries": len(per_query),
+                "total": p.get("value"),
+                "min_warm_total": p.get("min_warm_total"),
+                "noise_band": p.get("noise_band"),
+                "contended": p.get("contended"),
+                "cpu_probe_drift": p.get("cpu_probe_drift"),
+                "membw_probe_drift": p.get("membw_probe_drift"),
+            }
+        )
+        for q, sec in per_query.items():
+            if not isinstance(sec, (int, float)):
+                continue
+            cur = floors.get(q)
+            if cur is None or sec < cur["sec"]:
+                floors[q] = {"sec": round(float(sec), 3), "source": name}
+    return {
+        "note": (
+            "per-query composite floor = min over all captures of the "
+            "best per-query signal (min-warm preferred, warm median "
+            "otherwise); compare floors across rounds, not single "
+            "captures — ambient contention only ever INFLATES a "
+            "capture, so the floor is the capability number"
+        ),
+        "floor_total_sec": round(sum(v["sec"] for v in floors.values()), 3),
+        "n_queries": len(floors),
+        "floors": dict(sorted(floors.items())),
+        "captures": captures,
+    }
+
+
+def main() -> int:
+    new = build()
+    if "--write" in sys.argv:
+        json.dump(new, open(OUT, "w"), indent=1)
+        open(OUT, "a").write("\n")
+        print(
+            f"wrote {OUT}: {new['n_queries']} queries, "
+            f"floor_total={new['floor_total_sec']}s"
+        )
+        return 0
+    if not os.path.exists(OUT):
+        print("no committed BENCH_FLOOR.json — run with --write")
+        return 1
+    old = json.load(open(OUT))
+    o, n = old.get("floors", {}), new["floors"]
+    moved = {
+        q: (o[q]["sec"], n[q]["sec"])
+        for q in o
+        if q in n and abs(o[q]["sec"] - n[q]["sec"]) > 1e-9
+    }
+    print(
+        f"floor_total {old.get('floor_total_sec')} -> "
+        f"{new['floor_total_sec']}; {len(n) - len(o)} new queries; "
+        f"{len(moved)} moved floors"
+    )
+    for q, (a, b) in sorted(moved.items()):
+        print(f"  {q}: {a} -> {b}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

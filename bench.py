@@ -216,6 +216,11 @@ HEADLINE = [
     # r12: per-epoch deterministic corpus reshuffle — scan-born hash
     # keys, scan-stage epoch Generate, one group-by shuffle
     "epoch_shuffle_shards",
+    # r14: membership-sketch audit (m-bounded broadcast bit set) and
+    # degree-ordered triangle counting (arboricity-bounded wedge join)
+    # — one headline entry each for the two new families
+    "bloom_dedup_fpr_audit",
+    "triangle_count_graph",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session

@@ -290,3 +290,114 @@ def dbscan_from_edges(
             .alias("cluster_id"),
         )
     )
+
+
+def triangle_counts(
+    pairs: DataFrame,
+    id_col: str = "vec_id",
+    ckpt_key: str | None = None,
+) -> DataFrame:
+    """Per-node triangle counts by DEGREE-ORDERED edge orientation —
+    the kernel under ``triangle_count_graph`` (queries/
+    graph_queries.py), factored out so hand-graph unit tests and scale
+    probes share one implementation.
+
+    ``pairs``: undirected unique edges (left_id, right_id), one row per
+    edge, ``left_id < right_id`` (the ``similarity_join`` contract).
+    Returns (``id_col``, degree, n_tri) for every node incident to an
+    edge — callers left-join to pick up isolated nodes as (0, 0).
+
+    Algorithm (cf. Suri & Vassilvitskii 2011, MR triangle counting):
+    orient every edge from its lower-(degree, id) endpoint to the
+    higher; enumerate wedges only at each edge's SMALLER endpoint;
+    close each wedge against the oriented edge list. Each triangle is
+    produced exactly once, and the per-node wedge fan-out is bounded
+    by the graph's arboricity — O(m^{3/2}) total work regardless of
+    degree skew, where a naive per-node wedge join is quadratic on hub
+    nodes.
+
+    Scale shape: one (node)-keyed degree aggregation, two joins on
+    node keys to attach endpoint degrees, one wedge self-join keyed on
+    the apex, one closing join on (v, w) — every shuffle carries
+    (node, node[, degree]) tuples, never payload. ``ckpt_key`` pins
+    the pair list (read by the degree count, both wedge sides, and
+    the closing join) under the caller-scoped keyed owner; None keeps
+    the GC-owned default for external callers."""
+    if ckpt_key is not None:
+        from oracle_vector_search_spark.plans.ckpt import (
+            keyed_local_checkpoint,
+        )
+
+        pairs = keyed_local_checkpoint(pairs, key=ckpt_key)
+    else:
+        pairs = pairs.localCheckpoint(eager=False)
+    deg = (
+        pairs.select(F.col("left_id").alias("node"))
+        .unionByName(pairs.select(F.col("right_id").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    withdeg = (
+        pairs.join(
+            deg.select(
+                F.col("node").alias("left_id"),
+                F.col("degree").alias("dl"),
+            ),
+            "left_id",
+        )
+        .join(
+            deg.select(
+                F.col("node").alias("right_id"),
+                F.col("degree").alias("dr"),
+            ),
+            "right_id",
+        )
+    )
+    # orient low-(deg, id) -> high-(deg, id); carry the head's degree
+    # so wedges enumerate (v, w) in a fixed order (each triangle once)
+    lo_first = (F.col("dl") < F.col("dr")) | (
+        (F.col("dl") == F.col("dr"))
+        & (F.col("left_id") < F.col("right_id"))
+    )
+    oriented = withdeg.select(
+        F.when(lo_first, F.col("left_id"))
+        .otherwise(F.col("right_id"))
+        .alias("src"),
+        F.when(lo_first, F.col("right_id"))
+        .otherwise(F.col("left_id"))
+        .alias("dst"),
+        F.when(lo_first, F.col("dr")).otherwise(F.col("dl")).alias("ddeg"),
+    )
+    o1 = oriented.select(
+        F.col("src").alias("apex"),
+        F.col("dst").alias("v"),
+        F.col("ddeg").alias("vdeg"),
+    )
+    o2 = oriented.select(
+        F.col("src").alias("apex"),
+        F.col("dst").alias("w"),
+        F.col("ddeg").alias("wdeg"),
+    )
+    wedges = o1.join(o2, "apex").filter(
+        (F.col("vdeg") < F.col("wdeg"))
+        | ((F.col("vdeg") == F.col("wdeg")) & (F.col("v") < F.col("w")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("v"), F.col("dst").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"], "inner").select(
+        "apex", "v", "w"
+    )
+    tn = (
+        tri.select(F.explode(F.array("apex", "v", "w")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(tn, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_tri"),
+        )
+    )

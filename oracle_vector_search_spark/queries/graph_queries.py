@@ -1378,86 +1378,25 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     both wedge sides, and the closing semi-join — checkpointed once,
     keyed to this query + sf_dir."""
     from oracle_vector_search_spark.operators.knn import similarity_join
+    from oracle_vector_search_spark.operators.propagation import (
+        triangle_counts,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % _CC_MOD == 0
     )
-    pairs = keyed_local_checkpoint(
-        similarity_join(emb, emb, threshold=_TRI_THRESHOLD).select(
-            "left_id", "right_id"
-        ),
-        key=f"triangle_count_graph:pairs:{sf_dir}",
+    pairs = similarity_join(emb, emb, threshold=_TRI_THRESHOLD).select(
+        "left_id", "right_id"
     )
-    deg = (
-        pairs.select(F.col("left_id").alias("node"))
-        .unionByName(pairs.select(F.col("right_id").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
+    counts = triangle_counts(
+        pairs,
+        id_col="node",
+        ckpt_key=f"triangle_count_graph:pairs:{sf_dir}",
     )
-    withdeg = (
-        pairs.join(
-            deg.select(
-                F.col("node").alias("left_id"), F.col("degree").alias("dl")
-            ),
-            "left_id",
-        )
-        .join(
-            deg.select(
-                F.col("node").alias("right_id"),
-                F.col("degree").alias("dr"),
-            ),
-            "right_id",
-        )
-    )
-    # orient low-(deg, id) -> high-(deg, id); carry the head's rank key
-    # so wedges enumerate (v, w) in a fixed order (each triangle once)
-    lo_first = (F.col("dl") < F.col("dr")) | (
-        (F.col("dl") == F.col("dr"))
-        & (F.col("left_id") < F.col("right_id"))
-    )
-    oriented = withdeg.select(
-        F.when(lo_first, F.col("left_id"))
-        .otherwise(F.col("right_id"))
-        .alias("src"),
-        F.when(lo_first, F.col("right_id"))
-        .otherwise(F.col("left_id"))
-        .alias("dst"),
-        F.when(lo_first, F.col("dr")).otherwise(F.col("dl")).alias("ddeg"),
-    )
-    o1 = oriented.select(
-        F.col("src").alias("apex"),
-        F.col("dst").alias("v"),
-        F.col("ddeg").alias("vdeg"),
-    )
-    o2 = oriented.select(
-        F.col("src").alias("apex"),
-        F.col("dst").alias("w"),
-        F.col("ddeg").alias("wdeg"),
-    )
-    wedges = o1.join(o2, "apex").filter(
-        (F.col("vdeg") < F.col("wdeg"))
-        | ((F.col("vdeg") == F.col("wdeg")) & (F.col("v") < F.col("w")))
-    )
-    closing = oriented.select(
-        F.col("src").alias("v"), F.col("dst").alias("w")
-    )
-    tri = wedges.join(closing, ["v", "w"], "inner").select(
-        "apex", "v", "w"
-    )
-    tn = (
-        tri.select(
-            F.explode(F.array("apex", "v", "w")).alias("node")
-        )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_tri"))
-    )
-    nodes = emb.select(F.col("vec_id"))
-    out = (
-        nodes.join(deg, nodes.vec_id == deg.node, "left")
-        .drop("node")
-        .join(tn, nodes.vec_id == tn.node, "left")
-        .drop("node")
-    )
+    nodes = emb.select("vec_id")
+    out = nodes.join(
+        counts, nodes.vec_id == counts.node, "left"
+    ).drop("node")
     degree = F.coalesce(F.col("degree"), F.lit(0)).cast("long")
     n_tri = F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
     return out.select(

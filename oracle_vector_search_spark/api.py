@@ -264,7 +264,12 @@ def search(
     tests/test_ann_lsh.py) is an explicit ``tier="ann"`` opt-in only —
     the crossover bench showed it can be slower AND weaker than the
     exact chunked GEMM on unstructured embeddings. ``n_queries`` skips
-    the dispatch count when already known."""
+    the dispatch count when already known.
+
+    Result lifetime: the returned DataFrame is lazy and independent of
+    any other invocation — hold as many live results as you like and
+    collect them in any order (each call pins its own GC-owned
+    checkpoint; nothing here is keyed to a shared release)."""
     # the decode→preprocess→detect→embed pipeline feeds both the top-k
     # scan and the metadata name join — pin it so it runs once
     # (ADVICE r6 low: q was re-executed per consumer). Deliberately a
@@ -323,7 +328,9 @@ def search_radius(
     crop → embed pipeline as :func:`search` (shared helper, so the two
     entry points cannot diverge), no rank cutoff. Use when the question
     is "everything at least this similar" (duplicate sweeps,
-    recall-first retrieval) rather than "the best k"."""
+    recall-first retrieval) rather than "the best k". Results are
+    lazy and invocation-independent — same lifetime contract as
+    :func:`search`."""
     from oracle_vector_search_spark.operators.knn import radius_search
 
     # pinned for the same reason as in search(): one pipeline run

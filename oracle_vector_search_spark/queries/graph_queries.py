@@ -1371,6 +1371,14 @@ def triangle_count_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-node wedge join blows up quadratically on hub nodes. The
     oracle is the naive three-way id-ordered join — same triangles.
 
+    Complements ``dedup_graph_triangles`` (dedup_queries.py), which
+    reports the single GLOBAL triangle count over the MinHash near-dup
+    graph with the naive id-ordered joins (wedge cost Σ deg² — fine
+    there because LSH caps component sizes): this query is the
+    per-node/skew-safe tier, the shape needed when a similarity graph
+    has hub nodes and the consumer wants local transitivity, not one
+    scalar.
+
     Scale shape: the quadratic pair space is the similarity join's
     problem (LSH-pruned at 100 TB, like the component/k-core family);
     beyond it every shuffle carries (node, node) pairs or node-sized

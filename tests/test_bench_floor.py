@@ -1,0 +1,87 @@
+"""tools/bench_floor.py parsing + merge semantics: the composite floor
+must prefer per-query min-warm over warm medians, take the min across
+captures, keep provenance, and NEVER repair a truncated driver tail."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+
+def _mod():
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools",
+        "bench_floor.py",
+    )
+    spec = importlib.util.spec_from_file_location("bench_floor", path)
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def test_payload_parses_raw_wrapped_and_truncated(tmp_path):
+    bf = _mod()
+    raw = tmp_path / "BENCH_LOCAL.json"
+    raw.write_text(json.dumps({"value": 1.0, "queries": {"q": 1.0}}))
+    assert bf._payload(str(raw))["queries"] == {"q": 1.0}
+
+    wrapped = tmp_path / "BENCH_r01.json"
+    wrapped.write_text(
+        json.dumps({"parsed": {"value": 2.0, "queries": {"q": 2.0}}})
+    )
+    assert bf._payload(str(wrapped))["queries"] == {"q": 2.0}
+
+    # a truncated tail must yield None, not a guessed/repaired object
+    trunc = tmp_path / "BENCH_r02.json"
+    trunc.write_text(
+        json.dumps({"parsed": None, "tail": '{"value": 3.0, "quer'})
+    )
+    assert bf._payload(str(trunc)) is None
+
+    # a complete tail line parses
+    ok_tail = tmp_path / "BENCH_r03.json"
+    ok_tail.write_text(
+        json.dumps(
+            {"parsed": None, "tail": 'noise\n{"value": 4.0, "queries": {"q": 4.0}}'}
+        )
+    )
+    assert bf._payload(str(ok_tail))["queries"] == {"q": 4.0}
+
+
+def test_build_merges_min_and_prefers_min_warm(tmp_path, monkeypatch):
+    bf = _mod()
+    monkeypatch.setattr(bf, "REPO", str(tmp_path))
+    # capture A: only medians; q1 slow, q2 fast
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps(
+            {"parsed": {"value": 9, "queries": {"q1": 5.0, "q2": 0.4}}}
+        )
+    )
+    # capture B: min-warm present and better for q1, worse for q2;
+    # q3 only exists here
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps(
+            {
+                "value": 9,
+                "queries": {"q1": 3.0, "q2": 1.0, "q3": 2.0},
+                "queries_min_warm": {"q1": 2.5, "q2": 0.9, "q3": 1.8},
+                "contended": True,
+                "cpu_probe_drift": 2.0,
+            }
+        )
+    )
+    out = bf.build()
+    floors = out["floors"]
+    assert floors["q1"] == {"sec": 2.5, "source": "BENCH_LOCAL.json"}
+    assert floors["q2"] == {"sec": 0.4, "source": "BENCH_r01.json"}
+    assert floors["q3"]["sec"] == 1.8
+    assert out["n_queries"] == 3
+    assert abs(out["floor_total_sec"] - (2.5 + 0.4 + 1.8)) < 1e-9
+    # provenance keeps the contention verdict per capture
+    caps = {c["file"]: c for c in out["captures"]}
+    assert caps["BENCH_LOCAL.json"]["contended"] is True
+    assert caps["BENCH_LOCAL.json"]["signal"] == "min_warm"
+    assert caps["BENCH_r01.json"]["signal"] == "median"

@@ -1278,9 +1278,12 @@ WITH base AS (
          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
   FROM documents
 ), train AS (
-  SELECT * FROM base WHERE doc_id % 10 <> 0
+  SELECT * FROM base WHERE doc_id % 7 <> 0
 ), eval_set AS (
-  SELECT * FROM base WHERE doc_id % 10 = 0
+  SELECT * FROM base WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, source, norm
+  FROM train WHERE doc_id % 97 = 3
 ), bits AS (
   SELECT DISTINCT pos FROM train, UNNEST([
     {', '.join(_bloom_pos_duck(i, 'norm') for i in range(_BLOOM_K))}
@@ -1325,8 +1328,16 @@ def bloom_dedup_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", T.norm_text("text").alias("norm")
     )
-    train = docs.filter(F.col("doc_id") % 10 != 0)
-    eval_set = docs.filter(F.col("doc_id") % 10 == 0)
+    # %7 split: coprime with the fixture's source = src{doc_id % 20}
+    # assignment, so EVERY source gets probed (a %10 split hit only 2).
+    train = docs.filter(F.col("doc_id") % 7 != 0)
+    # planted exact duplicates (re-keyed copies of train docs) make
+    # the no-false-negative branch LIVE at every fixture — the
+    # synthetic corpus has no natural cross-split exact dup
+    planted = train.filter(F.col("doc_id") % 97 == 3).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "source", "norm"
+    )
+    eval_set = docs.filter(F.col("doc_id") % 7 == 0).unionByName(planted)
     pos_arr = "array({})".format(
         ", ".join(
             _bloom_pos_spark(i, "norm") for i in range(_BLOOM_K)

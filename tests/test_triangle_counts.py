@@ -116,6 +116,11 @@ def test_bloom_audit_no_false_negatives(spark):
             == r["n_bloom_positive"] - r["n_exact_dup"]
         ), r
         assert r["n_bloom_positive"] <= r["n_probed"]
+    # the planted re-keyed train copies keep the exact-dup (and hence
+    # the no-false-negative) branch LIVE, and the %7 split probes
+    # every source in the fixture's src{doc_id % 20} assignment
+    assert sum(r["n_exact_dup"] for r in rows) > 0
+    assert len(rows) == 20
 
 
 def test_curriculum_stage_major_permutation(spark):

@@ -18,7 +18,7 @@ from oracle_vector_search_spark import queries as registry
 # The single authoritative surface size. README.md and COVERAGE.md must
 # state this number; bump it here in the same commit that registers a
 # new query.
-DOCUMENTED_QUERY_COUNT = 348
+DOCUMENTED_QUERY_COUNT = 351
 
 SENTINELS = {
     "pipeline_label_parse",
@@ -38,21 +38,22 @@ SENTINELS = {
 # round's artifact (the window's own names get latest=current and the
 # oldest-first assertion inverts — VERDICT r11 #1b). Bump this constant
 # in the SAME commit that rotates _PRIORITY.
-ROTATION_AUTHORED_FOR = 13
+ROTATION_AUTHORED_FOR = 14
 
 # This round's DELIBERATE re-check slots: queries whose code changed
-# this round after their latest driver row (r13: split_leakage_audit's
-# nullif guard — ADVICE r12; the deterministic localCheckpoint-release
-# rewiring of psi / kcenter / the wordpiece greedy loop — VERDICT r12
-# #3; the other ckpt-touched names were re-verified by this round's
-# local full-registry gate). Update this set in the SAME commit that
-# rotates _PRIORITY; everything else about the window is DERIVED from
-# the rotation rule below.
+# this round after their latest driver row (r14: the four graph
+# queries whose operator kernels moved from static checkpoint keys to
+# caller-scoped ckpt_key opt-ins — VERDICT r13 #1 / ADVICE r13 medium
+# — plus item_cf_similar_parts_top3, whose misattributed checkpoint
+# key was renamed — ADVICE r13 low). Update this set in the SAME
+# commit that rotates _PRIORITY; everything else about the window is
+# DERIVED from the rotation rule below.
 RECHECK_CURRENT = {
-    "split_leakage_audit",
-    "psi_value_drift",
-    "kcenter_coreset_seeds",
-    "wordpiece_greedy_tokenize_top30",
+    "embedding_components_single_linkage",
+    "dbscan_embedding_clusters",
+    "hits_event_transitions",
+    "kcore_embedding_graph",
+    "item_cf_similar_parts_top3",
 }
 
 

@@ -50,6 +50,23 @@ def test_payload_parses_raw_wrapped_and_truncated(tmp_path):
     )
     assert bf._payload(str(ok_tail))["queries"] == {"q": 4.0}
 
+    # bench.py emits TWO lines (detail first, compact driver line
+    # second) — the detail line (queries_min_warm) must win
+    two_line = tmp_path / "BENCH_LOCAL_x.json"
+    two_line.write_text(
+        json.dumps(
+            {
+                "value": 5.0,
+                "queries": {"q": 5.0},
+                "queries_min_warm": {"q": 4.5},
+            }
+        )
+        + "\n"
+        + json.dumps({"value": 5.0, "queries": {"q": 5.0}})
+        + "\n"
+    )
+    assert bf._payload(str(two_line))["queries_min_warm"] == {"q": 4.5}
+
 
 def test_build_merges_min_and_prefers_min_warm(tmp_path, monkeypatch):
     bf = _mod()

@@ -32,29 +32,46 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "BENCH_FLOOR.json")
 
 
+def _best_line(text: str) -> dict | None:
+    """Best bench.py JSON object among the lines of ``text``: prefer
+    the detail line (has ``queries_min_warm``) over the compact one;
+    never repair a truncated line."""
+    best = None
+    for line in text.splitlines():
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            q = json.loads(line)
+        except Exception:
+            continue
+        if "queries" not in q:
+            continue
+        if "queries_min_warm" in q:
+            return q
+        best = best or q
+    return best
+
+
 def _payload(path: str) -> dict | None:
-    """The bench.py JSON line inside a capture file, however wrapped."""
+    """The bench.py JSON payload inside a capture file, however
+    wrapped. Raw bench.py output prints TWO lines (detail + compact
+    driver line) — scan line-wise; driver wrappers carry ``parsed``
+    or a (possibly truncated) ``tail``."""
     try:
-        d = json.load(open(path))
-    except Exception:
+        raw = open(path).read()
+    except OSError:
         return None
+    try:
+        d = json.loads(raw)
+    except Exception:
+        return _best_line(raw)  # raw multi-line bench.py output
     if "queries" in d and "value" in d:
-        return d  # a raw bench.py capture (BENCH_LOCAL*)
+        return d  # a raw single-line bench.py capture
     p = d.get("parsed")
     if isinstance(p, dict) and "queries" in p:
         return p
-    # driver capture whose parse failed: try the (possibly truncated)
-    # tail — only accept a complete JSON object, never repair one
-    tail = d.get("tail", "")
-    for line in reversed(tail.splitlines()):
-        line = line.strip()
-        if line.startswith("{"):
-            try:
-                q = json.loads(line)
-            except Exception:
-                return None
-            return q if "queries" in q else None
-    return None
+    return _best_line(d.get("tail", ""))
 
 
 def build() -> dict:

@@ -187,6 +187,18 @@ EXPECTED: dict[str, dict[str, int]] = {
     "query_path_detect_search":        {"shuffle_exchanges": 1, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 1},
     # r12: epoch explode + hash key are scan-stage; one group-by shuffle
     "epoch_shuffle_shards":            {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # r14: the m-bounded bit set and the train fingerprint set BOTH
+    # broadcast (5 BHJ: bits semi, exact semi, the two left decorates,
+    # plus the planted-union's semi); the exchanges are the bounded
+    # DISTINCTs + the per-doc hit count + the per-source agg — all
+    # metadata- or eval-sized, never corpus-sized
+    "bloom_dedup_fpr_audit":           {"shuffle_exchanges": 6, "broadcast_hash_joins": 5, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # r14: degree-ordered triangles. Node-keyed SMJs by design: deg /
+    # oriented / wedge / closing joins all carry (node, node[, deg])
+    # tuples, and the pair list is checkpoint-pinned so the quadratic
+    # similarity join runs ONCE — the exchange count is the price of
+    # node-sized joins that must scale past broadcast at 100 TB
+    "triangle_count_graph":            {"shuffle_exchanges": 22, "broadcast_hash_joins": 0, "sort_merge_joins": 10, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

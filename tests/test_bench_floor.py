@@ -102,3 +102,37 @@ def test_build_merges_min_and_prefers_min_warm(tmp_path, monkeypatch):
     assert caps["BENCH_LOCAL.json"]["contended"] is True
     assert caps["BENCH_LOCAL.json"]["signal"] == "min_warm"
     assert caps["BENCH_r01.json"]["signal"] == "median"
+
+
+def test_build_ignores_non_headline_sf_captures(tmp_path, monkeypatch):
+    """The verify battery's bench smoke writes an sf0.001
+    BENCH_LOCAL.json into the working tree; merging it would 'improve'
+    every floor ~100x. Non-headline-sf captures must contribute
+    nothing (but stay listed as provenance)."""
+    bf = _mod()
+    monkeypatch.setattr(bf, "REPO", str(tmp_path))
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps(
+            {
+                "value": 0.1,
+                "sf": 0.001,
+                "queries": {"q1": 0.01},
+                "queries_min_warm": {"q1": 0.01},
+            }
+        )
+    )
+    (tmp_path / "BENCH_LOCAL_r14_start.json").write_text(
+        json.dumps(
+            {
+                "value": 5.0,
+                "sf": 0.1,
+                "queries": {"q1": 5.0},
+                "queries_min_warm": {"q1": 4.0},
+            }
+        )
+    )
+    out = bf.build()
+    assert out["floors"]["q1"]["sec"] == 4.0
+    caps = {c["file"]: c for c in out["captures"]}
+    assert caps["BENCH_LOCAL.json"]["usable"] is False
+    assert caps["BENCH_LOCAL_r14_start.json"]["usable"] is True

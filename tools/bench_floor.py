@@ -30,6 +30,12 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 OUT = os.path.join(REPO, "BENCH_FLOOR.json")
+# floors are only comparable at the headline scale — the verify
+# battery's bench SMOKE runs at sf0.001 and overwrites BENCH_LOCAL.json
+# in the working tree, and merging such a capture would "improve" every
+# floor by ~100x. Captures at any other sf are listed (provenance) but
+# contribute nothing.
+HEADLINE_SF = 0.1
 
 
 def _best_line(text: str) -> dict | None:
@@ -85,11 +91,16 @@ def build() -> dict:
         if p is None:
             captures.append({"file": name, "usable": False})
             continue
-        per_query = p.get("queries_min_warm") or p.get("queries") or {}
+        wrong_sf = p.get("sf") is not None and p.get("sf") != HEADLINE_SF
+        per_query = (
+            {}
+            if wrong_sf
+            else p.get("queries_min_warm") or p.get("queries") or {}
+        )
         captures.append(
             {
                 "file": name,
-                "usable": True,
+                "usable": not wrong_sf,
                 "signal": (
                     "min_warm" if p.get("queries_min_warm") else "median"
                 ),

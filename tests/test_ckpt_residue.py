@@ -39,6 +39,24 @@ def _settled_count(spark) -> int:
     return _n_persistent(spark)
 
 
+def _settled_growth(spark, base: int, budget: int, attempts: int = 10):
+    """Growth over ``base`` once the ContextCleaner CONVERGES. A fixed
+    two-sweep settle flakes under host load (the cleaner's reap queue
+    drains asynchronously; both r14 verify batteries each lost one
+    residue case to it, different query each time) — so poll: a REAL
+    leak holds strong references and never reclaims, so waiting longer
+    can only help the no-leak case, never mask a leak."""
+    import time
+
+    grown = _settled_count(spark) - base
+    for _ in range(attempts):
+        if grown <= budget:
+            break
+        time.sleep(1.0)
+        grown = _settled_count(spark) - base
+    return grown
+
+
 @pytest.mark.parametrize(
     "name, per_run_budget",
     [
@@ -61,7 +79,7 @@ def test_repeated_invocation_residue_is_bounded(
     base = _settled_count(spark)
     for _ in range(4):
         q(spark, sf_dir).count()
-    grown = _settled_count(spark) - base
+    grown = _settled_growth(spark, base, 4 * per_run_budget)
     assert grown <= 4 * per_run_budget, (
         f"{name}: persistent RDDs grew by {grown} over 4 re-runs "
         f"(budget {4 * per_run_budget}) — superseded localCheckpoint "
@@ -92,7 +110,7 @@ def test_mixed_session_residue_is_bounded(spark, sf_dir):
     for _ in range(2):
         for n in names:
             qs[n](spark, sf_dir).count()
-    grown = _settled_count(spark) - base
+    grown = _settled_growth(spark, base, 1)
     # settled-to-settled, the steady state must not grow: every keyed
     # site owns exactly one live set and loops release their rounds.
     # (The pre-r13 failure mode was one NEW pin per run — +16 here.)

@@ -1282,7 +1282,7 @@ WITH base AS (
 ), eval_set AS (
   SELECT * FROM base WHERE doc_id % 7 = 0
   UNION ALL
-  SELECT doc_id + 10000000 AS doc_id, source, norm
+  SELECT -doc_id - 1 AS doc_id, source, norm
   FROM train WHERE doc_id % 97 = 3
 ), bits AS (
   SELECT DISTINCT pos FROM train, UNNEST([
@@ -1333,9 +1333,12 @@ def bloom_dedup_fpr_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 7 != 0)
     # planted exact duplicates (re-keyed copies of train docs) make
     # the no-false-negative branch LIVE at every fixture — the
-    # synthetic corpus has no natural cross-split exact dup
+    # synthetic corpus has no natural cross-split exact dup. The
+    # planted key is -doc_id - 1: natural doc_ids are non-negative,
+    # so the planted ids are provably disjoint at ANY corpus size
+    # (a fixed +offset would collide once ids reach it — ADVICE r14)
     planted = train.filter(F.col("doc_id") % 97 == 3).select(
-        (F.col("doc_id") + 10_000_000).alias("doc_id"), "source", "norm"
+        (-F.col("doc_id") - 1).alias("doc_id"), "source", "norm"
     )
     eval_set = docs.filter(F.col("doc_id") % 7 == 0).unionByName(planted)
     pos_arr = "array({})".format(

@@ -2619,7 +2619,9 @@ WITH b AS (
   FROM documents
 ), s AS (
   SELECT doc_id,
-         len([t FOR t IN toks IF t IN ('a', 'the')]) AS n_sw,
+         len([t FOR t IN toks
+              IF t IN ({', '.join(repr(w) for w in _CURR_STOPWORDS)})])
+           AS n_sw,
          len(toks) AS n_toks
   FROM b
 ), staged AS (

@@ -67,11 +67,15 @@ def _check(spark, n):
     n_tri_total = (n - 2) // 2  # one triangle per even spoke pair
     # the hub is in EVERY triangle
     assert out[0] == (n - 1, n_tri_total)
-    # rim endpoints: degree 2 (hub + partner), exactly one triangle
-    for i in (2, 3, (n - 2) - ((n - 2) % 2), 5):
-        if 1 <= i < n - 1 and out.get(i):
-            deg, tri = out[i]
-            assert tri in (0, 1)
+    # rim endpoints: exact (degree, n_tri) per probed node (ADVICE
+    # r14 — the old `tri in (0, 1)` spot check was vacuous). An even
+    # spoke i has edges (0, i) and (i, i+1); its odd partner i+1 has
+    # (0, i+1) and (i, i+1) — both degree 2, each in exactly ONE
+    # triangle. Spoke 1 is never a rim endpoint (rims start at 2):
+    # degree 1 (hub only), zero triangles.
+    assert out[1] == (1, 0)
+    for i in (2, 3, 5, (n - 2) - ((n - 2) % 2)):
+        assert out[i] == (2, 1), f"spoke {i}: {out[i]}"
     # triangle attribution is 3x the total across all nodes
     assert sum(t for _, t in out.values()) == 3 * n_tri_total
     return wall

@@ -91,7 +91,10 @@ def build() -> dict:
         if p is None:
             captures.append({"file": name, "usable": False})
             continue
-        wrong_sf = p.get("sf") is not None and p.get("sf") != HEADLINE_SF
+        # fail CLOSED: a capture must self-report the headline sf to
+        # contribute — one missing-sf legacy/hand-edited capture must
+        # not be able to "improve" every floor (ADVICE r14)
+        wrong_sf = p.get("sf") != HEADLINE_SF
         per_query = (
             {}
             if wrong_sf
@@ -120,6 +123,22 @@ def build() -> dict:
             cur = floors.get(q)
             if cur is None or sec < cur["sec"]:
                 floors[q] = {"sec": round(float(sec), 3), "source": name}
+    # min-merge with the committed artifact: floors are monotone
+    # minima over the round HISTORY, but captures get overwritten
+    # (every verify bench smoke clobbers BENCH_LOCAL.json) — without
+    # the merge a --write after a smoke would silently RAISE floors
+    # whose source capture no longer exists on disk. A query retired
+    # from bench.py is pruned manually (its committed entry names the
+    # capture to check against).
+    if os.path.exists(OUT):
+        try:
+            committed = json.load(open(OUT)).get("floors", {})
+        except Exception:
+            committed = {}
+        for q, v in committed.items():
+            cur = floors.get(q)
+            if cur is None or v["sec"] < cur["sec"]:
+                floors[q] = v
     return {
         "note": (
             "per-query composite floor = min over all captures of the "

@@ -221,6 +221,12 @@ HEADLINE = [
     # — one headline entry each for the two new families
     "bloom_dedup_fpr_audit",
     "triangle_count_graph",
+    # r15: A-ES weighted reservoir (scan + per-stratum top-k), the
+    # two-tier candidate-gen -> exact-rerank serving plan, and the
+    # cross-snapshot per-cluster rebuild manifest
+    "weighted_reservoir_sample_aes",
+    "ann_fusion_rerank_topk",
+    "snapshot_index_rebuild_plan",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session
@@ -253,6 +259,9 @@ AT_REST_WRITERS = {
     # at-rest telemetry story) — the first run pays the profile
     # computation, warm runs are profile-read + plan choice
     "purchase_asof_order_auto",
+    # r15: first run may pay the IVF-assignment and LSH-bucket table
+    # writes if no other ANN query has built them this session
+    "ann_fusion_rerank_topk",
 }
 
 

@@ -185,6 +185,21 @@ def load_all_modules() -> None:
 #   round-5-latest names in registration order = 50 exactly. After
 #   this window the oldest latest-check is round 6 and every
 #   registered name has a driver row.
+#   r15 (this file): CORRECTNESS_r14 green (50/50) → cumulative union
+#   still zero fails / zero never-checked; oldest latest-check is
+#   round 6 (38 names — VERDICT r14 #2's computed cohort). The window
+#   executes that plan: 8 sentinels + 1 re-check slot
+#   (bloom_dedup_fpr_audit — its planted-duplicate keys were rewritten
+#   to the non-colliding -doc_id - 1 form this round, ADVICE r14) + 3
+#   new r15 registrations (weighted_reservoir_sample_aes,
+#   ann_fusion_rerank_topk, snapshot_index_rebuild_plan — never
+#   driver-checked) + ALL 38 round-6-latest names in registration
+#   order = 50 exactly. curriculum_quality_order's oracle string also
+#   changed this round (the stopword list is now interpolated from
+#   _CURR_STOPWORDS) but the generated SQL is semantically identical
+#   — no re-check slot spent; the local full-registry gate re-proved
+#   it green. After this window the oldest latest-check is round 7
+#   (38 names — the natural r16 freshness plan).
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",
@@ -196,52 +211,51 @@ _PRIORITY: tuple[str, ...] = (
     "exact_dedup_groups",
     "streaming_upsert_snapshot",
     # --- re-check: code changed this round after the latest row ---
-    "embedding_components_single_linkage",
-    "dbscan_embedding_clusters",
-    "hits_event_transitions",
-    "kcore_embedding_graph",
-    "item_cf_similar_parts_top3",
-    # --- new r14 registrations (never-driver-checked; the 3 reserved
-    # slots) ---
-    "curriculum_quality_order",
     "bloom_dedup_fpr_audit",
-    "triangle_count_graph",
-    # --- freshness: the ENTIRE r5-latest cohort (34 names,
-    # registration order) — the last cohort older than r6 ---
-    "sql_udf_knn_top3",
-    "approx_aggregates",
-    "recursive_ancestry_rollup",
-    "view_next_purchase_asof",
-    "retention_cohorts",
-    "session_path_bigrams",
-    "event_type_twap",
-    "variant_props_stats",
-    "events_ohlc_bars",
-    "boilerplate_spans_per_source",
-    "hamming_knn_top5",
-    "dedup_cleaned_corpus_checksum",
-    "dedup_cascade_scaling_probe",
-    "packed_bins_greedy",
-    "countmin_token_freq_audit",
-    "per_group_linear_fit",
-    "mad_outlier_flags",
-    "equidepth_value_histogram",
-    "value_skew_kurtosis_exact",
-    "maxsim_late_interaction_top5",
-    "span_corruption_pairs",
-    "hybrid_rrf_retrieval_top10",
-    "domain_oversample_apply",
-    "key_profile_at_rest",
-    "profile_guided_skew_join_spend",
-    "k_anonymity_audit",
-    "range_checksum_diff",
-    "yolo_source_class_stats",
-    "reference_labels_index_parity",
-    "streaming_sliding_windows_watermark",
-    "streaming_dedup_within_watermark",
-    "orc_roundtrip_checksum",
-    "csv_roundtrip_checksum",
-    "merge_schema_evolution_audit",
+    # --- new r15 registrations (never-driver-checked) ---
+    "weighted_reservoir_sample_aes",
+    "ann_fusion_rerank_topk",
+    "snapshot_index_rebuild_plan",
+    # --- freshness: the ENTIRE r6-latest cohort (38 names,
+    # registration order) — the oldest cohort in the union ---
+    "retrieval_map_audit",
+    "knn_classifier_confusion",
+    "knn_radius_search",
+    "ivfpq_ann_topk",
+    "ivfpq_residual_fidelity",
+    "events_hourly_gapfill_ffill",
+    "events_rolling_median_value",
+    "scd2_point_in_time_join",
+    "dedup_graph_triangles",
+    "synopsis_range_count_audit",
+    "ab_test_event_value_z",
+    "events_user_ewma",
+    "events_user_cusum",
+    "q3_shipping_priority",
+    "q18_large_volume_customers",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_parts_supplier",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "revenue_rollup_nation_year",
+    "customer_spend_window_suite",
+    "quantity_quantiles_by_flag",
+    "set_ops_customer_cohorts",
+    "copurchase_part_pairs_top20",
+    "pareto_skyline_orders",
+    "pagerank_event_transitions",
+    "embedding_gram_upper",
+    "pca_top_eigenvector",
+    "quality_classifier_keep",
+    "semantic_dedup_keep",
+    "sequential_poisson_sample",
+    "lm_perplexity_buckets",
+    "curated_corpus_checksum",
+    "media_frame_manifest",
+    "shard_export_manifest",
+    "streaming_corpus_admission",
 )
 
 

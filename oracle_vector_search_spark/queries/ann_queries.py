@@ -2009,3 +2009,444 @@ def ann_recall_vs_exact_clustered(
         )
         .orderBy("method")
     )
+
+
+# ------------------------------------------- two-tier fusion rerank serving
+
+_DUCK_COS = (
+    "round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+    " * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+@register(
+    "ann_fusion_rerank_topk",
+    f"""
+WITH {{bits}},
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM v WHERE vec_id % 31 = 0),
+assigned AS (
+  SELECT vec_id, cluster_id
+  FROM (SELECT x.vec_id, s.seed_id AS cluster_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY {_DUCK_COS.format(a='x.v', b='s.sv')} DESC,
+                          s.seed_id) AS rn
+        FROM v x CROSS JOIN seeds s)
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+qprobe AS (
+  SELECT query_id, cluster_id FROM (
+    SELECT q.query_id, s.seed_id AS cluster_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_DUCK_COS.format(a='q.qv', b='s.sv')} DESC,
+                      s.seed_id) AS rn
+    FROM q CROSS JOIN seeds s)
+  WHERE rn <= 2
+),
+ivf_cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM qprobe p JOIN assigned a USING (cluster_id)
+),
+lsh_cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, b.vec_id AS neighbor_id
+  FROM buckets qb JOIN buckets b
+    ON qb.band = b.band AND qb.bucket = b.bucket
+  WHERE qb.vec_id < 10
+),
+cand AS (
+  SELECT query_id, neighbor_id,
+         CAST(max(from_ivf) AS INTEGER) AS from_ivf,
+         CAST(max(from_lsh) AS INTEGER) AS from_lsh
+  FROM (SELECT query_id, neighbor_id, 1 AS from_ivf, 0 AS from_lsh
+        FROM ivf_cand
+        UNION ALL
+        SELECT query_id, neighbor_id, 0 AS from_ivf, 1 AS from_lsh
+        FROM lsh_cand)
+  GROUP BY query_id, neighbor_id
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id, c.from_ivf, c.from_lsh,
+         {_DUCK_COS.format(a='q.qv', b='n.v')} AS score
+  FROM cand c
+  JOIN q ON q.query_id = c.query_id
+  JOIN v n ON n.vec_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+              ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+  FROM scored
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, d.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY {_DUCK_COS.format(a='q.qv', b='d.v')} DESC,
+                      d.vec_id) AS rn
+    FROM v d CROSS JOIN q)
+  WHERE rn <= 5
+)
+SELECT r.query_id, r.rank, r.neighbor_id, r.score,
+       r.from_ivf, r.from_lsh,
+       (e.neighbor_id IS NOT NULL) AS in_exact_top5
+FROM ranked r
+LEFT JOIN exact_top e
+  ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
+WHERE r.rank <= 5
+ORDER BY r.query_id, r.rank
+""".format(
+        bits=_duck_bits_cte(
+            "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings"
+        )
+    ),
+)
+def ann_fusion_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end serving-shaped retrieval (VERDICT r14 #5b): candidates
+    from TWO independent at-rest index layouts — IVF nprobe=2 cluster
+    probing and LSH band buckets — are unioned with provenance flags,
+    exactly rescored ONCE, and reranked into the final top-5, each row
+    carrying which tier(s) surfaced it and whether it is in the exact
+    flat top-5 (the per-row recall audit). This is the standard
+    candidate-generation -> rerank architecture: cheap generators with
+    complementary failure modes, one exact scorer bounded by the
+    candidate union, never the corpus.
+
+    Scale shape: both candidate tiers read at-rest partitioned tables
+    (``_ivf_assign_table`` pruned by probed cluster_id, the LSH bucket
+    table pruned by band/bucket); the union and rerank are bounded by
+    |candidates| ~ nprobe·|cluster| + Σ|bucket| per query; the exact
+    top-5 ground-truth join is the same bounded broadcast the recall
+    audits use. No corpus-sized shuffle anywhere; reference parity:
+    the query path of app.py:118-160 (FAISS flat search) with recall
+    made measurable per result row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vs = emb.select("vec_id", as_double_array("embedding").alias("v"))
+    q = vs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    seeds = vs.filter(F.col("vec_id") % ann.SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("seed_score"), F.asc("seed_id")
+    )
+    qprobe = (
+        q.join(F.broadcast(seeds))
+        .select(
+            "query_id",
+            "seed_id",
+            F.round(cosine_similarity("qv", "sv"), 6).alias("seed_score"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 2)
+        .select("query_id", F.col("seed_id").alias("cluster_id"))
+    )
+    ivf_cand = (
+        _ivf_assign_table(spark, sf_dir)
+        .withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qprobe), "cluster_id")
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    ibuckets = _bucket_table(spark, sf_dir)
+    lsh_cand = (
+        ibuckets.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "band", "bucket")
+        .join(
+            ibuckets.select(
+                F.col("vec_id").alias("neighbor_id"), "band", "bucket"
+            ),
+            ["band", "bucket"],
+        )
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    cand = (
+        ivf_cand.select(
+            "query_id",
+            "neighbor_id",
+            F.lit(1).alias("from_ivf"),
+            F.lit(0).alias("from_lsh"),
+        )
+        .unionByName(
+            lsh_cand.select(
+                "query_id",
+                "neighbor_id",
+                F.lit(0).alias("from_ivf"),
+                F.lit(1).alias("from_lsh"),
+            )
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.max("from_ivf").cast("int").alias("from_ivf"),
+            F.max("from_lsh").cast("int").alias("from_lsh"),
+        )
+    )
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(
+            vs.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("nv"),
+            ),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "from_ivf",
+            "from_lsh",
+            F.round(cosine_similarity("qv", "nv"), 6).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= 5)
+    )
+    wx = Window.partitionBy("query_id").orderBy(
+        F.desc("xscore"), F.asc("neighbor_id")
+    )
+    exact_top = (
+        vs.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity("qv", "v"), 6).alias("xscore"),
+        )
+        .withColumn("rn", F.row_number().over(wx))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.lit(True).alias("hit"))
+    )
+    return (
+        ranked.join(exact_top, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            "score",
+            "from_ivf",
+            "from_lsh",
+            F.coalesce("hit", F.lit(False)).alias("in_exact_top5"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ------------------------------------- incremental index rebuild planning
+
+_DUCK_VFP = (
+    "CAST(list_sum([CAST(floor({v}[i] * 1000) AS BIGINT) * i"
+    " FOR i IN range(1, len({v}) + 1)]) AS BIGINT)"
+)
+_DUCK_ASSIGN1 = """
+  SELECT vec_id, cluster_id
+  FROM (SELECT x.vec_id, s.seed_id AS cluster_id,
+               row_number() OVER (PARTITION BY x.vec_id
+                 ORDER BY round(list_dot_product(x.v, s.sv)
+                       / (sqrt(list_dot_product(x.v, x.v))
+                          * sqrt(list_dot_product(s.sv, s.sv))), 6) DESC,
+                          s.seed_id) AS rn
+        FROM {src} x CROSS JOIN seeds s)
+  WHERE rn = 1"""
+
+
+@register(
+    "snapshot_index_rebuild_plan",
+    f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+seeds AS (SELECT vec_id AS seed_id, v AS sv FROM vecs WHERE vec_id % 31 = 0),
+newsnap AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 89 = 2 THEN [v[1] + 0.25] || v[2:]
+              ELSE v END AS v
+  FROM vecs WHERE vec_id % 101 <> 5
+  UNION ALL
+  SELECT -vec_id - 1 AS vec_id, v FROM vecs WHERE vec_id % 103 = 7
+),
+assign_old AS ({_DUCK_ASSIGN1.format(src='vecs')}),
+assign_new AS ({_DUCK_ASSIGN1.format(src='newsnap')}),
+rows_old AS (
+  SELECT a.vec_id, a.cluster_id, {_DUCK_VFP.format(v='x.v')} AS vfp
+  FROM assign_old a JOIN vecs x USING (vec_id)
+),
+rows_new AS (
+  SELECT a.vec_id, a.cluster_id, {_DUCK_VFP.format(v='x.v')} AS vfp
+  FROM assign_new a JOIN newsnap x USING (vec_id)
+),
+sum_old AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_old,
+         CAST(sum(vec_id * 31 + vfp) AS BIGINT) AS ck_old
+  FROM rows_old GROUP BY cluster_id
+),
+sum_new AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_new,
+         CAST(sum(vec_id * 31 + vfp) AS BIGINT) AS ck_new
+  FROM rows_new GROUP BY cluster_id
+),
+flagged AS (
+  SELECT coalesce(o.cluster_id, n.cluster_id) AS cluster_id,
+         coalesce(o.n_old, 0) AS n_old,
+         coalesce(n.n_new, 0) AS n_new
+  FROM sum_old o FULL OUTER JOIN sum_new n ON o.cluster_id = n.cluster_id
+  WHERE NOT (coalesce(o.n_old, 0) = coalesce(n.n_new, 0)
+             AND coalesce(o.ck_old, 0) = coalesce(n.ck_new, 0))
+),
+entering AS (
+  SELECT n.cluster_id, CAST(count(*) AS BIGINT) AS n_entering
+  FROM rows_new n ANTI JOIN rows_old o
+    ON o.vec_id = n.vec_id AND o.cluster_id = n.cluster_id
+   AND o.vfp = n.vfp
+  GROUP BY n.cluster_id
+),
+leaving AS (
+  SELECT o.cluster_id, CAST(count(*) AS BIGINT) AS n_leaving
+  FROM rows_old o ANTI JOIN rows_new n
+    ON n.vec_id = o.vec_id AND n.cluster_id = o.cluster_id
+   AND n.vfp = o.vfp
+  GROUP BY o.cluster_id
+)
+SELECT f.cluster_id, f.n_old, f.n_new,
+       coalesce(e.n_entering, 0) AS n_entering,
+       coalesce(l.n_leaving, 0) AS n_leaving
+FROM flagged f
+LEFT JOIN entering e ON e.cluster_id = f.cluster_id
+LEFT JOIN leaving l ON l.cluster_id = f.cluster_id
+ORDER BY f.cluster_id
+""",
+)
+def snapshot_index_rebuild_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental index rebuild manifest across two corpus snapshots
+    (VERDICT r14 #5c, extending ``range_checksum_diff`` from replica
+    sync to INDEX maintenance): snapshot B is the corpus after a
+    deterministic delta (deletes on vec_id % 101 = 5, a first-component
+    perturbation on % 89 = 2, re-keyed additions on % 103 = 7 under the
+    provably-non-colliding -vec_id - 1 key). Both snapshots are coarse-
+    quantized against the SAME frozen seed codebook — the incremental-
+    maintenance contract (operators.index_maint) — and reduced to
+    per-cluster (count, additive checksum) summaries; only clusters
+    whose summaries diverge appear in the output, with the exact
+    entering/leaving row counts that size the rebuild work.
+
+    Scale shape — assignment work is DELTA-sized, not corpus-sized:
+    the old snapshot's assignment is READ from the standing at-rest
+    table (``_ivf_assign_table`` — the index layout other ANN queries
+    serve from); unchanged rows carry it into the new snapshot
+    untouched, additions inherit their source row's cluster (identical
+    vector, identical codebook, identical argmax — no window), and
+    ONLY the modified vectors pay the seed-scoring window. Each
+    snapshot then collapses map-side to |clusters|-sized (count,
+    additive checksum) summaries (an order-independent monoid over
+    vec_id*31 + an integer vector fingerprint); the diff joins two
+    metadata-sized tables, and the entering/leaving counts join on
+    (vec_id, cluster_id, fingerprint) triples — 24 B/row, never the
+    vectors. At 100 TB the plan costs one scan, a delta-sized
+    reassignment, and key-sized shuffles; the rebuild itself touches
+    only the flagged cluster partitions of the at-rest index."""
+    vs = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_array("embedding").alias("v"))
+    )
+    seeds = vs.filter(F.col("vec_id") % ann.SEED_STRIDE == 0).select(
+        F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
+    )
+    vfp = F.expr(
+        "aggregate(zip_with(v, sequence(1, size(v)),"
+        " (x, i) -> cast(floor(x * 1000) as bigint) * i),"
+        " cast(0 as bigint), (acc, y) -> acc + y)"
+    )
+    # old snapshot rows: the standing at-rest assignment table joined
+    # with the scan-born fingerprint — no assignment window. Pinned
+    # once (keyed, consume-before-reinvoke contract): five consumers
+    # (unchanged slice, additions, both anti-joins, the old summary)
+    # read the 24 B/row triples instead of re-running the scan+join
+    rows_old = keyed_local_checkpoint(
+        _ivf_assign_table(spark, sf_dir).join(
+            vs.select("vec_id", vfp.alias("vfp")), "vec_id"
+        ),
+        key=f"snapshot_index_rebuild_plan:rows_old:{sf_dir}",
+    )
+    # the delta: ONLY the perturbed vectors re-score against the
+    # frozen codebook (their argmax may move clusters)
+    mods = vs.filter(
+        (F.col("vec_id") % 89 == 2) & (F.col("vec_id") % 101 != 5)
+    ).select(
+        "vec_id",
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.25)),
+            F.slice("v", 2, DIMS - 1),
+        ).alias("v"),
+    )
+    mod_rows = ann.ivf_assign(
+        mods, id_col="vec_id", vec_col="v", seeds=seeds
+    ).join(mods.select("vec_id", vfp.alias("vfp")), "vec_id")
+    # additions copy an existing vector under a fresh key: same
+    # vector + same frozen seeds -> same argmax cluster and same
+    # fingerprint, so they inherit the source's at-rest row verbatim
+    add_rows = rows_old.filter(F.col("vec_id") % 103 == 7).select(
+        (-F.col("vec_id") - 1).alias("vec_id"), "cluster_id", "vfp"
+    )
+    rows_new = keyed_local_checkpoint(
+        rows_old.filter(
+            (F.col("vec_id") % 101 != 5) & (F.col("vec_id") % 89 != 2)
+        )
+        .unionByName(mod_rows)
+        .unionByName(add_rows),
+        key=f"snapshot_index_rebuild_plan:rows_new:{sf_dir}",
+    )
+
+    def summarize(r: DataFrame, n: str, ck: str) -> DataFrame:
+        return r.groupBy("cluster_id").agg(
+            F.count(F.lit(1)).alias(n),
+            F.sum(F.col("vec_id") * 31 + F.col("vfp")).alias(ck),
+        )
+    diff = summarize(rows_old, "n_old", "ck_old").join(
+        summarize(rows_new, "n_new", "ck_new"), "cluster_id", "full"
+    )
+    flagged = diff.filter(
+        ~(
+            (
+                F.coalesce("n_old", F.lit(0))
+                == F.coalesce("n_new", F.lit(0))
+            )
+            & (
+                F.coalesce("ck_old", F.lit(0))
+                == F.coalesce("ck_new", F.lit(0))
+            )
+        )
+    ).select(
+        "cluster_id",
+        F.coalesce("n_old", F.lit(0)).alias("n_old"),
+        F.coalesce("n_new", F.lit(0)).alias("n_new"),
+    )
+    keys = ["vec_id", "cluster_id", "vfp"]
+    entering = (
+        rows_new.join(rows_old, keys, "left_anti")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_entering"))
+    )
+    leaving = (
+        rows_old.join(rows_new, keys, "left_anti")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_leaving"))
+    )
+    return (
+        # entering/leaving are |clusters|-sized aggregates — broadcast
+        # them onto the flagged manifest instead of shuffling it
+        flagged.join(F.broadcast(entering), "cluster_id", "left")
+        .join(F.broadcast(leaving), "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_old",
+            "n_new",
+            F.coalesce("n_entering", F.lit(0)).alias("n_entering"),
+            F.coalesce("n_leaving", F.lit(0)).alias("n_leaving"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -483,6 +483,106 @@ def sequential_poisson_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- A-ES weighted reservoir sampling
+
+_AES_K = 8  # reservoir size per stratum (source)
+# integer weight tiers from document length; lcm(1..4) = 12 lets the
+# A-ES key u^(1/w) be ranked through the EXACT monotone transform
+# x -> x^12: u^(12/w) has an integer exponent per tier, computed as a
+# fixed-association product of IEEE-exact multiplications — no
+# libm pow/log whose last-ulp results differ across engines
+_AES_W_DIV = 139  # n_chars // 139 -> all four tiers live at fixtures
+# u^(12/w) per weight tier, as a SQL CASE shared VERBATIM by both
+# engines (same text -> same association -> bit-identical doubles)
+_AES_KEY_CASE = """CASE w
+  WHEN 1 THEN ((((u*u)*u) * ((u*u)*u)) * (((u*u)*u) * ((u*u)*u)))
+  WHEN 2 THEN (((u*u)*u) * ((u*u)*u))
+  WHEN 3 THEN (((u*u)*u) * u)
+  ELSE ((u*u)*u)
+END"""
+
+
+@register(
+    "weighted_reservoir_sample_aes",
+    f"""
+WITH keyed AS (
+  SELECT doc_id, source,
+         CAST(1 + least(3, n_chars // {_AES_W_DIV}) AS INTEGER) AS w,
+         (CAST({T.duck_hash28("'aes:' || doc_id::VARCHAR")} AS DOUBLE)
+            + 1e0) / 268435456e0 AS u
+  FROM documents WHERE n_chars > 0
+), scored AS (
+  SELECT doc_id, source, w, {_AES_KEY_CASE} AS aes_key
+  FROM keyed
+), ranked AS (
+  SELECT doc_id, source, w, round(aes_key, 6) AS aes_key,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY aes_key DESC, doc_id)
+              AS INTEGER) AS rnk
+  FROM scored
+)
+SELECT doc_id, source, w, aes_key, rnk
+FROM ranked WHERE rnk <= {_AES_K}
+""",
+)
+def weighted_reservoir_sample_aes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted reservoir sampling without replacement by the
+    Efraimidis–Spirakis A-ES scheme (2006): each document draws key
+    u^(1/w) — u a fixed-hash uniform in (0, 1], w its integer weight
+    tier — and the k LARGEST keys per stratum (source) form the
+    reservoir. Complements ``sequential_poisson_sample`` (rank u/w,
+    the Ohlsson order-sampling family): A-ES is the scheme whose
+    inclusion process equals a sequential weighted draw without
+    replacement, the one a streaming reservoir maintains one item at
+    a time.
+
+    Engine-portability: libm ``pow``/``log`` differ across engines in
+    the last ulp, so the key is ranked through the exact monotone
+    transform x -> x^12 (lcm of the weight tiers 1..4): u^(12/w) has
+    an integer exponent per tier and is computed as a FIXED-
+    ASSOCIATION product of IEEE multiplications shared verbatim by
+    both engines — selection is bit-exact, not approximately equal.
+    At scale: one scan projection (hash + CASE of products), one
+    per-stratum top-k (WindowGroupLimit prunes below the shuffle);
+    re-runs reproduce the same sample, and a streaming twin would
+    keep the k largest keys per stratum in bounded state."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = d.select(
+        "doc_id",
+        "source",
+        (
+            F.lit(1)
+            + F.least(F.lit(3), F.expr(f"n_chars div {_AES_W_DIV}"))
+        )
+        .cast("int")
+        .alias("w"),
+        F.expr(
+            "(cast("
+            + T.hash28_sql("concat('aes:', cast(doc_id as string))")
+            + " as double) + 1e0) / 268435456e0"
+        ).alias("u"),
+    )
+    scored = keyed.select(
+        "doc_id", "source", "w", F.expr(_AES_KEY_CASE).alias("aes_key")
+    )
+    win = Window.partitionBy("source").orderBy(
+        F.desc("aes_key"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= _AES_K)
+        .select(
+            "doc_id",
+            "source",
+            "w",
+            F.round("aes_key", 6).alias("aes_key"),
+            "rnk",
+        )
+    )
+
+
 # ------------------------------------------------------- perplexity buckets
 
 _LM_MOD = 5000  # stub unigram NLL in micro-units: hash28 % 5000

@@ -74,7 +74,13 @@ def test_build_merges_min_and_prefers_min_warm(tmp_path, monkeypatch):
     # capture A: only medians; q1 slow, q2 fast
     (tmp_path / "BENCH_r01.json").write_text(
         json.dumps(
-            {"parsed": {"value": 9, "queries": {"q1": 5.0, "q2": 0.4}}}
+            {
+                "parsed": {
+                    "value": 9,
+                    "sf": 0.1,
+                    "queries": {"q1": 5.0, "q2": 0.4},
+                }
+            }
         )
     )
     # capture B: min-warm present and better for q1, worse for q2;
@@ -83,6 +89,7 @@ def test_build_merges_min_and_prefers_min_warm(tmp_path, monkeypatch):
         json.dumps(
             {
                 "value": 9,
+                "sf": 0.1,
                 "queries": {"q1": 3.0, "q2": 1.0, "q3": 2.0},
                 "queries_min_warm": {"q1": 2.5, "q2": 0.9, "q3": 1.8},
                 "contended": True,
@@ -136,3 +143,53 @@ def test_build_ignores_non_headline_sf_captures(tmp_path, monkeypatch):
     caps = {c["file"]: c for c in out["captures"]}
     assert caps["BENCH_LOCAL.json"]["usable"] is False
     assert caps["BENCH_LOCAL_r14_start.json"]["usable"] is True
+
+
+def test_build_fails_closed_on_missing_sf(tmp_path, monkeypatch):
+    """A capture that does not self-report its sf must contribute
+    nothing (ADVICE r14: fail closed — one legacy or hand-edited
+    capture without sf must not be able to 'improve' every floor)."""
+    bf = _mod()
+    monkeypatch.setattr(bf, "REPO", str(tmp_path))
+    (tmp_path / "BENCH_r01.json").write_text(
+        json.dumps({"parsed": {"value": 1, "queries": {"q1": 0.01}}})
+    )
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps({"value": 5.0, "sf": 0.1, "queries": {"q1": 5.0}})
+    )
+    out = bf.build()
+    assert out["floors"]["q1"]["sec"] == 5.0
+    caps = {c["file"]: c for c in out["captures"]}
+    assert caps["BENCH_r01.json"]["usable"] is False
+
+
+def test_build_min_merges_committed_artifact(tmp_path, monkeypatch):
+    """Floors are monotone minima over round HISTORY: a committed
+    floor whose source capture was overwritten (the verify bench
+    smoke clobbers BENCH_LOCAL.json) must survive a rebuild; a new
+    lower capture still wins."""
+    bf = _mod()
+    monkeypatch.setattr(bf, "REPO", str(tmp_path))
+    (tmp_path / "BENCH_FLOOR.json").write_text(
+        json.dumps(
+            {
+                "floors": {
+                    "q_gone": {"sec": 1.0, "source": "BENCH_LOCAL.json"},
+                    "q_beat": {"sec": 2.0, "source": "BENCH_LOCAL.json"},
+                }
+            }
+        )
+    )
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps(
+            {
+                "value": 5.0,
+                "sf": 0.1,
+                "queries": {"q_beat": 1.5, "q_new": 0.7},
+            }
+        )
+    )
+    out = bf.build()
+    assert out["floors"]["q_gone"]["sec"] == 1.0  # survives overwrite
+    assert out["floors"]["q_beat"]["sec"] == 1.5  # lower capture wins
+    assert out["floors"]["q_new"]["sec"] == 0.7

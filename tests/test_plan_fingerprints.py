@@ -199,6 +199,22 @@ EXPECTED: dict[str, dict[str, int]] = {
     # similarity join runs ONCE — the exchange count is the price of
     # node-sized joins that must scale past broadcast at 100 TB
     "triangle_count_graph":            {"shuffle_exchanges": 22, "broadcast_hash_joins": 0, "sort_merge_joins": 10, "cartesian_products": 0, "python_stages": 0},
+    # --- round 15 additions ---
+    # A-ES reservoir: scan-stage hash + weight-tier CASE of IEEE
+    # products, ONE per-stratum top-k window (WindowGroupLimit)
+    "weighted_reservoir_sample_aes":   {"shuffle_exchanges": 1, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # fusion rerank: two broadcast candidate tiers (qprobe onto the
+    # at-rest IVF assignment; query buckets onto the at-rest LSH
+    # table — the one SMJ is the bucket-bucket candidate join, honest
+    # at scale) + the union dedup agg + ONE exact rerank window + the
+    # broadcast exact-top-5 decoration
+    "ann_fusion_rerank_topk":          {"shuffle_exchanges": 8, "broadcast_hash_joins": 4, "sort_merge_joins": 1, "cartesian_products": 0, "python_stages": 0},
+    # rebuild manifest: rows_old/rows_new pinned (localCheckpoint) so
+    # five consumers read 24 B/row triples once; SMJs are the summary
+    # full-outer diff + the two key-sized anti-joins (must scale past
+    # broadcast); the cluster-sized entering/leaving aggregates
+    # broadcast onto the flagged manifest
+    "snapshot_index_rebuild_plan":     {"shuffle_exchanges": 9, "broadcast_hash_joins": 2, "sort_merge_joins": 3, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

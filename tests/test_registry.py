@@ -18,7 +18,7 @@ from oracle_vector_search_spark import queries as registry
 # The single authoritative surface size. README.md and COVERAGE.md must
 # state this number; bump it here in the same commit that registers a
 # new query.
-DOCUMENTED_QUERY_COUNT = 351
+DOCUMENTED_QUERY_COUNT = 354
 
 SENTINELS = {
     "pipeline_label_parse",
@@ -38,22 +38,19 @@ SENTINELS = {
 # round's artifact (the window's own names get latest=current and the
 # oldest-first assertion inverts — VERDICT r11 #1b). Bump this constant
 # in the SAME commit that rotates _PRIORITY.
-ROTATION_AUTHORED_FOR = 14
+ROTATION_AUTHORED_FOR = 15
 
 # This round's DELIBERATE re-check slots: queries whose code changed
-# this round after their latest driver row (r14: the four graph
-# queries whose operator kernels moved from static checkpoint keys to
-# caller-scoped ckpt_key opt-ins — VERDICT r13 #1 / ADVICE r13 medium
-# — plus item_cf_similar_parts_top3, whose misattributed checkpoint
-# key was renamed — ADVICE r13 low). Update this set in the SAME
-# commit that rotates _PRIORITY; everything else about the window is
-# DERIVED from the rotation rule below.
+# this round after their latest driver row (r15: the Bloom audit's
+# planted-duplicate keys were rewritten to the non-colliding
+# -doc_id - 1 form — ADVICE r14). curriculum_quality_order's oracle
+# string also changed (stopword list interpolated from
+# _CURR_STOPWORDS) but generates semantically identical SQL, so no
+# slot is spent on it. Update this set in the SAME commit that
+# rotates _PRIORITY; everything else about the window is DERIVED
+# from the rotation rule below.
 RECHECK_CURRENT = {
-    "embedding_components_single_linkage",
-    "dbscan_embedding_clusters",
-    "hits_event_transitions",
-    "kcore_embedding_graph",
-    "item_cf_similar_parts_top3",
+    "bloom_dedup_fpr_audit",
 }
 
 

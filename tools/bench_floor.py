@@ -29,7 +29,11 @@ import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, "BENCH_FLOOR.json")
+def _out_path() -> str:
+    # derived at CALL time so a test that repoints REPO also repoints
+    # the committed artifact (the min-merge below must not read the
+    # real repo's floors inside a tmp-dir test)
+    return os.path.join(REPO, "BENCH_FLOOR.json")
 # floors are only comparable at the headline scale — the verify
 # battery's bench SMOKE runs at sf0.001 and overwrites BENCH_LOCAL.json
 # in the working tree, and merging such a capture would "improve" every
@@ -130,9 +134,9 @@ def build() -> dict:
     # whose source capture no longer exists on disk. A query retired
     # from bench.py is pruned manually (its committed entry names the
     # capture to check against).
-    if os.path.exists(OUT):
+    if os.path.exists(_out_path()):
         try:
-            committed = json.load(open(OUT)).get("floors", {})
+            committed = json.load(open(_out_path())).get("floors", {})
         except Exception:
             committed = {}
         for q, v in committed.items():
@@ -156,18 +160,19 @@ def build() -> dict:
 
 def main() -> int:
     new = build()
+    out = _out_path()
     if "--write" in sys.argv:
-        json.dump(new, open(OUT, "w"), indent=1)
-        open(OUT, "a").write("\n")
+        json.dump(new, open(out, "w"), indent=1)
+        open(out, "a").write("\n")
         print(
-            f"wrote {OUT}: {new['n_queries']} queries, "
+            f"wrote {out}: {new['n_queries']} queries, "
             f"floor_total={new['floor_total_sec']}s"
         )
         return 0
-    if not os.path.exists(OUT):
+    if not os.path.exists(out):
         print("no committed BENCH_FLOOR.json — run with --write")
         return 1
-    old = json.load(open(OUT))
+    old = json.load(open(out))
     o, n = old.get("floors", {}), new["floors"]
     moved = {
         q: (o[q]["sec"], n[q]["sec"])

@@ -190,16 +190,19 @@ def load_all_modules() -> None:
 #   round 6 (38 names — VERDICT r14 #2's computed cohort). The window
 #   executes that plan: 8 sentinels + 1 re-check slot
 #   (bloom_dedup_fpr_audit — its planted-duplicate keys were rewritten
-#   to the non-colliding -doc_id - 1 form this round, ADVICE r14) + 3
-#   new r15 registrations (weighted_reservoir_sample_aes,
+#   to the non-colliding -doc_id - 1 form this round, ADVICE r14) + 4
+#   new r15 registrations (weighted_reservoir_sample_aes, its
+#   streaming reservoir twin streaming_weighted_reservoir,
 #   ann_fusion_rerank_topk, snapshot_index_rebuild_plan — never
-#   driver-checked) + ALL 38 round-6-latest names in registration
-#   order = 50 exactly. curriculum_quality_order's oracle string also
-#   changed this round (the stopword list is now interpolated from
-#   _CURR_STOPWORDS) but the generated SQL is semantically identical
-#   — no re-check slot spent; the local full-registry gate re-proved
-#   it green. After this window the oldest latest-check is round 7
-#   (38 names — the natural r16 freshness plan).
+#   driver-checked) + 37 of the 38 round-6-latest names in
+#   registration order. The 4th new registration swaps in for the
+#   youngest freshness tail slot per the standing discipline;
+#   the displaced name (streaming_corpus_admission) rolls to the r16
+#   window, which therefore starts with 1 r6-latest + 37 r7-latest
+#   names. curriculum_quality_order's oracle string also changed this
+#   round (the stopword list is now interpolated from _CURR_STOPWORDS)
+#   but the generated SQL is semantically identical — no re-check
+#   slot spent; the local full-registry gate re-proved it green.
 _PRIORITY: tuple[str, ...] = (
     # --- sentinels: always driver-checked in every round ---
     "pipeline_label_parse",
@@ -214,10 +217,13 @@ _PRIORITY: tuple[str, ...] = (
     "bloom_dedup_fpr_audit",
     # --- new r15 registrations (never-driver-checked) ---
     "weighted_reservoir_sample_aes",
+    "streaming_weighted_reservoir",
     "ann_fusion_rerank_topk",
     "snapshot_index_rebuild_plan",
-    # --- freshness: the ENTIRE r6-latest cohort (38 names,
-    # registration order) — the oldest cohort in the union ---
+    # --- freshness: 37 of the 38 r6-latest names (registration
+    # order) — the oldest cohort in the union; the youngest tail
+    # name (streaming_corpus_admission) rolls to r16, displaced by
+    # the 4th new registration ---
     "retrieval_map_audit",
     "knn_classifier_confusion",
     "knn_radius_search",
@@ -255,7 +261,6 @@ _PRIORITY: tuple[str, ...] = (
     "curated_corpus_checksum",
     "media_frame_manifest",
     "shard_export_manifest",
-    "streaming_corpus_admission",
 )
 
 

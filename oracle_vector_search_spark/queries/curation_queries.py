@@ -502,9 +502,10 @@ _AES_KEY_CASE = """CASE w
 END"""
 
 
-@register(
-    "weighted_reservoir_sample_aes",
-    f"""
+# shared by the batch sampler AND its streaming reservoir twin
+# (streaming_weighted_reservoir): the drained reservoir must equal the
+# batch selection exactly, so both check against the same oracle
+_AES_ORACLE = f"""
 WITH keyed AS (
   SELECT doc_id, source,
          CAST(1 + least(3, n_chars // {_AES_W_DIV}) AS INTEGER) AS w,
@@ -523,8 +524,35 @@ WITH keyed AS (
 )
 SELECT doc_id, source, w, aes_key, rnk
 FROM ranked WHERE rnk <= {_AES_K}
-""",
-)
+"""
+
+
+def aes_keyed_docs(d: DataFrame) -> DataFrame:
+    """(doc_id, source, w, aes_key) with FULL-precision keys — the
+    scan-stage A-ES projection shared by the batch sampler and the
+    streaming reservoir twin (selection must rank the unrounded key;
+    rounding happens only at output)."""
+    keyed = d.filter(F.col("n_chars") > 0).select(
+        "doc_id",
+        "source",
+        (
+            F.lit(1)
+            + F.least(F.lit(3), F.expr(f"n_chars div {_AES_W_DIV}"))
+        )
+        .cast("int")
+        .alias("w"),
+        F.expr(
+            "(cast("
+            + T.hash28_sql("concat('aes:', cast(doc_id as string))")
+            + " as double) + 1e0) / 268435456e0"
+        ).alias("u"),
+    )
+    return keyed.select(
+        "doc_id", "source", "w", F.expr(_AES_KEY_CASE).alias("aes_key")
+    )
+
+
+@register("weighted_reservoir_sample_aes", _AES_ORACLE)
 def weighted_reservoir_sample_aes(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -546,27 +574,10 @@ def weighted_reservoir_sample_aes(
     both engines — selection is bit-exact, not approximately equal.
     At scale: one scan projection (hash + CASE of products), one
     per-stratum top-k (WindowGroupLimit prunes below the shuffle);
-    re-runs reproduce the same sample, and a streaming twin would
-    keep the k largest keys per stratum in bounded state."""
-    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    keyed = d.select(
-        "doc_id",
-        "source",
-        (
-            F.lit(1)
-            + F.least(F.lit(3), F.expr(f"n_chars div {_AES_W_DIV}"))
-        )
-        .cast("int")
-        .alias("w"),
-        F.expr(
-            "(cast("
-            + T.hash28_sql("concat('aes:', cast(doc_id as string))")
-            + " as double) + 1e0) / 268435456e0"
-        ).alias("u"),
-    )
-    scored = keyed.select(
-        "doc_id", "source", "w", F.expr(_AES_KEY_CASE).alias("aes_key")
-    )
+    re-runs reproduce the same sample, and the streaming twin
+    (``streaming_weighted_reservoir``) maintains the k largest keys
+    per stratum in bounded state against the SAME oracle."""
+    scored = aes_keyed_docs(load_table(spark, sf_dir, "documents"))
     win = Window.partitionBy("source").orderBy(
         F.desc("aes_key"), F.asc("doc_id")
     )

@@ -493,3 +493,41 @@ def streaming_preference_bt_stats(
     split; the output finalizes MM step 1 (π¹ = 2·W/N, exact under
     the uniform init)."""
     return ops.preference_stats_stream(spark, sf_dir)
+
+
+def _streaming_reservoir_oracle() -> str:
+    from oracle_vector_search_spark.queries.curation_queries import (
+        _AES_ORACLE,
+    )
+
+    return _AES_ORACLE
+
+
+@register("streaming_weighted_reservoir", _streaming_reservoir_oracle())
+def streaming_weighted_reservoir(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The A-ES weighted reservoir maintained on arrival: micro-batches
+    fold their documents' full-precision keys into a per-source top-k
+    state table of bounded size (|sources|·k rows however large the
+    corpus streams). Per-stratum top-k by (key DESC, doc_id) is an
+    associative, commutative, idempotent merge, so the drained
+    reservoir is batching-independent and equals the batch
+    ``weighted_reservoir_sample_aes`` selection exactly — the SAME
+    DuckDB oracle checks both (this is the sampling-scheme property
+    A-ES was designed for: the reservoir one item at a time realizes
+    the same weighted draw as the batch sort)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    snap = ops.weighted_reservoir_stream(spark, sf_dir)
+    win = Window.partitionBy("source").orderBy(
+        F.desc("aes_key"), F.asc("doc_id")
+    )
+    return snap.select(
+        "doc_id",
+        "source",
+        "w",
+        F.round("aes_key", 6).alias("aes_key"),
+        F.row_number().over(win).cast("int").alias("rnk"),
+    )

@@ -794,6 +794,94 @@ def dedup_within_watermark_stream(
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def weighted_reservoir_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """A-ES weighted reservoir maintained ON ARRIVAL: each micro-batch
+    folds its documents' full-precision A-ES keys into a per-source
+    top-k state table (the literal reservoir — k rows per stratum,
+    bounded regardless of how much history streamed past). Per-stratum
+    top-k by (key DESC, doc_id) is an associative, commutative,
+    idempotent merge, so the drained reservoir is batching-independent
+    and must equal the batch ``weighted_reservoir_sample_aes``
+    selection exactly — the same DuckDB oracle checks both.
+
+    State is versioned parquet (one tiny file set per epoch, built
+    from the previous version plus the batch, never from history) —
+    at 100 TB the state is |sources|·k rows however large the corpus,
+    and each epoch's work is one batch-sized scan plus a
+    reservoir-sized merge window.
+
+    Source: documents re-split into 4 files, maxFilesPerTrigger=1 →
+    ≥4 genuine reservoir-merge epochs.
+    """
+    from pyspark.sql import Window
+
+    from oracle_vector_search_spark.io import load_table
+    from oracle_vector_search_spark.queries.curation_queries import (
+        _AES_K,
+        aes_keyed_docs,
+    )
+    from oracle_vector_search_spark.scratch import scratch_dir
+
+    src_dir = scratch_dir("ovs_reservoir_src_")
+    state_root = scratch_dir("ovs_reservoir_state_")
+    (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(src_dir)
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, source string, n_chars long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    state = {"path": None, "epochs": 0}
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        incoming = aes_keyed_docs(batch_df)
+        if state["path"] is not None:
+            incoming = incoming.unionByName(
+                sess.read.parquet(state["path"])
+            )
+        win = Window.partitionBy("source").orderBy(
+            F.desc("aes_key"), F.asc("doc_id")
+        )
+        merged = (
+            incoming.withColumn("rnk", F.row_number().over(win))
+            .filter(F.col("rnk") <= _AES_K)
+            .drop("rnk")
+        )
+        new_path = f"{state_root}/v{epoch_id}"
+        merged.coalesce(1).write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+        state["epochs"] += 1
+
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = stream.writeStream.foreachBatch(merge_batch).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+    if state["path"] is None:
+        return spark.createDataFrame(
+            [], "doc_id long, source string, w int, aes_key double"
+        )
+    assert state["epochs"] >= 2, (
+        f"reservoir stream drained in {state['epochs']} epochs; "
+        "expected multi-batch arrival"
+    )
+    return spark.read.parquet(state["path"])
+
+
 def corpus_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation-on-arrival: a document stream is admission-controlled
     per micro-batch — quality-classifier gate plus directional MinHash

@@ -79,6 +79,31 @@ def test_aes_all_weight_tiers_live(spark):
     assert tiers <= {1, 2, 3, 4} and len(tiers) >= 2
 
 
+def test_streaming_reservoir_equals_batch(spark):
+    """The drained streaming reservoir must equal the batch A-ES
+    selection row-for-row (batching-independence of the per-stratum
+    top-k merge) — and its state is bounded by |sources|·k."""
+    from oracle_vector_search_spark.queries.curation_queries import (
+        _AES_K,
+        weighted_reservoir_sample_aes,
+    )
+    from oracle_vector_search_spark.queries.streaming_queries import (
+        streaming_weighted_reservoir,
+    )
+
+    batch = {
+        tuple(r)
+        for r in weighted_reservoir_sample_aes(spark, SF_SMOKE).collect()
+    }
+    stream = {
+        tuple(r)
+        for r in streaming_weighted_reservoir(spark, SF_SMOKE).collect()
+    }
+    assert stream == batch
+    n_sources = len({t[1] for t in stream})
+    assert len(stream) <= n_sources * _AES_K
+
+
 def test_fusion_rerank_invariants(spark):
     """Structural invariants of the serving plan: contiguous ranks,
     descending scores, provenance from at least one tier, and the

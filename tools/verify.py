@@ -110,6 +110,9 @@ def tree_state() -> tuple[str, list[str]]:
         "BENCH_LOCAL.json",
         "CORRECTNESS_r*.json",
         "BENCH_r*.json",
+        # driver-owned telemetry, appended continuously mid-round —
+        # same class as the per-round CORRECTNESS/BENCH artifacts
+        "PROGRESS.jsonl",
     )
     dirty = []
     for ln in _git(["status", "--porcelain"]).splitlines():

@@ -227,6 +227,9 @@ HEADLINE = [
     "weighted_reservoir_sample_aes",
     "ann_fusion_rerank_topk",
     "snapshot_index_rebuild_plan",
+    # r15: two-level Merkle descent — leaf comparison bounded by
+    # 8·|flagged supers|; super level certifies clean ranges unread
+    "merkle_range_sync_plan",
 ]
 
 # queries whose FIRST run materializes an at-rest table into a session

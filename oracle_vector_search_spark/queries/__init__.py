@@ -190,16 +190,17 @@ def load_all_modules() -> None:
 #   round 6 (38 names — VERDICT r14 #2's computed cohort). The window
 #   executes that plan: 8 sentinels + 1 re-check slot
 #   (bloom_dedup_fpr_audit — its planted-duplicate keys were rewritten
-#   to the non-colliding -doc_id - 1 form this round, ADVICE r14) + 4
+#   to the non-colliding -doc_id - 1 form this round, ADVICE r14) + 5
 #   new r15 registrations (weighted_reservoir_sample_aes, its
 #   streaming reservoir twin streaming_weighted_reservoir,
-#   ann_fusion_rerank_topk, snapshot_index_rebuild_plan — never
-#   driver-checked) + 37 of the 38 round-6-latest names in
-#   registration order. The 4th new registration swaps in for the
-#   youngest freshness tail slot per the standing discipline;
-#   the displaced name (streaming_corpus_admission) rolls to the r16
-#   window, which therefore starts with 1 r6-latest + 37 r7-latest
-#   names. curriculum_quality_order's oracle string also changed this
+#   ann_fusion_rerank_topk, snapshot_index_rebuild_plan,
+#   merkle_range_sync_plan — never driver-checked) + 36 of the 38
+#   round-6-latest names in registration order. The 4th and 5th new
+#   registrations swap in for the youngest freshness tail slots per
+#   the standing discipline; the displaced names
+#   (shard_export_manifest, streaming_corpus_admission) roll to the
+#   r16 window, which therefore starts with 2 r6-latest + the r7
+#   cohort. curriculum_quality_order's oracle string also changed this
 #   round (the stopword list is now interpolated from _CURR_STOPWORDS)
 #   but the generated SQL is semantically identical — no re-check
 #   slot spent; the local full-registry gate re-proved it green.
@@ -220,10 +221,11 @@ _PRIORITY: tuple[str, ...] = (
     "streaming_weighted_reservoir",
     "ann_fusion_rerank_topk",
     "snapshot_index_rebuild_plan",
-    # --- freshness: 37 of the 38 r6-latest names (registration
-    # order) — the oldest cohort in the union; the youngest tail
-    # name (streaming_corpus_admission) rolls to r16, displaced by
-    # the 4th new registration ---
+    "merkle_range_sync_plan",
+    # --- freshness: 36 of the 38 r6-latest names (registration
+    # order) — the oldest cohort in the union; the two youngest
+    # tail names (shard_export_manifest, streaming_corpus_admission)
+    # roll to r16, displaced by the 4th and 5th new registrations ---
     "retrieval_map_audit",
     "knn_classifier_confusion",
     "knn_radius_search",
@@ -260,7 +262,6 @@ _PRIORITY: tuple[str, ...] = (
     "lm_perplexity_buckets",
     "curated_corpus_checksum",
     "media_frame_manifest",
-    "shard_export_manifest",
 )
 
 

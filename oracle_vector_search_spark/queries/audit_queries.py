@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from oracle_vector_search_spark.functions import text as T
 from oracle_vector_search_spark.io import load_table
 from oracle_vector_search_spark.queries import register
 
@@ -550,6 +551,192 @@ def range_checksum_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(~F.col("in_sync"))
         .select("bucket", "n_a", "n_b", "in_sync")
+        .orderBy("bucket")
+    )
+
+
+# two-level Merkle descent constants: leaves of 250 ids, 8 leaves per
+# super-range; the planted deltas are SPARSE (strides 6007 / 8009) so
+# the descent genuinely prunes — most super-ranges agree and their
+# leaves are never compared
+_MK_LEAF = 250
+_MK_FAN = 8
+_MK_MUT = 6007  # event_id % 6007 = 5 -> +1 cent in replica b
+_MK_DEL = 8009  # event_id % 8009 = 3 -> dropped from replica b
+
+_MK_DIGEST_DUCK = T.duck_hash60(
+    "'m:' || bucket::VARCHAR || ':' || n::VARCHAR || ':' || ck::VARCHAR"
+)
+_MK_DIGEST_SPARK = T.hash60_sql(
+    "concat('m:', cast(bucket as string), ':', cast(n as string), "
+    "':', cast(ck as string))"
+)
+
+
+@register(
+    "merkle_range_sync_plan",
+    f"""
+WITH a AS (
+  SELECT event_id, user_id, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+b AS (
+  SELECT event_id, user_id,
+         cents + CASE WHEN event_id % {_MK_MUT} = 5 THEN 1 ELSE 0 END
+           AS cents
+  FROM a WHERE event_id % {_MK_DEL} <> 3
+),
+la AS (
+  SELECT event_id // {_MK_LEAF} AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(event_id * 31 + user_id * 7 + cents) AS BIGINT) AS ck
+  FROM a GROUP BY bucket
+),
+lb AS (
+  SELECT event_id // {_MK_LEAF} AS bucket,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(event_id * 31 + user_id * 7 + cents) AS BIGINT) AS ck
+  FROM b GROUP BY bucket
+),
+sa AS (
+  SELECT bucket // {_MK_FAN} AS super_id,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum({_MK_DIGEST_DUCK}) AS BIGINT) AS dg
+  FROM la GROUP BY super_id
+),
+sb AS (
+  SELECT bucket // {_MK_FAN} AS super_id,
+         CAST(count(*) AS BIGINT) AS nb,
+         CAST(sum({_MK_DIGEST_DUCK}) AS BIGINT) AS dg
+  FROM lb GROUP BY super_id
+),
+flagged AS (
+  SELECT coalesce(sa.super_id, sb.super_id) AS super_id
+  FROM sa FULL OUTER JOIN sb ON sa.super_id = sb.super_id
+  WHERE sa.super_id IS NULL OR sb.super_id IS NULL
+     OR sa.nb <> sb.nb OR sa.dg <> sb.dg
+),
+da AS (
+  SELECT * FROM la WHERE bucket // {_MK_FAN} IN
+    (SELECT super_id FROM flagged)
+),
+db AS (
+  SELECT * FROM lb WHERE bucket // {_MK_FAN} IN
+    (SELECT super_id FROM flagged)
+)
+SELECT coalesce(da.bucket, db.bucket) // {_MK_FAN} AS super_id,
+       coalesce(da.bucket, db.bucket) AS bucket,
+       coalesce(da.n, 0) AS n_a,
+       coalesce(db.n, 0) AS n_b
+FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+WHERE da.bucket IS NULL OR db.bucket IS NULL
+   OR da.n <> db.n OR da.ck <> db.ck
+ORDER BY bucket
+""",
+)
+def merkle_range_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level Merkle-style replica sync (the hierarchical form of
+    ``range_checksum_diff``): each replica's leaf ranges (250 ids)
+    reduce to (count, additive checksum) summaries; each leaf summary
+    is hashed into a 60-bit digest and the SUPER-range digest is the
+    order-independent SUM of its ≤8 leaf digests — the multiset-hash
+    construction, so a super-level match certifies its leaves without
+    reading them (defeating cancellation would need md5 sums to
+    collide). The descent compares leaves ONLY inside diverging
+    super-ranges and reports the exact leaf ranges to re-sync; the
+    planted deltas (a sparse +1-cent mutation and a sparse deletion)
+    leave most super-ranges clean, so the pruning is live at every
+    fixture.
+
+    Scale shape: per replica ONE count-only aggregation to leaves (the
+    at-rest summary table a production sync stores — modeled with a
+    keyed pin so the super rollup and the descent read it once), a
+    |leaves|/8-sized rollup to supers, and a leaf comparison bounded
+    by 8·|flagged supers| rows. Generalizes to k levels: each level
+    reads 1/fan-out of the one below, so a 100 TB sync walks
+    O(log R) summary tables and re-reads only diverging ranges."""
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    a = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    b = a.filter(F.col("event_id") % _MK_DEL != 3).withColumn(
+        "cents",
+        F.col("cents")
+        + F.when(F.col("event_id") % _MK_MUT == 5, 1).otherwise(0),
+    )
+
+    def leaves(df: DataFrame, key: str) -> DataFrame:
+        return keyed_local_checkpoint(
+            df.groupBy(
+                F.expr(f"event_id div {_MK_LEAF}").alias("bucket")
+            ).agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    F.col("event_id") * 31
+                    + F.col("user_id") * 7
+                    + F.col("cents")
+                ).alias("ck"),
+            ),
+            key=f"merkle_range_sync_plan:{key}:{sf_dir}",
+        )
+
+    def supers(lv: DataFrame, nb: str, dg: str) -> DataFrame:
+        return lv.groupBy(
+            F.expr(f"bucket div {_MK_FAN}").alias("super_id")
+        ).agg(
+            F.count(F.lit(1)).alias(nb),
+            F.sum(F.expr(_MK_DIGEST_SPARK)).alias(dg),
+        )
+
+    la, lb = leaves(a, "a"), leaves(b, "b")
+    flagged = (
+        supers(la, "nb_a", "dg_a")
+        .join(supers(lb, "nb_b", "dg_b"), "super_id", "full")
+        .filter(
+            F.col("nb_a").isNull()
+            | F.col("nb_b").isNull()
+            | (F.col("nb_a") != F.col("nb_b"))
+            | (F.col("dg_a") != F.col("dg_b"))
+        )
+        .select("super_id")
+    )
+
+    def descend(lv: DataFrame) -> DataFrame:
+        return lv.join(
+            F.broadcast(flagged),
+            F.expr(f"bucket div {_MK_FAN}") == F.col("super_id"),
+            "left_semi",
+        )
+
+    da = descend(la).select(
+        F.col("bucket").alias("bucket_a"),
+        F.col("n").alias("n_a"),
+        F.col("ck").alias("ck_a"),
+    )
+    db = descend(lb).select(
+        F.col("bucket").alias("bucket_b"),
+        F.col("n").alias("n_b"),
+        F.col("ck").alias("ck_b"),
+    )
+    return (
+        da.join(db, da.bucket_a == db.bucket_b, "full")
+        .filter(
+            F.col("bucket_a").isNull()
+            | F.col("bucket_b").isNull()
+            | (F.col("n_a") != F.col("n_b"))
+            | (F.col("ck_a") != F.col("ck_b"))
+        )
+        .select(
+            F.expr(
+                f"coalesce(bucket_a, bucket_b) div {_MK_FAN}"
+            ).alias("super_id"),
+            F.coalesce("bucket_a", "bucket_b").alias("bucket"),
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
         .orderBy("bucket")
     )
 

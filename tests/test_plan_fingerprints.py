@@ -215,6 +215,12 @@ EXPECTED: dict[str, dict[str, int]] = {
     # broadcast); the cluster-sized entering/leaving aggregates
     # broadcast onto the flagged manifest
     "snapshot_index_rebuild_plan":     {"shuffle_exchanges": 9, "broadcast_hash_joins": 2, "sort_merge_joins": 3, "cartesian_products": 0, "python_stages": 0},
+    # Merkle descent: leaf tables pinned (one count-only agg per
+    # replica), |leaves|/8-sized super rollups into the full-outer
+    # flag join, flagged supers BROADCAST into the two leaf semi-
+    # joins, and the final leaf full-outer compare (an SMJ of
+    # flagged-super-bounded summary rows)
+    "merkle_range_sync_plan":          {"shuffle_exchanges": 7, "broadcast_hash_joins": 2, "sort_merge_joins": 3, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

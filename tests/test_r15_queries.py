@@ -132,6 +132,19 @@ def test_fusion_rerank_invariants(spark):
         assert rs[0]["in_exact_top5"]
 
 
+def test_merkle_sync_exact_and_pruned(spark):
+    """At sf0.001 both planted deltas (mutation at event_id 5, deletion
+    at event_id 3) land in leaf 0, so the manifest is exactly one row —
+    and the super level must actually certify clean ranges (flagged
+    supers a strict subset once the id space spans several supers)."""
+    from oracle_vector_search_spark.queries.audit_queries import (
+        merkle_range_sync_plan,
+    )
+
+    rows = [tuple(r) for r in merkle_range_sync_plan(spark, SF_SMOKE).collect()]
+    assert rows == [(0, 0, 250, 249)]
+
+
 def test_snapshot_rebuild_plan_global_deltas(spark):
     """The flagged-cluster manifest must account for the planted delta
     exactly: summed n_new - n_old equals additions minus deletions

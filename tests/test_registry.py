@@ -18,7 +18,7 @@ from oracle_vector_search_spark import queries as registry
 # The single authoritative surface size. README.md and COVERAGE.md must
 # state this number; bump it here in the same commit that registers a
 # new query.
-DOCUMENTED_QUERY_COUNT = 355
+DOCUMENTED_QUERY_COUNT = 356
 
 SENTINELS = {
     "pipeline_label_parse",

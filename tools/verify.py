@@ -114,9 +114,21 @@ def tree_state() -> tuple[str, list[str]]:
         # same class as the per-round CORRECTNESS/BENCH artifacts
         "PROGRESS.jsonl",
     )
+    # NOTE: _git() strips the whole output, which eats the leading
+    # space of a first-line " M path" entry and shifts the ln[3:]
+    # path slice — a worktree-modified file first in the list then
+    # fails the ignore match (bit the r15 round-close). Read the
+    # porcelain output unstripped.
+    try:
+        porcelain = subprocess.run(
+            ["git", "status", "--porcelain"], cwd=REPO,
+            capture_output=True, text=True, timeout=30,
+        ).stdout
+    except Exception:
+        porcelain = ""
     dirty = []
-    for ln in _git(["status", "--porcelain"]).splitlines():
-        if not ln:
+    for ln in porcelain.splitlines():
+        if not ln.strip():
             continue
         path = ln[3:].split(" -> ")[-1].strip().strip('"')
         if any(fnmatch.fnmatch(path, pat) for pat in ignore):

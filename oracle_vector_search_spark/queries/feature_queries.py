@@ -1088,47 +1088,54 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("k")),
         key=f"psi_value_drift:{sf_dir}",
     )
-    gref = g.filter(~F.col("is_cur"))
-    gcur = g.filter(F.col("is_cur"))
-    rng = gref.groupBy("event_type").agg(
-        F.min("c").alias("mn"),
-        F.max("c").alias("mx"),
-        F.sum("k").alias("n_ref"),
+    # OPTIMIZATION r15 (guide §2.3, aggregate once with conditionals):
+    # the old shape read the pinned half-counts table SIX times (ref
+    # range, cur total, ref bins, cur bins — each its own shuffle;
+    # measured 6 exchanges / 59 physical ops). One conditional
+    # aggregation yields both halves' stats, and one (type, bin)
+    # aggregation yields both halves' bin counts — 4 count-sized
+    # shuffles fold to 2, identical integer counts out.
+    stats = g.groupBy("event_type").agg(
+        F.min(F.when(~F.col("is_cur"), F.col("c"))).alias("mn"),
+        F.max(F.when(~F.col("is_cur"), F.col("c"))).alias("mx"),
+        F.sum(F.when(~F.col("is_cur"), F.col("k"))).alias("n_ref"),
+        F.sum(F.when(F.col("is_cur"), F.col("k"))).alias("n_cur"),
     )
-    curn = gcur.groupBy("event_type").agg(F.sum("k").alias("n_cur"))
-
-    def binned(half: DataFrame) -> DataFrame:
-        return (
-            half.join(F.broadcast(rng), "event_type")
-            .select(
-                "event_type",
-                F.least(
-                    F.lit(_PSI_BINS - 1),
-                    F.greatest(
-                        F.lit(0),
-                        F.expr(
-                            f"(c - mn) * {_PSI_BINS} div (mx - mn + 1)"
-                        ),
+    binc = (
+        g.join(F.broadcast(stats.select("event_type", "mn", "mx")),
+               "event_type")
+        .select(
+            "event_type",
+            "is_cur",
+            F.least(
+                F.lit(_PSI_BINS - 1),
+                F.greatest(
+                    F.lit(0),
+                    F.expr(
+                        f"(c - mn) * {_PSI_BINS} div (mx - mn + 1)"
                     ),
-                ).alias("b"),
-                "k",
-            )
-            .groupBy("event_type", "b")
-            .agg(F.sum("k").alias("k"))
+                ),
+            ).alias("b"),
+            "k",
         )
-
-    rbin = binned(gref).withColumnRenamed("k", "rk")
-    cbin = binned(gcur).withColumnRenamed("k", "ck")
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.when(~F.col("is_cur"), F.col("k"))).alias("rk"),
+            F.sum(F.when(F.col("is_cur"), F.col("k"))).alias("ck"),
+        )
+    )
+    # only types present in BOTH halves (the old rng ⋈ curn inner join)
     bins = (
-        rng.join(curn, "event_type")
+        stats.filter(
+            F.col("n_ref").isNotNull() & F.col("n_cur").isNotNull()
+        )
         .crossJoin(
             spark.range(_PSI_BINS).select(F.col("id").alias("b"))
         )
         .select("event_type", "b", "n_ref", "n_cur")
     )
     terms = (
-        bins.join(rbin, ["event_type", "b"], "left")
-        .join(cbin, ["event_type", "b"], "left")
+        bins.join(binc, ["event_type", "b"], "left")
         .select(
             "event_type",
             "n_ref",

@@ -276,46 +276,72 @@ def bradley_terry_mm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per adjacent pair, never all-pairs; everything after operates
     on the (sources × sources) table, which is tiny at any corpus
     size.  More MM rounds would repeat step 2's O(sources²) block —
-    driver-side loop over a broadcast-sized table, corpus untouched."""
+    driver-side loop over a broadcast-sized table, corpus untouched.
+
+    OPTIMIZATION r15 (guide §2.3/§2.4): the match stream collapses to
+    per-unordered-pair sufficient statistics (n_ij, w1) in ONE pass —
+    the old shape consumed the corpus-sized ``matches`` three times
+    (wins, pairn, and again transitively through pi1), which Catalyst
+    re-derives per consumer (measured: 20 document scans / 131
+    physical ops at sf0.001).  Every downstream table (wins, π¹, the
+    step-2 denominator) now derives from the pinned pair table, whose
+    size is bounded by sources² at any corpus scale.  Identical
+    integers in, identical IEEE divisions out — hash-equal vs the
+    unchanged oracle SQL."""
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
     docs = load_table(spark, sf_dir, "documents")
     matches = source_matches(docs)
-    per_side = matches.select(
-        F.col("sa").alias("source"),
-        F.col("a_wins").alias("w"),
-    ).unionByName(
-        matches.select(
-            F.col("sb").alias("source"),
-            (1 - F.col("a_wins")).alias("w"),
-        )
-    )
-    wins = per_side.groupBy("source").agg(
-        F.sum("w").cast("long").alias("w_i"),
-        F.count(F.lit(1)).cast("long").alias("n_i"),
-    )
-    pairn = (
-        matches.select(
+    # ONE corpus pass: per-unordered-pair match count and s1-win count.
+    # w1 (wins of the lexicographically smaller source) + n_ij fully
+    # determine the per-side win/match sums below — same integers as
+    # summing the match rows directly, in any order.
+    pairs = keyed_local_checkpoint(
+        matches.groupBy(
             F.least("sa", "sb").alias("s1"),
             F.greatest("sa", "sb").alias("s2"),
-        )
-        .groupBy("s1", "s2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_ij"),
+            F.sum(
+                F.when(F.col("sa") < F.col("sb"), F.col("a_wins"))
+                .otherwise(1 - F.col("a_wins"))
+            ).cast("long").alias("w1"),
+        ),
+        key=f"bradley_terry_mm_step:pairs:{sf_dir}",
     )
-    pi1 = wins.select(
-        "source",
-        "w_i",
-        "n_i",
-        (F.col("w_i").cast("double") * 2 / F.col("n_i").cast("double"))
-        .alias("p1"),
-    )
-    # expand each unordered pair to both directions, join strengths
-    directed = pairn.select(
-        F.col("s1").alias("source"), F.col("s2").alias("other"), "n_ij"
+    # expand each unordered pair to both directions, carrying that
+    # side's win count; wins and the step-2 denominator both read this
+    directed = pairs.select(
+        F.col("s1").alias("source"),
+        F.col("s2").alias("other"),
+        "n_ij",
+        F.col("w1").alias("w"),
     ).unionByName(
-        pairn.select(
+        pairs.select(
             F.col("s2").alias("source"),
             F.col("s1").alias("other"),
             "n_ij",
+            (F.col("n_ij") - F.col("w1")).alias("w"),
         )
+    )
+    # per-source totals + MM step 1 (π¹ = 2·W_i / Σ_j n_ij), pinned:
+    # consumed by both step-2 broadcasts and the final projection
+    pi1 = keyed_local_checkpoint(
+        directed.groupBy("source")
+        .agg(
+            F.sum("w").cast("long").alias("w_i"),
+            F.sum("n_ij").cast("long").alias("n_i"),
+        )
+        .select(
+            "source",
+            "w_i",
+            "n_i",
+            (
+                F.col("w_i").cast("double") * 2
+                / F.col("n_i").cast("double")
+            ).alias("p1"),
+        ),
+        key=f"bradley_terry_mm_step:pi1:{sf_dir}",
     )
     jo = (
         directed.join(
@@ -341,8 +367,7 @@ def bradley_terry_mm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from oracle_vector_search_spark.functions.rounding import round_signed
 
     return (
-        wins.join(F.broadcast(pi1.select("source", "p1")), "source")
-        .join(F.broadcast(jo), "source")
+        pi1.join(F.broadcast(jo), "source")
         .select(
             "source",
             F.col("w_i").alias("wins"),

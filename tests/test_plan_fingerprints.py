@@ -127,9 +127,10 @@ EXPECTED: dict[str, dict[str, int]] = {
     # --- late round 6 ---
     # psi: the per-(type,half,cents) count table is localCheckpoint-
     # pinned (events read exactly twice, in the checkpoint job — hence
-    # 0 parquet scans here); the 12 exchanges move grouped-count /
-    # bin-sized rows only
-    "psi_value_drift":                 {"shuffle_exchanges": 6, "broadcast_hash_joins": 5, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # 0 parquet scans here); r15-opt folded the four per-half
+    # aggregations into two conditional ones (6 exchanges -> 3: stats,
+    # (type,bin) counts, final psi fold), all count-sized
+    "psi_value_drift":                 {"shuffle_exchanges": 3, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # novelty: gram explode → (hash,doc) df shuffle → per-doc rollup;
     # the df join auto-broadcasts at fixture size
     # novelty (r9 restructure): the pinned gram table feeds TWO aggs
@@ -157,10 +158,12 @@ EXPECTED: dict[str, dict[str, int]] = {
     # index + the top-k window exchange (r9: expr→GEMM tier, ~2×)
     "video_keyframe_knn":              {"shuffle_exchanges": 2, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 1},
     # BT fit: the matches self-join is corpus-shaped (auto-broadcast at
-    # fixture size, the one honest SMJ at scale); every post-aggregate
-    # join (pi1 strengths, pair counts) broadcasts EXPLICITLY — those
-    # sides are sources-sized at any corpus scale, so 0 SMJs survive
-    "bradley_terry_mm_step":           {"shuffle_exchanges": 8, "broadcast_hash_joins": 14, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # fixture size, the one honest SMJ at scale); r15-opt collapsed the
+    # match stream to ONE per-pair sufficient-statistics aggregation
+    # (pinned, sources²-bounded) so the corpus is consumed once instead
+    # of three times (was 8 exchanges / 14 BHJs / 20 scans); every
+    # post-aggregate join broadcasts EXPLICITLY (sources-sized sides)
+    "bradley_terry_mm_step":           {"shuffle_exchanges": 2, "broadcast_hash_joins": 3, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # unigram Viterbi: word histogram + piece-count shuffles; the DP
     # itself is ONE Catalyst expression over a broadcast map column —
     # no python, no join, no per-round exchanges

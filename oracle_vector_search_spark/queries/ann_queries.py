@@ -1526,8 +1526,6 @@ def ivf_closure_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session (the index layout), so the audit's warm path reads a
     # tiny parquet instead of re-ranking the corpus against seeds
     ranked = _ivf_closure_table(spark, sf_dir)
-    single = ranked.filter(F.col("rn") == 1).drop("rn")
-    closure = ranked.drop("rn")
     vs = emb.select("vec_id", as_double_array("embedding").alias("v"))
     seeds = vs.filter(F.col("vec_id") % ann.SEED_STRIDE == 0).select(
         F.col("vec_id").alias("seed_id"), F.col("v").alias("sv")
@@ -1549,17 +1547,17 @@ def ivf_closure_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("query_id", F.col("seed_id").alias("cluster_id"))
     )
-    single_cand = (
-        single.withColumnRenamed("vec_id", "neighbor_id")
+    # OPTIMIZATION r15 (guide §2.4): single_cand was the rn=1 slice of
+    # the SAME probed posting lists closure_cand reads — two joins +
+    # two DISTINCT shuffles against one at-rest table. One join and
+    # one (query, neighbor) MIN(rn) aggregation carries both tiers:
+    # membership in the single set ⟺ best_rn = 1, membership in the
+    # closure set ⟺ presence. Identical hit counts by construction.
+    cand = (
+        ranked.withColumnRenamed("vec_id", "neighbor_id")
         .join(F.broadcast(qprobe), "cluster_id")
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    closure_cand = (
-        closure.withColumnRenamed("vec_id", "neighbor_id")
-        .join(F.broadcast(qprobe), "cluster_id")
-        .select("query_id", "neighbor_id")
-        .distinct()
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.min("rn").alias("best_rn"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc("neighbor_id")
@@ -1575,33 +1573,20 @@ def ivf_closure_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id")
     )
-    s = single_cand.select(
-        F.col("query_id").alias("s_q"), F.col("neighbor_id").alias("s_n")
-    )
-    c = closure_cand.select(
-        F.col("query_id").alias("c_q"), F.col("neighbor_id").alias("c_n")
-    )
+    # one left join carries both tiers: best_rn = 1 ⟺ the neighbor is
+    # in the single-assignment candidate set, best_rn NOT NULL ⟺ it is
+    # in the closure candidate set (superset) — same counts as the old
+    # two joins against the rn=1 slice and the full table
+    s_hit = F.count(F.when(F.col("best_rn") == 1, F.lit(1)))
+    c_hit = F.count("best_rn")
     return (
-        exact_top.join(
-            F.broadcast(s),
-            (F.col("query_id") == F.col("s_q"))
-            & (F.col("neighbor_id") == F.col("s_n")),
-            "left",
-        )
-        .drop("s_q")
-        .join(
-            F.broadcast(c),
-            (F.col("query_id") == F.col("c_q"))
-            & (F.col("neighbor_id") == F.col("c_n")),
-            "left",
-        )
-        .drop("c_q")
+        exact_top.join(F.broadcast(cand), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
-            F.count("s_n").alias("single_hits"),
-            F.count("c_n").alias("closure_hits"),
-            F.round(F.count("s_n") / 5.0, 6).alias("single_recall_at5"),
-            F.round(F.count("c_n") / 5.0, 6).alias("closure_recall_at5"),
+            s_hit.alias("single_hits"),
+            c_hit.alias("closure_hits"),
+            F.round(s_hit / 5.0, 6).alias("single_recall_at5"),
+            F.round(c_hit / 5.0, 6).alias("closure_recall_at5"),
         )
         .orderBy("query_id")
     )
@@ -2140,12 +2125,15 @@ def ann_fusion_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("query_id", F.col("seed_id").alias("cluster_id"))
     )
+    # OPTIMIZATION r15 (guide §2.4): no .distinct() on either candidate
+    # tier — the provenance groupBy below dedups (query, neighbor)
+    # anyway, so the two pre-union DISTINCT shuffles were pure cost
+    # (ivf candidates are unique already: one cluster per vector).
     ivf_cand = (
         _ivf_assign_table(spark, sf_dir)
         .withColumnRenamed("vec_id", "neighbor_id")
         .join(F.broadcast(qprobe), "cluster_id")
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     ibuckets = _bucket_table(spark, sf_dir)
     lsh_cand = (
@@ -2158,7 +2146,6 @@ def ann_fusion_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["band", "bucket"],
         )
         .select("query_id", "neighbor_id")
-        .distinct()
     )
     cand = (
         ivf_cand.select(
@@ -2401,46 +2388,57 @@ def snapshot_index_rebuild_plan(
         key=f"snapshot_index_rebuild_plan:rows_new:{sf_dir}",
     )
 
-    def summarize(r: DataFrame, n: str, ck: str) -> DataFrame:
-        return r.groupBy("cluster_id").agg(
-            F.count(F.lit(1)).alias(n),
-            F.sum(F.col("vec_id") * 31 + F.col("vfp")).alias(ck),
-        )
-    diff = summarize(rows_old, "n_old", "ck_old").join(
-        summarize(rows_new, "n_new", "ck_new"), "cluster_id", "full"
+    # OPTIMIZATION r15 (guide §2.3/§2.4): both diffs now ride ONE
+    # tagged union of the two pinned triple tables instead of a
+    # full-outer SMJ (summaries) plus TWO anti-join SMJs (entering/
+    # leaving) — same 24 B/row keys shuffled, one pass each, no sorts.
+    u = rows_old.withColumn("is_new", F.lit(False)).unionByName(
+        rows_new.withColumn("is_new", F.lit(True))
+    )
+    diff = u.groupBy("cluster_id").agg(
+        F.count(F.when(~F.col("is_new"), F.lit(1))).alias("n_old"),
+        F.sum(
+            F.when(~F.col("is_new"), F.col("vec_id") * 31 + F.col("vfp"))
+        ).alias("ck_old"),
+        F.count(F.when(F.col("is_new"), F.lit(1))).alias("n_new"),
+        F.sum(
+            F.when(F.col("is_new"), F.col("vec_id") * 31 + F.col("vfp"))
+        ).alias("ck_new"),
     )
     flagged = diff.filter(
         ~(
-            (
-                F.coalesce("n_old", F.lit(0))
-                == F.coalesce("n_new", F.lit(0))
-            )
+            (F.col("n_old") == F.col("n_new"))
             & (
                 F.coalesce("ck_old", F.lit(0))
                 == F.coalesce("ck_new", F.lit(0))
             )
         )
-    ).select(
-        "cluster_id",
-        F.coalesce("n_old", F.lit(0)).alias("n_old"),
-        F.coalesce("n_new", F.lit(0)).alias("n_new"),
-    )
-    keys = ["vec_id", "cluster_id", "vfp"]
-    entering = (
-        rows_new.join(rows_old, keys, "left_anti")
+    ).select("cluster_id", "n_old", "n_new")
+    # a (vec_id, cluster_id, vfp) triple appears at most once per
+    # snapshot, so per-key side counts reproduce the anti-joins:
+    # new-only ⟺ entering, old-only ⟺ leaving — folded into ONE
+    # |clusters|-sized aggregate carrying both counts
+    el = (
+        u.groupBy("vec_id", "cluster_id", "vfp")
+        .agg(
+            F.count(F.when(~F.col("is_new"), F.lit(1))).alias("n_o"),
+            F.count(F.when(F.col("is_new"), F.lit(1))).alias("n_n"),
+        )
+        .filter(F.col("n_o") != F.col("n_n"))
         .groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n_entering"))
-    )
-    leaving = (
-        rows_old.join(rows_new, keys, "left_anti")
-        .groupBy("cluster_id")
-        .agg(F.count(F.lit(1)).alias("n_leaving"))
+        .agg(
+            F.sum(
+                F.when(F.col("n_n") > F.col("n_o"), 1).otherwise(0)
+            ).alias("n_entering"),
+            F.sum(
+                F.when(F.col("n_o") > F.col("n_n"), 1).otherwise(0)
+            ).alias("n_leaving"),
+        )
     )
     return (
         # entering/leaving are |clusters|-sized aggregates — broadcast
         # them onto the flagged manifest instead of shuffling it
-        flagged.join(F.broadcast(entering), "cluster_id", "left")
-        .join(F.broadcast(leaving), "cluster_id", "left")
+        flagged.join(F.broadcast(el), "cluster_id", "left")
         .select(
             "cluster_id",
             "n_old",

@@ -683,23 +683,32 @@ def merkle_range_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             key=f"merkle_range_sync_plan:{key}:{sf_dir}",
         )
 
-    def supers(lv: DataFrame, nb: str, dg: str) -> DataFrame:
-        return lv.groupBy(
-            F.expr(f"bucket div {_MK_FAN}").alias("super_id")
-        ).agg(
-            F.count(F.lit(1)).alias(nb),
-            F.sum(F.expr(_MK_DIGEST_SPARK)).alias(dg),
-        )
-
     la, lb = leaves(a, "a"), leaves(b, "b")
+    # OPTIMIZATION r15 (guide §2.3/§2.4): the replica diff at BOTH
+    # levels used to be a full-outer sort-merge join (two sorted
+    # exchanges + merge per level). A union with a side tag and ONE
+    # conditional aggregation shuffles the same summary rows once and
+    # needs no sort: a side absent from a super yields count 0 (≠ the
+    # other side's ≥1), reproducing the old IS NULL arm exactly, and
+    # the flagged set only ever exposes super_id.
+    lvu = la.withColumn("is_b", F.lit(False)).unionByName(
+        lb.withColumn("is_b", F.lit(True))
+    )
     flagged = (
-        supers(la, "nb_a", "dg_a")
-        .join(supers(lb, "nb_b", "dg_b"), "super_id", "full")
+        lvu.groupBy(F.expr(f"bucket div {_MK_FAN}").alias("super_id"))
+        .agg(
+            F.count(F.when(~F.col("is_b"), F.lit(1))).alias("nb_a"),
+            F.sum(
+                F.when(~F.col("is_b"), F.expr(_MK_DIGEST_SPARK))
+            ).alias("dg_a"),
+            F.count(F.when(F.col("is_b"), F.lit(1))).alias("nb_b"),
+            F.sum(
+                F.when(F.col("is_b"), F.expr(_MK_DIGEST_SPARK))
+            ).alias("dg_b"),
+        )
         .filter(
-            F.col("nb_a").isNull()
-            | F.col("nb_b").isNull()
-            | (F.col("nb_a") != F.col("nb_b"))
-            | (F.col("dg_a") != F.col("dg_b"))
+            (F.col("nb_a") != F.col("nb_b"))
+            | ~F.col("dg_a").eqNullSafe(F.col("dg_b"))
         )
         .select("super_id")
     )
@@ -711,29 +720,32 @@ def merkle_range_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
 
-    da = descend(la).select(
-        F.col("bucket").alias("bucket_a"),
-        F.col("n").alias("n_a"),
-        F.col("ck").alias("ck_a"),
-    )
-    db = descend(lb).select(
-        F.col("bucket").alias("bucket_b"),
-        F.col("n").alias("n_b"),
-        F.col("ck").alias("ck_b"),
+    # leaf-level diff inside flagged supers: same union+conditional-
+    # aggregation shape as the super diff (buckets are unique per
+    # replica, so MAX(when(side)) reproduces the full-outer row pair:
+    # NULL ⟺ that replica lacks the bucket)
+    du = (
+        descend(la)
+        .withColumn("is_b", F.lit(False))
+        .unionByName(descend(lb).withColumn("is_b", F.lit(True)))
     )
     return (
-        da.join(db, da.bucket_a == db.bucket_b, "full")
+        du.groupBy("bucket")
+        .agg(
+            F.max(F.when(~F.col("is_b"), F.col("n"))).alias("n_a"),
+            F.max(F.when(~F.col("is_b"), F.col("ck"))).alias("ck_a"),
+            F.max(F.when(F.col("is_b"), F.col("n"))).alias("n_b"),
+            F.max(F.when(F.col("is_b"), F.col("ck"))).alias("ck_b"),
+        )
         .filter(
-            F.col("bucket_a").isNull()
-            | F.col("bucket_b").isNull()
+            F.col("n_a").isNull()
+            | F.col("n_b").isNull()
             | (F.col("n_a") != F.col("n_b"))
             | (F.col("ck_a") != F.col("ck_b"))
         )
         .select(
-            F.expr(
-                f"coalesce(bucket_a, bucket_b) div {_MK_FAN}"
-            ).alias("super_id"),
-            F.coalesce("bucket_a", "bucket_b").alias("bucket"),
+            F.expr(f"bucket div {_MK_FAN}").alias("super_id"),
+            "bucket",
             F.coalesce("n_a", F.lit(0)).alias("n_a"),
             F.coalesce("n_b", F.lit(0)).alias("n_b"),
         )

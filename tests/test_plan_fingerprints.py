@@ -101,7 +101,7 @@ EXPECTED: dict[str, dict[str, int]] = {
     "seasonal_hour_anomalies":         {"shuffle_exchanges": 1, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # closure audit: 2 assignment windows + exact-top window + distinct
     # + final agg; probes/candidates broadcast — no SMJ anywhere
-    "ivf_closure_recall_audit":        {"shuffle_exchanges": 6, "broadcast_hash_joins": 4, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "ivf_closure_recall_audit":        {"shuffle_exchanges": 4, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # --- round 6 additions ---
     # hll: register groupBy + register rollup + exact count-distinct
     # (partial/final) — every exchange is register- or scalar-sized
@@ -211,19 +211,19 @@ EXPECTED: dict[str, dict[str, int]] = {
     # table — the one SMJ is the bucket-bucket candidate join, honest
     # at scale) + the union dedup agg + ONE exact rerank window + the
     # broadcast exact-top-5 decoration
-    "ann_fusion_rerank_topk":          {"shuffle_exchanges": 8, "broadcast_hash_joins": 4, "sort_merge_joins": 1, "cartesian_products": 0, "python_stages": 0},
+    "ann_fusion_rerank_topk":          {"shuffle_exchanges": 7, "broadcast_hash_joins": 4, "sort_merge_joins": 1, "cartesian_products": 0, "python_stages": 0},
     # rebuild manifest: rows_old/rows_new pinned (localCheckpoint) so
     # five consumers read 24 B/row triples once; SMJs are the summary
     # full-outer diff + the two key-sized anti-joins (must scale past
     # broadcast); the cluster-sized entering/leaving aggregates
     # broadcast onto the flagged manifest
-    "snapshot_index_rebuild_plan":     {"shuffle_exchanges": 9, "broadcast_hash_joins": 2, "sort_merge_joins": 3, "cartesian_products": 0, "python_stages": 0},
+    "snapshot_index_rebuild_plan":     {"shuffle_exchanges": 4, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # Merkle descent: leaf tables pinned (one count-only agg per
     # replica), |leaves|/8-sized super rollups into the full-outer
     # flag join, flagged supers BROADCAST into the two leaf semi-
     # joins, and the final leaf full-outer compare (an SMJ of
     # flagged-super-bounded summary rows)
-    "merkle_range_sync_plan":          {"shuffle_exchanges": 7, "broadcast_hash_joins": 2, "sort_merge_joins": 3, "cartesian_products": 0, "python_stages": 0},
+    "merkle_range_sync_plan":          {"shuffle_exchanges": 4, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
 }
 # fmt: on
 

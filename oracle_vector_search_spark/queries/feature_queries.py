@@ -922,11 +922,19 @@ def bootstrap_mean_ci_deterministic(
     # survivors of a selective filter otherwise sit in one or two scan
     # partitions and the x200 expansion runs nearly serial (a tiny
     # keyed shuffle buys full-width parallelism for the heavy stage;
-    # at real input widths this is a no-op cost)
-    base = ev.select(
+    # at real input widths this is a no-op cost).
+    # OPTIMIZATION r15 (guide §2.5, round rule on local-tuned
+    # constants): the width was a hard-coded 32 — the local core
+    # count — which would CAP the heavy explode stage at 32 tasks on
+    # any larger cluster; defaultParallelism follows the session's
+    # actual core budget on every deployment.
+    proj = ev.select(
         "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("vc"),
-    ).repartition(32, "event_id")
+    )
+    base = proj.repartition(
+        spark.sparkContext.defaultParallelism, "event_id"
+    )
     # Stage the two explodes so the digest is computed once per
     # (event, block) row — each md5 feeds four resample lanes reading
     # disjoint 7-hex windows, quartering the hash work (the dominant
@@ -971,7 +979,10 @@ def bootstrap_mean_ci_deterministic(
     sorted_ms = means.agg(
         F.array_sort(F.collect_list("mean_milli")).alias("ms")
     )
-    full_mean = base.agg(
+    # the exact mean needs no particular partitioning — read the
+    # un-repartitioned projection so the second consumer skips the
+    # spread exchange (r15: one corpus-sized shuffle removed)
+    full_mean = proj.agg(
         F.count("*").cast("long").alias("n"),
         F.expr(
             "cast(floor(sum(vc) * 1000.0 / count(*)) as bigint)"

@@ -701,7 +701,17 @@ def fuzzy_token_pairs_edit1(
     typos = words.filter("doc_id % 5 = 0 AND length(w) >= 5").selectExpr(
         "concat(substr(w, 1, 1), substr(w, 3)) AS w"
     )
-    vocab = words.select("w").unionByName(typos).distinct()
+    # OPTIMIZATION r15 (guide §2.4/§5): both sides of the variant
+    # self-join used to replay the tokenize → union → DISTINCT subtree
+    # (two corpus tokenizations + two vocabulary shuffles per run).
+    # The vocabulary is the FastSS design's small table — pin it once
+    # and both sides explode variants from the pin.
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    vocab = keyed_local_checkpoint(
+        words.select("w").unionByName(typos).distinct(),
+        key=f"fuzzy_token_pairs_edit1:vocab:{sf_dir}",
+    )
     variants = vocab.selectExpr(
         "w",
         "explode(array_distinct(concat(transform("

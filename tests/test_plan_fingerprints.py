@@ -96,7 +96,7 @@ EXPECTED: dict[str, dict[str, int]] = {
     # roll up from the count table (vocab-sized exchange), then count
     # joins + per-doc agg. 4 exchanges but only one moves corpus rows —
     # measured 1.75x faster than the 3-exchange two-corpus-pass shape
-    "bigram_lm_fluency":               {"shuffle_exchanges": 4, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "bigram_lm_fluency":               {"shuffle_exchanges": 2, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # seasonal baseline: one bounded-key partial agg, broadcast back
     "seasonal_hour_anomalies":         {"shuffle_exchanges": 1, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # closure audit: 2 assignment windows + exact-top window + distinct
@@ -120,10 +120,10 @@ EXPECTED: dict[str, dict[str, int]] = {
     # the B-fold explode run at full width (4.4 s -> 1.6 s warm at
     # sf0.1); it appears twice (Exchange + ReusedExchange — the base
     # feeds both the resample and the full-mean branches)
-    "bootstrap_mean_ci_deterministic": {"shuffle_exchanges": 5, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "bootstrap_mean_ci_deterministic": {"shuffle_exchanges": 4, "broadcast_hash_joins": 0, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # fuzzy: vocab distinct + variant self-join (auto-broadcast at
     # fixture size; the variant-keyed SMJ at scale) + pair distinct
-    "fuzzy_token_pairs_edit1":         {"shuffle_exchanges": 3, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    "fuzzy_token_pairs_edit1":         {"shuffle_exchanges": 2, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # --- late round 6 ---
     # psi: the per-(type,half,cents) count table is localCheckpoint-
     # pinned (events read exactly twice, in the checkpoint job — hence

@@ -50,7 +50,9 @@ def _minhash_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the fixture is a single parquet file → one input partition;
         # spread the (interpreted, per-row) hash expressions across
         # cores before evaluating them
-        docs = load_table(spark, sf_dir, "documents").repartition(32)
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
         write_artifact(minhash_signatures(docs), path)
         _SIG_CACHE[key] = path
     return read_artifact(spark, path)
@@ -71,7 +73,9 @@ def _simhash_fp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _FP_CACHE.get(key)
     if path is None:
         path = scratch_dir("ovs_simhash_fps_")
-        docs = load_table(spark, sf_dir, "documents").repartition(32)
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            spark.sparkContext.defaultParallelism
+        )
         write_artifact(simhash_fingerprints(docs), path)
         _FP_CACHE[key] = path
     return read_artifact(spark, path)

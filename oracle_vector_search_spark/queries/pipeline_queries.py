@@ -214,7 +214,9 @@ def _built_index(spark: SparkSession, sf_dir: str, max_key: int) -> DataFrame:
     # Spread it across the cluster BEFORE the embed column; ids are
     # repartition-stable by construction (two-phase assignment,
     # tests/test_scale_ops.py). Measured: 15.8 s → 4.1 s at sf0.1.
-    joined = joined.repartition(32)
+    joined = joined.repartition(
+        spark.sparkContext.defaultParallelism
+    )
     joined = decode_class(joined)
     crop_md5 = F.md5(
         F.concat_ws(

@@ -915,7 +915,9 @@ def corpus_admission_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_slice = docs.filter(F.col("doc_id") % 7 == 0)
 
     sig_path = scratch_dir("ovs_admission_sigs_")
-    minhash_signatures(standing.repartition(32)).write.mode(
+    minhash_signatures(
+        standing.repartition(spark.sparkContext.defaultParallelism)
+    ).write.mode(
         "overwrite"
     ).parquet(sig_path)
 

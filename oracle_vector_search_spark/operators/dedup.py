@@ -449,6 +449,7 @@ def dedup_clusters(
     all_ids: DataFrame,
     id_col: str = "doc_id",
     iterations: int = 3,
+    ckpt_key: str | None = None,
 ) -> DataFrame:
     """Canonical-document assignment: connected components over the
     near-duplicate pair graph, each doc labeled with the MIN id
@@ -457,11 +458,17 @@ def dedup_clusters(
     Input: ``pairs(left_id, right_id)`` undirected edges, ``all_ids``
     the full corpus. Output: (doc_id, canonical_id) for every doc.
 
-    Each iteration is one join + groupBy(min) — at scale you iterate
-    until a fixpoint with AQE and localCheckpoint between rounds
-    (the fixture's near-dup chains have diameter ≤ 3, so a fixed small
-    iteration count is exact AND keeps the op oracle-expressible as
-    unrolled SQL)."""
+    Each iteration is one join + groupBy(min), checkpointed per round
+    exactly like the fixpoint tier (OPTIMIZATION r15, guide §5):
+    without the round pins, ``labels(k)`` references ``labels(k-1)``
+    TWICE (own row + the neighbor-min join side), so Catalyst
+    re-evaluated the label subtree 2^k times per run — measured 190
+    physical ops / 10 SMJs on the 3-round consumers, and exponential
+    corpus-id-sized replay at scale. ``ckpt_key`` keys the final
+    round's blocks for deterministic release (registry queries pass
+    f"<name>:{sf_dir}"); None keeps them GC-owned."""
+    from oracle_vector_search_spark.plans.ckpt import RoundScope
+
     edges = (
         pairs.select(
             F.col("left_id").alias("src"), F.col("right_id").alias("dst")
@@ -475,6 +482,11 @@ def dedup_clusters(
         .distinct()
         .persist()  # referenced every iteration — don't recompute LSH 3x
     )
+    scope = RoundScope(all_ids.sparkSession)
+    # round 0 is a bare projection of the id column — its two round-1
+    # consumers replay one pruned scan each, cheaper than a pin job
+    # (unlike the fixpoint tier, which must pin every round because
+    # its round count is unbounded)
     labels = all_ids.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("canonical_id")
     )
@@ -491,7 +503,7 @@ def dedup_clusters(
             .groupBy("src")
             .agg(F.min("nbr_label").alias("nbr_min"))
         )
-        labels = (
+        labels = scope.checkpoint(  # truncate lineage: flat plan
             labels.join(
                 neighbor_min,
                 labels.node == neighbor_min.src,
@@ -505,6 +517,14 @@ def dedup_clusters(
                 ).alias("canonical_id"),
             )
         )
+        # the new round is materialized (eager checkpoint): the prior
+        # round's blocks have no remaining consumer — release them now
+        scope.release_superseded()
+    # labels no longer references edges (lineage truncated) — safe to
+    # release the LSH cache instead of leaving it to ContextCleaner
+    edges.unpersist()
+    if ckpt_key is not None:
+        scope.transfer_to_key(ckpt_key)
     return labels.select(F.col("node").alias(id_col), "canonical_id")
 
 

@@ -742,7 +742,12 @@ def curated_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.select("doc_id"), "doc_id", "left_semi"
     )
     pairs = minhash_near_dup(kept, threshold=MINHASH_THRESHOLD, sigs=sigs)
-    labels = dedup_clusters(pairs, kept.select("doc_id"), iterations=3)
+    labels = dedup_clusters(
+        pairs,
+        kept.select("doc_id"),
+        iterations=3,
+        ckpt_key=f"curated_corpus_checksum:clusters:{sf_dir}",
+    )
     final = docs.join(
         labels.filter(F.col("doc_id") == F.col("canonical_id")).select(
             "doc_id"
@@ -1226,7 +1231,12 @@ def nightly_corpus_build_manifest(
         kept.select("doc_id"), "doc_id", "left_semi"
     )
     pairs = minhash_near_dup(kept, threshold=MINHASH_THRESHOLD, sigs=sigs)
-    labels = dedup_clusters(pairs, kept.select("doc_id"), iterations=3)
+    labels = dedup_clusters(
+        pairs,
+        kept.select("doc_id"),
+        iterations=3,
+        ckpt_key=f"nightly_corpus_build_manifest:clusters:{sf_dir}",
+    )
     surv = keyed_local_checkpoint(
         labels.filter(F.col("doc_id") == F.col("canonical_id")).select(
             "doc_id"

@@ -354,7 +354,12 @@ def dedup_canonical_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=MINHASH_THRESHOLD,
         sigs=_minhash_sig_table(spark, sf_dir),
     )
-    return dedup_clusters(pairs, docs.select("doc_id"), iterations=3)
+    return dedup_clusters(
+        pairs,
+        docs.select("doc_id"),
+        iterations=3,
+        ckpt_key=f"dedup_canonical_ids:clusters:{sf_dir}",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -533,7 +538,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=MINHASH_THRESHOLD,
         sigs=_minhash_sig_table(spark, sf_dir),
     )
-    clusters = dedup_clusters(pairs, docs.select("doc_id"), iterations=3)
+    clusters = dedup_clusters(
+        pairs,
+        docs.select("doc_id"),
+        iterations=3,
+        ckpt_key=f"dedup_keep_best:clusters:{sf_dir}",
+    )
     qual = with_norm_tokens(docs).select(
         "doc_id", F.size("toks").cast("long").alias("n_tokens")
     )
@@ -967,7 +977,12 @@ def dedup_cleaned_corpus_checksum(
         threshold=MINHASH_THRESHOLD,
         sigs=_minhash_sig_table(spark, sf_dir),
     )
-    labels = dedup_clusters(pairs, docs.select("doc_id"), iterations=3)
+    labels = dedup_clusters(
+        pairs,
+        docs.select("doc_id"),
+        iterations=3,
+        ckpt_key=f"dedup_cleaned_corpus_checksum:clusters:{sf_dir}",
+    )
     kept = docs.join(
         labels.filter(F.col("doc_id") == F.col("canonical_id")).select(
             "doc_id"
@@ -1057,7 +1072,10 @@ def dedup_cascade_scaling_probe(
     try:
         pairs = minhash_near_dup(corpus, threshold=MINHASH_THRESHOLD)
         labels = dedup_clusters(
-            pairs, corpus.select("doc_id"), iterations=4
+            pairs,
+            corpus.select("doc_id"),
+            iterations=4,
+            ckpt_key=f"dedup_cascade_scaling_probe:clusters:{sf_dir}",
         )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
@@ -1304,7 +1322,12 @@ def dedup_soft_sample_weights(
         threshold=MINHASH_THRESHOLD,
         sigs=_minhash_sig_table(spark, sf_dir),
     )
-    comp = dedup_clusters(pairs, docs.select("doc_id"), iterations=3)
+    comp = dedup_clusters(
+        pairs,
+        docs.select("doc_id"),
+        iterations=3,
+        ckpt_key=f"dedup_soft_sample_weights:clusters:{sf_dir}",
+    )
     w = Window.partitionBy("canonical_id")
     return comp.select(
         "doc_id",

@@ -2001,8 +2001,18 @@ def mutual_information_features(
         "stack(3, 'value_bin', value_bin, 'hour', hour, 'dow', dow) "
         "AS (feature, x)",
     ).select("feature", "x", "y")
-    joint = m.groupBy("feature", "x", "y").agg(
-        F.count("*").alias("nxy")
+    # OPTIMIZATION r15 (guide §2.4/§5): the docstring's "never
+    # rescanning the corpus" claim was aspirational — joint is consumed
+    # by margx/margy/tot/mi and Catalyst replayed the corpus melt +
+    # count shuffle per consumer (measured 184 ops / 27 exchanges /
+    # 6 scans at sf0.001). The contingency table is bounded by
+    # Σ(feature levels × labels) — metadata-sized at any corpus scale —
+    # so pin it once and make the claim true.
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    joint = keyed_local_checkpoint(
+        m.groupBy("feature", "x", "y").agg(F.count("*").alias("nxy")),
+        key=f"mutual_information_features:joint:{sf_dir}",
     )
     margx = joint.groupBy("feature", "x").agg(F.sum("nxy").alias("nx"))
     margy = joint.groupBy("feature", "y").agg(F.sum("nxy").alias("ny"))

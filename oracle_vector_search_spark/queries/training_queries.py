@@ -1338,13 +1338,23 @@ def mmr_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from oracle_vector_search_spark.operators.knn import knn_exact
 
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
     lam = float(MMR_LAMBDA)
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES_HN)
-    cand = (
+    # OPTIMIZATION r15 (guide §2.4/§5): the greedy unroll consumes the
+    # candidate table in every pick round (cv, s1, sc2, sc3, the final
+    # union) and Catalyst replays the subtree per consumer — the
+    # corpus-sized exact-kNN pass re-ran for each (measured 372
+    # physical ops / 38 scans at sf0.001). Pin the ≤k-rows-per-query
+    # candidate table and the ≤k²-per-query pairwise-sim table once;
+    # every pick round reads the pins.
+    cand = keyed_local_checkpoint(
         knn_exact(emb, queries, k=10)
         .withColumnRenamed("score", "rel")
-        .select("query_id", "neighbor_id", "rel")
+        .select("query_id", "neighbor_id", "rel"),
+        key=f"mmr_rerank_top3:cand:{sf_dir}",
     )
     vecs = emb.select(
         F.col("vec_id").alias("neighbor_id"),
@@ -1357,12 +1367,13 @@ def mmr_rerank_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cv.select(
         "query_id", F.col("neighbor_id").alias("bi"), F.col("v").alias("bv")
     )
-    sim = (
+    sim = keyed_local_checkpoint(
         a.join(b, "query_id")
         .select(
             "query_id", "ai", "bi",
             F.round(cosine_similarity("av", "bv"), 6).alias("sim"),
-        )
+        ),
+        key=f"mmr_rerank_top3:sim:{sf_dir}",
     )
 
     def pick(df: DataFrame, score_col: str) -> DataFrame:

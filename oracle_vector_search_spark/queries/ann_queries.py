@@ -1385,12 +1385,22 @@ def multiprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ib = ibuckets.select(
         F.col("vec_id").alias("neighbor_id"), "band", "bucket"
     )
-    single = qb.join(ib, ["band", "bucket"]).select(
-        "query_id", "neighbor_id"
-    ).distinct()
-    multi = qprobes.join(ib, ["band", "bucket"]).select(
-        "query_id", "neighbor_id"
-    ).distinct()
+    # OPTIMIZATION r15 (guide §2.4): one tagged probe union + ONE
+    # bucket join + one (query, neighbor) flag aggregation replaces
+    # the two joins + two DISTINCTs (both probe tables hit the same
+    # at-rest bucket table; the flags reproduce set membership exactly
+    # without assuming the multi-probe set is a superset)
+    qall = qb.withColumn("is_single", F.lit(True)).unionByName(
+        qprobes.withColumn("is_single", F.lit(False))
+    )
+    cand = (
+        qall.join(ib, ["band", "bucket"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.max("is_single").alias("in_single"),
+            F.max(~F.col("is_single")).alias("in_multi"),
+        )
+    )
     # exact top-5 ground truth
     vs = emb.select("vec_id", as_double_array("embedding").alias("v"))
     q = vs.filter(F.col("vec_id") < 10).select(
@@ -1410,29 +1420,18 @@ def multiprobe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("query_id", "neighbor_id")
     )
-    s = single.withColumnRenamed("neighbor_id", "s_n")
-    m = multi.withColumnRenamed("neighbor_id", "m_n")
+    s_hit = F.count(F.when(F.col("in_single"), F.lit(1)))
+    m_hit = F.count(F.when(F.col("in_multi"), F.lit(1)))
     return (
         exact_top.join(
-            s,
-            (exact_top.query_id == s.query_id)
-            & (exact_top.neighbor_id == F.col("s_n")),
-            "left",
+            F.broadcast(cand), ["query_id", "neighbor_id"], "left"
         )
-        .drop(s.query_id)
-        .join(
-            m,
-            (exact_top.query_id == m.query_id)
-            & (exact_top.neighbor_id == F.col("m_n")),
-            "left",
-        )
-        .drop(m.query_id)
         .groupBy("query_id")
         .agg(
-            F.count("s_n").alias("single_hits"),
-            F.count("m_n").alias("multi_hits"),
-            F.round(F.count("s_n") / 5.0, 6).alias("single_recall_at5"),
-            F.round(F.count("m_n") / 5.0, 6).alias("multi_recall_at5"),
+            s_hit.alias("single_hits"),
+            m_hit.alias("multi_hits"),
+            F.round(s_hit / 5.0, 6).alias("single_recall_at5"),
+            F.round(m_hit / 5.0, 6).alias("multi_recall_at5"),
         )
         .orderBy("query_id")
     )

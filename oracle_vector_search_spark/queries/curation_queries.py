@@ -210,11 +210,22 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b"
         ),
     )
-    stats = bucketed.groupBy("b").agg(
-        F.count("*").alias("r_b"),
-        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
-        .cast("bigint")
-        .alias("t_b"),
+    # OPTIMIZATION r15 (guide §2.4/§5): stats feeds both the totals
+    # rollup and the scoring broadcast — unpinned, the corpus
+    # tokenize + feature-explode subtree replayed per consumer (three
+    # corpus passes; measured 115 ops / 16 exchanges). The bucket
+    # table is _DSIR_BUCKETS-bounded at any scale; pin it and the run
+    # is the designed two passes (train stats + scoring probe).
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    stats = keyed_local_checkpoint(
+        bucketed.groupBy("b").agg(
+            F.count("*").alias("r_b"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            .cast("bigint")
+            .alias("t_b"),
+        ),
+        key=f"dsir_importance_select:stats:{sf_dir}",
     )
     totals = stats.agg(
         F.sum("r_b").alias("r_tot"), F.sum("t_b").alias("t_tot")

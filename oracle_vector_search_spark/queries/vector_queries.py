@@ -578,7 +578,16 @@ def sq8_recall_refine_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < N_QUERIES)
-    exact = knn_exact(emb, queries, k=K).select("query_id", "neighbor_id")
+    # OPTIMIZATION r15 (guide §2.4/§5): the exact ground truth feeds
+    # both hit joins and the qids projection — unpinned, the corpus
+    # kNN crossJoin + window replayed three times per run (measured
+    # 128 ops / 13 exchanges). K×|queries| rows: pin once.
+    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
+
+    exact = keyed_local_checkpoint(
+        knn_exact(emb, queries, k=K).select("query_id", "neighbor_id"),
+        key=f"sq8_recall_refine_audit:exact:{sf_dir}",
+    )
 
     # stage-1-only top-5: integer code dot products in pure Catalyst
     sq = lambda col: F.aggregate(

@@ -381,13 +381,23 @@ def main() -> None:
         pass  # read-only checkout: the stdout detail line still has it
     print(json.dumps(detail))
     sys.stdout.flush()
+    # FINAL-line size discipline (VERDICT r15 #1: BENCH_r14's record was
+    # LOST because the 62-query final line outgrew the driver's
+    # stdout-tail capture, the exact failure bench.py's r5 note warns
+    # about). Two size cuts, zero methodology change — the timing loop
+    # and the detail line/BENCH_LOCAL.json keep full 3-decimal medians:
+    #   * per-query values on the final line round to 2 decimals (the
+    #     noise_band is an order of magnitude larger than the 0.005 s
+    #     quantization, so no round-over-round signal is lost);
+    #   * compact JSON separators (no space after ',' / ':').
+    # At 65 queries this shrinks the line ~3.3 kB -> ~2.6 kB.
     print(
         json.dumps(
             {
                 "metric": "headline_suite_warm_median_total_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": medians,
+                "queries": {n: round(s, 2) for n, s in medians.items()},
                 "min_warm_total": min_total,
                 "noise_band": noise_band,
                 "runs_per_query": RUNS,
@@ -400,7 +410,8 @@ def main() -> None:
                 "cpu_probe_drift": probe_drift,
                 "membw_probe_drift": membw_drift,
                 "contended": contended,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -466,7 +466,16 @@ def dedup_clusters(
     physical ops / 10 SMJs on the 3-round consumers, and exponential
     corpus-id-sized replay at scale. ``ckpt_key`` keys the final
     round's blocks for deterministic release (registry queries pass
-    f"<name>:{sf_dir}"); None keeps them GC-owned."""
+    f"<name>:{sf_dir}"); None keeps them GC-owned.
+
+    Fault-tolerance trade (ADVICE r15): ``localCheckpoint`` truncates
+    lineage, so after executor loss the labels are NOT recomputable —
+    the job fails instead of replaying (acceptable for the bench/oracle
+    contract and for nightly builds that simply re-run; a cluster
+    deployment that must survive executor loss should use reliable
+    ``checkpoint()`` with a checkpoint dir, at the cost of an HDFS
+    write per round). Same trade applies to ``dedup_clusters_fixpoint``
+    and every RoundScope loop."""
     from oracle_vector_search_spark.plans.ckpt import RoundScope
 
     edges = (

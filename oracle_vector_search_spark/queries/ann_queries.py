@@ -511,7 +511,15 @@ def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(
         F.desc("score"), F.asc("cluster_id")
     )
-    reassigned = (
+    # OPTIMIZATION r16 (guide §5): `reassigned` feeds BOTH f and st, so
+    # unpinned the whole Lloyd step — the (cluster, dim) posexplode
+    # shuffle AND the broadcast-centroid reassignment scan — replayed
+    # per consumer (measured 90 physical ops / 2× corpus passes). Pin
+    # the (vec_id, cluster_id) result exactly like the chained twin
+    # (kmeans_chain_two_steps) pins its iterations: ids only, one
+    # corpus pass per run. Same localCheckpoint fault-tolerance trade
+    # as operators/dedup.dedup_clusters (documented there).
+    reassigned = keyed_local_checkpoint(
         vecs.join(F.broadcast(cents))
         .select(
             "vec_id", "cluster_id",
@@ -519,7 +527,8 @@ def kmeans_refine_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cluster_id")
+        .select("vec_id", "cluster_id"),
+        key=f"kmeans_refine_clusters:reassigned:{sf_dir}",
     )
     seeds = vecs.filter(F.col("vec_id") % ann.SEED_STRIDE == 0).select(
         F.col("vec_id").alias("cluster_id")

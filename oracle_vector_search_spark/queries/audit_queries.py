@@ -707,6 +707,13 @@ def merkle_range_sync_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dg_b"),
         )
         .filter(
+            # dg_a/dg_b are SUM(hash60(concat(...))) over non-null
+            # inputs, so a present side's digest is non-null by
+            # construction; eqNullSafe (vs a null-propagating !=)
+            # intentionally FLAGS a count-equal super where exactly one
+            # side's digest were ever NULL. Unreachable today — noted so
+            # a future nullable digest expr doesn't silently change
+            # flagging semantics (ADVICE r15).
             (F.col("nb_a") != F.col("nb_b"))
             | ~F.col("dg_a").eqNullSafe(F.col("dg_b"))
         )

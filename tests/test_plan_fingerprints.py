@@ -96,7 +96,11 @@ EXPECTED: dict[str, dict[str, int]] = {
     # roll up from the count table (vocab-sized exchange), then count
     # joins + per-doc agg. 4 exchanges but only one moves corpus rows —
     # measured 1.75x faster than the 3-exchange two-corpus-pass shape
-    "bigram_lm_fluency":               {"shuffle_exchanges": 2, "broadcast_hash_joins": 2, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
+    # r16: c1 folded into c2's lineage as a w1 window (one consumer, no
+    # keyed pin, no pin job) — the former pin HID its count exchange in
+    # the pin job's plan, so the visible plan gains the train-agg +
+    # window exchanges (2 → 3) while dropping the c1 join (2 → 1 BHJ)
+    "bigram_lm_fluency":               {"shuffle_exchanges": 3, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # seasonal baseline: one bounded-key partial agg, broadcast back
     "seasonal_hour_anomalies":         {"shuffle_exchanges": 1, "broadcast_hash_joins": 1, "sort_merge_joins": 0, "cartesian_products": 0, "python_stages": 0},
     # closure audit: 2 assignment windows + exact-top window + distinct

@@ -185,6 +185,36 @@ def load_all_modules() -> None:
 #   round-5-latest names in registration order = 50 exactly. After
 #   this window the oldest latest-check is round 6 and every
 #   registered name has a driver row.
+#   r16 (this file): CORRECTNESS_r15 green (50/50). This window is
+#   built around RE-CHECKS, not freshness: VERDICT r15 #1 — ~20
+#   queries REWRITTEN by the r15 optimization round carry driver rows
+#   that predate their rewrite (they were not in the r15 window), and
+#   the rotation discipline's own rule (re-check slots for anything
+#   code-touched after its latest row) must execute before those
+#   rewrites count as driver-proven. 8 sentinels + 18 r15-rewrite
+#   re-checks (bradley_terry_mm_step, psi_value_drift,
+#   ivf_closure_recall_audit, multiprobe_recall_audit, mmr_rerank_top3,
+#   mutual_information_features, dsir_importance_select,
+#   sq8_recall_refine_audit, bootstrap_mean_ci_deterministic,
+#   bigram_lm_fluency, fuzzy_token_pairs_edit1, and the 7
+#   dedup_clusters consumers — curated_corpus_checksum re-checks even
+#   though its r15 row postdates the kernel change, because THIS round
+#   touched it again) + 5 r16-rewrite re-checks (bleu2_pair_eval,
+#   prf_rocchio_requery, kmeans_refine_clusters, semantic_dedup_keep,
+#   pca_top_eigenvector — every query this optimization round
+#   restructured; bigram/psi/curated/nightly are already above) + the
+#   2 r6-latest names the r15 window rolled (shard_export_manifest,
+#   streaming_corpus_admission) + 17 freshness slots from the r7-latest
+#   cohort (38 names, the oldest remaining — 3 of them are already
+#   re-check slots here) in registration order. The 18 remaining
+#   r7-latest names roll to the r17 window: table_stats_profile,
+#   winsorized_value_sums, revenue_yoy_growth, top_orders_with_ties,
+#   event_type_value_mode, knn_label_propagation, copurchase_bfs_hops,
+#   embedding_covariance_upper, reference_crops_decode_parity,
+#   reference_crops_pixel_chain_profile, corpus_summary_card,
+#   class_balanced_sample, xml_roundtrip_checksum, bpe_merge_pairs_top20,
+#   seasonal_hour_anomalies, bpe_apply_merge_recount,
+#   c4_sentence_span_dedup, incremental_revenue_snapshot.
 #   r15 (this file): CORRECTNESS_r14 green (50/50) → cumulative union
 #   still zero fails / zero never-checked; oldest latest-check is
 #   round 6 (38 names — VERDICT r14 #2's computed cohort). The window
@@ -214,54 +244,56 @@ _PRIORITY: tuple[str, ...] = (
     "knn_exact_cosine_top5_gemm",
     "exact_dedup_groups",
     "streaming_upsert_snapshot",
-    # --- re-check: code changed this round after the latest row ---
-    "bloom_dedup_fpr_audit",
-    # --- new r15 registrations (never-driver-checked) ---
-    "weighted_reservoir_sample_aes",
-    "streaming_weighted_reservoir",
-    "ann_fusion_rerank_topk",
-    "snapshot_index_rebuild_plan",
-    "merkle_range_sync_plan",
-    # --- freshness: 36 of the 38 r6-latest names (registration
-    # order) — the oldest cohort in the union; the two youngest
-    # tail names (shard_export_manifest, streaming_corpus_admission)
-    # roll to r16, displaced by the 4th and 5th new registrations ---
-    "retrieval_map_audit",
-    "knn_classifier_confusion",
-    "knn_radius_search",
-    "ivfpq_ann_topk",
-    "ivfpq_residual_fidelity",
-    "events_hourly_gapfill_ffill",
-    "events_rolling_median_value",
-    "scd2_point_in_time_join",
-    "dedup_graph_triangles",
-    "synopsis_range_count_audit",
-    "ab_test_event_value_z",
-    "events_user_ewma",
-    "events_user_cusum",
-    "q3_shipping_priority",
-    "q18_large_volume_customers",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_parts_supplier",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "revenue_rollup_nation_year",
-    "customer_spend_window_suite",
-    "quantity_quantiles_by_flag",
-    "set_ops_customer_cohorts",
-    "copurchase_part_pairs_top20",
-    "pareto_skyline_orders",
-    "pagerank_event_transitions",
-    "embedding_gram_upper",
-    "pca_top_eigenvector",
-    "quality_classifier_keep",
-    "semantic_dedup_keep",
-    "sequential_poisson_sample",
-    "lm_perplexity_buckets",
+    # --- re-check: rewritten by the r15 optimization round AFTER
+    # their latest driver row (VERDICT r15 #1, item 1 verbatim) ---
+    "bradley_terry_mm_step",
+    "psi_value_drift",
+    "ivf_closure_recall_audit",
+    "multiprobe_recall_audit",
+    "mmr_rerank_top3",
+    "mutual_information_features",
+    "dsir_importance_select",
+    "sq8_recall_refine_audit",
+    "bootstrap_mean_ci_deterministic",
+    "bigram_lm_fluency",
+    "fuzzy_token_pairs_edit1",
+    "dedup_canonical_ids",
+    "dedup_keep_best",
+    "dedup_cleaned_corpus_checksum",
+    "dedup_cascade_scaling_probe",
+    "dedup_soft_sample_weights",
     "curated_corpus_checksum",
-    "media_frame_manifest",
+    "nightly_corpus_build_manifest",
+    # --- re-check: rewritten by THIS round (r16 optimization) ---
+    "bleu2_pair_eval",
+    "prf_rocchio_requery",
+    "kmeans_refine_clusters",
+    "semantic_dedup_keep",
+    "pca_top_eigenvector",
+    # --- the 2 r6-latest names the r15 window rolled ---
+    "shard_export_manifest",
+    "streaming_corpus_admission",
+    # --- freshness: 17 of the 38 r7-latest names (registration
+    # order; bigram_lm_fluency / ivf_closure_recall_audit /
+    # fuzzy_token_pairs_edit1 are already re-check slots above);
+    # the other 18 roll to r17 — list in the r16 note above ---
+    "retrieval_ndcg_audit",
+    "funnel_view_click_purchase",
+    "events_trailing_hour_range_sum",
+    "rolling_distinct_users_range",
+    "scd2_user_type_intervals",
+    "user_resurrection_stats",
+    "source_lang_chisq_divergence",
+    "doc_char_entropy_quality",
+    "hll_distinct_users_audit",
+    "golden_record_survivorship",
+    "user_event_diversity_simpson",
+    "value_benford_audit",
+    "doc_top_keywords",
+    "fim_split_transform",
+    "dpp_pruned_event_revenue",
+    "cdc_merge_with_deletes",
+    "null_safe_join_audit",
 )
 
 

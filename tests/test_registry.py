@@ -38,19 +38,48 @@ SENTINELS = {
 # round's artifact (the window's own names get latest=current and the
 # oldest-first assertion inverts — VERDICT r11 #1b). Bump this constant
 # in the SAME commit that rotates _PRIORITY.
-ROTATION_AUTHORED_FOR = 15
+ROTATION_AUTHORED_FOR = 16
 
 # This round's DELIBERATE re-check slots: queries whose code changed
-# this round after their latest driver row (r15: the Bloom audit's
-# planted-duplicate keys were rewritten to the non-colliding
-# -doc_id - 1 form — ADVICE r14). curriculum_quality_order's oracle
-# string also changed (stopword list interpolated from
-# _CURR_STOPWORDS) but generates semantically identical SQL, so no
-# slot is spent on it. Update this set in the SAME commit that
-# rotates _PRIORITY; everything else about the window is DERIVED
-# from the rotation rule below.
+# after their latest driver row. r16 executes VERDICT r15 #1: the 18
+# queries the r15 OPTIMIZATION round rewrote that were NOT in the r15
+# window (their rows predate the rewrite), plus the 5 queries THIS
+# round restructured (bleu2 single-pass, prf/kmeans/pca pins,
+# semantic_dedup's at-rest assignment swap). merkle_range_sync_plan
+# and the audit/psi comment-level edits spend no slot beyond psi's
+# (psi was rewritten in r15 AND touched in r16). Update this set in
+# the SAME commit that rotates _PRIORITY; everything else about the
+# window is DERIVED from the rotation rule below.
 RECHECK_CURRENT = {
-    "bloom_dedup_fpr_audit",
+    # r15 rewrites with stale driver rows (VERDICT r15 #1 list)
+    "bradley_terry_mm_step",
+    "psi_value_drift",
+    "ivf_closure_recall_audit",
+    "multiprobe_recall_audit",
+    "mmr_rerank_top3",
+    "mutual_information_features",
+    "dsir_importance_select",
+    "sq8_recall_refine_audit",
+    "bootstrap_mean_ci_deterministic",
+    "bigram_lm_fluency",
+    "fuzzy_token_pairs_edit1",
+    "dedup_canonical_ids",
+    "dedup_keep_best",
+    "dedup_cleaned_corpus_checksum",
+    "dedup_cascade_scaling_probe",
+    "dedup_soft_sample_weights",
+    "curated_corpus_checksum",
+    "nightly_corpus_build_manifest",
+    # r16 rewrites (this optimization round)
+    "bleu2_pair_eval",
+    "prf_rocchio_requery",
+    "kmeans_refine_clusters",
+    "semantic_dedup_keep",
+    "pca_top_eigenvector",
+    # r6-latest names rolled from the r15 window (displaced there by
+    # the 4th/5th new registrations; oldest cohort in the union)
+    "shard_export_manifest",
+    "streaming_corpus_admission",
 }
 
 

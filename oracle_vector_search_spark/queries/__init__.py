@@ -214,7 +214,8 @@ def load_all_modules() -> None:
 #   reference_crops_pixel_chain_profile, corpus_summary_card,
 #   class_balanced_sample, xml_roundtrip_checksum, bpe_merge_pairs_top20,
 #   seasonal_hour_anomalies, bpe_apply_merge_recount,
-#   c4_sentence_span_dedup, incremental_revenue_snapshot.
+#   c4_sentence_span_dedup, incremental_revenue_snapshot (and
+#   copurchase_bfs_hops is instead an r16 re-check slot).
 #   r15 (this file): CORRECTNESS_r14 green (50/50) → cumulative union
 #   still zero fails / zero never-checked; oldest latest-check is
 #   round 6 (38 names — VERDICT r14 #2's computed cohort). The window
@@ -270,6 +271,7 @@ _PRIORITY: tuple[str, ...] = (
     "kmeans_refine_clusters",
     "semantic_dedup_keep",
     "pca_top_eigenvector",
+    "copurchase_bfs_hops",
     # --- the 2 r6-latest names the r15 window rolled ---
     "shard_export_manifest",
     "streaming_corpus_admission",
@@ -293,7 +295,6 @@ _PRIORITY: tuple[str, ...] = (
     "fim_split_transform",
     "dpp_pruned_event_revenue",
     "cdc_merge_with_deletes",
-    "null_safe_join_audit",
 )
 
 

@@ -413,6 +413,16 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("d"),
     )
+    # OPTIMIZATION r16 (guide §5): dist(k) references dist(k-1) TWICE
+    # (the frontier filter + the left join's own row), so unpinned the
+    # relaxation chain re-evaluated 2^k times — 159 physical ops /
+    # 23 exchanges / 10 SMJ censused, with node-sized shuffle chains
+    # replayed 8× at any scale. Per-round RoundScope pins (the
+    # dedup_clusters discipline) make each round one join + one
+    # aggregation over the pinned previous round.
+    from oracle_vector_search_spark.plans.ckpt import RoundScope
+
+    scope = RoundScope(spark)
     for _ in range(_BFS_ROUNDS):
         frontier = dist.filter(F.col("d").isNotNull()).select(
             F.col("node").alias("fsrc"), F.col("d").alias("fd")
@@ -422,11 +432,16 @@ def copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("cnode"))
             .agg((F.min("fd") + F.lit(1)).cast("int").alias("cd"))
         )
-        dist = dist.join(
-            cand, dist.node == cand.cnode, "left"
-        ).select(
-            F.col("node"), F.least(F.col("d"), F.col("cd")).alias("d")
+        dist = scope.checkpoint(
+            dist.join(
+                cand, dist.node == cand.cnode, "left"
+            ).select(
+                F.col("node"), F.least(F.col("d"), F.col("cd")).alias("d")
+            )
         )
+        scope.release_superseded()
+    # the returned histogram lazily references the LAST round's blocks
+    scope.transfer_to_key(f"copurchase_bfs_hops:dist:{sf_dir}")
     return (
         dist.select(
             F.coalesce(F.col("d"), F.lit(-1)).cast("int").alias("hops")

@@ -76,6 +76,7 @@ RECHECK_CURRENT = {
     "kmeans_refine_clusters",
     "semantic_dedup_keep",
     "pca_top_eigenvector",
+    "copurchase_bfs_hops",
     # r6-latest names rolled from the r15 window (displaced there by
     # the 4th/5th new registrations; oldest cohort in the union)
     "shard_export_manifest",
